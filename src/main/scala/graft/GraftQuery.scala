@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One engine query: a Spark DataFrame program plus (when the
+  * semantics are ANSI-SQL-expressible and cross-engine deterministic)
+  * an equivalent DuckDB SQL twin used by the driver's differential
+  * oracle (SURVEY.md §5). Queries without an oracle get a weaker
+  * rows-only check and are covered by ScalaTest instead.
+  */
+final case class GraftQuery(
+    name: String,
+    doc: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None)
+
+object GraftQuery {
+  /** Exact, order-independent sum of a double column: cast to decimal
+    * first so partial-aggregation order can't perturb the result,
+    * then cast back to double for a dialect-neutral output type.
+    * Mirrors `CAST(SUM(CAST(x AS DECIMAL(p,s))) AS DOUBLE)` in DuckDB.
+    */
+  def decSum(c: Column, prec: Int = 18, scale: Int = 2): Column =
+    sum(c.cast(s"decimal($prec,$scale)")).cast("double")
+
+  /** Deterministic mean: exact decimal sum divided by count, in
+    * double — identical in any engine given identical inputs. */
+  def decAvg(c: Column, prec: Int = 18, scale: Int = 2): Column =
+    sum(c.cast(s"decimal($prec,$scale)")).cast("double") / count(lit(1))
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Table loaders for the driver-generated TPC-H-ish test data
+  * (TESTDATA.md / FIXTURES.md). Every query takes an `sfDir` so the
+  * same code runs at any scale factor — at cluster scale these would
+  * be catalog tables; locally they are parquet directories.
+  *
+  * Scans built here are plain `spark.read.parquet`, so Catalyst
+  * handles column pruning and predicate pushdown into the parquet
+  * reader (the Spark-native equivalent of the reference's
+  * server-side `shallow=true` / `orderBy`+`startAt` pushdown,
+  * BackupProcessor.php:82,162-169).
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  /** events.ts is TIMESTAMP(NANOS) in parquet, which Spark's vectorized
+    * reader rejects outright. With `spark.sql.legacy.parquet.nanosAsLong`
+    * set (Verify/Bench/test sessions do), the column arrives as nanos-
+    * since-epoch LongType; normalize to TimestampType (µs, truncating —
+    * same truncation DuckDB applies reading ns into its µs TIMESTAMP,
+    * so the oracle sees identical instants). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = table(s, d, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

@@ -1,0 +1,396 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import graft.GraftQuery.{decAvg, decSum}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator surface (SURVEY.md §2.1-2.6, §7 steps 0-2).
+  *
+  * The reference's dataflow operators map onto declarative DataFrame
+  * programs: its key-ordered paginated scan (BackupProcessor.php:150-200)
+  * becomes a parquet scan whose partitioning Spark plans; its server-side
+  * `startAt` predicate (BackupProcessor.php:167-169) becomes a pushed-down
+  * filter; its cursor-overlap dedup (BackupProcessor.php:195-197)
+  * vanishes because Spark partitions don't overlap — kept here as a
+  * general `distinct`. Joins/aggregations/windows beyond the reference
+  * (it has only the anti-join drain, RestoreProcessor.php:99) complete
+  * the general query surface required by the north star.
+  *
+  * Determinism rules for the DuckDB oracle (SURVEY.md §5 risk list):
+  * every query ends in a total `orderBy` over a unique key set; double
+  * aggregation goes through exact decimal (`decSum`/`decAvg`); count-like
+  * outputs are BIGINT in both dialects.
+  */
+object Relational {
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // ---- §2.1 scans ----------------------------------------------------
+    GraftQuery(
+      "q_scan",
+      "Full table scan + count — the reference's paginated export loop " +
+        "(BackupProcessor.php:71-136) collapsed into one distributed scan.",
+      (s, d) => Tables.lineitem(s, d).agg(count(lit(1)).as("cnt")),
+      Some("SELECT count(*) AS cnt FROM lineitem")),
+
+    GraftQuery(
+      "q_keys",
+      "Keys-only projection ≈ shallow=true fetch (BackupProcessor.php:82):" +
+        " column pruning means the parquet scan reads a single column.",
+      (s, d) => Tables.part(s, d).select("p_partkey").distinct()
+        .orderBy("p_partkey"),
+      Some("SELECT DISTINCT p_partkey FROM part ORDER BY p_partkey")),
+
+    GraftQuery(
+      "q_manifest",
+      "Manifest build: group members under their parent key, ordered — " +
+        "the metadata.json shape (BackupProcessor.php:206-210) as " +
+        "groupBy + sorted collect_list.",
+      (s, d) => Tables.documents(s, d).groupBy("source")
+        .agg(sort_array(collect_list(col("doc_id"))).as("doc_ids"),
+             count(lit(1)).as("n_docs"))
+        .orderBy("source"),
+      Some("SELECT source, list_sort(list(doc_id)) AS doc_ids, " +
+        "count(*) AS n_docs FROM documents GROUP BY source ORDER BY source")),
+
+    // ---- §2.2 filters / projections ------------------------------------
+    GraftQuery(
+      "q_filter_range",
+      "Range predicate on the scan ≈ the startAt keyset filter " +
+        "(BackupProcessor.php:167-169); pushed to parquet min/max pruning.",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") <  lit("1997-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND " +
+        "l_shipdate < TIMESTAMP '1997-01-01' ORDER BY l_orderkey, l_linenumber")),
+
+    GraftQuery(
+      "q_dedup",
+      "Duplicate elimination on a column subset — generalizes the " +
+        "cursor-overlap dedup (BackupProcessor.php:195-197).",
+      (s, d) => Tables.lineitem(s, d)
+        .select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem " +
+        "ORDER BY l_returnflag, l_linestatus")),
+
+    // ---- §2.5 sorts / limits / top-k -----------------------------------
+    GraftQuery(
+      "q_sort",
+      "Total sort (range-partitioned exchange) ≈ server-side " +
+        "orderBy=$key (BackupProcessor.php:163) over the whole dataset.",
+      (s, d) => Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice")
+        .orderBy(desc("l_shipdate"), asc("l_orderkey"), asc("l_linenumber")),
+      Some("SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice " +
+        "FROM lineitem ORDER BY l_shipdate DESC, l_orderkey, l_linenumber")),
+
+    GraftQuery(
+      "q_limit",
+      "limitToFirst (BackupProcessor.php:164) — ordered limit so the " +
+        "result is a deterministic prefix.",
+      (s, d) => Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                "o_orderdate", "o_orderpriority")
+        .orderBy("o_orderkey").limit(100),
+      Some("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, " +
+        "o_orderdate, o_orderpriority FROM orders ORDER BY o_orderkey LIMIT 100")),
+
+    GraftQuery(
+      "q_topk",
+      "Top-k = filter + orderBy + limit, the keyset page-fetch composition" +
+        " (BackupProcessor.php:162-169); Catalyst plans TakeOrderedAndProject" +
+        " — no full sort, no full shuffle.",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_quantity") >= 30)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
+        .orderBy(desc("l_extendedprice"), asc("l_orderkey"), asc("l_linenumber"))
+        .limit(50),
+      Some("SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity " +
+        "FROM lineitem WHERE l_quantity >= 30 " +
+        "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 50")),
+
+    GraftQuery(
+      "q_group_collect",
+      "groupBy + sorted collect_list — the manifest accumulation " +
+        "pattern (BackupProcessor.php:206-210) at row scale.",
+      (s, d) => Tables.lineitem(s, d).groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"),
+             count(lit(1)).as("n"))
+        .orderBy("l_orderkey"),
+      Some("SELECT l_orderkey, list_sort(list(l_linenumber)) AS lines, " +
+        "count(*) AS n FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey")),
+
+    // ---- §2.6 set operations -------------------------------------------
+    GraftQuery(
+      "q_union",
+      "Union of two filtered scans + dedup — page concatenation " +
+        "(BackupProcessor.php:71-136) generalized to set union.",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        o.filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey", "o_orderstatus")
+          .union(o.filter(col("o_orderstatus") === "F")
+            .select("o_orderkey", "o_orderstatus"))
+          .distinct()
+          .orderBy("o_orderkey", "o_orderstatus")
+      },
+      Some("SELECT o_orderkey, o_orderstatus FROM orders " +
+        "WHERE o_orderpriority = '1-URGENT' " +
+        "UNION SELECT o_orderkey, o_orderstatus FROM orders " +
+        "WHERE o_orderstatus = 'F' ORDER BY o_orderkey, o_orderstatus")),
+
+    GraftQuery(
+      "q_except",
+      "Set difference, the keyed drain array_diff_key " +
+        "(RestoreProcessor.php:99) as EXCEPT.",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        c.select("c_custkey")
+          .except(c.filter(col("c_mktsegment") === "BUILDING")
+            .select("c_custkey"))
+          .orderBy("c_custkey")
+      },
+      Some("SELECT c_custkey FROM customer EXCEPT SELECT c_custkey " +
+        "FROM customer WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey")),
+
+    GraftQuery(
+      "q_intersect",
+      "Set intersection across two tables' key domains.",
+      (s, d) => Tables.customer(s, d).select(col("c_custkey").as("k"))
+        .intersect(Tables.orders(s, d).select(col("o_custkey").as("k")))
+        .orderBy("k"),
+      Some("SELECT c_custkey AS k FROM customer INTERSECT " +
+        "SELECT o_custkey AS k FROM orders ORDER BY k")),
+
+    // ---- §2.3 joins ------------------------------------------------------
+    GraftQuery(
+      "q_join_inner",
+      "Equi inner join on the fact tables' key — shuffle-hash/sort-merge " +
+        "territory at 100 TB; AQE picks the physical strategy.",
+      (s, d) => Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"),
+                col("o_orderstatus"), col("l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("SELECT l_orderkey, l_linenumber, o_custkey, o_orderstatus, " +
+        "l_quantity FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "ORDER BY l_orderkey, l_linenumber")),
+
+    GraftQuery(
+      "q_join_multi",
+      "Star-schema chain orders⋈customer⋈nation⋈region with explicit " +
+        "broadcast of the dimension tables (they stay small at any SF); " +
+        "the fact-side join keys never shuffle the dims.",
+      (s, d) => Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+              col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+              col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(decSum(col("o_totalprice")).as("total_price"),
+             count(lit(1)).as("n_orders"))
+        .orderBy("r_name", "n_name"),
+      Some("SELECT r_name, n_name, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price, " +
+        "count(*) AS n_orders FROM orders " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY r_name, n_name ORDER BY r_name, n_name")),
+
+    GraftQuery(
+      "q_join_semi",
+      "Left-semi join (EXISTS): customers having an urgent order — " +
+        "never materializes the probe side's payload.",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+              col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+      Some("SELECT c_custkey, c_name FROM customer WHERE EXISTS (" +
+        "SELECT 1 FROM orders WHERE o_custkey = c_custkey AND " +
+        "o_orderpriority = '1-URGENT') ORDER BY c_custkey")),
+
+    GraftQuery(
+      "q_join_anti",
+      "Left-anti join (NOT EXISTS) — the Spark form of the restore " +
+        "drain `array_diff_key` (RestoreProcessor.php:99).",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
+              "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+      Some("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (" +
+        "SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey")),
+
+    GraftQuery(
+      "q_join_range",
+      "Non-equi interval self-join: same-user event pairs within 5 " +
+        "minutes. Equi key (user_id) carries the shuffle; the range " +
+        "predicate evaluates post-join, so it scales as the per-user " +
+        "group size, not the table size. Timestamps compared at whole-" +
+        "second resolution (events.ts is ns in parquet, µs in Spark — " +
+        "FIXTURES.md gotcha).",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val a = e.select(col("event_id").as("eid_a"), col("user_id"),
+                         unix_timestamp(col("ts")).as("sec_a"))
+        val b = e.select(col("event_id").as("eid_b"),
+                         col("user_id").as("user_b"),
+                         unix_timestamp(col("ts")).as("sec_b"))
+        a.join(b, col("user_id") === col("user_b") &&
+                  col("sec_b") > col("sec_a") &&
+                  col("sec_b") <= col("sec_a") + 300)
+          .select("eid_a", "eid_b")
+          .orderBy("eid_a", "eid_b")
+      },
+      Some("SELECT a.event_id AS eid_a, b.event_id AS eid_b " +
+        "FROM events a JOIN events b ON a.user_id = b.user_id " +
+        "AND CAST(floor(epoch(b.ts)) AS BIGINT) > CAST(floor(epoch(a.ts)) AS BIGINT) " +
+        "AND CAST(floor(epoch(b.ts)) AS BIGINT) <= CAST(floor(epoch(a.ts)) AS BIGINT) + 300 " +
+        "ORDER BY eid_a, eid_b")),
+
+    // ---- §2.4 aggregations ----------------------------------------------
+    GraftQuery(
+      "q_agg_basic",
+      "TPC-H Q1 shape: filter → hash aggregate (partial/final split is " +
+        "automatic map-side combine) → sort. Double sums go through exact " +
+        "decimal so aggregation order can't perturb the oracle compare.",
+      (s, d) => {
+        val ep = col("l_extendedprice").cast("decimal(12,2)")
+        val disc = col("l_discount").cast("decimal(4,2)")
+        val tax = col("l_tax").cast("decimal(4,2)")
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            decSum(col("l_quantity"), 12, 2).as("sum_qty"),
+            decSum(col("l_extendedprice"), 12, 2).as("sum_base_price"),
+            sum(ep * (lit(1).cast("decimal(3,2)") - disc)).cast("double")
+              .as("sum_disc_price"),
+            sum(ep * (lit(1).cast("decimal(3,2)") - disc) *
+                (lit(1).cast("decimal(3,2)") + tax)).cast("double")
+              .as("sum_charge"),
+            decAvg(col("l_quantity"), 12, 2).as("avg_qty"),
+            decAvg(col("l_extendedprice"), 12, 2).as("avg_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("SELECT l_returnflag, l_linestatus, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price, " +
+        "count(*) AS count_order " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus")),
+
+    GraftQuery(
+      "q_agg_distinct",
+      "Distinct aggregation — two count-distincts in one pass (Catalyst " +
+        "expands to a single aggregate with grouping-id expansion).",
+      (s, d) => Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+             countDistinct(col("l_partkey")).as("n_part"),
+             count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      Some("SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp, " +
+        "count(DISTINCT l_partkey) AS n_part, count(*) AS n " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
+
+    GraftQuery(
+      "q_agg_rollup",
+      "ROLLUP grouping sets over orders; NULLS FIRST ordering pinned " +
+        "in both dialects (Spark default asc = nulls first, DuckDB " +
+        "default = nulls last).",
+      (s, d) => Tables.orders(s, d)
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+             decSum(col("o_totalprice"), 12, 2).as("total"))
+        .orderBy(asc_nulls_first("o_orderstatus"),
+                 asc_nulls_first("o_orderpriority")),
+      Some("SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total " +
+        "FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) " +
+        "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST")),
+
+    GraftQuery(
+      "q_agg_cube",
+      "CUBE grouping sets over lineitem flags.",
+      (s, d) => Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+             decSum(col("l_quantity"), 12, 2).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"),
+                 asc_nulls_first("l_linestatus")),
+      Some("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST")),
+
+    // ---- §2.5 windows (O5 positional seek generalized) -------------------
+    GraftQuery(
+      "q_window_rownum",
+      "row_number per partition — the positional-seek `array_search` " +
+        "(BackupProcessor.php:103-111) as a ranking window; top-3 most " +
+        "recent orders per customer.",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(desc("o_orderdate"), asc("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "o_orderkey", "o_orderdate", "rn")
+          .orderBy("o_custkey", "rn")
+      },
+      Some("SELECT o_custkey, o_orderkey, o_orderdate, rn FROM (" +
+        "SELECT o_custkey, o_orderkey, o_orderdate, row_number() OVER (" +
+        "PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey) AS rn " +
+        "FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn")),
+
+    GraftQuery(
+      "q_window_lag",
+      "lag analytic: previous order total per customer in date order.",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+        Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+                  lag("o_totalprice", 1).over(w).as("prev_price"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "lag(o_totalprice) OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate, o_orderkey) AS prev_price " +
+        "FROM orders ORDER BY o_custkey, o_orderkey")),
+
+    GraftQuery(
+      "q_window_running",
+      "Running total per customer (rowsBetween unbounded preceding → " +
+        "current) in exact decimal, frame made unique by the orderkey " +
+        "tiebreak.",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"),
+                  sum(col("o_totalprice").cast("decimal(12,2)")).over(w)
+                    .cast("double").as("running_total"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("SELECT o_custkey, o_orderkey, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (" +
+        "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) " +
+        "AS running_total FROM orders ORDER BY o_custkey, o_orderkey"))
+  )
+}
