@@ -12,7 +12,12 @@ object SparkEntry {
 
   /** Every registered query, in module order. */
   def all: Seq[GraftQuery] =
-    operators.Relational.queries
+    operators.Relational.queries ++
+      operators.Functions.queries ++
+      operators.Events.queries ++
+      operators.TextAnalysis.queries ++
+      operators.Dedup.queries ++
+      operators.Similarity.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,203 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` — exact, n-gram Jaccard,
+  * MinHash+LSH, and SimHash near-dup detection (the training-corpus
+  * dedup family; SURVEY.md §2.10).
+  *
+  * The reference's only dedup is the cursor-overlap drop
+  * (BackupProcessor.php:195-197); content dedup is the north-star
+  * extension. Scale design:
+  *
+  *  - Exact dedup: hash-groupBy on an md5 key — one shuffle on a short
+  *    key, never on the document body.
+  *  - n-gram Jaccard: the RELATIONAL formulation — explode distinct
+  *    shingles, self-join on the shingle string, group to intersection
+  *    counts. Candidate generation cost is Σ (docs per shingle)², i.e.
+  *    proportional to real overlap, not |docs|² — this is what survives
+  *    100 TB, unlike any array-crossjoin.
+  *  - MinHash+LSH: 64 hashes, 16 bands × 4 rows. Signatures are pure
+  *    column expressions (xxhash64 over shingle arrays — codegen'd, no
+  *    UDF); banding explodes 16 rows/doc; the bucket self-join touches
+  *    only colliding bands. Candidates are then verified with exact
+  *    Jaccard, so output precision is 1.0 and only recall depends on
+  *    the LSH parameters.
+  *  - SimHash: 64-bit signature via bitwise majority of token hashes;
+  *    pairing by 16-bit chunk pigeonhole (hamming ≤ 3 ⇒ some chunk of 4
+  *    equal), then exact hamming filter with bit_count(xor).
+  *
+  * MinHash/SimHash outputs depend on Spark's xxhash64 so they are
+  * oracle-exempt (SparkEntry.scala contract allows omission); their
+  * correctness laws (precision 1.0 vs q_ngram_jaccard, hamming bound)
+  * are asserted in DedupSpec.
+  */
+object Dedup {
+
+  /** Distinct 3-word shingles of the whitespace-tokenized text. */
+  def shingles(text: Column): Column = {
+    val toks = split(text, " ")
+    array_distinct(
+      transform(sequence(lit(1), greatest(size(toks) - 2, lit(1))),
+        i => concat_ws(" ", slice(toks, i, lit(3)))))
+  }
+
+  /** (doc_id, shingle) exploded-distinct form — the relational shape all
+    * shingle-based dedup starts from. */
+  def explodedShingles(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+
+  /** Exact-Jaccard pairs (da < db) with jaccard >= tau, computed
+    * relationally (shingle-intersection counts, no crossjoin). */
+  def jaccardPairs(docs: DataFrame, tau: Double): DataFrame = {
+    val sh = explodedShingles(docs)
+    val card = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("i"))
+    val ca = card.select(col("doc_id").as("da"), col("c").as("ca"))
+    val cb = card.select(col("doc_id").as("db"), col("c").as("cb"))
+    inter.join(ca, "da").join(cb, "db")
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("ca") + col("cb") - col("i")))
+      .filter(col("jaccard") >= tau)
+      .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  val NumHashes = 64
+  val Bands = 16
+  val RowsPerBand: Int = NumHashes / Bands
+
+  /** docs + minhash signature column (array<bigint>, length NumHashes).
+    * Seeded xxhash64 per hash function; array_min over shingle hashes. */
+  def withMinhashSignature(docs: DataFrame): DataFrame =
+    docs.withColumn("sig",
+      transform(sequence(lit(0), lit(NumHashes - 1)),
+        h => array_min(transform(shingles(col("text")),
+          s => xxhash64(s, h)))))
+
+  /** LSH candidate pairs (da < db): docs sharing any band bucket. */
+  def minhashCandidates(docs: DataFrame): DataFrame = {
+    val banded = withMinhashSignature(docs)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(Bands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(slice(col("sig"), b * RowsPerBand + lit(1), lit(RowsPerBand)), b)
+              .as("bkey")))).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+  }
+
+  /** 64-bit SimHash of the token multiset: bit j is the sign of
+    * Σ_tokens (bit j of xxhash64(token) ? +1 : -1). Pure expressions. */
+  def simhash(text: Column): Column = {
+    val hashes = transform(split(text, " "), t => xxhash64(t))
+    val bits = transform(sequence(lit(0), lit(63)),
+      j => when(
+        aggregate(hashes, lit(0L),
+          (acc, h) => acc +
+            when(call_function("shiftright", h, j).bitwiseAND(lit(1L)) === 1L, 1L)
+              .otherwise(-1L)) > 0L, lit(1L)).otherwise(lit(0L)))
+    aggregate(sequence(lit(0), lit(63)), lit(0L),
+      (acc, j) => acc.bitwiseOR(
+        element_at(bits, (j + 1).cast("int")) * call_function("shiftleft", lit(1L), j)))
+  }
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q_dedup_exact",
+      "Exact dedup by md5 fingerprint of the lowercased text: one " +
+        "hash-groupBy on a 32-char key; keeper = min doc_id per group.",
+      (s, d) => Tables.documents(s, d)
+        .groupBy(md5(lower(col("text")).cast("binary")).as("fingerprint"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+        .orderBy("fingerprint"),
+      Some("SELECT md5(lower(text)) AS fingerprint, " +
+        "min(doc_id) AS keeper, count(*) AS n_copies " +
+        "FROM documents GROUP BY fingerprint ORDER BY fingerprint")),
+
+    GraftQuery(
+      "q_ngram_jaccard",
+      "Exact 3-gram Jaccard near-dup pairs (tau=0.8) via the relational " +
+        "shingle-intersection join — the ground truth the MinHash path " +
+        "approximates, and itself scale-safe (cost ~ Σ per-shingle df²).",
+      (s, d) => jaccardPairs(Tables.documents(s, d), 0.8)
+        .orderBy("da", "db"),
+      Some("WITH tok AS (SELECT doc_id, str_split(text,' ') AS t FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, " +
+        "unnest(list_transform(range(1, greatest(len(t)-2,1)+1), " +
+        "i -> array_to_string(t[i:i+2],' '))) AS s FROM tok)), " +
+        "card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i " +
+        "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id " +
+        "GROUP BY da, db) " +
+        "SELECT da, db, round(CAST(i AS DOUBLE)/(ca.c+cb.c-i), 6) AS jaccard " +
+        "FROM inter JOIN card ca ON ca.doc_id = da " +
+        "JOIN card cb ON cb.doc_id = db " +
+        "WHERE CAST(i AS DOUBLE)/(ca.c+cb.c-i) >= 0.8 ORDER BY da, db")),
+
+    GraftQuery(
+      "q_dedup_minhash",
+      "MinHash+LSH near-dup pairs: 64-hash signatures, 16x4 banding, " +
+        "bucket self-join for candidates, exact-Jaccard verification at " +
+        "tau=0.8. Oracle-exempt (hash-function specific); DedupSpec " +
+        "asserts precision 1.0 against q_ngram_jaccard.",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val cands = minhashCandidates(docs)
+        val sh = explodedShingles(docs)
+        val card = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+        val inter = cands
+          .join(sh.as("a"), col("da") === col("a.doc_id"))
+          .join(sh.as("b"),
+            col("db") === col("b.doc_id") && col("a.s") === col("b.s"))
+          .groupBy("da", "db").agg(count(lit(1)).as("i"))
+        val ca = card.select(col("doc_id").as("da"), col("c").as("ca"))
+        val cb = card.select(col("doc_id").as("db"), col("c").as("cb"))
+        inter.join(ca, "da").join(cb, "db")
+          .withColumn("jaccard",
+            col("i").cast("double") / (col("ca") + col("cb") - col("i")))
+          .filter(col("jaccard") >= 0.8)
+          .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("da", "db")
+      },
+      None),
+
+    GraftQuery(
+      "q_dedup_simhash",
+      "SimHash near-dup pairs: 64-bit signatures, 4x16-bit chunk " +
+        "pigeonhole blocking, exact hamming filter <= 3 via " +
+        "bit_count(xor). Oracle-exempt; laws in DedupSpec.",
+      (s, d) => {
+        val sigs = Tables.documents(s, d)
+          .select(col("doc_id"), simhash(col("text")).as("sig"))
+        val chunks = sigs.select(col("doc_id"), col("sig"),
+          explode(transform(sequence(lit(0), lit(3)),
+            c => struct(c.as("chunk"),
+              call_function("shiftright", col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))
+                .as("ckey")))).as("cc"))
+          .select(col("doc_id"), col("sig"), col("cc.chunk"), col("cc.ckey"))
+        chunks.as("a")
+          .join(chunks.as("b"),
+            col("a.chunk") === col("b.chunk") &&
+              col("a.ckey") === col("b.ckey") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+            bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 3)
+          .orderBy("da", "db")
+      },
+      None)
+  )
+}

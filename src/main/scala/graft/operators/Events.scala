@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import graft.GraftQuery.decSum
+import org.apache.spark.sql.functions._
+
+/** Event-time windowing over the `events` table (SURVEY.md §2.10).
+  *
+  * The reference is strictly one-shot batch (BackupProcessor.php:39-53) —
+  * these queries add the event-time aggregation surface a data pipeline
+  * needs, expressed with Spark's built-in `window`/`session_window`
+  * grouping expressions. The same expressions run unchanged under
+  * Structured Streaming (graft.streaming wires them to readStream with
+  * watermarks); here they run in batch so the DuckDB oracle can check
+  * them.
+  *
+  * Timestamp discipline (FIXTURES.md): events.ts is nanosecond parquet;
+  * Spark sees µs (via Tables.events), DuckDB sees ns. All outputs are
+  * either hour/half-hour bucket starts (truncation-safe) or whole-second
+  * epochs, so the precision mismatch can't flip a bucket.
+  */
+object Events {
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q_events_window",
+      "Tumbling 1-hour window aggregate — epoch-aligned, so the window " +
+        "start equals date_trunc('hour'). Partial aggregation is map-side; " +
+        "the shuffle key (bucket, type) has bounded cardinality at any " +
+        "scale.",
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             decSum(col("value"), 18, 6).as("total_value"))
+        .select(col("window.start").as("ws"), col("event_type"),
+                col("n"), col("total_value"))
+        .orderBy("ws", "event_type"),
+      Some("SELECT date_trunc('hour', ts) AS ws, event_type, " +
+        "count(*) AS n, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value " +
+        "FROM events GROUP BY ws, event_type ORDER BY ws, event_type")),
+
+    GraftQuery(
+      "q_events_sliding",
+      "Sliding window (1 h length, 30 min slide): every event lands in " +
+        "exactly two windows; Spark's window() generates both replicas " +
+        "before the aggregate, mirrored in SQL by unnesting the two " +
+        "half-hour buckets.",
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("ws"), col("event_type"), col("n"))
+        .orderBy("ws", "event_type"),
+      Some("SELECT ws, event_type, count(*) AS n FROM (" +
+        "SELECT unnest([time_bucket(INTERVAL '30 minutes', ts), " +
+        "time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) " +
+        "AS ws, event_type FROM events) " +
+        "GROUP BY ws, event_type ORDER BY ws, event_type")),
+
+    GraftQuery(
+      "q_events_session",
+      "Session windows (30 min inactivity gap) per user — " +
+        "session_window() in batch mode; the oracle re-derives sessions " +
+        "with the classic gaps-and-islands lag/cumsum. Session start " +
+        "emitted as whole-second epoch (ns-vs-µs safe).",
+      (s, d) => Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+                unix_timestamp(col("session_window.start"))
+                  .as("session_start_sec"),
+                col("n_events"))
+        .orderBy("user_id", "session_start_sec"),
+      Some("WITH flagged AS (" +
+        "SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL " +
+        "OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END " +
+        "AS new_sess FROM events WINDOW w AS " +
+        "(PARTITION BY user_id ORDER BY ts)), " +
+        "sess AS (SELECT user_id, ts, sum(new_sess) OVER " +
+        "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid " +
+        "FROM flagged) " +
+        "SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) " +
+        "AS session_start_sec, count(*) AS n_events " +
+        "FROM sess GROUP BY user_id, sid " +
+        "ORDER BY user_id, session_start_sec"))
+  )
+}

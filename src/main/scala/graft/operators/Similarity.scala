@@ -1,0 +1,216 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over `embeddings` (64-dim float vectors) — the
+  * approximate-nearest-neighbor surface of a training-data pipeline
+  * (SURVEY.md §2.10 north star).
+  *
+  *  - Brute-force cosine top-k: the correctness baseline. Probe set ×
+  *    corpus join; the probe side is tiny and broadcast, so the corpus
+  *    is scanned once with no shuffle of the vectors; per-probe top-k
+  *    via window row_number (TakeOrdered-style).
+  *  - LSH (random hyperplane): 16 sign bits → one bucket id per vector;
+  *    probes search only their bucket. Hyperplanes are a deterministic
+  *    pseudo-random (splitmix64) table built driver-side and broadcast —
+  *    at 100 TB the plane table is 16x64 doubles regardless of data
+  *    size, and the bucket join replaces the corpus scan per probe.
+  *  - IVF: coarse quantization by a deterministic centroid sample
+  *    (vec_id % 53 == 0, ~2%); every vector is assigned to its nearest
+  *    centroid (broadcast centroids, one corpus scan); probes search
+  *    nprobe=4 nearest cells. The inverted-file shape: cell assignment
+  *    is the partition key at scale.
+  *
+  * All dot products are codegen'd zip_with/aggregate expressions in
+  * double precision (floats cast first) — no UDFs. Cosine scores are
+  * rounded to 6 dp in outputs so cross-engine float noise cannot flip
+  * the oracle compare; ordering ties break on vec_id.
+  *
+  * ANN variants are oracle-exempt (hash/sample specific); SimilaritySpec
+  * asserts recall against the brute-force baseline.
+  */
+object Similarity {
+
+  /** Σ a_i*b_i in double, sequential fold (deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** float[] -> double[] so all arithmetic is double (matches the
+    * oracle's CAST(embedding AS DOUBLE[])). */
+  def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** splitmix64 — deterministic pseudo-random doubles in [-1, 1) for the
+    * hyperplane table (public-domain mixing constants). */
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private def planeWeight(plane: Int, dim: Int): Double = {
+    val h = splitmix64(plane.toLong * 1000003L + dim.toLong)
+    (h >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+  }
+
+  // Multi-table LSH: Tables x BitsPerTable hyperplanes. One table of
+  // 16 bits would make buckets so fine that most probes find nothing;
+  // L independent coarse tables is the standard recall/cost trade
+  // (candidates = union of the probe's bucket across tables).
+  val LshTables = 8
+  val BitsPerTable = 6
+  val Dim = 64
+
+  /** (table_id, plane_id, weights[64]) — tiny and broadcast at any scale. */
+  def planesDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    (for { t <- 0 until LshTables; p <- 0 until BitsPerTable } yield
+      (t, p, (0 until Dim).map(j => planeWeight(t * BitsPerTable + p, j)).toArray))
+      .toDF("table_id", "plane_id", "w")
+  }
+
+  /** One row per (vector, lsh table): the vector's bucket in that table
+    * (BitsPerTable sign bits packed into a long). */
+  def lshBuckets(spark: SparkSession, vecs: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(planesDF(spark)))
+      .groupBy(col("vec_id"), col("table_id"))
+      .agg(
+        sum(when(dot(asDouble(col("embedding")), col("w")) >= 0,
+          call_function("shiftleft", lit(1L), col("plane_id").cast("int")))
+          .otherwise(0L)).as("bucket"))
+
+  /** Brute-force top-k cosine neighbors for a probe set. */
+  def bruteForceKnn(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = corpus.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        round(cosine(col("qe"), asDouble(col("embedding"))), 6).as("score"))
+    val w = Window.partitionBy("qid").orderBy(desc("score"), asc("nid"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("qid", "nid", "score", "rn")
+  }
+
+  private def probes(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q_knn_cosine",
+      "Brute-force cosine top-5 for 10 probe vectors: broadcast probes, " +
+        "single corpus scan, per-probe window top-k. The ANN baseline.",
+      (s, d) => bruteForceKnn(probes(s, d), Tables.embeddings(s, d), 5)
+        .orderBy("qid", "rn"),
+      Some("WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) " +
+        "AS qe FROM embeddings WHERE vec_id < 10), " +
+        "s AS (SELECT qid, vec_id AS nid, " +
+        "round(list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])), 6) " +
+        "AS score FROM q, embeddings WHERE vec_id <> qid) " +
+        "SELECT qid, nid, score, rn FROM (SELECT qid, nid, score, " +
+        "row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn " +
+        "FROM s) WHERE rn <= 5 ORDER BY qid, rn")),
+
+    GraftQuery(
+      "q_dedup_embedding",
+      "Embedding-cosine near-dup: deterministic 2% probe sample " +
+        "(vec_id % 50 = 0) against the corpus, pairs with cosine >= 0.35. " +
+        "At scale the sample bound keeps this a single broadcast scan.",
+      (s, d) => {
+        val sample = Tables.embeddings(s, d)
+          .filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
+        Tables.embeddings(s, d).crossJoin(broadcast(sample))
+          .filter(col("qid") < col("vec_id"))
+          .select(col("qid").as("da"), col("vec_id").as("db"),
+            round(cosine(col("qe"), asDouble(col("embedding"))), 6).as("cos"))
+          .filter(col("cos") >= 0.35)
+          .orderBy("da", "db")
+      },
+      Some("WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) " +
+        "AS qe FROM embeddings WHERE vec_id % 50 = 0) " +
+        "SELECT qid AS da, vec_id AS db, " +
+        "round(list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])), 6) " +
+        "AS cos FROM q, embeddings WHERE qid < vec_id " +
+        "AND list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])) " +
+        ">= 0.35 ORDER BY da, db")),
+
+    GraftQuery(
+      "q_ann_lsh",
+      "LSH ANN: 16 random-hyperplane sign bits bucket the corpus; each " +
+        "probe searches only its bucket, top-5 by cosine. Oracle-exempt; " +
+        "SimilaritySpec measures recall vs q_knn_cosine.",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = Tables.embeddings(s, d)
+        val buckets = lshBuckets(s, emb)
+        val probeB = buckets.join(broadcast(probes(s, d)),
+            col("vec_id") === col("qid"))
+          .select(col("qid"), col("table_id").as("qtable"),
+            col("bucket").as("qbucket"))
+        // candidates: union of the probe's bucket across tables
+        val cands = buckets.join(broadcast(probeB),
+            col("table_id") === col("qtable") &&
+              col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("nid")).distinct()
+        val scored = cands
+          .join(emb.select(col("vec_id").as("nid"), col("embedding")), "nid")
+          .join(broadcast(probes(s, d)), "qid")
+          .select(col("qid"), col("nid"),
+            round(cosine(col("qe"), asDouble(col("embedding"))), 6).as("score"))
+        val w = Window.partitionBy("qid").orderBy(desc("score"), asc("nid"))
+        scored.withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 5)
+          .select("qid", "nid", "score", "rn")
+          .orderBy("qid", "rn")
+      },
+      None),
+
+    GraftQuery(
+      "q_ann_ivf",
+      "IVF ANN: deterministic ~2% centroid sample, nearest-centroid cell " +
+        "assignment (broadcast centroids, one scan), probes search " +
+        "nprobe=4 cells. Oracle-exempt; recall in SimilaritySpec.",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = Tables.embeddings(s, d)
+        val centroids = emb.filter(col("vec_id") % 53 === 0)
+          .select(col("vec_id").as("cid"), asDouble(col("embedding")).as("ce"))
+        // cell assignment: argmax cosine over centroids, tie-break cid
+        val wAssign = Window.partitionBy("vec_id")
+          .orderBy(desc("ccos"), asc("cid"))
+        val assigned = emb.crossJoin(broadcast(centroids))
+          .select(col("vec_id"), col("embedding"), col("cid"),
+            round(cosine(asDouble(col("embedding")), col("ce")), 6).as("ccos"))
+          .withColumn("arn", row_number().over(wAssign))
+          .filter(col("arn") === 1)
+          .select(col("vec_id"), col("embedding"), col("cid"))
+        // probe cells: top-4 centroids per probe
+        val wProbe = Window.partitionBy("qid").orderBy(desc("ccos"), asc("cid"))
+        val probeCells = probes(s, d).crossJoin(broadcast(centroids))
+          .select(col("qid"), col("qe"), col("cid"),
+            round(cosine(col("qe"), col("ce")), 6).as("ccos"))
+          .withColumn("crn", row_number().over(wProbe))
+          .filter(col("crn") <= 4)
+          .select(col("qid"), col("qe"), col("cid"))
+        val scored = assigned.join(broadcast(probeCells), Seq("cid"))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("nid"),
+            round(cosine(col("qe"), asDouble(col("embedding"))), 6).as("score"))
+        val w = Window.partitionBy("qid").orderBy(desc("score"), asc("nid"))
+        scored.withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 5)
+          .select("qid", "nid", "score", "rn")
+          .orderBy("qid", "rn")
+      },
+      None)
+  )
+}

@@ -1,0 +1,158 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` — the training-data-pipeline
+  * surface (language ID, quality scoring, token counting, document
+  * fingerprinting). The reference treats values as opaque blobs
+  * (round-trip only, RestoreProcessor.php:80); these operators are the
+  * content-aware layer a 100 TB corpus pipeline needs on top.
+  *
+  * Everything is built from codegen'd array/string built-ins (no UDFs):
+  * per-document work is O(tokens), embarrassingly parallel, no shuffle
+  * except the final presentation sort. Ratios are emitted via a single
+  * double division (deterministic across engines); md5 fingerprints are
+  * bit-identical in Spark and DuckDB.
+  */
+object TextAnalysis {
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** #tokens of `arr` that appear in the literal word set. */
+  private def countIn(arr: Column, words: Seq[String]): Column =
+    size(filter(arr, t => array_contains(array(words.map(lit): _*), t)))
+      .cast("bigint")
+
+  private def sqlCountIn(words: Seq[String]): String = {
+    val lst = words.map(w => s"'$w'").mkString("[", ",", "]")
+    s"CAST(len(list_filter(str_split(text,' '), x -> list_contains($lst, x))) AS BIGINT)"
+  }
+
+  // Tiny function-word profiles for the n-gram/stopword language-ID
+  // heuristic. Scoring is a deterministic pure function of the text.
+  private val enStops = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val deStops = Seq("der", "die", "das", "und", "ist", "ein")
+  private val esStops = Seq("el", "los", "las", "y", "es", "un")
+  private val frStops = Seq("le", "les", "et", "est", "une", "dans")
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q_text_stats",
+      "Per-document token statistics: counts, distinct counts, mean token " +
+        "length, stopword ratio — one scan, no shuffle but the output sort.",
+      (s, d) => {
+        val n = size(toks).cast("bigint")
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          col("n_chars"),
+          n.as("n_tokens"),
+          size(array_distinct(toks)).cast("bigint").as("n_distinct"),
+          round(length(regexp_replace(col("text"), " ", "")).cast("double") / n, 6)
+            .as("avg_token_len"),
+          round(countIn(toks, enStops).cast("double") / n, 6).as("stop_ratio")
+        ).orderBy("doc_id")
+      },
+      Some("SELECT doc_id, n_chars, " +
+        "CAST(len(str_split(text,' ')) AS BIGINT) AS n_tokens, " +
+        "CAST(len(list_distinct(str_split(text,' '))) AS BIGINT) AS n_distinct, " +
+        "round(CAST(length(replace(text,' ','')) AS DOUBLE) / len(str_split(text,' ')), 6) AS avg_token_len, " +
+        s"round(CAST(${sqlCountIn(enStops)} AS DOUBLE) / len(str_split(text,' ')), 6) AS stop_ratio " +
+        "FROM documents ORDER BY doc_id")),
+
+    GraftQuery(
+      "q_text_quality",
+      "Heuristic quality score: length saturation + type-token ratio + " +
+        "mean-word-length band, weighted 0.4/0.3/0.3 — the shape of " +
+        "C4/Gopher-style quality filters, as pure column arithmetic.",
+      (s, d) => {
+        val n = size(toks).cast("bigint")
+        val ttr = size(array_distinct(toks)).cast("double") / n
+        val mwl = length(regexp_replace(col("text"), " ", "")).cast("double") / n
+        val lenScore = least(lit(1.0), n.cast("double") / 50.0)
+        val mwlScore = when(mwl.between(3.0, 8.0), 1.0).otherwise(0.0)
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          n.as("n_tokens"),
+          round(ttr, 6).as("ttr"),
+          round(mwl, 6).as("mean_wl"),
+          round(lenScore * 0.4 + ttr * 0.3 + mwlScore * 0.3, 6).as("quality")
+        ).orderBy("doc_id")
+      },
+      Some("SELECT doc_id, " +
+        "CAST(len(str_split(text,' ')) AS BIGINT) AS n_tokens, " +
+        "round(CAST(len(list_distinct(str_split(text,' '))) AS DOUBLE) / len(str_split(text,' ')), 6) AS ttr, " +
+        "round(CAST(length(replace(text,' ','')) AS DOUBLE) / len(str_split(text,' ')), 6) AS mean_wl, " +
+        "round(least(1.0, CAST(len(str_split(text,' ')) AS DOUBLE)/50.0) * 0.4 " +
+        "+ (CAST(len(list_distinct(str_split(text,' '))) AS DOUBLE) / len(str_split(text,' '))) * 0.3 " +
+        "+ (CASE WHEN CAST(length(replace(text,' ','')) AS DOUBLE) / len(str_split(text,' ')) BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END) * 0.3, 6) AS quality " +
+        "FROM documents ORDER BY doc_id")),
+
+    GraftQuery(
+      "q_text_lang",
+      "Stopword-profile language ID: per-language function-word hit " +
+        "counts, argmax with a fixed priority cascade (en>de>es>fr, else " +
+        "'und') — deterministic, no model weights.",
+      (s, d) => {
+        val cEn = countIn(toks, enStops)
+        val cDe = countIn(toks, deStops)
+        val cEs = countIn(toks, esStops)
+        val cFr = countIn(toks, frStops)
+        Tables.documents(s, d).select(
+          col("doc_id"), col("lang"),
+          cEn.as("c_en"), cDe.as("c_de"), cEs.as("c_es"), cFr.as("c_fr"),
+          when(cEn > lit(0) && cEn >= greatest(cDe, cEs, cFr), "en")
+            .when(cDe > lit(0) && cDe >= greatest(cEs, cFr), "de")
+            .when(cEs > lit(0) && cEs >= cFr, "es")
+            .when(cFr > lit(0), "fr")
+            .otherwise("und").as("pred_lang")
+        ).orderBy("doc_id")
+      },
+      Some {
+        val en = sqlCountIn(enStops); val de = sqlCountIn(deStops)
+        val es = sqlCountIn(esStops); val fr = sqlCountIn(frStops)
+        "SELECT doc_id, lang, " +
+          s"$en AS c_en, $de AS c_de, $es AS c_es, $fr AS c_fr, " +
+          s"CASE WHEN $en > 0 AND $en >= greatest($de, $es, $fr) THEN 'en' " +
+          s"WHEN $de > 0 AND $de >= greatest($es, $fr) THEN 'de' " +
+          s"WHEN $es > 0 AND $es >= $fr THEN 'es' " +
+          s"WHEN $fr > 0 THEN 'fr' ELSE 'und' END AS pred_lang " +
+          "FROM documents ORDER BY doc_id"
+      }),
+
+    GraftQuery(
+      "q_text_fingerprint",
+      "Document fingerprints: exact md5 of the lowercased text plus a " +
+        "bag-of-words 'shape' fingerprint (md5 of the sorted distinct " +
+        "token set) — byte-identical across engines, the basis of " +
+        "exact-dedup keys.",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        md5(lower(col("text")).cast("binary")).as("fp_exact"),
+        md5(array_join(sort_array(array_distinct(split(lower(col("text")), " "))), " ")
+          .cast("binary")).as("fp_shape")
+      ).orderBy("doc_id"),
+      Some("SELECT doc_id, md5(lower(text)) AS fp_exact, " +
+        "md5(array_to_string(list_sort(list_distinct(str_split(lower(text),' '))),' ')) AS fp_shape " +
+        "FROM documents ORDER BY doc_id")),
+
+    GraftQuery(
+      "q_token_count",
+      "Token counting two ways: whitespace tokens and a BPE-ish regex " +
+        "lexer ([a-z]+ | digits | single non-space symbol) — the token " +
+        "budget estimator of a training-data pipeline.",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+          .cast("bigint").as("re_tokens")
+      ).orderBy("doc_id"),
+      Some("SELECT doc_id, " +
+        "CAST(len(str_split(text,' ')) AS BIGINT) AS ws_tokens, " +
+        "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS re_tokens " +
+        "FROM documents ORDER BY doc_id"))
+  )
+}
