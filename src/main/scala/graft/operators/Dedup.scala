@@ -193,7 +193,8 @@ object Dedup {
               col("a.ckey") === col("b.ckey") &&
               col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-            bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+            bit_count(col("a.sig").bitwiseXOR(col("b.sig")))
+              .cast("bigint").as("hamming"))
           .distinct()
           .filter(col("hamming") <= 3)
           .orderBy("da", "db")

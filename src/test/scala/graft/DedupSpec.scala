@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Laws for the oracle-exempt dedup operators (SURVEY.md §5: non-SQL ops
+  * get deterministic law-based tests instead of the DuckDB oracle). */
+class DedupSpec extends SparkSuite {
+
+  private def pairs(name: String): Set[(Long, Long)] =
+    SparkEntry.queries(name)(spark, sf)
+      .select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash pairs have precision 1.0 against exact jaccard (tau=0.8)") {
+    val exact = pairs("q_ngram_jaccard")
+    val minhash = pairs("q_dedup_minhash")
+    assert(minhash.subsetOf(exact),
+      s"false positives: ${(minhash -- exact).take(5)}")
+    // 16 bands x 4 rows at tau=0.8: collision prob per band ~0.41,
+    // over 16 bands recall is ~1; assert a conservative floor.
+    assert(exact.nonEmpty, "test data should contain planted near-dups")
+    val recall = (exact & minhash).size.toDouble / exact.size
+    assert(recall >= 0.9, s"minhash recall $recall < 0.9")
+  }
+
+  test("identical texts collide in every signature") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "a completely different document about spark query engines")
+    ).toDF("doc_id", "text")
+
+    val mh = Dedup.minhashCandidates(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.contains((1L, 2L)), "identical docs must be LSH candidates")
+
+    val sig = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(2L), "identical docs must have equal simhash")
+    assert(sig(1L) != sig(3L), "different docs should differ (w.h.p.)")
+  }
+
+  test("simhash pairs all satisfy the hamming bound") {
+    val df = SparkEntry.queries("q_dedup_simhash")(spark, sf)
+    val hams = df.select("hamming").collect().map(_.getLong(0))
+    assert(hams.nonEmpty)
+    assert(hams.forall(_ <= 3), "reported pairs must respect hamming <= 3")
+  }
+
+  test("jaccardPairs is symmetric-free and bounded") {
+    val df = SparkEntry.queries("q_ngram_jaccard")(spark, sf)
+    val rows = df.collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)), "da < db")
+    assert(rows.forall { r =>
+      val j = r.getDouble(2); j >= 0.8 && j <= 1.0
+    })
+  }
+
+  test("exact dedup keeps one keeper per fingerprint") {
+    val df = SparkEntry.queries("q_dedup_exact")(spark, sf)
+    val total = df.agg(sum("n_copies")).collect().head.getLong(0)
+    val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(total == docs, "every document accounted for exactly once")
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Smoke + shape checks for every registered query on sf0.001.
+  * Value-level correctness is the driver's DuckDB oracle (tools/
+  * check_oracles.py mirrors it); these tests pin the structural
+  * contract: every query runs, has the aliased schema the oracle
+  * compares on, and a few known invariants hold. */
+class QueriesSmokeSpec extends SparkSuite {
+
+  // Queries whose empty result at sf0.001 is semantically legitimate.
+  private val mayBeEmpty = Set("q_join_anti")
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name runs and returns rows") {
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty, "schema must be non-empty")
+      assert(df.columns.distinct.length == df.columns.length,
+        s"duplicate column names: ${df.columns.mkString(",")}")
+      val n = df.count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("every oracle key has a matching query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("entry (flagship) returns the TPC-H Q1 shape") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.length == 6) // 3 returnflags x 2 linestatus at sf0.001
+    assert(rows.forall(_.getAs[Long]("count_order") > 0))
+  }
+
+  test("q_scan count equals direct parquet count") {
+    val expected = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    val got = SparkEntry.queries("q_scan")(spark, sf)
+      .collect().head.getAs[Long]("cnt")
+    assert(got == expected)
+  }
+
+  test("q_topk is the global top-50 by extendedprice") {
+    val df = SparkEntry.queries("q_topk")(spark, sf)
+    val prices = df.select("l_extendedprice").collect().map(_.getDouble(0))
+    assert(prices.length == 50)
+    assert(prices.sameElements(prices.sortBy(-_.toDouble)),
+      "top-k output must be sorted descending")
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Laws for the similarity-search operators. The ANN variants are
+  * approximations by design; the contract is (a) exact scores on the
+  * candidates they do return, (b) recall floors vs the brute-force
+  * baseline measured on the fixed sf0.001 data (deterministic — the
+  * hyperplane table and centroid sample are seed-fixed). */
+class SimilaritySpec extends SparkSuite {
+
+  private def topk(name: String): Map[Long, Set[Long]] =
+    SparkEntry.queries(name)(spark, sf)
+      .select("qid", "nid").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.map(_.getLong(1)).toSet
+      }
+
+  private lazy val brute = topk("q_knn_cosine")
+
+  test("brute-force knn returns exactly k neighbors per probe") {
+    assert(brute.size == 10)
+    assert(brute.values.forall(_.size == 5))
+  }
+
+  test("cosine expression matches a hand-computed value") {
+    val sp = spark; import sp.implicits._
+    val df = Seq((Array(1.0f, 0.0f, 1.0f), Array(1.0f, 1.0f, 0.0f)))
+      .toDF("a", "b")
+    val got = df.select(
+      Similarity.cosine(Similarity.asDouble(col("a")),
+        Similarity.asDouble(col("b"))).as("c"))
+      .collect().head.getDouble(0)
+    assert(math.abs(got - 0.5) < 1e-12) // 1/(sqrt2*sqrt2)
+  }
+
+  test("lsh ann recall floor vs brute force") {
+    val ann = topk("q_ann_lsh")
+    val recalls = brute.map { case (q, bf) =>
+      (bf & ann.getOrElse(q, Set.empty)).size.toDouble / bf.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.25, s"lsh mean recall $mean < 0.25")
+  }
+
+  test("ivf ann recall floor vs brute force") {
+    val ann = topk("q_ann_ivf")
+    val recalls = brute.map { case (q, bf) =>
+      (bf & ann.getOrElse(q, Set.empty)).size.toDouble / bf.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"ivf mean recall $mean < 0.5")
+  }
+
+  test("ann scores are exact cosines (verification is not approximate)") {
+    // every (qid, nid, score) an ANN query returns must equal the
+    // brute-force cosine for that same pair
+    val bf = SparkEntry.queries("q_knn_cosine")(spark, sf)
+      .select("qid", "nid", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = SparkEntry.queries("q_ann_lsh")(spark, sf)
+      .select("qid", "nid", "score").collect()
+    val overlapping = lsh.filter(r => bf.contains((r.getLong(0), r.getLong(1))))
+    assert(overlapping.nonEmpty)
+    assert(overlapping.forall { r =>
+      bf((r.getLong(0), r.getLong(1))) == r.getDouble(2)
+    })
+  }
+}
