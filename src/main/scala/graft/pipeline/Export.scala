@@ -1,0 +1,67 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The Spark-native `do_backup` (SURVEY.md §7 step 3).
+  *
+  * The reference's export runtime — keyset-pagination loop C1, adaptive
+  * page sizing C2, recursive subtree descent C3
+  * (BackupProcessor.php:71-136,150-200) — exists only because a single
+  * REST GET can't hold a big subtree. In Spark those mechanisms dissolve
+  * into the partitioning model (SURVEY.md §2.9):
+  *
+  *  - C1 pagination      -> `repartitionByRange(path, key)`: each output
+  *    partition IS a key-range page, planned not looped.
+  *  - C2 adaptive sizing -> AQE + `maxPartitionBytes` right-size
+  *    partitions by bytes, the same quantity the reference's IPP
+  *    heuristically tracks.
+  *  - C3 go-deeper       -> range partitioning on (path, key) splits a
+  *    fat node across as many partitions as it needs; no recursion.
+  *
+  * The artifact is a Parquet directory (columnar, compressed, with
+  * statistics) instead of tar.gz'd JSON chunks (BackupProcessor.php:
+  * 202-242) — the directory is the unit, `_SUCCESS` the commit marker —
+  * plus an explicit manifest the restore can replay deterministically
+  * (the metadata.json analog, BackupProcessor.php:49-51).
+  */
+object Export {
+
+  /** Distributed flatten: one JSON document per input row -> leaf-edge
+    * rows. Runs in flatMap on executors; scales with the corpus. */
+  def flattenTrees(trees: Dataset[(String, String)]): DataFrame = {
+    import trees.sparkSession.implicits._
+    trees.flatMap { case (rootPath, json) =>
+      TreeCodec.flatten(json, rootPath)
+    }.toDF("path", "key", "value_json")
+  }
+
+  /** Write the normalized rows as the backup artifact.
+    *
+    * @param numPartitions output page count; at cluster scale set from
+    *        bytes/`maxPartitionBytes`, locally small.
+    */
+  def writeBackup(rows: DataFrame, outDir: String,
+                  numPartitions: Int = 8): Unit = {
+    rows
+      .repartitionByRange(numPartitions, col("path"), col("key"))
+      .sortWithinPartitions("path", "key")
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .parquet(s"$outDir/rows")
+    manifest(rows.sparkSession, rows).write
+      .mode(SaveMode.Overwrite).json(s"$outDir/manifest")
+  }
+
+  /** The metadata.json analog: per path, its member count and key range
+    * — enough for a restore to plan batches and verify completeness. */
+  def manifest(spark: SparkSession, rows: DataFrame): DataFrame =
+    rows.groupBy("path")
+      .agg(count(lit(1)).as("n_keys"),
+           min("key").as("min_key"),
+           max("key").as("max_key"))
+      .orderBy("path")
+
+  def readBackup(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/rows")
+}

@@ -1,0 +1,85 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+
+/** The Spark-native `do_restore` (SURVEY.md §7 step 3).
+  *
+  * The reference replays the backup into Firebase with batched
+  * idempotent PATCHes and a shrink/grow/drain loop
+  * (RestoreProcessor.php:70-106): batch of up to 1000 key-writes,
+  * halve on failure (floor 1 -> per-key recursion, :86-94), grow x1.2
+  * after 5 straight successes (:100-102), remove written keys from the
+  * pending map (`array_diff_key`, :99) and loop until drained (:105).
+  *
+  * Spark shape: the data plane is `foreachPartition` — every partition
+  * drains independently on its executor, so restore throughput scales
+  * with the cluster, not with one PHP process. The adaptive batching
+  * logic is preserved verbatim per partition against a pluggable
+  * [[KVSink]] (HTTP in production, in-memory in tests — no network in
+  * CI, SURVEY.md §7).
+  */
+object Restore {
+
+  /** Destination abstraction over Firebase's `update(path, map)` PATCH
+    * (RestoreProcessor.php:80). Returns true on success. Implementations
+    * must be idempotent — the drain loop may retry written keys. */
+  trait KVSink extends Serializable {
+    def update(path: String, batch: Map[String, String]): Boolean
+  }
+
+  /** Reference constants (BASELINE.md): initial batch 1000, floor 1,
+    * shrink x0.5, grow x1.2 after 5 consecutive successes. */
+  val InitialBatch = 1000
+  val MinBatch = 1
+  val GrowAfter = 5
+
+  /** Drain one path's pending key->value map into the sink with the
+    * reference's adaptive loop. Returns the number of update() calls
+    * (for tests/metrics). Throws after `maxRounds` full-map sweeps
+    * without completion — the RestoreFailureException analog. */
+  def drainPath(sink: KVSink, path: String,
+                data: Map[String, String],
+                maxRounds: Int = 64): Int = {
+    var pending = scala.collection.immutable.SortedMap[String, String]() ++ data
+    var batchSize = math.min(InitialBatch, math.max(pending.size, MinBatch))
+    var successes = 0
+    var calls = 0
+    var rounds = 0
+    while (pending.nonEmpty) {
+      rounds += 1
+      if (rounds > maxRounds)
+        throw new IllegalStateException(
+          s"restore of $path not draining after $maxRounds rounds")
+      val batch = pending.take(batchSize)
+      calls += 1
+      if (sink.update(path, batch.toMap)) {
+        pending = pending.drop(batch.size) // the array_diff_key drain
+        successes += 1
+        if (successes >= GrowAfter) {      // grow x1.2 after 5 straight
+          batchSize = math.max(math.ceil(batchSize * 1.2).toInt, batchSize + 1)
+          successes = 0
+        }
+      } else {
+        successes = 0
+        batchSize = math.max(math.ceil(batchSize / 2.0).toInt, MinBatch)
+      }
+    }
+    calls
+  }
+
+  /** Restore a backup rows DataFrame: partitions drain concurrently,
+    * grouped by path within each partition (the backup artifact is
+    * range-partitioned by (path, key), so a path's keys are contiguous
+    * and mostly co-partitioned). */
+  def restore(rows: DataFrame, sink: KVSink): Unit = {
+    rows.select("path", "key", "value_json").foreachPartition {
+      it: Iterator[org.apache.spark.sql.Row] =>
+        it.map(r => (r.getString(0), r.getString(1), r.getString(2)))
+          .toSeq.groupBy(_._1)
+          .foreach { case (path, edges) =>
+            drainPath(sink, path,
+              edges.map(e => e._2 -> e._3).toMap)
+          }
+    }
+  }
+}
