@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import java.sql.Timestamp
+
+/** Structured-Streaming surface (SURVEY.md §2.10).
+  *
+  * The reference is one-shot batch; its closest streaming analog is
+  * Firebase's own listener API, which it does not use. This module adds
+  * the streaming layer a live event pipeline needs, built so the SAME
+  * transformations run in batch (where the DuckDB oracle can check
+  * them — operators.Events) and on a stream:
+  *
+  *  - `windowedCounts`: watermarked tumbling-window aggregate
+  *    (readStream -> withWatermark -> groupBy(window) -> agg).
+  *  - `sessionize`: custom stateful sessionization with
+  *    flatMapGroupsWithState + event-time timeout — the state machine
+  *    the reference's per-path IPP memo (BackupProcessor.php:151-156)
+  *    would become if paths were keys and pages were events.
+  *
+  * State is per-key and bounded by the watermark; at 100 TB/day the
+  * shuffle key (user_id) partitions state across executors and the
+  * watermark bounds the state store.
+  */
+object EventStreams {
+
+  final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+                      event_type: String, value: Double)
+
+  final case class SessionState(start: Long, lastTs: Long, nEvents: Long)
+
+  final case class Session(user_id: Long, session_start_sec: Long,
+                           n_events: Long, duration_sec: Long)
+
+  /** Tumbling 1-hour counts per event type; `delay` is the watermark
+    * (late data beyond it is dropped and its windows finalized). */
+  def windowedCounts(events: DataFrame, delay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+
+  /** Gap-based sessionization (30-min inactivity) with explicit state:
+    * emits a Session row when a session closes (gap exceeded within a
+    * batch, or event-time timeout fires after the watermark passes). */
+  def sessionize(events: Dataset[Ev], gapSec: Long = 1800): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(user, s.start / 1000, s.nEvents,
+              (s.lastTs - s.start) / 1000))
+          } else {
+            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs >= gapSec * 1000 =>
+                  closed += Session(user, s.start / 1000, s.nEvents,
+                    (s.lastTs - s.start) / 1000)
+                  cur = Some(SessionState(t, t, 1))
+                case Some(s) =>
+                  cur = Some(s.copy(lastTs = t, nEvents = s.nEvents + 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + gapSec * 1000)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Ev
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** Streaming semantics, driven through MemoryStream: the streaming
+  * windowed aggregate must agree with its batch twin (the oracle-checked
+  * q_events_window), and sessionization must close sessions on gap and
+  * on watermark timeout. */
+class StreamingSpec extends SparkSuite {
+
+  // +1 day so no event sits at the initial watermark (epoch 0), which
+  // Spark's late-row filter would drop
+  private def ts(min: Long): Timestamp = new Timestamp((1440 + min) * 60000L)
+  private val base = 1440L * 60
+
+  test("streaming windowed counts equal the batch result") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+
+    val events = Tables.events(sp, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value").as[Ev]
+      .collect().toSeq
+
+    val input = MemoryStream[Ev]
+    val q = EventStreams.windowedCounts(input.toDF())
+      .writeStream.format("memory").queryName("wc")
+      .outputMode("append").start()
+    try {
+      input.addData(events)
+      // push the watermark far past the data so all windows finalize
+      input.addData(Ev(-1L, ts(40000000L), -1L, "drain", 0.0)) // ~2046
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = sp.table("wc")
+      .filter(col("event_type") =!= "drain")
+      .select("ws", "event_type", "n")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val batch = SparkEntry.queries("q_events_window")(sp, sf)
+      .select("ws", "event_type", "n")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(streamed == batch)
+  }
+
+  test("sessionize closes sessions on gap and timeout") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+
+    val input = MemoryStream[Ev]
+    val q = EventStreams.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart (one session), then a 40-min
+      // gap (closes it), then one more event
+      input.addData(
+        Ev(1, ts(0), 1, "click", 1.0),
+        Ev(2, ts(10), 1, "click", 1.0),
+        Ev(3, ts(50), 1, "click", 1.0))
+      q.processAllAvailable()
+      // watermark driver: an event far in the future times out user 1's
+      // open session (50min start) once the watermark passes it
+      input.addData(Ev(99, ts(10000), 2, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Ev(100, ts(20000), 2, "click", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = sp.table("sessions")
+      .filter(col("user_id") === 1)
+      .select("session_start_sec", "n_events", "duration_sec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows.contains((base, 2L, 600L)),
+      s"first session (2 events, 10 min) missing: $rows")
+    assert(rows.contains((base + 3000L, 1L, 0L)),
+      s"timed-out single-event session missing: $rows")
+  }
+}
