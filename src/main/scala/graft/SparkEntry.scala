@@ -23,9 +23,14 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_agg_basic")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Each call
+    * (re-)registers the engine's native expressions on the session
+    * first (idempotent) so queries work on any session handed in. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    all.map(q => q.name -> q.fn).toMap
+    all.map(q => q.name -> { (s: SparkSession, d: String) =>
+      functions.GraftFunctions.register(s)
+      q.fn(s, d)
+    }).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */

@@ -19,6 +19,16 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Fan a compute-heavy input out to the session's parallelism. A
+    * small single-file parquet arrives as ONE split, which serializes
+    * any CPU-bound operator after it; at cluster scale inputs have
+    * plenty of splits and this is a no-op (guarded by the partition
+    * count), so the shuffle is only paid where it buys parallelism. */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")

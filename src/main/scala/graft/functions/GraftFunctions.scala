@@ -1,0 +1,206 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the engine's hot loops.
+  *
+  * Spark's higher-order functions (`transform`/`aggregate`/`zip_with`)
+  * are evaluated INTERPRETED — they never enter whole-stage codegen, so
+  * a 64-dim dot product written as `aggregate(zip_with(...))` costs two
+  * materialized arrays plus ~128 boxed interpreter steps per pair. At
+  * 50M candidate pairs that is the difference between seconds and
+  * hours. These expressions follow the brief's preference order:
+  * a native `Expression` with `doGenCode` (VectorDot) for the per-pair
+  * loop, and tight single-eval expressions (SimHash64 / MinHashSig)
+  * where the per-row work is large enough to amortize one interpreted
+  * call (CodegenFallback) but must not be re-interpreted per element.
+  *
+  * Registered per-session via [[GraftFunctions.register]] (idempotent)
+  * or cluster-wide with `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+object GraftFunctions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.functions", null, name, usage, "")
+
+  val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("vector_dot", info("vector_dot",
+      "vector_dot(a, b) - double dot product of two float/double arrays"),
+      es => VectorDot(es.head, es(1))),
+    ("simhash64", info("simhash64",
+      "simhash64(tokens) - 64-bit SimHash of a string array"),
+      es => SimHash64(es.head)),
+    ("minhash_sig", info("minhash_sig",
+      "minhash_sig(tokens) - 64 minhash values over 3-token shingles"),
+      es => MinHashSig(es.head))
+  )
+
+  /** Idempotent per-session registration (temp functions). */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}
+
+/** `spark.sql.extensions` entry point for cluster deployments. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, inf, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), inf, builder))
+    }
+}
+
+/** Dot product of two numeric arrays (float or double, mixed ok) in
+  * double precision, sequential fold — bit-compatible with both the
+  * HOF formulation it replaces and DuckDB's list arithmetic. Fully
+  * codegen'd: stays inside whole-stage codegen with a primitive loop. */
+case class VectorDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def okElem(t: DataType): Boolean =
+    t == FloatType || t == DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(lt, _), ArrayType(rt, _)) if okElem(lt) && okElem(rt) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"vector_dot expects array<float|double>, got " +
+          s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  private def leftFloat = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private def rightFloat = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    if (leftFloat && rightFloat)
+      while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    else if (!leftFloat && !rightFloat)
+      while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
+    else {
+      val gx: Int => Double = if (leftFloat) i => x.getFloat(i).toDouble else x.getDouble
+      val gy: Int => Double = if (rightFloat) i => y.getFloat(i).toDouble else y.getDouble
+      while (i < n) { dot += gx(i) * gy(i); i += 1 }
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val gx = if (leftFloat) s"(double) $a.getFloat(i)" else s"$a.getDouble(i)"
+      val gy = if (rightFloat) s"(double) $b.getFloat(i)" else s"$b.getDouble(i)"
+      s"""
+         |final int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double dot = 0.0;
+         |for (int i = 0; i < n; i++) { dot += $gx * $gy; }
+         |${ev.value} = dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** 64-bit SimHash of a token array: bit j is the sign of
+  * Σ_tokens (bit j of xxhash64(token, seed=42) ? +1 : -1) over the
+  * token MULTISET. One tight JIT'd eval per row. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 expects array<string>, got ${child.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (s != null) {
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+          s.numBytes, 42L)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (counts(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** MinHash signature over 3-token shingles: 64 values, the h-th being
+  * min over shingles of xxhash64(shingle, seed=h). Duplicate shingles
+  * cannot change a min, so no distinct pass is needed. One eval per
+  * row replaces a 64 x |shingles| interpreted-HOF cascade. */
+case class MinHashSig(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  val NumHashes = 64
+  val Width = 3
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig expects array<string>, got ${child.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any = {
+    val toks = a.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val sig = Array.fill(NumHashes)(Long.MaxValue)
+    val sep = UTF8String.fromString(" ")
+    val nShingles = math.max(n - Width + 1, 1)
+    var i = 0
+    while (i < nShingles) {
+      val parts = new Array[UTF8String](math.min(Width, n - i))
+      var w = 0
+      while (w < parts.length) { parts(w) = toks.getUTF8String(i + w); w += 1 }
+      val sh = UTF8String.concatWs(sep, parts: _*)
+      var h = 0
+      while (h < NumHashes) {
+        val v = XXH64.hashUnsafeBytes(sh.getBaseObject, sh.getBaseOffset,
+          sh.numBytes, h.toLong)
+        if (v < sig(h)) sig(h) = v
+        h += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}

@@ -47,7 +47,7 @@ object Dedup {
   /** (doc_id, shingle) exploded-distinct form — the relational shape all
     * shingle-based dedup starts from. */
   def explodedShingles(df: DataFrame): DataFrame =
-    df.select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+    Tables.spread(df).select(col("doc_id"), explode(shingles(col("text"))).as("s"))
 
   /** Exact-Jaccard pairs (da < db) with jaccard >= tau, computed
     * relationally (shingle-intersection counts, no crossjoin). */
@@ -72,13 +72,12 @@ object Dedup {
   val Bands = 16
   val RowsPerBand: Int = NumHashes / Bands
 
-  /** docs + minhash signature column (array<bigint>, length NumHashes).
-    * Seeded xxhash64 per hash function; array_min over shingle hashes. */
+  /** docs + minhash signature column (array<bigint>, length NumHashes):
+    * the native [[graft.functions.MinHashSig]] — one tight eval per doc
+    * instead of a 64 x |shingles| interpreted-HOF cascade. */
   def withMinhashSignature(docs: DataFrame): DataFrame =
-    docs.withColumn("sig",
-      transform(sequence(lit(0), lit(NumHashes - 1)),
-        h => array_min(transform(shingles(col("text")),
-          s => xxhash64(s, h)))))
+    Tables.spread(docs).withColumn("sig",
+      call_function("minhash_sig", split(col("text"), " ")))
 
   /** LSH candidate pairs (da < db): docs sharing any band bucket. */
   def minhashCandidates(docs: DataFrame): DataFrame = {
@@ -98,19 +97,11 @@ object Dedup {
   }
 
   /** 64-bit SimHash of the token multiset: bit j is the sign of
-    * Σ_tokens (bit j of xxhash64(token) ? +1 : -1). Pure expressions. */
-  def simhash(text: Column): Column = {
-    val hashes = transform(split(text, " "), t => xxhash64(t))
-    val bits = transform(sequence(lit(0), lit(63)),
-      j => when(
-        aggregate(hashes, lit(0L),
-          (acc, h) => acc +
-            when(call_function("shiftright", h, j).bitwiseAND(lit(1L)) === 1L, 1L)
-              .otherwise(-1L)) > 0L, lit(1L)).otherwise(lit(0L)))
-    aggregate(sequence(lit(0), lit(63)), lit(0L),
-      (acc, j) => acc.bitwiseOR(
-        element_at(bits, (j + 1).cast("int")) * call_function("shiftleft", lit(1L), j)))
-  }
+    * Σ_tokens (bit j of xxhash64(token) ? +1 : -1) — the native
+    * [[graft.functions.SimHash64]] expression (the equivalent HOF
+    * cascade is interpreted per element and ~1000x slower). */
+  def simhash(text: Column): Column =
+    call_function("simhash64", split(text, " "))
 
   val queries: Seq[GraftQuery] = Seq(
 
@@ -179,7 +170,7 @@ object Dedup {
         "pigeonhole blocking, exact hamming filter <= 3 via " +
         "bit_count(xor). Oracle-exempt; laws in DedupSpec.",
       (s, d) => {
-        val sigs = Tables.documents(s, d)
+        val sigs = Tables.spread(Tables.documents(s, d))
           .select(col("doc_id"), simhash(col("text")).as("sig"))
         val chunks = sigs.select(col("doc_id"), col("sig"),
           explode(transform(sequence(lit(0), lit(3)),

@@ -12,19 +12,20 @@ import org.apache.spark.sql.functions._
   *    corpus join; the probe side is tiny and broadcast, so the corpus
   *    is scanned once with no shuffle of the vectors; per-probe top-k
   *    via window row_number (TakeOrdered-style).
-  *  - LSH (random hyperplane): 16 sign bits → one bucket id per vector;
-  *    probes search only their bucket. Hyperplanes are a deterministic
-  *    pseudo-random (splitmix64) table built driver-side and broadcast —
-  *    at 100 TB the plane table is 16x64 doubles regardless of data
-  *    size, and the bucket join replaces the corpus scan per probe.
+  *  - LSH (random hyperplane): 8 tables x 6 sign bits → per-table
+  *    bucket ids; candidates are the union of the probe's buckets.
+  *    Hyperplanes are a deterministic pseudo-random (splitmix64) table
+  *    built driver-side and broadcast — at 100 TB the plane table stays
+  *    48x64 doubles, and the bucket join replaces per-probe scans.
   *  - IVF: coarse quantization by a deterministic centroid sample
   *    (vec_id % 53 == 0, ~2%); every vector is assigned to its nearest
   *    centroid (broadcast centroids, one corpus scan); probes search
   *    nprobe=4 nearest cells. The inverted-file shape: cell assignment
   *    is the partition key at scale.
   *
-  * All dot products are codegen'd zip_with/aggregate expressions in
-  * double precision (floats cast first) — no UDFs. Cosine scores are
+  * All dot products go through the native codegen'd VectorDot
+  * expression (graft.functions) in double precision — no UDFs, no
+  * interpreted higher-order functions in hot paths. Cosine scores are
   * rounded to 6 dp in outputs so cross-engine float noise cannot flip
   * the oracle compare; ordering ties break on vec_id.
   *
@@ -33,9 +34,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ a_i*b_i in double, sequential fold (deterministic). */
+  /** Σ a_i*b_i in double, sequential fold (deterministic) — the native
+    * codegen'd [[graft.functions.VectorDot]]; the HOF formulation
+    * (aggregate∘zip_with) is interpreted and ~100x slower per pair. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    call_function("vector_dot", a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -78,20 +81,32 @@ object Similarity {
   /** One row per (vector, lsh table): the vector's bucket in that table
     * (BitsPerTable sign bits packed into a long). */
   def lshBuckets(spark: SparkSession, vecs: DataFrame): DataFrame =
-    vecs.crossJoin(broadcast(planesDF(spark)))
+    Tables.spread(vecs).crossJoin(broadcast(planesDF(spark)))
       .groupBy(col("vec_id"), col("table_id"))
       .agg(
-        sum(when(dot(asDouble(col("embedding")), col("w")) >= 0,
+        sum(when(dot(col("embedding"), col("w")) >= 0,
           call_function("shiftleft", lit(1L), col("plane_id").cast("int")))
           .otherwise(0L)).as("bucket"))
 
-  /** Brute-force top-k cosine neighbors for a probe set. */
+  /** Corpus side pre-shaped for scoring: the vector as double[] plus
+    * its norm computed ONCE per row (not once per pair — at n probes x
+    * m vectors that's the difference between (n+m) and 3-n-m norm
+    * computations; the per-pair work drops to one dot product). The
+    * fold order matches the inline form, so scores are bit-identical. */
+  private def scorable(df: DataFrame): DataFrame =
+    Tables.spread(df).select(col("vec_id"), col("embedding").as("ce"),
+      norm(col("embedding")).as("cn"))
+
+  private def pairScore: Column =
+    round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6)
+
+  /** Brute-force top-k cosine neighbors for a probe set
+    * (probes: qid, qe, qn). */
   def bruteForceKnn(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = corpus.crossJoin(broadcast(probes))
+    val scored = scorable(corpus).crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("nid"),
-        round(cosine(col("qe"), asDouble(col("embedding"))), 6).as("score"))
+      .select(col("qid"), col("vec_id").as("nid"), pairScore.as("score"))
     val w = Window.partitionBy("qid").orderBy(desc("score"), asc("nid"))
     scored.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
@@ -100,7 +115,8 @@ object Similarity {
 
   private def probes(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        norm(col("embedding")).as("qn"))
 
   val queries: Seq[GraftQuery] = Seq(
 
@@ -127,11 +143,12 @@ object Similarity {
       (s, d) => {
         val sample = Tables.embeddings(s, d)
           .filter(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
-        Tables.embeddings(s, d).crossJoin(broadcast(sample))
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            norm(col("embedding")).as("qn"))
+        scorable(Tables.embeddings(s, d)).crossJoin(broadcast(sample))
           .filter(col("qid") < col("vec_id"))
           .select(col("qid").as("da"), col("vec_id").as("db"),
-            round(cosine(col("qe"), asDouble(col("embedding"))), 6).as("cos"))
+            pairScore.as("cos"))
           .filter(col("cos") >= 0.35)
           .orderBy("da", "db")
       },
@@ -145,9 +162,10 @@ object Similarity {
 
     GraftQuery(
       "q_ann_lsh",
-      "LSH ANN: 16 random-hyperplane sign bits bucket the corpus; each " +
-        "probe searches only its bucket, top-5 by cosine. Oracle-exempt; " +
-        "SimilaritySpec measures recall vs q_knn_cosine.",
+      "LSH ANN: 8 hyperplane tables x 6 sign bits bucket the corpus; " +
+        "candidates = union of the probe's bucket across tables, then " +
+        "exact top-5 by cosine. Oracle-exempt; SimilaritySpec measures " +
+        "recall vs q_knn_cosine.",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val emb = Tables.embeddings(s, d)
@@ -162,10 +180,9 @@ object Similarity {
               col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
           .select(col("qid"), col("vec_id").as("nid")).distinct()
         val scored = cands
-          .join(emb.select(col("vec_id").as("nid"), col("embedding")), "nid")
+          .join(scorable(emb).withColumnRenamed("vec_id", "nid"), "nid")
           .join(broadcast(probes(s, d)), "qid")
-          .select(col("qid"), col("nid"),
-            round(cosine(col("qe"), asDouble(col("embedding"))), 6).as("score"))
+          .select(col("qid"), col("nid"), pairScore.as("score"))
         val w = Window.partitionBy("qid").orderBy(desc("score"), asc("nid"))
         scored.withColumn("rn", row_number().over(w).cast("long"))
           .filter(col("rn") <= 5)
@@ -183,28 +200,31 @@ object Similarity {
         import org.apache.spark.sql.expressions.Window
         val emb = Tables.embeddings(s, d)
         val centroids = emb.filter(col("vec_id") % 53 === 0)
-          .select(col("vec_id").as("cid"), asDouble(col("embedding")).as("ce"))
+          .select(col("vec_id").as("cid"), col("embedding").as("ke"),
+            norm(col("embedding")).as("kn"))
+        val centroidScore =
+          round(dot(col("ce"), col("ke")) / (col("cn") * col("kn")), 6)
         // cell assignment: argmax cosine over centroids, tie-break cid
         val wAssign = Window.partitionBy("vec_id")
           .orderBy(desc("ccos"), asc("cid"))
-        val assigned = emb.crossJoin(broadcast(centroids))
-          .select(col("vec_id"), col("embedding"), col("cid"),
-            round(cosine(asDouble(col("embedding")), col("ce")), 6).as("ccos"))
+        val assigned = scorable(emb).crossJoin(broadcast(centroids))
+          .select(col("vec_id"), col("ce"), col("cn"), col("cid"),
+            centroidScore.as("ccos"))
           .withColumn("arn", row_number().over(wAssign))
           .filter(col("arn") === 1)
-          .select(col("vec_id"), col("embedding"), col("cid"))
+          .select(col("vec_id"), col("ce"), col("cn"), col("cid"))
         // probe cells: top-4 centroids per probe
         val wProbe = Window.partitionBy("qid").orderBy(desc("ccos"), asc("cid"))
         val probeCells = probes(s, d).crossJoin(broadcast(centroids))
-          .select(col("qid"), col("qe"), col("cid"),
-            round(cosine(col("qe"), col("ce")), 6).as("ccos"))
+          .select(col("qid"), col("qe"), col("qn"), col("cid"),
+            round(dot(col("qe"), col("ke")) / (col("qn") * col("kn")), 6)
+              .as("ccos"))
           .withColumn("crn", row_number().over(wProbe))
           .filter(col("crn") <= 4)
-          .select(col("qid"), col("qe"), col("cid"))
+          .select(col("qid"), col("qe"), col("qn"), col("cid"))
         val scored = assigned.join(broadcast(probeCells), Seq("cid"))
           .filter(col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id").as("nid"),
-            round(cosine(col("qe"), asDouble(col("embedding"))), 6).as("score"))
+          .select(col("qid"), col("vec_id").as("nid"), pairScore.as("score"))
         val w = Window.partitionBy("qid").orderBy(desc("score"), asc("nid"))
         scored.withColumn("rn", row_number().over(w).cast("long"))
           .filter(col("rn") <= 5)

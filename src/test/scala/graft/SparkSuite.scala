@@ -18,6 +18,7 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    functions.GraftFunctions.register(s)
     s
   }
   val Smoke = "/root/testdata/sf0.001"
