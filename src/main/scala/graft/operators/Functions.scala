@@ -119,6 +119,22 @@ object Functions {
         "ORDER BY event_id")),
 
     GraftQuery(
+      "q_json_flatten",
+      "Flatten each JSON object into (key, value) edge rows — the " +
+        "reference's whole data model (a JSON tree normalized to " +
+        "path/key/value rows, SURVEY.md §1.4) as a relational explode " +
+        "of a MapType projection.",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"),
+          explode(from_json(col("props"),
+            org.apache.spark.sql.types.DataType.fromDDL("map<string,string>")))
+            .as(Seq("k", "v")))
+        .orderBy("event_id", "k"),
+      Some("SELECT event_id, k, json_extract_string(props, '$.' || k) AS v " +
+        "FROM (SELECT event_id, props, unnest(json_keys(props)) AS k " +
+        "FROM events) ORDER BY event_id, k")),
+
+    GraftQuery(
       "q_array_funcs",
       "Array family over tokenized text: size/distinct/contains/slice/" +
         "sort — the reference's array_keys/array_slice surface " +
