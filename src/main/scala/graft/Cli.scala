@@ -1,0 +1,58 @@
+package graft
+
+import graft.pipeline.{Export, Restore}
+import org.apache.spark.sql.SparkSession
+
+/** Minimal CLI over the pipeline — the engine's analog of the
+  * reference's `frdbackup export|import` dispatch (frdbackup:12-35,
+  * AbstractCommand.php:37-74): a plain match over commands instead of
+  * namespace reflection, Spark instead of a single-threaded HTTP loop.
+  *
+  *   runMain graft.Cli export <treesJsonDir> <backupDir>
+  *     treesJsonDir: text files, one JSON document per line
+  *   runMain graft.Cli import <backupDir> <outParquetDir>
+  *     (file-based sink: re-materializes the leaf rows; a live sink
+  *      implements pipeline.Restore.KVSink instead)
+  *   runMain graft.Cli query <name> <sfDir>
+  */
+object Cli {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    args.toList match {
+      case "export" :: in :: out :: Nil =>
+        val trees = spark.read.textFile(in).map(j => ("/", j))
+        Export.writeBackup(Export.flattenTrees(trees.toDF("root", "json")
+          .as[(String, String)]), out)
+        println(s"exported -> $out")
+      case "import" :: in :: out :: Nil =>
+        Export.readBackup(spark, in)
+          .write.mode("overwrite").parquet(out)
+        println(s"imported -> $out")
+      case "query" :: name :: sfDir :: Nil =>
+        SparkEntry.queries.get(name) match {
+          case Some(fn) => fn(spark, sfDir).show(50, truncate = false)
+          case None =>
+            System.err.println(s"unknown query '$name'; available: " +
+              SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
+            sys.exit(2)
+        }
+      case _ =>
+        System.err.println(
+          "usage: graft.Cli export <treesJsonDir> <backupDir> | " +
+            "import <backupDir> <outParquetDir> | query <name> <sfDir>")
+        sys.exit(2)
+    }
+    spark.stop()
+  }
+}

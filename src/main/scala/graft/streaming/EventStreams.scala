@@ -44,6 +44,13 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("ws"), col("event_type"), col("n"))
 
+  /** Streaming exact dedup: at-most-once per event_id within the
+    * watermark horizon — the streaming twin of q_dedup_exact (state is
+    * the seen-key set, bounded by the watermark; keyed by event_id so
+    * state shards across executors). */
+  def dedupStream(events: DataFrame, delay: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", delay).dropDuplicates("event_id")
+
   /** Gap-based sessionization (30-min inactivity) with explicit state:
     * emits a Session row when a session closes (gap exceeded within a
     * batch, or event-time timeout fires after the watermark passes). */

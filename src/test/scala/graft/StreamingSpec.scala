@@ -49,6 +49,27 @@ class StreamingSpec extends SparkSuite {
     assert(streamed == batch)
   }
 
+  test("streaming dedup drops replayed event_ids") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+
+    val input = MemoryStream[Ev]
+    val q = EventStreams.dedupStream(input.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      input.addData(Ev(1, ts(0), 1, "click", 1.0), Ev(2, ts(1), 1, "view", 1.0))
+      q.processAllAvailable()
+      // replay event 1 (at-least-once upstream), plus a fresh event
+      input.addData(Ev(1, ts(0), 1, "click", 1.0), Ev(3, ts(2), 1, "click", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val ids = sp.table("dedup").select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.sameElements(Array(1L, 2L, 3L)), s"got ${ids.toSeq}")
+  }
+
   test("sessionize closes sessions on gap and timeout") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = sp.sqlContext
