@@ -88,7 +88,9 @@ object Functions {
         round(sqrt(col("l_quantity")), 8).as("qty_sqrt"),
         round(log(col("l_extendedprice")), 8).as("price_ln"),
         (col("l_partkey") % 7).as("pk_mod7")
-      ).orderBy("l_orderkey", "l_linenumber"),
+        // non-unique (l_orderkey, l_linenumber): total sort over outputs
+      ).orderBy("l_orderkey", "l_linenumber", "qty_ceil", "price_round1",
+        "disc_dev", "pk_mod7"),
       Some("SELECT l_orderkey, l_linenumber, " +
         "CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil, " +
         "CAST(floor(l_quantity) AS BIGINT) AS qty_floor, " +
@@ -99,7 +101,8 @@ object Functions {
         "round(sqrt(l_quantity), 8) AS qty_sqrt, " +
         "round(ln(l_extendedprice), 8) AS price_ln, " +
         "l_partkey % 7 AS pk_mod7 " +
-        "FROM lineitem ORDER BY l_orderkey, l_linenumber")),
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber, qty_ceil, " +
+        "price_round1, disc_dev, pk_mod7")),
 
     GraftQuery(
       "q_json_funcs",

@@ -63,10 +63,13 @@ object Relational {
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
                 col("l_shipdate") <  lit("1997-01-01").cast("timestamp"))
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
-        .orderBy("l_orderkey", "l_linenumber"),
+        // (l_orderkey, l_linenumber) is not unique in the synthetic data:
+        // the sort must cover every output column to be deterministic
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"),
       Some("SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate " +
         "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND " +
-        "l_shipdate < TIMESTAMP '1997-01-01' ORDER BY l_orderkey, l_linenumber")),
+        "l_shipdate < TIMESTAMP '1997-01-01' " +
+        "ORDER BY l_orderkey, l_linenumber, l_quantity, l_shipdate")),
 
     GraftQuery(
       "q_dedup",
@@ -85,9 +88,11 @@ object Relational {
         "orderBy=$key (BackupProcessor.php:163) over the whole dataset.",
       (s, d) => Tables.lineitem(s, d)
         .select("l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice")
-        .orderBy(desc("l_shipdate"), asc("l_orderkey"), asc("l_linenumber")),
+        .orderBy(desc("l_shipdate"), asc("l_orderkey"), asc("l_linenumber"),
+          asc("l_extendedprice")),
       Some("SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice " +
-        "FROM lineitem ORDER BY l_shipdate DESC, l_orderkey, l_linenumber")),
+        "FROM lineitem ORDER BY l_shipdate DESC, l_orderkey, l_linenumber, " +
+        "l_extendedprice")),
 
     GraftQuery(
       "q_limit",
@@ -108,11 +113,13 @@ object Relational {
       (s, d) => Tables.lineitem(s, d)
         .filter(col("l_quantity") >= 30)
         .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
-        .orderBy(desc("l_extendedprice"), asc("l_orderkey"), asc("l_linenumber"))
+        .orderBy(desc("l_extendedprice"), asc("l_orderkey"),
+          asc("l_linenumber"), asc("l_quantity"))
         .limit(50),
       Some("SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity " +
         "FROM lineitem WHERE l_quantity >= 30 " +
-        "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 50")),
+        "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, " +
+        "l_quantity LIMIT 50")),
 
     GraftQuery(
       "q_group_collect",
@@ -176,10 +183,12 @@ object Relational {
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"),
                 col("o_orderstatus"), col("l_quantity"))
-        .orderBy("l_orderkey", "l_linenumber"),
+        .orderBy("l_orderkey", "l_linenumber", "o_custkey", "o_orderstatus",
+          "l_quantity"),
       Some("SELECT l_orderkey, l_linenumber, o_custkey, o_orderstatus, " +
         "l_quantity FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
-        "ORDER BY l_orderkey, l_linenumber")),
+        "ORDER BY l_orderkey, l_linenumber, o_custkey, o_orderstatus, " +
+        "l_quantity")),
 
     GraftQuery(
       "q_join_multi",
@@ -391,6 +400,95 @@ object Relational {
         "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (" +
         "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) " +
-        "AS running_total FROM orders ORDER BY o_custkey, o_orderkey"))
+        "AS running_total FROM orders ORDER BY o_custkey, o_orderkey")),
+
+    GraftQuery(
+      "q_window_rank",
+      "Ranking family: rank/dense_rank over a tie-carrying order " +
+        "(quantity only), ntile over a total order — tie semantics " +
+        "differ between the three and both engines must agree.",
+      (s, d) => {
+        val byQty = Window.partitionBy("l_returnflag")
+          .orderBy(desc("l_quantity"))
+        val total = Window.partitionBy("l_returnflag")
+          .orderBy(desc("l_quantity"), asc("l_orderkey"), asc("l_linenumber"))
+        Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"),
+          rank().over(byQty).cast("bigint").as("rnk"),
+          dense_rank().over(byQty).cast("bigint").as("drnk"),
+          ntile(4).over(total).cast("bigint").as("quartile"))
+          .orderBy("l_orderkey", "l_linenumber", "l_returnflag",
+            "l_quantity", "rnk", "drnk", "quartile")
+      },
+      Some("SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, " +
+        "rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS rnk, " +
+        "dense_rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS drnk, " +
+        "ntile(4) OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC, " +
+        "l_orderkey, l_linenumber) AS quartile " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber, l_returnflag, " +
+        "l_quantity, rnk, drnk, quartile")),
+
+    GraftQuery(
+      "q_string_agg",
+      "Ordered string aggregation per group — sort_array∘collect_list∘" +
+        "array_join, DuckDB's string_agg(... ORDER BY) twin.",
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(array_join(sort_array(collect_list(col("o_orderstatus"))), ",")
+          .as("statuses"),
+          count(lit(1)).as("n"))
+        .orderBy("o_custkey"),
+      Some("SELECT o_custkey, " +
+        "string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses, " +
+        "count(*) AS n FROM orders GROUP BY o_custkey ORDER BY o_custkey")),
+
+    GraftQuery(
+      "q_join_skew",
+      "Explicitly salted fact-fact join: the probe side carries an " +
+        "8-way salt, the build side is replicated per salt value, so a " +
+        "hot join key spreads over 8 reducers instead of one — the " +
+        "manual form of what AQE skew-split does at runtime, and the " +
+        "reference's go-deeper subtree split (BackupProcessor.php:" +
+        "77-127) rephrased for shuffles. Results are salt-invariant: " +
+        "the oracle is the plain join.",
+      (s, d) => {
+        val salts = 8
+        val li = Tables.lineitem(s, d)
+          .withColumn("salt",
+            pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(salts))
+              .cast("int"))  // sequence() elements are int
+        val ord = Tables.orders(s, d)
+          .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+        val ep = col("l_extendedprice").cast("decimal(12,2)")
+        val disc = col("l_discount").cast("decimal(4,2)")
+        li.join(ord,
+            col("l_orderkey") === col("o_orderkey") &&
+              li("salt") === ord("salt"))
+          .groupBy("o_orderpriority")
+          .agg(sum(ep * (lit(1).cast("decimal(3,2)") - disc)).cast("double")
+            .as("revenue"),
+            count(lit(1)).as("n"))
+          .orderBy("o_orderpriority")
+      },
+      Some("SELECT o_orderpriority, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+        "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) " +
+        "AS DOUBLE) AS revenue, count(*) AS n " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority")),
+
+    GraftQuery(
+      "q_agg_approx",
+      "Sketch aggregation: HyperLogLog++ distinct counts per group. " +
+        "Sketch internals are engine-specific, so no SQL oracle; " +
+        "QueriesSmokeSpec bounds the relative error against the exact " +
+        "count.",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy("l_returnflag"),
+      None)
   )
 }

@@ -40,6 +40,17 @@ class QueriesSmokeSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("q_agg_approx HLL counts are within 5% of exact") {
+    val rows = SparkEntry.queries("q_agg_approx")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"HLL error too high: approx=$approx exact=$exact")
+    }
+  }
+
   test("q_topk is the global top-50 by extendedprice") {
     val df = SparkEntry.queries("q_topk")(spark, sf)
     val prices = df.select("l_extendedprice").collect().map(_.getDouble(0))
