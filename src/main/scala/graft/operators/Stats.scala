@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.functions._
+
+/** Statistical aggregates + modern JSON access — breadth beyond the
+  * reference (it has only counters, SURVEY.md §2.4), rounded so
+  * cross-engine float noise cannot flip the oracle compare. Percentiles
+  * use exact linear interpolation (Spark `percentile` == DuckDB
+  * `quantile_cont`), not sketches.
+  */
+object Stats {
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q_agg_percentile",
+      "Exact interpolated percentiles per group (median, p90) — the " +
+        "sort-based exact form; percentile_approx is the sketch path " +
+        "(q_agg_approx covers sketches).",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("med_qty"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      Some("SELECT l_returnflag, " +
+        "round(quantile_cont(l_quantity, 0.5), 6) AS med_qty, " +
+        "round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price, " +
+        "count(*) AS n FROM lineitem GROUP BY l_returnflag " +
+        "ORDER BY l_returnflag")),
+
+    GraftQuery(
+      "q_agg_stats",
+      "Moment aggregates: sample stddev/variance and Pearson " +
+        "correlation per group, rounded for cross-engine stability.",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(var_samp(col("l_extendedprice")), 4).as("var_price"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+            .as("qp_corr"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      Some("SELECT l_returnflag, " +
+        "round(stddev_samp(l_quantity), 6) AS sd_qty, " +
+        "round(var_samp(l_extendedprice), 4) AS var_price, " +
+        "round(corr(l_quantity, l_extendedprice), 6) AS qp_corr, " +
+        "count(*) AS n FROM lineitem GROUP BY l_returnflag " +
+        "ORDER BY l_returnflag")),
+
+    GraftQuery(
+      "q_json_variant",
+      "Spark 4 VariantType JSON access: parse_json once, typed " +
+        "variant_get extraction — the engine-native form of the " +
+        "reference's opaque-JSON round-trip, with shredded storage at " +
+        "scale.",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"),
+          variant_get(parse_json(col("props")), "$.k", "bigint").as("k_val"))
+        .filter(col("k_val").isNotNull)
+        .orderBy("event_id"),
+      Some("SELECT event_id, " +
+        "CAST(json_extract_string(props,'$.k') AS BIGINT) AS k_val " +
+        "FROM events WHERE json_extract_string(props,'$.k') IS NOT NULL " +
+        "ORDER BY event_id"))
+  )
+}
