@@ -109,6 +109,41 @@ object Dedup {
   def simhash(text: Column): Column =
     call_function("simhash64", split(text, " "))
 
+  /** Connected components over an undirected edge list via iterative
+    * min-label propagation (the Pregel/hash-to-min shape): each node
+    * starts labeled with itself; every round takes the min of its own
+    * and its neighbors' labels; converges in O(component diameter)
+    * rounds — near-dup clusters are tiny, so a handful of distributed
+    * joins. The driver loop carries only a changed-count, never data. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
+      .union(pairs.select(col("db").as("src"), col("da").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node")).cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      iter += 1
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(min(col("lbl")).as("nlbl"))
+      val updated = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .cache()
+      val changed = updated.as("u")
+        .join(labels.as("l"), col("u.node") === col("l.node"))
+        .filter(col("u.lbl") =!= col("l.lbl")).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+    }
+    edges.unpersist()
+    labels
+  }
+
   val queries: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -142,6 +177,45 @@ object Dedup {
         "FROM inter JOIN card ca ON ca.doc_id = da " +
         "JOIN card cb ON cb.doc_id = db " +
         "WHERE CAST(i AS DOUBLE)/(ca.c+cb.c-i) >= 0.8 ORDER BY da, db")),
+
+    GraftQuery(
+      "q_dedup_groups",
+      "Near-dup CLUSTERS: connected components over the tau=0.8 exact-" +
+        "Jaccard pair graph (iterative min-label propagation); output " +
+        "is (doc, cluster representative, cluster size) — what a " +
+        "keep-one-per-cluster dedup actually consumes. Oracle re-derives " +
+        "components with WITH RECURSIVE reachability.",
+      (s, d) => {
+        val labels = connectedComponents(
+          jaccardPairs(Tables.documents(s, d), 0.8))
+        val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("csize"))
+        labels.join(sizes, "lbl")
+          .select(col("node").as("doc_id"), col("lbl").as("cluster_rep"),
+            col("csize").as("cluster_size"))
+          .orderBy("doc_id")
+      },
+      Some("WITH RECURSIVE " +
+        "tok AS (SELECT doc_id, str_split(text,' ') AS t FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, " +
+        "unnest(list_transform(range(1, greatest(len(t)-2,1)+1), " +
+        "i -> array_to_string(t[i:i+2],' '))) AS s FROM tok)), " +
+        "card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i " +
+        "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id " +
+        "GROUP BY da, db), " +
+        "pairs AS (SELECT da, db FROM inter " +
+        "JOIN card ca ON ca.doc_id = da JOIN card cb ON cb.doc_id = db " +
+        "WHERE CAST(i AS DOUBLE)/(ca.c+cb.c-i) >= 0.8), " +
+        "edges AS (SELECT da AS src, db AS dst FROM pairs " +
+        "UNION ALL SELECT db, da FROM pairs), " +
+        "reach AS (SELECT src AS node, src AS lbl FROM edges " +
+        "UNION SELECT e.dst AS node, r.lbl FROM reach r " +
+        "JOIN edges e ON e.src = r.node), " +
+        "comp AS (SELECT node, min(lbl) AS cluster_rep FROM reach " +
+        "GROUP BY node) " +
+        "SELECT node AS doc_id, cluster_rep, " +
+        "count(*) OVER (PARTITION BY cluster_rep) AS cluster_size " +
+        "FROM comp ORDER BY doc_id")),
 
     GraftQuery(
       "q_dedup_minhash",
