@@ -19,12 +19,12 @@ import org.apache.spark.sql.functions._
   *    counts. Candidate generation cost is Σ (docs per shingle)², i.e.
   *    proportional to real overlap, not |docs|² — this is what survives
   *    100 TB, unlike any array-crossjoin.
-  *  - MinHash+LSH: 64 hashes, 16 bands × 4 rows. Signatures are pure
-  *    column expressions (xxhash64 over shingle arrays — codegen'd, no
-  *    UDF); banding explodes 16 rows/doc; the bucket self-join touches
-  *    only colliding bands. Candidates are then verified with exact
-  *    Jaccard, so output precision is 1.0 and only recall depends on
-  *    the LSH parameters.
+  *  - MinHash+LSH: 64 hashes, 16 bands × 4 rows. Signatures come from
+  *    the native MinHashSig expression (graft.functions) — one tight
+  *    XXH64 loop per document; banding explodes 16 rows/doc; the bucket
+  *    self-join touches only colliding bands. Candidates are then
+  *    verified with exact Jaccard, so output precision is 1.0 and only
+  *    recall depends on the LSH parameters.
   *  - SimHash: 64-bit signature via bitwise majority of token hashes;
   *    pairing by 16-bit chunk pigeonhole (hamming ≤ 3 ⇒ some chunk of 4
   *    equal), then exact hamming filter with bit_count(xor).

@@ -52,6 +52,40 @@ object Stats {
         "ORDER BY l_returnflag")),
 
     GraftQuery(
+      "q_pivot",
+      "Pivot: one column per l_linestatus value, decimal-exact sums — " +
+        "Spark's relational pivot() with an explicit value list (no " +
+        "extra distinct-scan); oracle via conditional aggregation.",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(graft.GraftQuery.decSum(col("l_quantity"), 12, 2))
+        .withColumnsRenamed(Map("F" -> "qty_f", "O" -> "qty_o"))
+        .orderBy("l_returnflag"),
+      Some("SELECT l_returnflag, " +
+        "CAST(SUM(CASE WHEN l_linestatus='F' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_f, " +
+        "CAST(SUM(CASE WHEN l_linestatus='O' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_o " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
+
+    GraftQuery(
+      "q_unpivot",
+      "Unpivot/melt: wide metric columns to (metric, value) rows via " +
+        "Spark's unpivot API; oracle as a UNION ALL of per-metric " +
+        "projections (dialect-portable).",
+      (s, d) => Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_custkey")
+        .unpivot(
+          Array(col("o_orderkey")),
+          Array(col("o_totalprice"), col("o_custkey").cast("double")),
+          "metric", "value")
+        .orderBy("o_orderkey", "metric"),
+      Some("SELECT o_orderkey, 'o_totalprice' AS metric, " +
+        "o_totalprice AS value FROM orders " +
+        "UNION ALL SELECT o_orderkey, 'o_custkey', " +
+        "CAST(o_custkey AS DOUBLE) FROM orders " +
+        "ORDER BY o_orderkey, metric")),
+
+    GraftQuery(
       "q_json_variant",
       "Spark 4 VariantType JSON access: parse_json once, typed " +
         "variant_get extraction — the engine-native form of the " +
