@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // ~60 queries x (warmup + timed) whole-stage-codegen classes overflow
+  // the default ~240m code cache; once full the JIT disables and every
+  // plan runs interpreted (observed as a uniform late-run 5-50x slowdown)
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -121,6 +121,13 @@ object Dedup {
       .cache()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node")).cache()
+    // labels only ever decrease, so sum(lbl) strictly decreases iff any
+    // label changed — convergence detection is one cheap aggregate, not
+    // a self-join. Every node has >= 1 edge by construction, so the
+    // neighbor-min join is inner.
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("lbl"))).collect().head.getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -129,16 +136,14 @@ object Dedup {
         .join(labels.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node"))
         .agg(min(col("lbl")).as("nlbl"))
-      val updated = labels.join(neighborMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      val updated = labels.join(neighborMin, "node")
+        .select(col("node"), least(col("lbl"), col("nlbl")).as("lbl"))
         .cache()
-      val changed = updated.as("u")
-        .join(labels.as("l"), col("u.node") === col("l.node"))
-        .filter(col("u.lbl") =!= col("l.lbl")).count()
+      val newSum = labelSum(updated)
       labels.unpersist()
       labels = updated
-      converged = changed == 0
+      converged = newSum == prevSum
+      prevSum = newSum
     }
     edges.unpersist()
     labels
