@@ -70,6 +70,29 @@ class StreamingSpec extends SparkSuite {
     assert(ids.sameElements(Array(1L, 2L, 3L)), s"got ${ids.toSeq}")
   }
 
+  test("streaming parquet sink writes exactly-once with checkpointing") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+
+    val input = MemoryStream[Ev]
+    val q = EventStreams.windowedCounts(input.toDF())
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+    try {
+      input.addData((1 to 20).map(i => Ev(i, ts(i * 7), i % 3, "click", 1.0)))
+      input.addData(Ev(-1L, ts(40000000L), -1L, "drain", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val written = sp.read.parquet(s"$dir/out")
+      .filter(col("event_type") === "click")
+    // 20 events at 7-min spacing span minutes 7..140 => hour buckets
+    assert(written.agg(sum("n")).collect().head.getLong(0) == 20L)
+  }
+
   test("sessionize closes sessions on gap and timeout") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = sp.sqlContext
