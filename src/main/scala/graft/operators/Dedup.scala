@@ -154,18 +154,22 @@ object Dedup {
     // neighbor-min join is inner.
     def labelSum(df: DataFrame): Long =
       df.agg(sum(col("lbl"))).collect().head.getLong(0)
+    def hop(l: DataFrame): DataFrame = {
+      val neighborMin = edges
+        .join(l.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(min(col("lbl")).as("nlbl"))
+      l.join(neighborMin, "node")
+        .select(col("node"), least(col("lbl"), col("nlbl")).as("lbl"))
+    }
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       iter += 1
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("node", "dst"), "dst")
-        .groupBy(col("src").as("node"))
-        .agg(min(col("lbl")).as("nlbl"))
-      val updated = labels.join(neighborMin, "node")
-        .select(col("node"), least(col("lbl"), col("nlbl")).as("lbl"))
-        .cache()
+      // one hop per materialization: hop() references its input twice,
+      // so chaining uncached hops recomputes the inner one
+      val updated = hop(labels).cache()
       val newSum = labelSum(updated)
       labels.unpersist()
       labels = updated
