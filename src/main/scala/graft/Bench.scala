@@ -27,13 +27,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // count() would let Catalyst prune projections and drop the final
+    // sort under the aggregate — map-only queries would time only the
+    // parquet scan. Walking every InternalRow of the *query's own* plan
+    // forces full evaluation of exactly what Verify writes.
+    def force(df: org.apache.spark.sql.DataFrame): Unit =
+      df.queryExecution.toRdd.foreach(_ => ())
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     ordered.foreach { case (_, fn) =>
-      Try(fn(spark, warmDir).count()) // warmup; failures surface below
+      Try(force(fn(spark, warmDir))) // warmup; failures surface below
     }
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { force(fn(spark, sfDir)) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -136,47 +136,63 @@ object Dedup {
   def simhash(text: Column): Column =
     call_function("simhash64", split(text, " "))
 
-  /** Connected components over an undirected edge list via iterative
-    * min-label propagation (the Pregel/hash-to-min shape): each node
-    * starts labeled with itself; every round takes the min of its own
-    * and its neighbors' labels; converges in O(component diameter)
-    * rounds — near-dup clusters are tiny, so a handful of distributed
-    * joins. The driver loop carries only a changed-count, never data. */
+  /** Connected components over an undirected edge list: min-label
+    * propagation with POINTER JUMPING. Each node starts labeled with
+    * itself; every round it takes (a) the min of its neighbors' labels
+    * (one hop) and then (b) its label's own label (path halving), so
+    * chains collapse in O(log diameter) rounds instead of O(diameter).
+    * Each round is materialized with `localCheckpoint` — truncating the
+    * lineage keeps the Catalyst plan constant-size across iterations
+    * (uncapped lineage makes analysis/optimization time grow per round,
+    * the classic iterative-plan blowup). On a real cluster swap in
+    * `checkpoint` against reliable storage if executor loss matters.
+    *
+    * Labels only take values from the node set and only ever decrease,
+    * so sum(lbl) strictly decreases iff any label changed — convergence
+    * detection is one cheap aggregate, not a self-join. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
       .union(pairs.select(col("db").as("src"), col("da").as("dst")))
-      .cache()
+      .localCheckpoint()
     var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node")).cache()
-    // labels only ever decrease, so sum(lbl) strictly decreases iff any
-    // label changed — convergence detection is one cheap aggregate, not
-    // a self-join. Every node has >= 1 edge by construction, so the
-    // neighbor-min join is inner.
+      .withColumn("lbl", col("node")).localCheckpoint()
+    // null-safe: sum() over an empty frame is NULL (e.g. no pair
+    // reaches tau -> empty edge list); treat as 0 and the loop
+    // converges on the first (empty) hop
     def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("lbl"))).collect().head.getLong(0)
+      Option(df.agg(sum(col("lbl"))).collect().head
+        .getAs[java.lang.Long](0)).map(_.longValue).getOrElse(0L)
     def hop(l: DataFrame): DataFrame = {
+      // every node has >= 1 edge by construction -> inner join is total
       val neighborMin = edges
         .join(l.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node"))
         .agg(min(col("lbl")).as("nlbl"))
-      l.join(neighborMin, "node")
+      val stepped = l.join(neighborMin, "node")
         .select(col("node"), least(col("lbl"), col("nlbl")).as("lbl"))
+      // pointer jump: lbl := label of lbl. Every label is itself a node
+      // of the graph (labels start as node ids and only propagate), so
+      // the self-join is total.
+      stepped.as("x")
+        .join(stepped.as("y"), col("x.lbl") === col("y.node"))
+        .select(col("x.node").as("node"),
+          least(col("x.lbl"), col("y.lbl")).as("lbl"))
     }
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       iter += 1
-      // one hop per materialization: hop() references its input twice,
-      // so chaining uncached hops recomputes the inner one
-      val updated = hop(labels).cache()
+      val updated = hop(labels).localCheckpoint()
       val newSum = labelSum(updated)
-      labels.unpersist()
       labels = updated
       converged = newSum == prevSum
       prevSum = newSum
     }
-    edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(component diameter > 2^maxIter?) — results would be wrong")
     labels
   }
 

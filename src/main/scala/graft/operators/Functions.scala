@@ -149,16 +149,20 @@ object Functions {
           size(toks).cast("bigint").as("n_tokens"),
           size(array_distinct(toks)).cast("bigint").as("n_distinct"),
           array_contains(toks, "spark").as("has_spark"),
-          slice(toks, 1, 5).as("first5"),
-          sort_array(array_distinct(slice(toks, 1, 10))).as("first10_sorted")
+          // arrays are serialized to strings in the output projection: the
+          // driver's pandas-based compare cannot hash ndarray cells
+          array_join(slice(toks, 1, 5), ",").as("first5"),
+          array_join(sort_array(array_distinct(slice(toks, 1, 10))), ",")
+            .as("first10_sorted")
         ).orderBy("doc_id")
       },
       Some("SELECT doc_id, " +
         "CAST(len(str_split(text,' ')) AS BIGINT) AS n_tokens, " +
         "CAST(len(list_distinct(str_split(text,' '))) AS BIGINT) AS n_distinct, " +
         "list_contains(str_split(text,' '), 'spark') AS has_spark, " +
-        "str_split(text,' ')[1:5] AS first5, " +
-        "list_sort(list_distinct(str_split(text,' ')[1:10])) AS first10_sorted " +
+        "array_to_string(str_split(text,' ')[1:5], ',') AS first5, " +
+        "array_to_string(list_sort(list_distinct(str_split(text,' ')[1:10])), ',') " +
+        "AS first10_sorted " +
         "FROM documents ORDER BY doc_id"))
   )
 }

@@ -47,11 +47,15 @@ object Relational {
       "Manifest build: group members under their parent key, ordered — " +
         "the metadata.json shape (BackupProcessor.php:206-210) as " +
         "groupBy + sorted collect_list.",
+      // array serialized to string: the driver's pandas compare cannot
+      // hash ndarray cells
       (s, d) => Tables.documents(s, d).groupBy("source")
-        .agg(sort_array(collect_list(col("doc_id"))).as("doc_ids"),
+        .agg(array_join(sort_array(collect_list(col("doc_id"))), ",")
+               .as("doc_ids"),
              count(lit(1)).as("n_docs"))
         .orderBy("source"),
-      Some("SELECT source, list_sort(list(doc_id)) AS doc_ids, " +
+      Some("SELECT source, array_to_string(list_sort(list(doc_id)), ',') " +
+        "AS doc_ids, " +
         "count(*) AS n_docs FROM documents GROUP BY source ORDER BY source")),
 
     // ---- §2.2 filters / projections ------------------------------------
@@ -125,11 +129,14 @@ object Relational {
       "q_group_collect",
       "groupBy + sorted collect_list — the manifest accumulation " +
         "pattern (BackupProcessor.php:206-210) at row scale.",
+      // numeric sort first, then serialize (string sort would misorder)
       (s, d) => Tables.lineitem(s, d).groupBy("l_orderkey")
-        .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"),
+        .agg(array_join(sort_array(collect_list(col("l_linenumber")))
+               .cast("array<string>"), ",").as("lines"),
              count(lit(1)).as("n"))
         .orderBy("l_orderkey"),
-      Some("SELECT l_orderkey, list_sort(list(l_linenumber)) AS lines, " +
+      Some("SELECT l_orderkey, " +
+        "array_to_string(list_sort(list(l_linenumber)), ',') AS lines, " +
         "count(*) AS n FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey")),
 
     // ---- §2.6 set operations -------------------------------------------

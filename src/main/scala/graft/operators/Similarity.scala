@@ -145,11 +145,14 @@ object Similarity {
           .filter(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("qid"), col("embedding").as("qe"),
             norm(col("embedding")).as("qn"))
+        // gate on the UNROUNDED cosine (the oracle filters unrounded
+        // too); round only in the projection — else a true score in
+        // [0.3499995, 0.35) flips the compare
+        val raw = dot(col("qe"), col("ce")) / (col("qn") * col("cn"))
         scorable(Tables.embeddings(s, d)).crossJoin(broadcast(sample))
-          .filter(col("qid") < col("vec_id"))
+          .filter(col("qid") < col("vec_id") && raw >= 0.35)
           .select(col("qid").as("da"), col("vec_id").as("db"),
-            pairScore.as("cos"))
-          .filter(col("cos") >= 0.35)
+            round(raw, 6).as("cos"))
           .orderBy("da", "db")
       },
       Some("WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) " +

@@ -35,31 +35,41 @@ object Restore {
 
   /** Drain one path's pending key->value map into the sink with the
     * reference's adaptive loop. Returns the number of update() calls
-    * (for tests/metrics). Throws after `maxRounds` full-map sweeps
-    * without completion — the RestoreFailureException analog. */
+    * (for tests/metrics).
+    *
+    * The reference loops until drained with no call cap
+    * (RestoreProcessor.php:105); `maxStalled` is our only divergence —
+    * a pure no-progress guard, so a healthy path of any size (any
+    * number of successful batches) never trips it. It counts
+    * *consecutive* update() calls that drained nothing; 64 straight
+    * failures even after the batch has shrunk to the floor means the
+    * sink is permanently rejecting — the RestoreFailureException
+    * analog. */
   def drainPath(sink: KVSink, path: String,
                 data: Map[String, String],
-                maxRounds: Int = 64): Int = {
+                maxStalled: Int = 64): Int = {
     var pending = scala.collection.immutable.SortedMap[String, String]() ++ data
     var batchSize = math.min(InitialBatch, math.max(pending.size, MinBatch))
     var successes = 0
     var calls = 0
-    var rounds = 0
+    var stalled = 0
     while (pending.nonEmpty) {
-      rounds += 1
-      if (rounds > maxRounds)
-        throw new IllegalStateException(
-          s"restore of $path not draining after $maxRounds rounds")
       val batch = pending.take(batchSize)
       calls += 1
       if (sink.update(path, batch.toMap)) {
         pending = pending.drop(batch.size) // the array_diff_key drain
+        stalled = 0
         successes += 1
         if (successes >= GrowAfter) {      // grow x1.2 after 5 straight
           batchSize = math.max(math.ceil(batchSize * 1.2).toInt, batchSize + 1)
           successes = 0
         }
       } else {
+        stalled += 1
+        if (stalled > maxStalled)
+          throw new IllegalStateException(
+            s"restore of $path stalled: $maxStalled consecutive failed " +
+              s"updates at batchSize=$batchSize")
         successes = 0
         batchSize = math.max(math.ceil(batchSize / 2.0).toInt, MinBatch)
       }

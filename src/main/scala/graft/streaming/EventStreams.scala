@@ -45,11 +45,14 @@ object EventStreams {
       .select(col("window.start").as("ws"), col("event_type"), col("n"))
 
   /** Streaming exact dedup: at-most-once per event_id within the
-    * watermark horizon — the streaming twin of q_dedup_exact (state is
-    * the seen-key set, bounded by the watermark; keyed by event_id so
-    * state shards across executors). */
+    * watermark horizon — the streaming twin of q_dedup_exact (keyed by
+    * event_id so state shards across executors). Must be the
+    * WithinWatermark variant: plain dropDuplicates("event_id") never
+    * evicts state unless the event-time column is part of the key —
+    * unbounded state on a long-running stream. */
   def dedupStream(events: DataFrame, delay: String = "2 hours"): DataFrame =
-    events.withWatermark("ts", delay).dropDuplicates("event_id")
+    events.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Gap-based sessionization (30-min inactivity) with explicit state:
     * emits a Session row when a session closes (gap exceeded within a

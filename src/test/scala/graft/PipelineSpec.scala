@@ -118,7 +118,7 @@ class PipelineSpec extends SparkSuite {
   test("unsinkable data raises (RestoreFailureException analog)") {
     val sink = new MemorySink(failAbove = 0)
     intercept[IllegalStateException] {
-      Restore.drainPath(sink, "/p", Map("k" -> "1"), maxRounds = 8)
+      Restore.drainPath(sink, "/p", Map("k" -> "1"), maxStalled = 8)
     }
   }
 
