@@ -136,23 +136,49 @@ object Dedup {
   def simhash(text: Column): Column =
     call_function("simhash64", split(text, " "))
 
-  /** Connected components over an undirected edge list: min-label
-    * propagation with POINTER JUMPING. Each node starts labeled with
-    * itself; every round it takes (a) the min of its neighbors' labels
-    * (one hop) and then (b) its label's own label (path halving), so
-    * chains collapse in O(log diameter) rounds instead of O(diameter).
-    * Each round is materialized with `localCheckpoint` — truncating the
-    * lineage keeps the Catalyst plan constant-size across iterations
-    * (uncapped lineage makes analysis/optimization time grow per round,
-    * the classic iterative-plan blowup). On a real cluster swap in
-    * `checkpoint` against reliable storage if executor loss matters.
+  /** Edge count below which the component graph is solved on the
+    * driver. Near-dup edges that survived exact verification are a
+    * vanishing fraction of the corpus (they ARE the duplicates), so
+    * even very large corpora usually land under this; 1M (src,dst)
+    * longs is ~16 MB — the same order as a broadcast-join threshold. */
+  val LocalCcMaxEdges = 1000000L
+
+  /** Connected components over an undirected (da, db) pair list.
+    * Output: (node, lbl) with lbl = min node id in the component.
+    *
+    * Size-gated hybrid, the same shape as Spark's broadcast-join
+    * decision: the pair list is materialized ONCE (`localCheckpoint` —
+    * candidate generation above it is the expensive part and must not
+    * run per-branch or per-round), its count steers the strategy:
+    *
+    *  - <= [[LocalCcMaxEdges]]: collect to the driver and run
+    *    union-find with path compression — O(E α(E)), microseconds per
+    *    edge, zero scheduler rounds. The dup-pair graph of even a
+    *    100 TB corpus is usually this small relative to its input.
+    *  - larger: distributed min-label propagation with POINTER JUMPING
+    *    (label := label of label each round), converging in
+    *    O(log diameter) rounds; every round is `localCheckpoint`ed so
+    *    the Catalyst plan stays constant-size (uncapped lineage is the
+    *    classic iterative-plan blowup), and partitioning scales with
+    *    the measured edge count instead of inheriting the session's
+    *    shuffle width. On a multi-executor cluster swap `checkpoint`
+    *    against reliable storage if executor loss matters.
     *
     * Labels only take values from the node set and only ever decrease,
     * so sum(lbl) strictly decreases iff any label changed — convergence
     * detection is one cheap aggregate, not a self-join. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
-      .union(pairs.select(col("db").as("src"), col("da").as("dst")))
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          localMaxEdges: Long = LocalCcMaxEdges): DataFrame = {
+    val p = pairs.select(col("da").cast("long"), col("db").cast("long"))
+      .localCheckpoint()
+    val nEdges = p.count()
+    if (nEdges <= localMaxEdges) return localComponents(p)
+    // ~500k edges per partition: small graphs don't pay 32-way
+    // shuffles, huge ones still spread
+    val parts = math.max(1, (nEdges / 500000L).toInt)
+    val edges = p.select(col("da").as("src"), col("db").as("dst"))
+      .union(p.select(col("db").as("src"), col("da").as("dst")))
+      .repartition(parts)
       .localCheckpoint()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node")).localCheckpoint()
@@ -194,6 +220,36 @@ object Dedup {
         s"connectedComponents did not converge in $maxIter rounds " +
           "(component diameter > 2^maxIter?) — results would be wrong")
     labels
+  }
+
+  /** Driver-side union-find (path halving + union by min) for pair
+    * graphs under [[LocalCcMaxEdges]]. Same (node, lbl = component
+    * min) contract as the distributed path; ComponentSpec asserts the
+    * two agree. */
+  private def localComponents(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) {
+        val g = parent.getOrElse(parent(r), parent(r)) // path halving
+        parent(r) = g
+        r = g
+      }
+      r
+    }
+    pairs.collect().foreach { row =>
+      val (a, b) = (row.getLong(0), row.getLong(1))
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // union by min id => lbl is the component min
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val out = parent.keys.toArray.sorted.map(n => (n, find(n)))
+    spark.createDataset(out.toIndexedSeq).toDF("node", "lbl")
   }
 
   val queries: Seq[GraftQuery] = Seq(
