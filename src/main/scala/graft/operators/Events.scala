@@ -83,6 +83,45 @@ object Events {
         "SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) " +
         "AS session_start_sec, count(*) AS n_events " +
         "FROM sess GROUP BY user_id, sid " +
-        "ORDER BY user_id, session_start_sec"))
+        "ORDER BY user_id, session_start_sec")),
+
+    GraftQuery(
+      "q_join_asof",
+      "As-of join: each purchase matched to the user's latest click at " +
+        "or before it. Spark lacks a native ASOF operator; the scalable " +
+        "formulation is union-tag + one window (sort both sides together " +
+        "per user, carry the last click forward with last(ignoreNulls)) " +
+        "— a single shuffle on user_id, O(n log n) within partitions, no " +
+        "join explosion, vs. the naive range self-join's O(clicks x " +
+        "purchases) per user. Ties (click.ts == purchase.ts) match, so " +
+        "clicks sort before purchases at equal ts; output carries the " +
+        "matched click's ts (whole-second epoch), which is " +
+        "tie-deterministic where event_id would not be. Oracle is " +
+        "DuckDB's native ASOF LEFT JOIN.",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            when(col("event_type") === "click", 0).otherwise(1).as("kind"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("kind"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.withColumn("click_ts",
+            last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
+          .filter(col("kind") === 1)
+          .select(col("event_id"), col("user_id"),
+            unix_timestamp(col("ts")).as("purchase_sec"),
+            unix_timestamp(col("click_ts")).as("click_sec"))
+          .orderBy("event_id")
+      },
+      Some("SELECT p.event_id, p.user_id, " +
+        "CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_sec, " +
+        "CAST(floor(epoch(c.ts)) AS BIGINT) AS click_sec " +
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
+        "ASOF LEFT JOIN " +
+        "(SELECT user_id, ts FROM events WHERE event_type = 'click') c " +
+        "ON p.user_id = c.user_id AND c.ts <= p.ts " +
+        "ORDER BY event_id"))
   )
 }

@@ -410,6 +410,55 @@ object Relational {
         "AS running_total FROM orders ORDER BY o_custkey, o_orderkey")),
 
     GraftQuery(
+      "q_window_ntile",
+      "ntile(4) spend quartiles + lead over per-customer totals — the " +
+        "ranking/analytic window pair on an aggregated (small) frame; " +
+        "the window order is made total with the custkey tiebreak so " +
+        "bucket boundaries are cross-engine deterministic.",
+      (s, d) => {
+        val w = Window.orderBy(desc("spend"), asc("o_custkey"))
+        Tables.orders(s, d)
+          .groupBy("o_custkey")
+          .agg(decSum(col("o_totalprice"), 12, 2).as("spend"))
+          .select(col("o_custkey"), col("spend"),
+            ntile(4).over(w).as("quartile"),
+            lead(col("spend"), 1).over(w).as("next_spend"))
+          .orderBy("o_custkey")
+      },
+      Some("SELECT o_custkey, spend, " +
+        "ntile(4) OVER w AS quartile, lead(spend, 1) OVER w AS next_spend " +
+        "FROM (SELECT o_custkey, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend " +
+        "FROM orders GROUP BY o_custkey) " +
+        "WINDOW w AS (ORDER BY spend DESC, o_custkey) ORDER BY o_custkey")),
+
+    GraftQuery(
+      "q_sample_hash",
+      "Deterministic 5% hash sample (training-corpus subsampling): keep " +
+        "rows whose md5(key) bucket is 0 of 20, then aggregate the " +
+        "sample. md5 hex is bit-identical across engines, so the sample " +
+        "is reproducible anywhere — unlike rand()-based sampling; a scan " +
+        "+ filter with no shuffle until the 6-row aggregate.",
+      (s, d) => {
+        val key = concat(col("l_orderkey").cast("string"), lit("#"),
+          col("l_linenumber").cast("string"))
+        val bucket = conv(substring(md5(key.cast("binary")), 1, 8), 16, 10)
+          .cast("bigint") % 20
+        Tables.lineitem(s, d)
+          .filter(bucket === 0)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_sampled"),
+               decSum(col("l_quantity"), 12, 2).as("qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("SELECT l_returnflag, count(*) AS n_sampled, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty " +
+        "FROM lineitem WHERE CAST(('0x' || substr(md5(" +
+        "CAST(l_orderkey AS VARCHAR) || '#' || CAST(l_linenumber AS VARCHAR)" +
+        "), 1, 8)) AS BIGINT) % 20 = 0 " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag")),
+
+    GraftQuery(
       "q_window_rank",
       "Ranking family: rank/dense_rank over a tie-carrying order " +
         "(quantity only), ntile over a total order — tie semantics " +

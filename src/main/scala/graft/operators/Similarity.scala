@@ -234,6 +234,34 @@ object Similarity {
           .select("qid", "nid", "score", "rn")
           .orderBy("qid", "rn")
       },
-      None)
+      None),
+
+    GraftQuery(
+      "q_embed_stats",
+      "Per-vector statistics (dim, L2 norm, element mean/min/max) — the " +
+        "embedding-column health check before any ANN build. Norm and " +
+        "sum go through the codegen'd VectorDot (sequential double " +
+        "fold, matching DuckDB's list_aggregate order, so 6 dp rounding " +
+        "is stable); one scan, no shuffle but the output sort.",
+      (s, d) => {
+        val e = col("embedding")
+        val ones = array_repeat(lit(1.0d), size(e))
+        Tables.embeddings(s, d).select(
+          col("vec_id"),
+          size(e).cast("bigint").as("dim"),
+          round(norm(e), 6).as("l2_norm"),
+          round(dot(e, ones) / size(e), 6).as("elem_mean"),
+          round(array_min(e).cast("double"), 6).as("elem_min"),
+          round(array_max(e).cast("double"), 6).as("elem_max")
+        ).orderBy("vec_id")
+      },
+      Some("SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim, " +
+        "round(sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), " +
+        "x -> x*x), 'sum')), 6) AS l2_norm, " +
+        "round(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum') / " +
+        "len(embedding), 6) AS elem_mean, " +
+        "round(list_aggregate(CAST(embedding AS DOUBLE[]), 'min'), 6) AS elem_min, " +
+        "round(list_aggregate(CAST(embedding AS DOUBLE[]), 'max'), 6) AS elem_max " +
+        "FROM embeddings ORDER BY vec_id"))
   )
 }

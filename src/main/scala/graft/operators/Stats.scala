@@ -86,6 +86,26 @@ object Stats {
         "ORDER BY o_orderkey, metric")),
 
     GraftQuery(
+      "q_agg_grouping_sets",
+      "Explicit GROUPING SETS ((flag), (status), ()) — the general form " +
+        "rollup/cube specialize; Spark 4's Dataset.groupingSets API, " +
+        "one shuffle computing all three granularities. NULLS FIRST " +
+        "pinned as in q_agg_rollup.",
+      (s, d) => Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+             graft.GraftQuery.decSum(col("l_quantity"), 12, 2).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"),
+                 asc_nulls_first("l_linestatus")),
+      Some("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem " +
+        "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()) " +
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST")),
+
+    GraftQuery(
       "q_json_variant",
       "Spark 4 VariantType JSON access: parse_json once, typed " +
         "variant_get extraction — the engine-native form of the " +

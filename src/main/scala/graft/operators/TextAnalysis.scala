@@ -153,6 +153,55 @@ object TextAnalysis {
       Some("SELECT doc_id, " +
         "CAST(len(str_split(text,' ')) AS BIGINT) AS ws_tokens, " +
         "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS re_tokens " +
-        "FROM documents ORDER BY doc_id"))
+        "FROM documents ORDER BY doc_id")),
+
+    GraftQuery(
+      "q_quality_funnel",
+      "The training-corpus filter funnel, per source: total docs, then " +
+        "cumulative survivors of (1) length gates, (2) language " +
+        "whitelist, (3) stopword-evidence quality gate, (4) exact-dup " +
+        "keeper-only. Stages 1-3 are pure column predicates (one scan, " +
+        "conditional-count aggregation, no per-stage passes); stage 4 " +
+        "needs one window over the md5 fingerprint — the only shuffle " +
+        "before the 20-row output.",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val n = size(toks).cast("bigint")
+        val keeper = col("doc_id") ===
+          min(col("doc_id")).over(
+            Window.partitionBy(md5(lower(col("text")).cast("binary"))))
+        val c1 = n.between(5, 1000) && col("n_chars").between(20, 20000)
+        val c2 = c1 && col("lang").isin("en", "de", "es", "fr")
+        val c3 = c2 && (countIn(toks, enStops) + countIn(toks, deStops) +
+          countIn(toks, esStops) + countIn(toks, frStops)) > 0
+        val c4 = c3 && keeper
+        Tables.documents(s, d)
+          .select(col("source"), c1.as("c1"), c2.as("c2"), c3.as("c3"),
+            c4.as("c4"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_total"),
+            sum(col("c1").cast("bigint")).as("n_len"),
+            sum(col("c2").cast("bigint")).as("n_lang"),
+            sum(col("c3").cast("bigint")).as("n_quality"),
+            sum(col("c4").cast("bigint")).as("n_kept"))
+          .orderBy("source")
+      },
+      Some {
+        val stops = sqlCountIn(enStops) + " + " + sqlCountIn(deStops) +
+          " + " + sqlCountIn(esStops) + " + " + sqlCountIn(frStops)
+        "WITH staged AS (SELECT source, " +
+          "len(str_split(text,' ')) BETWEEN 5 AND 1000 " +
+          "AND n_chars BETWEEN 20 AND 20000 AS c1, " +
+          "lang IN ('en','de','es','fr') AS c2, " +
+          s"($stops) > 0 AS c3, " +
+          "doc_id = min(doc_id) OVER (PARTITION BY md5(lower(text))) AS c4 " +
+          "FROM documents) " +
+          "SELECT source, count(*) AS n_total, " +
+          "CAST(SUM(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS n_len, " +
+          "CAST(SUM(CASE WHEN c1 AND c2 THEN 1 ELSE 0 END) AS BIGINT) AS n_lang, " +
+          "CAST(SUM(CASE WHEN c1 AND c2 AND c3 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality, " +
+          "CAST(SUM(CASE WHEN c1 AND c2 AND c3 AND c4 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept " +
+          "FROM staged GROUP BY source ORDER BY source"
+      })
   )
 }
