@@ -16,6 +16,9 @@ object Sql {
     Tables.orders(s, d).createOrReplaceTempView("orders")
     Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
     Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.supplier(s, d).createOrReplaceTempView("supplier")
+    Tables.nation(s, d).createOrReplaceTempView("nation")
+    Tables.region(s, d).createOrReplaceTempView("region")
     s.sql(sql)
   }
 
@@ -38,6 +41,20 @@ object Sql {
       "WHERE l2.l_orderkey = o.o_orderkey AND l2.l_returnflag = 'R') " +
       "ORDER BY o_orderkey, o_orderstatus"
 
+  private val q5Sql =
+    "SELECT n_name, " +
+      "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+      "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) " +
+      "AS DOUBLE) AS revenue " +
+      "FROM customer JOIN orders ON c_custkey = o_custkey " +
+      "JOIN lineitem ON l_orderkey = o_orderkey " +
+      "JOIN supplier ON l_suppkey = s_suppkey " +
+      "AND c_nationkey = s_nationkey " +
+      "JOIN nation ON s_nationkey = n_nationkey " +
+      "JOIN region ON n_regionkey = r_regionkey " +
+      "WHERE r_name IN ('AMERICA', 'ASIA') " +
+      "GROUP BY n_name ORDER BY revenue DESC, n_name"
+
   val queries: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -47,6 +64,17 @@ object Sql {
         "get; the oracle string is the identical ANSI SQL.",
       (s, d) => withViews(s, d)(q3Sql),
       Some(q3Sql)),
+
+    GraftQuery(
+      "q_sql_tpch_q5",
+      "TPC-H Q5 shape: the 6-table snowflake join with the " +
+        "customer-nation = supplier-nation twist. Catalyst broadcast-" +
+        "joins every dim (supplier/nation/region under the threshold), " +
+        "leaving one shuffle for customer⋈orders⋈lineitem and the " +
+        "6-row aggregate — the plan a hand-scheduled engine has to " +
+        "work for.",
+      (s, d) => withViews(s, d)(q5Sql),
+      Some(q5Sql)),
 
     GraftQuery(
       "q_sql_exists",

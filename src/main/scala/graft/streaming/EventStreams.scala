@@ -54,6 +54,31 @@ object EventStreams {
     events.withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: each purchase joined to the same
+    * user's clicks from the preceding hour — the streaming twin of the
+    * batch as-of join (operators.Events q_join_asof), except streams
+    * keep EVERY qualifying click (as-of's "latest only" needs ordered
+    * state; the interval join needs none). Watermarks on both sides +
+    * the two-sided time-range predicate bound the join state: rows
+    * older than watermark + interval are evicted, so state is
+    * O(rate x interval) per user shard regardless of stream length. */
+  def clickPurchaseJoin(events: DataFrame, delay: String = "1 hour"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", delay)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", delay)
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("purchase_ts"), col("click_id"), col("click_ts"))
+  }
+
   /** Gap-based sessionization (30-min inactivity) with explicit state:
     * emits a Session row when a session closes (gap exceeded within a
     * batch, or event-time timeout fires after the watermark passes). */

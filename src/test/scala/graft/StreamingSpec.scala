@@ -93,6 +93,38 @@ class StreamingSpec extends SparkSuite {
     assert(written.agg(sum("n")).collect().head.getLong(0) == 20L)
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+
+    val evs = Seq(
+      Ev(1, ts(0), 1, "click", 1.0),     // within 1h of purchase @40
+      Ev(2, ts(30), 1, "click", 1.0),    // within 1h
+      Ev(3, ts(40), 1, "purchase", 9.0),
+      Ev(4, ts(200), 1, "click", 1.0),   // later than the purchase
+      Ev(5, ts(35), 2, "click", 1.0),    // other user
+      Ev(6, ts(300), 2, "purchase", 5.0) // >1h after user 2's click
+    )
+    val input = MemoryStream[Ev]
+    val q = EventStreams.clickPurchaseJoin(input.toDF())
+      .writeStream.format("memory").queryName("cpj")
+      .outputMode("append").start()
+    try {
+      input.addData(evs)
+      input.addData(Ev(-1L, ts(40000000L), -1L, "drain", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = sp.table("cpj").select("purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch twin over the same rows
+    val batch = EventStreams.clickPurchaseJoin(evs.toDF())
+      .select("purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == Set((3L, 1L), (3L, 2L)), s"got $streamed")
+    assert(streamed == batch)
+  }
+
   test("sessionize closes sessions on gap and timeout") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = sp.sqlContext
