@@ -202,6 +202,51 @@ object TextAnalysis {
           "CAST(SUM(CASE WHEN c1 AND c2 AND c3 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality, " +
           "CAST(SUM(CASE WHEN c1 AND c2 AND c3 AND c4 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept " +
           "FROM staged GROUP BY source ORDER BY source"
-      })
+      }),
+
+    GraftQuery(
+      "q_vocab",
+      "Corpus vocabulary: top-100 tokens by frequency. Explode + " +
+        "hash-aggregate with map-side partial counts, then " +
+        "TakeOrderedAndProject — the shuffle moves one (token, count) " +
+        "pair per distinct token per partition, not per occurrence, so " +
+        "hot stopwords don't skew the exchange.",
+      (s, d) => Tables.documents(s, d)
+        .select(explode(split(lower(col("text")), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("token"))
+        .limit(100),
+      Some("SELECT token, count(*) AS n FROM (" +
+        "SELECT unnest(str_split(lower(text),' ')) AS token FROM documents) " +
+        "WHERE length(token) > 0 " +
+        "GROUP BY token ORDER BY n DESC, token LIMIT 100")),
+
+    GraftQuery(
+      "q_sample_stratified",
+      "Stratified sample: exactly 5 docs per source, chosen by md5 " +
+        "pseudo-random order — deterministic cross-engine (unlike " +
+        "rand()/TABLESAMPLE) and balanced across strata (unlike a flat " +
+        "hash sample, which under-represents small sources). One window " +
+        "per stratum; at scale the partition key is the stratum, and " +
+        "WindowGroupLimit prunes each group to the top-5 before the " +
+        "full sort.",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("source")
+          .orderBy(md5(col("doc_id").cast("string").cast("binary")),
+            col("doc_id"))
+        Tables.documents(s, d)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 5)
+          .select(col("source"), col("doc_id"), col("rn"))
+          .orderBy("source", "rn")
+      },
+      Some("SELECT source, doc_id, rn FROM (" +
+        "SELECT source, doc_id, CAST(row_number() OVER (" +
+        "PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) " +
+        "AS BIGINT) AS rn FROM documents) " +
+        "WHERE rn <= 5 ORDER BY source, rn"))
   )
 }
