@@ -61,6 +61,41 @@ object Media {
     }
   }
 
+  /** Repartition media by PAYLOAD BYTES, not row count — media rows are
+    * KBs-to-MBs, so a row-count split makes partitions that differ by
+    * orders of magnitude in memory. One cheap metadata aggregate sizes
+    * the shuffle; the target mirrors
+    * `spark.sql.files.maxPartitionBytes`'s 128 MB default. */
+  def repartitionByBytes(media: Dataset[MediaRow],
+                         targetBytes: Long = 128L << 20): Dataset[MediaRow] = {
+    val total = media.agg(sum(length(col("bytes"))))
+      .head.getAs[java.lang.Long](0)
+    val parts = math.max(1,
+      math.ceil(Option(total).map(_.toDouble).getOrElse(0.0) /
+        targetBytes).toInt)
+    media.repartition(parts)
+  }
+
+  /** Resize to fit a bounding box, preserving aspect ratio. The
+    * metadata arithmetic (the part an engine owns) is real; the pixel
+    * re-encode is the same stub seam as [[MediaCodec]] — bytes pass
+    * through unchanged here, a real impl would transcode. */
+  def resizeToFit(media: Dataset[MediaRow],
+                  maxW: Int, maxH: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    // one shot: chained withColumn would re-evaluate the scale
+    // expression against the already-updated width
+    media.toDF()
+      .withColumn("scale", least(lit(1.0),
+        least(lit(maxW) / col("width"), lit(maxH) / col("height"))))
+      .withColumn("width", greatest(floor(col("width") * col("scale")),
+        lit(1)).cast("int"))
+      .withColumn("height", greatest(floor(col("height") * col("scale")),
+        lit(1)).cast("int"))
+      .drop("scale")
+      .as[MediaRow]
+  }
+
   /** Deterministic frame sampling for "video": one row per sampled
     * frame index, stride derived from the payload size — the explode
     * shape of real frame extraction. */

@@ -500,6 +500,36 @@ object Relational {
         "count(*) AS n FROM orders GROUP BY o_custkey ORDER BY o_custkey")),
 
     GraftQuery(
+      "q_join_outer",
+      "Full-outer join with disjoint-side survivors: BUILDING customers " +
+        "vs customers having finished orders — left-only, right-only and " +
+        "matched rows all present (left/right outer are the one-sided " +
+        "specializations). Null-extension semantics surface in the " +
+        "coalesced key and the is-null flags.",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"))
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderstatus") === "F")
+          .groupBy("o_custkey").agg(count(lit(1)).as("n_f_orders"))
+        c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+          .select(
+            coalesce(col("c_custkey"), col("o_custkey")).as("k"),
+            col("c_custkey").isNotNull.as("is_building"),
+            coalesce(col("n_f_orders"), lit(0L)).as("n_f_orders"))
+          .orderBy("k")
+      },
+      Some("SELECT coalesce(c_custkey, o_custkey) AS k, " +
+        "c_custkey IS NOT NULL AS is_building, " +
+        "coalesce(n_f_orders, 0) AS n_f_orders FROM " +
+        "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') c " +
+        "FULL OUTER JOIN " +
+        "(SELECT o_custkey, count(*) AS n_f_orders FROM orders " +
+        "WHERE o_orderstatus = 'F' GROUP BY o_custkey) o " +
+        "ON c_custkey = o_custkey ORDER BY k")),
+
+    GraftQuery(
       "q_join_skew",
       "Explicitly salted fact-fact join: the probe side carries an " +
         "8-way salt, the build side is replicated per salt value, so a " +

@@ -40,6 +40,35 @@ class MultimodalSpec extends SparkSuite {
     assert(Media.extractFeatures(repart).count() == media.count())
   }
 
+  test("byte-bounded repartitioning sizes partitions by payload") {
+    // ~100 docs x ~1KB payloads; a 4KB target must yield many
+    // partitions, a huge target exactly one
+    val small = Media.repartitionByBytes(media, targetBytes = 4096)
+    val one = Media.repartitionByBytes(media, targetBytes = Long.MaxValue >> 8)
+    val totalBytes = media.toDF().agg(sum(length(col("bytes"))))
+      .head.getLong(0)
+    val expected = math.ceil(totalBytes / 4096.0).toInt
+    assert(small.rdd.getNumPartitions == expected)
+    assert(one.rdd.getNumPartitions == 1)
+    assert(small.count() == media.count())
+  }
+
+  test("resize preserves aspect ratio within the bounding box") {
+    val resized = Media.resizeToFit(media, 64, 64).collect()
+    val orig = media.collect().map(m => m.media_id -> m).toMap
+    resized.foreach { r =>
+      assert(r.width <= 64 && r.height <= 64 && r.width >= 1 && r.height >= 1)
+      val o = orig(r.media_id)
+      if (o.width > 64 || o.height > 64) {
+        // the larger relative dimension must hit (close to) the box
+        val sW = r.width.toDouble / o.width
+        val sH = r.height.toDouble / o.height
+        assert(math.abs(sW - sH) < 0.05,
+          s"aspect drift for ${r.media_id}: $sW vs $sH")
+      } else assert(r.width == o.width && r.height == o.height)
+    }
+  }
+
   test("frame sampling explodes only videos, deterministically") {
     val frames = Media.sampleFrames(media)
     val vids = media.filter(col("kind") === "video")
