@@ -86,6 +86,35 @@ object Stats {
         "ORDER BY o_orderkey, metric")),
 
     GraftQuery(
+      "q_agg_udaf",
+      "User-defined aggregate: the typed ExactMoments Aggregator " +
+        "(mean + sample variance from exact decimal power sums — " +
+        "associative merge, so Spark's partial/final split cannot " +
+        "perturb the result). The oracle recomputes the identical " +
+        "closed form from DECIMAL sums.",
+      (s, d) => {
+        val moments = udaf(new graft.functions.ExactMoments.Agg(2))
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(moments(col("l_quantity")).as("m"),
+               count(lit(1)).as("n"))
+          .select(col("l_returnflag"),
+            round(col("m.mean"), 6).as("mean_qty"),
+            round(col("m.var_samp"), 6).as("var_qty"),
+            col("n"))
+          .orderBy("l_returnflag")
+      },
+      Some("SELECT l_returnflag, " +
+        "round(CAST(s AS DOUBLE) / n, 6) AS mean_qty, " +
+        "round((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) " +
+        "/ (n - 1), 6) AS var_qty, n FROM (" +
+        "SELECT l_returnflag, " +
+        "SUM(CAST(l_quantity AS DECIMAL(12,2))) AS s, " +
+        "SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS ss, " +
+        "count(*) AS n FROM lineitem GROUP BY l_returnflag) " +
+        "ORDER BY l_returnflag")),
+
+    GraftQuery(
       "q_agg_grouping_sets",
       "Explicit GROUPING SETS ((flag), (status), ()) — the general form " +
         "rollup/cube specialize; Spark 4's Dataset.groupingSets API, " +
