@@ -8,8 +8,9 @@ import org.apache.spark.sql.SparkSession
   * AbstractCommand.php:37-74): a plain match over commands instead of
   * namespace reflection, Spark instead of a single-threaded HTTP loop.
   *
-  *   runMain graft.Cli export <treesJsonDir> <backupDir>
-  *     treesJsonDir: text files, one JSON document per line
+  *   runMain graft.Cli export <treesJsonDir> <backupDir> [subtreePath]
+  *     treesJsonDir: text files, one JSON document per line;
+  *     subtreePath scopes the backup to one node (default "/")
   *   runMain graft.Cli import <backupDir> <outParquetDir>
   *     (file-based sink: re-materializes the leaf rows; a live sink
   *      implements pipeline.Restore.KVSink instead)
@@ -30,11 +31,14 @@ object Cli {
     import spark.implicits._
 
     args.toList match {
-      case "export" :: in :: out :: Nil =>
+      case "export" :: in :: out :: rest if rest.lengthCompare(1) <= 0 =>
+        // optional 4th arg: subtree node, the reference's path scope
+        val node = rest.headOption.getOrElse("/")
         val trees = spark.read.textFile(in).map(j => ("/", j))
-        Export.writeBackup(Export.flattenTrees(trees.toDF("root", "json")
-          .as[(String, String)]), out)
-        println(s"exported -> $out")
+        Export.writeBackup(Export.subtree(
+          Export.flattenTrees(trees.toDF("root", "json")
+            .as[(String, String)]), node), out)
+        println(s"exported $node -> $out")
       case "import" :: in :: out :: Nil =>
         Export.readBackup(spark, in)
           .write.mode("overwrite").parquet(out)
@@ -49,7 +53,7 @@ object Cli {
         }
       case _ =>
         System.err.println(
-          "usage: graft.Cli export <treesJsonDir> <backupDir> | " +
+          "usage: graft.Cli export <treesJsonDir> <backupDir> [subtreePath] | " +
             "import <backupDir> <outParquetDir> | query <name> <sfDir>")
         sys.exit(2)
     }

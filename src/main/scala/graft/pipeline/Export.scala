@@ -64,4 +64,16 @@ object Export {
 
   def readBackup(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/rows")
+
+  /** Subtree restriction — the reference's `export <db> <path>` scope
+    * (ExportCommand.php: the backup starts at an arbitrary node, not
+    * only `/`). A subtree is the node's own leaf edges (path == node)
+    * plus everything below (path startswith node + "/"); both are
+    * string-prefix predicates Catalyst pushes into the parquet scan
+    * (min/max row-group pruning on the sorted `path` column — the
+    * Spark-native form of the server-side path scope). */
+  def subtree(rows: DataFrame, node: String): DataFrame =
+    if (node == "/" || node.isEmpty) rows
+    else rows.filter(col("path") === node ||
+      col("path").startsWith(node + "/"))
 }

@@ -59,6 +59,17 @@ class PipelineSpec extends SparkSuite {
       Edge("/a/b", "c", "1"), Edge("/", "d", "2")))
   }
 
+  test("subtree export scopes to one node (the reference's path arg)") {
+    val sp = spark; import sp.implicits._
+    val json = """{"a": {"b": {"c": 1}, "x": 2}, "ab": {"y": 3}, "d": 4}"""
+    val rows = Export.flattenTrees(Seq(("/", json)).toDS())
+    val under = Export.subtree(rows, "/a").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // /ab must NOT match the /a prefix; /a's own edges and /a/b's do
+    assert(under == Set(("/a/b", "c"), ("/a", "x")))
+    assert(Export.subtree(rows, "/").count() == rows.count())
+  }
+
   test("arrays flatten to integer keys") {
     val edges = TreeCodec.flatten("""{"xs": [10, {"y": 1}]}""")
     assert(edges.toSet == Set(
