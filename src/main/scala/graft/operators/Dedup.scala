@@ -86,7 +86,19 @@ object Dedup {
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    // exact verification over full shingle sets, candidates only
+    verifyJaccard(cands, sh, tau)
+  }
+
+  /** Exact-Jaccard verification of (da, db) candidate pairs against the
+    * full shingle sets: intersection by pairwise join, union by the
+    * cardinality identity |A∪B| = |A|+|B|-|A∩B|. Output precision is
+    * 1.0 regardless of how candidates were generated — this is the
+    * shared tail of the prefix-filter, MinHash and any future blocking
+    * scheme. `sh` is referenced three times; callers should pass a
+    * cached/checkpointed frame (at corpus scale: DISK_ONLY or a
+    * materialized table — shingles are ~10x the text). */
+  def verifyJaccard(cands: DataFrame, sh: DataFrame, tau: Double): DataFrame = {
+    val card = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
     val inter = cands
       .join(sh.as("a"), col("da") === col("a.doc_id"))
       .join(sh.as("b"),
@@ -333,21 +345,9 @@ object Dedup {
         "asserts precision 1.0 against q_ngram_jaccard.",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val cands = minhashCandidates(docs)
-        val sh = explodedShingles(docs)
-        val card = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
-        val inter = cands
-          .join(sh.as("a"), col("da") === col("a.doc_id"))
-          .join(sh.as("b"),
-            col("db") === col("b.doc_id") && col("a.s") === col("b.s"))
-          .groupBy("da", "db").agg(count(lit(1)).as("i"))
-        val ca = card.select(col("doc_id").as("da"), col("c").as("ca"))
-        val cb = card.select(col("doc_id").as("db"), col("c").as("cb"))
-        inter.join(ca, "da").join(cb, "db")
-          .withColumn("jaccard",
-            col("i").cast("double") / (col("ca") + col("cb") - col("i")))
-          .filter(col("jaccard") >= 0.8)
-          .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
+        // cached: verifyJaccard references the shingle frame 3x
+        val sh = explodedShingles(docs).cache()
+        verifyJaccard(minhashCandidates(docs), sh, 0.8)
           .orderBy("da", "db")
       },
       None),
