@@ -410,6 +410,31 @@ object Relational {
         "AS running_total FROM orders ORDER BY o_custkey, o_orderkey")),
 
     GraftQuery(
+      "q_window_range",
+      "RANGE-frame window: trailing 7-day spend per customer — the " +
+        "frame is value-defined (epoch seconds), so same-day orders " +
+        "share one frame and the result is row-order independent; " +
+        "rows/rangeBetween is the moving-aggregate surface time-series " +
+        "feature pipelines live on.",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy("ods")
+          .rangeBetween(-6 * 86400L, Window.currentRow)
+        Tables.orders(s, d)
+          .withColumn("ods", unix_timestamp(col("o_orderdate")))
+          .select(col("o_custkey"), col("o_orderkey"), col("ods"),
+            sum(col("o_totalprice").cast("decimal(12,2)")).over(w)
+              .cast("double").as("d7_total"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("SELECT o_custkey, o_orderkey, ods, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (" +
+        "PARTITION BY o_custkey ORDER BY ods " +
+        "RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW) AS DOUBLE) " +
+        "AS d7_total FROM (SELECT *, " +
+        "CAST(floor(epoch(o_orderdate)) AS BIGINT) AS ods FROM orders) " +
+        "ORDER BY o_custkey, o_orderkey")),
+
+    GraftQuery(
       "q_window_ntile",
       "ntile(4) spend quartiles + lead over per-customer totals — the " +
         "ranking/analytic window pair on an aggregated (small) frame; " +
