@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch profiler for q_dedup_groups phases (delete before round end). */
+/** Scratch profiler for dedup phases (delete before round end). */
 object DebugCC {
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -21,16 +21,53 @@ object DebugCC {
       println(f"[debugcc] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       r
     }
+    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sf)
-    val pairs = time("jaccardPairs build+count") {
-      val p = operators.Dedup.jaccardPairs(docs, 0.8)
-      println(s"[debugcc]   n_pairs=${p.count()}")
+    time("warm parquet+spread") {
+      Tables.spread(docs).select(col("doc_id"), col("text")).count()
+    }
+    time("explodedShingles warm1") {
+      operators.Dedup.explodedShingles(docs)
+        .agg(count(lit(1))).collect()
+    }
+    time("explodedShingles warm2") {
+      operators.Dedup.explodedShingles(docs)
+        .agg(count(lit(1))).collect()
+    }
+    val sh = time("explodedShingles mat") {
+      val x = operators.Dedup.explodedShingles(docs).cache()
+      println(s"[debugcc]   n_sh=${x.count()}")
+      x
+    }
+    val card = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val gdf = time("gdf mat") {
+      val g = sh.groupBy("s").agg(count(lit(1)).as("gdf")).cache()
+      println(s"[debugcc]   n_distinct_sh=${g.count()}")
+      g
+    }
+    val prefix = time("prefix mat") {
+      val w = Window.partitionBy("doc_id").orderBy(asc("gdf"), asc("s"))
+      val p = sh.join(gdf, "s")
+        .withColumn("rn", row_number().over(w))
+        .join(card, "doc_id")
+        .filter(col("rn") <= col("c") - ceil(col("c") * 0.8) + 1)
+        .select("doc_id", "s").cache()
+      println(s"[debugcc]   n_prefix=${p.count()}")
       p
     }
-    val labels = time("connectedComponents") {
-      operators.Dedup.connectedComponents(pairs)
+    val cands = time("candidate join mat") {
+      val c = prefix.as("a")
+        .join(sh.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct().cache()
+      println(s"[debugcc]   n_cands=${c.count()}")
+      c
     }
-    time("labels count") { println(s"[debugcc]   n_nodes=${labels.count()}") }
+    time("verify") {
+      val v = operators.Dedup.verifyJaccard(cands, sh, 0.8)
+      println(s"[debugcc]   n_pairs=${v.count()}")
+    }
     spark.stop()
   }
 }

@@ -39,7 +39,10 @@ object GraftFunctions {
       es => SimHash64(es.head)),
     ("minhash_sig", info("minhash_sig",
       "minhash_sig(tokens) - 64 minhash values over 3-token shingles"),
-      es => MinHashSig(es.head))
+      es => MinHashSig(es.head)),
+    ("shingle_hashes", info("shingle_hashes",
+      "shingle_hashes(tokens) - distinct xxhash64 of the 3-token shingles"),
+      es => ShingleHashes(es.head))
   )
 
   /** Idempotent per-session registration (temp functions). */
@@ -202,5 +205,55 @@ case class MinHashSig(child: Expression)
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** Distinct 64-bit hashes of the 3-token shingles of a token array —
+  * the fused native form of
+  * `array_distinct(transform(sequence(...), i => concat_ws(" ",
+  * slice(toks, i, 3))))` followed by `xxhash64(sh)`, which costs one
+  * INTERPRETED HOF step per shingle (the single hottest interpreted
+  * loop in the engine: every shingle-based dedup starts here). Seed 42
+  * is Spark's `xxhash64` default, so the produced longs are
+  * bit-identical to the expression chain this replaces. Dedup happens
+  * on hashes, not strings — the same set w.h.p. (collisions ~ n²/2⁶⁵),
+  * and only set cardinalities flow downstream. */
+case class ShingleHashes(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  val Width = 3
+  val Seed = 42L // xxhash64's default seed
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes expects array<string>, got ${child.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any = {
+    val toks = a.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val nShingles = math.max(n - Width + 1, 1)
+    val seen = new java.util.HashSet[java.lang.Long](nShingles * 2)
+    val out = new Array[Long](nShingles)
+    var m = 0
+    val sep = UTF8String.fromString(" ")
+    var i = 0
+    while (i < nShingles) {
+      val parts = new Array[UTF8String](math.min(Width, n - i))
+      var w = 0
+      while (w < parts.length) { parts(w) = toks.getUTF8String(i + w); w += 1 }
+      val sh = UTF8String.concatWs(sep, parts: _*)
+      val v = XXH64.hashUnsafeBytes(sh.getBaseObject, sh.getBaseOffset,
+        sh.numBytes, Seed)
+      if (seen.add(v)) { out(m) = v; m += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (m == nShingles) out else out.take(m))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
 }

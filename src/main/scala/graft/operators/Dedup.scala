@@ -49,11 +49,17 @@ object Dedup {
     * 64-bit xxhash, not by string: set cardinalities and intersection
     * counts are unchanged w.h.p. (collision odds ~ n²/2⁶⁵) while the
     * biggest shuffle in the engine moves 8-byte keys instead of ~20-byte
-    * strings. */
+    * strings. Hashing goes through the native
+    * [[graft.functions.ShingleHashes]] (one tight loop per doc); the
+    * equivalent transform/slice/concat_ws chain is interpreted per
+    * shingle and was the hottest loop in the engine (~3x slower here).
+    * Values are bit-identical (same xxhash64 seed), so [[shingles]]
+    * remains the documentation/spec form. */
   def explodedShingles(df: DataFrame): DataFrame =
     Tables.spread(df)
-      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("s"))
+      .select(col("doc_id"),
+        explode(call_function("shingle_hashes", split(col("text"), " ")))
+          .as("s"))
 
   /** Exact-Jaccard pairs (da < db) with jaccard >= tau — prefix-filtered
     * candidate generation (AllPairs/PPJoin family) + exact verification,
@@ -99,14 +105,21 @@ object Dedup {
     * materialized table — shingles are ~10x the text). */
   def verifyJaccard(cands: DataFrame, sh: DataFrame, tau: Double): DataFrame = {
     val card = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
-    val inter = cands
+    val ca = card.select(col("doc_id").as("da"), col("c").as("ca"))
+    val cb = card.select(col("doc_id").as("db"), col("c").as("cb"))
+    // PPJoin length filter first: J(A,B) <= min(|A|,|B|)/max(|A|,|B|),
+    // so J >= tau needs min >= tau*max. Two broadcast-size joins drop
+    // the bulk of candidates (at sf0.1: ~150k -> ~20k) before the
+    // expensive shingle-set intersection join below.
+    val sized = cands.join(ca, "da").join(cb, "db")
+      .filter(least(col("ca"), col("cb")) >=
+        greatest(col("ca"), col("cb")) * tau)
+    val inter = sized
       .join(sh.as("a"), col("da") === col("a.doc_id"))
       .join(sh.as("b"),
         col("db") === col("b.doc_id") && col("a.s") === col("b.s"))
-      .groupBy("da", "db").agg(count(lit(1)).as("i"))
-    val ca = card.select(col("doc_id").as("da"), col("c").as("ca"))
-    val cb = card.select(col("doc_id").as("db"), col("c").as("cb"))
-    inter.join(ca, "da").join(cb, "db")
+      .groupBy("da", "db", "ca", "cb").agg(count(lit(1)).as("i"))
+    inter
       .withColumn("jaccard",
         col("i").cast("double") / (col("ca") + col("cb") - col("i")))
       .filter(col("jaccard") >= tau)
