@@ -24,6 +24,21 @@ class DedupSpec extends SparkSuite {
     assert(recall >= 0.9, s"minhash recall $recall < 0.9")
   }
 
+  test("native shingle_hashes equals the HOF spec form, bit for bit") {
+    // shingles() (transform/slice/concat_ws) is the documented spec;
+    // ShingleHashes is its fused native replacement. Same distinct
+    // hash SET per document over the real corpus.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val spec = docs
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("s"))
+    val native = Dedup.explodedShingles(docs)
+    def grouped(df: org.apache.spark.sql.DataFrame) =
+      df.collect().groupBy(_.getLong(0))
+        .map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+    assert(grouped(spec) == grouped(native))
+  }
+
   test("identical texts collide in every signature") {
     val sp = spark; import sp.implicits._
     val docs = Seq(
