@@ -29,10 +29,26 @@ object Export {
 
   /** Distributed flatten: one JSON document per input row -> leaf-edge
     * rows. Runs in flatMap on executors; scales with the corpus. */
-  def flattenTrees(trees: Dataset[(String, String)]): DataFrame = {
+  /** Key under which unparseable documents surface in PERMISSIVE mode —
+    * the same convention as spark.read.json's corrupt-record column. */
+  val CorruptKey = "_corrupt_record"
+
+  def flattenTrees(trees: Dataset[(String, String)],
+                   permissive: Boolean = true): DataFrame = {
     import trees.sparkSession.implicits._
     trees.flatMap { case (rootPath, json) =>
-      TreeCodec.flatten(json, rootPath)
+      if (!permissive) TreeCodec.flatten(json, rootPath)
+      else
+        try TreeCodec.flatten(json, rootPath)
+        catch {
+          // PERMISSIVE semantics (the reference folds error payloads
+          // into the stream rather than aborting the export,
+          // BackupProcessor.php:173): a malformed document becomes one
+          // quarantine edge carrying the raw text, instead of one bad
+          // row killing a 100 TB job. Filter on CorruptKey to audit.
+          case _: com.fasterxml.jackson.core.JacksonException =>
+            Seq(TreeCodec.Edge(rootPath, CorruptKey, json))
+        }
     }.toDF("path", "key", "value_json")
   }
 

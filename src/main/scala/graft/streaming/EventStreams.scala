@@ -79,6 +79,18 @@ object EventStreams {
         col("purchase_ts"), col("click_id"), col("click_ts"))
   }
 
+  /** Stream-static enrichment: a streaming event feed joined to a
+    * batch dimension (users, configs, model registries — anything
+    * slowly changing). No state store at all: the static side is
+    * re-planned per micro-batch, so a broadcast-size dimension costs
+    * one broadcast per batch and an updated dimension table is picked
+    * up on the next batch without restarting the query. */
+  def enrich(events: DataFrame, dim: DataFrame,
+             eventKey: String = "user_id",
+             dimKey: String = "user_id"): DataFrame =
+    events.join(dim, events(eventKey) === dim(dimKey), "left_outer")
+      .drop(dim(dimKey))
+
   /** Gap-based sessionization (30-min inactivity) with explicit state:
     * emits a Session row when a session closes (gap exceeded within a
     * batch, or event-time timeout fires after the watermark passes). */

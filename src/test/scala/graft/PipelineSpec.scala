@@ -59,6 +59,19 @@ class PipelineSpec extends SparkSuite {
       Edge("/a/b", "c", "1"), Edge("/", "d", "2")))
   }
 
+  test("permissive flatten quarantines malformed documents") {
+    val sp = spark; import sp.implicits._
+    val in = Seq(("/", """{"a": 1}"""), ("/", """{not json"""))
+    val rows = Export.flattenTrees(in.toDS()).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set(
+      ("/", "a", "1"), ("/", Export.CorruptKey, """{not json""")))
+    // strict mode propagates the parse failure
+    intercept[org.apache.spark.SparkException] {
+      Export.flattenTrees(in.toDS(), permissive = false).collect()
+    }
+  }
+
   test("subtree export scopes to one node (the reference's path arg)") {
     val sp = spark; import sp.implicits._
     val json = """{"a": {"b": {"c": 1}, "x": 2}, "ab": {"y": 3}, "d": 4}"""

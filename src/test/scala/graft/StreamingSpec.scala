@@ -125,6 +125,28 @@ class StreamingSpec extends SparkSuite {
     assert(streamed == batch)
   }
 
+  test("stream-static enrichment joins the batch dimension per batch") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val input = MemoryStream[Ev]
+    val q = EventStreams.enrich(input.toDF(), dim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Ev(1, ts(0), 1, "click", 1.0),
+        Ev(2, ts(1), 2, "click", 1.0),
+        Ev(3, ts(2), 9, "click", 1.0)) // no dim row -> left outer null
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = sp.table("enriched").select("event_id", "tier")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(1L -> Some("gold"), 2L -> Some("silver"), 3L -> None))
+  }
+
   test("sessionize closes sessions on gap and timeout") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = sp.sqlContext
