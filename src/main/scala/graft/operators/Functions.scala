@@ -34,14 +34,23 @@ object Functions {
         regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowel"),
         element_at(split(col("p_name"), " "), 1).as("first_word"),
         length(col("p_name")).cast("bigint").as("name_len"),
-        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type")
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        levenshtein(element_at(split(col("p_name"), " "), 1), lit("green"))
+          .cast("bigint").as("lev_green"),
+        lpad(col("p_brand"), 12, "*").as("brand_pad"),
+        translate(col("p_name"), "aeiou", "AEIOU").as("name_caps_vowel"),
+        reverse(substring(col("p_name"), 1, 6)).as("name_rev6")
       ).orderBy("p_partkey"),
       Some("SELECT p_partkey, upper(p_name) AS name_upper, " +
         "substr(p_name,1,8) AS name_prefix, " +
         "regexp_replace(p_name,'[aeiou]','','g') AS name_novowel, " +
         "str_split(p_name,' ')[1] AS first_word, " +
         "CAST(length(p_name) AS BIGINT) AS name_len, " +
-        "concat_ws('-',p_brand,p_type) AS brand_type " +
+        "concat_ws('-',p_brand,p_type) AS brand_type, " +
+        "CAST(levenshtein(str_split(p_name,' ')[1],'green') AS BIGINT) AS lev_green, " +
+        "lpad(p_brand,12,'*') AS brand_pad, " +
+        "translate(p_name,'aeiou','AEIOU') AS name_caps_vowel, " +
+        "reverse(substr(p_name,1,6)) AS name_rev6 " +
         "FROM part ORDER BY p_partkey")),
 
     GraftQuery(
@@ -59,7 +68,12 @@ object Functions {
         date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
         date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
         datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
-          .cast("bigint").as("days_since_95")
+          .cast("bigint").as("days_since_95"),
+        last_day(col("o_orderdate")).as("month_end"),
+        // Spark dayofweek: 1=Sunday..7; DuckDB dayofweek: 0=Sunday..6
+        (dayofweek(col("o_orderdate")) - 1).cast("bigint").as("dow"),
+        weekofyear(col("o_orderdate")).cast("bigint").as("iso_week"),
+        date_add(col("o_orderdate"), 30).as("due_date")
       ).orderBy("o_orderkey"),
       Some("SELECT o_orderkey, " +
         "CAST(year(o_orderdate) AS BIGINT) AS o_year, " +
@@ -69,7 +83,12 @@ object Functions {
         "CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start, " +
         "strftime(o_orderdate, '%Y-%m') AS ym, " +
         "date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) " +
-        "AS days_since_95 FROM orders ORDER BY o_orderkey")),
+        "AS days_since_95, " +
+        "last_day(CAST(o_orderdate AS DATE)) AS month_end, " +
+        "CAST(dayofweek(CAST(o_orderdate AS DATE)) AS BIGINT) AS dow, " +
+        "CAST(weekofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_week, " +
+        "CAST(o_orderdate AS DATE) + 30 AS due_date " +
+        "FROM orders ORDER BY o_orderkey")),
 
     GraftQuery(
       "q_math_funcs",
