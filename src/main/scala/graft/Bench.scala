@@ -11,6 +11,13 @@ import scala.util.Try
   * scale-independent) — the timed run then measures the engine, not
   * the JIT. Queries run in sorted name order for run-to-run
   * comparability.
+  *
+  * Each query is timed SPARK_GRAFT_REPS times (default 2) and the MIN
+  * is reported: this host shows noisy-neighbor spikes that inflate
+  * arbitrary trivial queries 5-40x (a map-only scan observed at 40 s
+  * vs its usual 0.3 s, identical code), and min-of-reps is the
+  * standard estimator for uncontended cost under asymmetric noise —
+  * a query cannot run faster than the engine allows.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -37,10 +44,18 @@ object Bench {
     ordered.foreach { case (_, fn) =>
       Try(force(fn(spark, warmDir))) // warmup; failures surface below
     }
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { force(fn(spark, sfDir)) } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to math.max(reps, 1)).map { _ =>
+        // cold cache per rep: Spark's CacheManager matches by canonical
+        // plan, so a repeat of a cache()-bearing query would otherwise
+        // read rep 1's cache and min() would report the warm path
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try { force(fn(spark, sfDir)) } catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
