@@ -40,27 +40,37 @@ object Bench {
     // forces full evaluation of exactly what Verify writes.
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.queryExecution.toRdd.foreach(_ => ())
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts the run (local iteration aid)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     ordered.foreach { case (_, fn) =>
       Try(force(fn(spark, warmDir))) // warmup; failures surface below
     }
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    // A rep that throws must NOT feed its time-to-exception into min()
+    // (a fast failure would read as a speedup): failed queries report
+    // -1 and are listed under "errors", excluded from the total.
     val results = ordered.map { case (name, fn) =>
-      val times = (1 to math.max(reps, 1)).map { _ =>
+      val times = (1 to math.max(reps, 1)).flatMap { _ =>
         // cold cache per rep: Spark's CacheManager matches by canonical
         // plan, so a repeat of a cache()-bearing query would otherwise
         // read rep 1's cache and min() would report the warm path
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        try { force(fn(spark, sfDir)) } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        try { force(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"BENCH FAIL $name: ${e.getMessage}"); None }
       }
-      name -> times.min
+      name -> times.minOption
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.getOrElse(-1.0) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, None) => s"\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.flatMap(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -191,22 +191,46 @@ object Dedup {
     *
     * Labels only take values from the node set and only ever decrease,
     * so sum(lbl) strictly decreases iff any label changed — convergence
-    * detection is one cheap aggregate, not a self-join. */
+    * detection is one cheap aggregate, not a self-join.
+    *
+    * Block hygiene: each round's materialization supersedes the
+    * previous round's, so the older blocks are unpersisted as soon as
+    * the next round exists (eager materialize-then-release — without it
+    * every iteration's frame sits in the block manager until GC-driven
+    * ContextCleaner cleanup, and clearCache() does not touch
+    * checkpoint blocks). Only the returned labels frame stays pinned —
+    * the caller consumes it. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
                           localMaxEdges: Long = LocalCcMaxEdges): DataFrame = {
-    val p = pairs.select(col("da").cast("long"), col("db").cast("long"))
-      .localCheckpoint()
+    val spark = pairs.sparkSession
+    // materialize df eagerly with truncated lineage (the localCheckpoint
+    // contract) but keep the persisted RDD handle so the blocks can be
+    // released the moment the frame is superseded
+    def materialize(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val rdd = df.rdd
+      rdd.localCheckpoint()
+      rdd.count() // eager: blocks exist before the handle is returned
+      (spark.createDataFrame(rdd, df.schema), rdd)
+    }
+    val (p, pRdd) = materialize(
+      pairs.select(col("da").cast("long"), col("db").cast("long")))
     val nEdges = p.count()
-    if (nEdges <= localMaxEdges) return localComponents(p)
+    if (nEdges <= localMaxEdges) {
+      val out = localComponents(p) // collects p, so blocks are done after
+      pRdd.unpersist(blocking = false)
+      return out
+    }
     // ~500k edges per partition: small graphs don't pay 32-way
     // shuffles, huge ones still spread
     val parts = math.max(1, (nEdges / 500000L).toInt)
-    val edges = p.select(col("da").as("src"), col("db").as("dst"))
-      .union(p.select(col("db").as("src"), col("da").as("dst")))
-      .repartition(parts)
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node")).localCheckpoint()
+    val (edges, edgesRdd) = materialize(
+      p.select(col("da").as("src"), col("db").as("dst"))
+        .union(p.select(col("db").as("src"), col("da").as("dst")))
+        .repartition(parts))
+    pRdd.unpersist(blocking = false) // edges supersede the raw pair list
+    var (labels, labelsRdd) = materialize(
+      edges.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node")))
     // null-safe: sum() over an empty frame is NULL (e.g. no pair
     // reaches tau -> empty edge list); treat as 0 and the loop
     // converges on the first (empty) hop
@@ -234,12 +258,15 @@ object Dedup {
     var iter = 0
     while (!converged && iter < maxIter) {
       iter += 1
-      val updated = hop(labels).localCheckpoint()
+      val (updated, updatedRdd) = materialize(hop(labels))
       val newSum = labelSum(updated)
+      labelsRdd.unpersist(blocking = false) // previous round superseded
       labels = updated
+      labelsRdd = updatedRdd
       converged = newSum == prevSum
       prevSum = newSum
     }
+    edgesRdd.unpersist(blocking = false) // edges done once labels settle
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +

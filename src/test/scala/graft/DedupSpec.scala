@@ -27,7 +27,12 @@ class DedupSpec extends SparkSuite {
   test("native shingle_hashes equals the HOF spec form, bit for bit") {
     // shingles() (transform/slice/concat_ws) is the documented spec;
     // ShingleHashes is its fused native replacement. Same distinct
-    // hash SET per document over the real corpus.
+    // hash SET per document over the real corpus. Caveat: the spec
+    // form dedups shingle STRINGS before hashing while the native form
+    // dedups the 64-bit hashes, so equality is only w.h.p. — an
+    // in-document xxhash64 collision (~n²/2⁶⁵) would drop one element
+    // from the native side. Acceptable: only set cardinalities flow
+    // into Jaccard, and the corpus here is collision-free.
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val spec = docs
       .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("sh"))
