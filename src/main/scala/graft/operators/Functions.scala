@@ -128,7 +128,7 @@ object Functions {
       "JSON path extraction over events.props — the reference's whole " +
         "data plane is opaque JSON (BackupProcessor.php:172,213); typed " +
         "views are projected on demand with get_json_object.",
-      (s, d) => Tables.events(s, d).select(
+      (s, d) => Tables.spread(Tables.events(s, d)).select(
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("bigint").as("k_val"))
         .withColumn("k_parity", col("k_val") % 2)
@@ -146,7 +146,7 @@ object Functions {
         "reference's whole data model (a JSON tree normalized to " +
         "path/key/value rows, SURVEY.md §1.4) as a relational explode " +
         "of a MapType projection.",
-      (s, d) => Tables.events(s, d)
+      (s, d) => Tables.spread(Tables.events(s, d))
         .select(col("event_id"),
           explode(from_json(col("props"),
             org.apache.spark.sql.types.DataType.fromDDL("map<string,string>")))

@@ -70,23 +70,30 @@ object Similarity {
   val BitsPerTable = 6
   val Dim = 64
 
-  /** (table_id, plane_id, weights[64]) — tiny and broadcast at any scale. */
-  def planesDF(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    (for { t <- 0 until LshTables; p <- 0 until BitsPerTable } yield
-      (t, p, (0 until Dim).map(j => planeWeight(t * BitsPerTable + p, j)).toArray))
-      .toDF("table_id", "plane_id", "w")
-  }
+  /** The bucket of `e` in LSH table `t`: BitsPerTable sign bits packed
+    * into a long. The plane weights are LITERALS in the expression —
+    * the plane table is 48x64 doubles at any corpus size, so baking it
+    * into the plan is the degenerate (and cheapest) form of a
+    * broadcast: the whole bucketing becomes one codegen'd projection. */
+  private def tableBucket(t: Int, e: Column): Column =
+    (0 until BitsPerTable).map { p =>
+      val w = lit((0 until Dim).map(j => planeWeight(t * BitsPerTable + p, j)).toArray)
+      when(dot(e, w) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
-  /** One row per (vector, lsh table): the vector's bucket in that table
-    * (BitsPerTable sign bits packed into a long). */
-  def lshBuckets(spark: SparkSession, vecs: DataFrame): DataFrame =
-    Tables.spread(vecs).crossJoin(broadcast(planesDF(spark)))
-      .groupBy(col("vec_id"), col("table_id"))
-      .agg(
-        sum(when(dot(col("embedding"), col("w")) >= 0,
-          call_function("shiftleft", lit(1L), col("plane_id").cast("int")))
-          .otherwise(0L)).as("bucket"))
+  /** One row per (vector, lsh table): the vector's bucket in that
+    * table. Map-only — no join, no aggregation; a corpus scan computes
+    * all LshTables buckets per row and explodes them. (The earlier
+    * relational form — crossJoin against a plane table, then a
+    * groupBy(vec_id, table_id) packing bits — shuffled corpus x 48
+    * rows to build what is a pure per-row function of the vector.) */
+  def lshBuckets(spark: SparkSession, vecs: DataFrame,
+                 spreadInput: Boolean = true): DataFrame =
+    (if (spreadInput) Tables.spread(vecs) else vecs)
+      .select(col("vec_id"),
+        posexplode(array((0 until LshTables).map(t =>
+          tableBucket(t, col("embedding"))): _*)))
+      .toDF("vec_id", "table_id", "bucket")
 
   /** Corpus side pre-shaped for scoring: the vector as double[] plus
     * its norm computed ONCE per row (not once per pair — at n probes x
@@ -173,9 +180,11 @@ object Similarity {
         import org.apache.spark.sql.expressions.Window
         val emb = Tables.embeddings(s, d)
         val buckets = lshBuckets(s, emb)
-        val probeB = buckets.join(broadcast(probes(s, d)),
-            col("vec_id") === col("qid"))
-          .select(col("qid"), col("table_id").as("qtable"),
+        // bucketing is map-only, so probe buckets are computed directly
+        // from the (tiny) probe frame instead of joined out of the corpus
+        val probeB = lshBuckets(s, emb.filter(col("vec_id") < 10),
+            spreadInput = false)
+          .select(col("vec_id").as("qid"), col("table_id").as("qtable"),
             col("bucket").as("qbucket"))
         // candidates: union of the probe's bucket across tables
         val cands = buckets.join(broadcast(probeB),
@@ -207,14 +216,20 @@ object Similarity {
             norm(col("embedding")).as("kn"))
         val centroidScore =
           round(dot(col("ce"), col("ke")) / (col("cn") * col("kn")), 6)
-        // cell assignment: argmax cosine over centroids, tie-break cid
-        val wAssign = Window.partitionBy("vec_id")
-          .orderBy(desc("ccos"), asc("cid"))
+        // cell assignment: argmax cosine over centroids, tie-break asc
+        // cid — max_by on the (ccos, -cid) struct, NOT a window: the
+        // aggregate partial-combines map-side, so the exchange carries
+        // one row per vector instead of corpus x |centroids| rows
+        // sorted per partition. ce/cn are constant within a vec_id
+        // group, so any_value is exact.
         val assigned = scorable(emb).crossJoin(broadcast(centroids))
           .select(col("vec_id"), col("ce"), col("cn"), col("cid"),
             centroidScore.as("ccos"))
-          .withColumn("arn", row_number().over(wAssign))
-          .filter(col("arn") === 1)
+          .groupBy("vec_id")
+          .agg(
+            max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc")))
+              .as("cid"),
+            any_value(col("ce")).as("ce"), any_value(col("cn")).as("cn"))
           .select(col("vec_id"), col("ce"), col("cn"), col("cid"))
         // probe cells: top-4 centroids per probe
         val wProbe = Window.partitionBy("qid").orderBy(desc("ccos"), asc("cid"))

@@ -140,7 +140,7 @@ object Stats {
         "variant_get extraction — the engine-native form of the " +
         "reference's opaque-JSON round-trip, with shredded storage at " +
         "scale.",
-      (s, d) => Tables.events(s, d)
+      (s, d) => Tables.spread(Tables.events(s, d))
         .select(col("event_id"),
           variant_get(parse_json(col("props")), "$.k", "bigint").as("k_val"))
         .filter(col("k_val").isNotNull)
