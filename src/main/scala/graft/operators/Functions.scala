@@ -182,6 +182,58 @@ object Functions {
         "array_to_string(str_split(text,' ')[1:5], ',') AS first5, " +
         "array_to_string(list_sort(list_distinct(str_split(text,' ')[1:10])), ',') " +
         "AS first10_sorted " +
-        "FROM documents ORDER BY doc_id"))
+        "FROM documents ORDER BY doc_id")),
+
+    GraftQuery(
+      "q_hof_funcs",
+      "Higher-order array functions (transform/filter/exists/aggregate) " +
+        "over tokenized text — the lambda surface itself. These evaluate " +
+        "INTERPRETED in Spark (never codegen'd), which is exactly why " +
+        "the engine's hot paths use native expressions instead " +
+        "(graft.functions); this query pins the semantics at " +
+        "document-count cardinality where interpretation is fine.",
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          size(filter(toks, t => length(t) > 5)).cast("bigint").as("n_long"),
+          exists(toks, t => t === "the").as("has_the"),
+          aggregate(transform(toks, t => length(t).cast("bigint")),
+            lit(0L), (acc, x) => acc + x).as("total_chars"),
+          array_join(slice(transform(toks, t => upper(t)), 1, 3), ",")
+            .as("first3_upper")
+        ).orderBy("doc_id")
+      },
+      Some("SELECT doc_id, " +
+        "CAST(len(list_filter(str_split(text,' '), t -> length(t) > 5)) " +
+        "AS BIGINT) AS n_long, " +
+        "list_has_any(str_split(text,' '), ['the']) AS has_the, " +
+        "CAST(list_aggregate(list_transform(str_split(text,' '), " +
+        "t -> length(t)), 'sum') AS BIGINT) AS total_chars, " +
+        "array_to_string(list_transform(str_split(text,' '), " +
+        "t -> upper(t))[1:3], ',') AS first3_upper " +
+        "FROM documents ORDER BY doc_id")),
+
+    GraftQuery(
+      "q_map_funcs",
+      "MapType surface over parsed JSON (from_json → map<string,string>): " +
+        "map_keys / element lookup / cardinality — the engine-typed form " +
+        "of the reference's array_keys/in_array map handling " +
+        "(BackupProcessor.php:89; frdbackup:18).",
+      (s, d) => {
+        val m = from_json(col("props"),
+          org.apache.spark.sql.types.DataType.fromDDL("map<string,string>"))
+        Tables.spread(Tables.events(s, d)).select(
+          col("event_id"),
+          size(map_keys(m)).cast("bigint").as("n_keys"),
+          array_join(sort_array(map_keys(m)), ",").as("keys_csv"),
+          element_at(m, "k").as("k_val")
+        ).orderBy("event_id")
+      },
+      Some("SELECT event_id, " +
+        "CAST(len(json_keys(props)) AS BIGINT) AS n_keys, " +
+        "array_to_string(list_sort(json_keys(props)), ',') AS keys_csv, " +
+        "json_extract_string(props, '$.k') AS k_val " +
+        "FROM events ORDER BY event_id"))
   )
 }

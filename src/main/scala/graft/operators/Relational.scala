@@ -458,6 +458,33 @@ object Relational {
         "WINDOW w AS (ORDER BY spend DESC, o_custkey) ORDER BY o_custkey")),
 
     GraftQuery(
+      "q_window_firstlast",
+      "first_value / last_value / nth_value over the full partition " +
+        "frame (ROWS UNBOUNDED PRECEDING → UNBOUNDED FOLLOWING): each " +
+        "order sees the customer's first, latest, and second order. " +
+        "Window order made total with the orderkey tiebreak; one " +
+        "exchange on the partition key.",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"),
+            first(col("o_orderkey")).over(w).as("first_ok"),
+            last(col("o_orderkey")).over(w).as("last_ok"),
+            nth_value(col("o_orderkey"), 2).over(w).as("second_ok"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("SELECT o_custkey, o_orderkey, " +
+        "first_value(o_orderkey) OVER w AS first_ok, " +
+        "last_value(o_orderkey) OVER w AS last_ok, " +
+        "nth_value(o_orderkey, 2) OVER w AS second_ok " +
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+        "ORDER BY o_custkey, o_orderkey")),
+
+    GraftQuery(
       "q_sample_hash",
       "Deterministic 5% hash sample (training-corpus subsampling): keep " +
         "rows whose md5(key) bucket is 0 of 20, then aggregate the " +

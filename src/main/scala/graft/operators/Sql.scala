@@ -55,6 +55,18 @@ object Sql {
       "WHERE r_name IN ('AMERICA', 'ASIA') " +
       "GROUP BY n_name ORDER BY revenue DESC, n_name"
 
+  private val q10Sql =
+    "SELECT c_custkey, c_name, " +
+      "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+      "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) " +
+      "AS DOUBLE) AS revenue, n_name " +
+      "FROM customer JOIN orders ON c_custkey = o_custkey " +
+      "JOIN lineitem ON l_orderkey = o_orderkey " +
+      "JOIN nation ON c_nationkey = n_nationkey " +
+      "WHERE l_returnflag = 'R' " +
+      "GROUP BY c_custkey, c_name, n_name " +
+      "ORDER BY revenue DESC, c_custkey LIMIT 20"
+
   val queries: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -75,6 +87,17 @@ object Sql {
         "work for.",
       (s, d) => withViews(s, d)(q5Sql),
       Some(q5Sql)),
+
+    GraftQuery(
+      "q_sql_tpch_q10",
+      "TPC-H Q10 shape (returned-item revenue by customer, top 20): " +
+        "fact⋈fact shuffle join on orderkey with the returnflag filter " +
+        "pushed to the lineitem scan, nation broadcast, then " +
+        "TakeOrderedAndProject — the top-k never materializes a total " +
+        "sort. Adapted to the synthetic schema (no address/phone " +
+        "columns).",
+      (s, d) => withViews(s, d)(q10Sql),
+      Some(q10Sql)),
 
     GraftQuery(
       "q_sql_exists",

@@ -247,6 +247,36 @@ object TextAnalysis {
         "SELECT source, doc_id, CAST(row_number() OVER (" +
         "PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) " +
         "AS BIGINT) AS rn FROM documents) " +
-        "WHERE rn <= 5 ORDER BY source, rn"))
+        "WHERE rn <= 5 ORDER BY source, rn")),
+
+    GraftQuery(
+      "q_regexp_extract",
+      "Pattern extraction over documents: all numbers and capitalized " +
+        "words via regexp_extract_all — the PII/structure-mining pass " +
+        "of a corpus pipeline. Patterns stay in the RE2 ∩ Java common " +
+        "dialect so both engines compile them identically; map-only " +
+        "until the presentation sort.",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        array_join(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)), ",")
+          .as("numbers_csv"),
+        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+          .cast("bigint").as("n_numbers"),
+        size(regexp_extract_all(col("text"), lit("[A-Z][a-z]+"), lit(0)))
+          .cast("bigint").as("n_capitalized"),
+        regexp_extract(col("text"), "([a-z]{6,})", 1).as("first_long_word")
+      ).orderBy("doc_id"),
+      Some("SELECT doc_id, " +
+        // DuckDB's array_to_string maps [] to NULL; Spark's array_join
+        // yields '' — coalesce pins the empty-match case
+        "coalesce(array_to_string(regexp_extract_all(text, '[0-9]+'), ','), '') " +
+        "AS numbers_csv, " +
+        "CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) " +
+        "AS n_numbers, " +
+        "CAST(len(regexp_extract_all(text, '[A-Z][a-z]+')) AS BIGINT) " +
+        "AS n_capitalized, " +
+        "coalesce(regexp_extract(text, '([a-z]{6,})', 1), '') " +
+        "AS first_long_word " +
+        "FROM documents ORDER BY doc_id"))
   )
 }
