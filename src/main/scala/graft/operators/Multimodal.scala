@@ -52,7 +52,6 @@ object Multimodal {
         "ladder is engine-specific); MediaSpec pins determinism and " +
         "batch-shape invariance.",
       (s, d) => {
-        import org.apache.spark.sql.SparkSession
         val media = Media.repartitionByBytes(
           Media.mediaFromDocuments(Tables.documents(s, d)))
         Media.extractFeatures(media).toDF()

@@ -181,6 +181,40 @@ object Relational {
       Some("SELECT c_custkey AS k FROM customer INTERSECT " +
         "SELECT o_custkey AS k FROM orders ORDER BY k")),
 
+    GraftQuery(
+      "q_except_all",
+      "Multiset difference (EXCEPT ALL): per-customer order rows with " +
+        "multiplicity preserved — each 'F'-status order cancels ONE " +
+        "matching 'O' row, not all of them. Spark plans this as an " +
+        "aggregate of signed counts + generate, one shuffle; identical " +
+        "rows make output order within the sort key immaterial to the " +
+        "driver's hash compare.",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        o.filter(col("o_orderstatus") =!= "F").select("o_custkey")
+          .exceptAll(o.filter(col("o_orderstatus") === "F")
+            .select("o_custkey"))
+          .orderBy("o_custkey")
+      },
+      Some("SELECT o_custkey FROM orders WHERE o_orderstatus <> 'F' " +
+        "EXCEPT ALL SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' " +
+        "ORDER BY o_custkey")),
+
+    GraftQuery(
+      "q_intersect_all",
+      "Multiset intersection (INTERSECT ALL): min of the two sides' " +
+        "multiplicities per key — the ALL-variant pair of q_except_all.",
+      (s, d) => {
+        val l = Tables.lineitem(s, d)
+        l.filter(col("l_returnflag") === "R").select("l_orderkey")
+          .intersectAll(l.filter(col("l_returnflag") === "A")
+            .select("l_orderkey"))
+          .orderBy("l_orderkey")
+      },
+      Some("SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R' " +
+        "INTERSECT ALL SELECT l_orderkey FROM lineitem " +
+        "WHERE l_returnflag = 'A' ORDER BY l_orderkey")),
+
     // ---- §2.3 joins ------------------------------------------------------
     GraftQuery(
       "q_join_inner",

@@ -180,4 +180,38 @@ class StreamingSpec extends SparkSuite {
     assert(rows.contains((base + 3000L, 1L, 0L)),
       s"timed-out single-event session missing: $rows")
   }
+
+  test("continuous restore drains a stream of edges into the KV sink") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+
+    val store =
+      new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+    SinkRegistry.sinks.put("stream-restore", new graft.pipeline.Restore.KVSink {
+      override def update(path: String, batch: Map[String, String]): Boolean = {
+        batch.foreach { case (k, v) => store.put((path, k), v) }
+        true
+      }
+    })
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-stream-restore").toString
+
+    val input = MemoryStream[(String, String, String)]
+    input.addData(("/a", "k1", "1"), ("/a", "k2", "2"), ("/b", "k1", "10"))
+    // live tail (ProcessingTime), not AvailableNow: the default would
+    // drain the backlog and stop before the second addData below
+    val q = graft.streaming.StreamRestore.continuousRestore(
+      input.toDS().toDF("path", "key", "value_json"),
+      RegistrySink("stream-restore"), ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      q.processAllAvailable()
+      assert(store.size == 3 && store.get(("/b", "k1")) == "10")
+      // a later micro-batch re-writing an existing key converges (the
+      // idempotent-PATCH contract the at-least-once replay relies on)
+      input.addData(("/a", "k2", "22"), ("/c", "k9", "9"))
+      q.processAllAvailable()
+      assert(store.size == 4 && store.get(("/a", "k2")) == "22")
+    } finally q.stop()
+  }
 }
