@@ -122,6 +122,40 @@ object Events {
         "ASOF LEFT JOIN " +
         "(SELECT user_id, ts FROM events WHERE event_type = 'click') c " +
         "ON p.user_id = c.user_id AND c.ts <= p.ts " +
-        "ORDER BY event_id"))
+        "ORDER BY event_id")),
+
+    GraftQuery(
+      "q_events_gapfill",
+      "Time-series gap fill: hourly aggregate densified over a " +
+        "generated hour spine (sequence + explode), missing hours " +
+        "zero-filled via left join. The heavy work is the bounded-key " +
+        "hourly aggregate; the spine is O(#hours) — generated from a " +
+        "1-row bounds aggregate and broadcast into the join at any " +
+        "corpus size. Hour starts emitted as whole-second epochs " +
+        "(ns-vs-µs safe).",
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("n"),
+               decSum(col("value"), 18, 6).as("total_value"))
+        val spine = hourly.agg(min("h").as("hmin"), max("h").as("hmax"))
+          .select(explode(sequence(col("hmin"), col("hmax"),
+            expr("interval 1 hour"))).as("h"))
+        spine.join(hourly, Seq("h"), "left")
+          .select(unix_timestamp(col("h")).as("hour_sec"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            coalesce(col("total_value"), lit(0.0d)).as("total_value"))
+          .orderBy("hour_sec")
+      },
+      Some("WITH hourly AS (SELECT date_trunc('hour', ts) AS h, " +
+        "count(*) AS n, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value " +
+        "FROM events GROUP BY h), " +
+        "spine AS (SELECT unnest(generate_series(min(h), max(h), " +
+        "INTERVAL 1 HOUR)) AS h FROM hourly) " +
+        "SELECT CAST(floor(epoch(spine.h)) AS BIGINT) AS hour_sec, " +
+        "coalesce(n, 0) AS n, coalesce(total_value, 0.0) AS total_value " +
+        "FROM spine LEFT JOIN hourly ON spine.h = hourly.h " +
+        "ORDER BY hour_sec"))
   )
 }

@@ -67,6 +67,17 @@ object Sql {
       "GROUP BY c_custkey, c_name, n_name " +
       "ORDER BY revenue DESC, c_custkey LIMIT 20"
 
+  private val q18Sql =
+    "SELECT c_name, o_orderkey, o_orderdate, " +
+      "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty " +
+      "FROM customer JOIN orders ON c_custkey = o_custkey " +
+      "JOIN lineitem ON o_orderkey = l_orderkey " +
+      "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem " +
+      "GROUP BY l_orderkey " +
+      "HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 180) " +
+      "GROUP BY c_name, o_orderkey, o_orderdate " +
+      "ORDER BY total_qty DESC, o_orderkey LIMIT 100"
+
   val queries: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -98,6 +109,16 @@ object Sql {
         "columns).",
       (s, d) => withViews(s, d)(q10Sql),
       Some(q10Sql)),
+
+    GraftQuery(
+      "q_sql_tpch_q18",
+      "TPC-H Q18 shape (large-volume orders): HAVING-filtered aggregate " +
+        "subquery decorrelated into a semi-join on the fact key, then " +
+        "the 3-table join and TakeOrderedAndProject top-100. The " +
+        "subquery aggregate and the outer aggregate share the orderkey " +
+        "shuffle key.",
+      (s, d) => withViews(s, d)(q18Sql),
+      Some(q18Sql)),
 
     GraftQuery(
       "q_sql_exists",
