@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Physical-plan property regressions: the plan shapes the engine's
+  * 100 TB posture depends on (SURVEY.md §10) are asserted, not just
+  * dumped by graft.Explain — a change that silently degrades top-k to
+  * a total sort, drops a pushed filter, or turns a dim broadcast into
+  * a shuffle join fails here long before a benchmark notices.
+  *
+  * Assertions run on the pre-execution formatted plan (AQE's initial
+  * plan): join strategies asserted here are the statically-chosen ones
+  * from size estimates, which is exactly the property we want pinned
+  * (dims must be broadcastable by ESTIMATE, not only after AQE
+  * measures them).
+  */
+class PlanSpec extends SparkSuite {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.explainString(FormattedMode)
+
+  test("top-k queries plan TakeOrderedAndProject, never a total sort") {
+    for (q <- Seq("q_topk", "q_sql_tpch_q3", "q_sql_tpch_q10", "q_sql_tpch_q18"))
+      assert(plan(q).contains("TakeOrderedAndProject"),
+        s"$q lost its TakeOrderedAndProject")
+  }
+
+  test("range predicate reaches the parquet scan as a pushed filter") {
+    val p = plan("q_filter_range")
+    assert(p.contains("PushedFilters") &&
+      p.contains("GreaterThanOrEqual(l_shipdate") &&
+      p.contains("LessThan(l_shipdate"),
+      s"shipdate range not pushed:\n${p.take(2000)}")
+  }
+
+  test("keys-only projection prunes the scan to one column") {
+    val p = plan("q_keys")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("p_partkey") && !read.contains("p_name"),
+      s"q_keys scan not pruned to p_partkey: $read")
+  }
+
+  test("dimension joins broadcast; the snowflake has no shuffled dim join") {
+    for (q <- Seq("q_join_multi", "q_sql_tpch_q5"))
+      assert(plan(q).contains("BroadcastHashJoin"),
+        s"$q lost its broadcast dim join")
+  }
+
+  test("per-group top-k prunes groups with WindowGroupLimit") {
+    for (q <- Seq("q_sample_stratified", "q_ann_lsh", "q_knn_cosine"))
+      assert(plan(q).contains("WindowGroupLimit"),
+        s"$q lost WindowGroupLimit group pruning")
+  }
+
+  test("Q18's HAVING subquery decorrelates to a semi-join") {
+    assert(plan("q_sql_tpch_q18").contains("LeftSemi"),
+      "q_sql_tpch_q18 IN-subquery no longer a semi-join")
+  }
+
+  test("LSH bucketing is map-only: no aggregate before the bucket explode") {
+    // the bucket computation must stay a projection (plane literals +
+    // posexplode) — the retired shape aggregated sign bits with
+    // groupBy(vec_id, table_id), which shuffled corpus x tables rows.
+    // No aggregate in the plan may key on table_id (the candidate
+    // distinct keys on (qid, nid) and is fine).
+    val p = plan("q_ann_lsh")
+    assert(!"Keys \\[[^\\]]*table_id".r.findFirstIn(p).isDefined,
+      "bucket computation re-introduced a groupBy(vec_id, table_id)")
+  }
+}
