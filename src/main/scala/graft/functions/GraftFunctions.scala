@@ -42,7 +42,10 @@ object GraftFunctions {
       es => MinHashSig(es.head)),
     ("shingle_hashes", info("shingle_hashes",
       "shingle_hashes(tokens) - distinct xxhash64 of the 3-token shingles"),
-      es => ShingleHashes(es.head))
+      es => ShingleHashes(es.head)),
+    ("sorted_intersect_count", info("sorted_intersect_count",
+      "sorted_intersect_count(a, b) - |A ∩ B| of two sorted long arrays"),
+      es => SortedIntersectCount(es.head, es(1)))
   )
 
   /** Idempotent per-session registration (temp functions). */
@@ -105,13 +108,18 @@ case class VectorDot(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val gx = if (leftFloat) s"(double) $a.getFloat(i)" else s"$a.getDouble(i)"
-      val gy = if (rightFloat) s"(double) $b.getFloat(i)" else s"$b.getDouble(i)"
+      // fresh-named locals: the fragment inlines into surrounding
+      // whole-stage code where bare i/n would collide with enclosing
+      // scope variables (Java forbids shadowing locals)
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("dot")
+      val gx = if (leftFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val gy = if (rightFloat) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |final int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0;
-         |for (int i = 0; i < n; i++) { dot += $gx * $gy; }
-         |${ev.value} = dot;
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { $acc += $gx * $gy; }
+         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -206,6 +214,66 @@ case class MinHashSig(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
+}
+
+/** Intersection cardinality of two ascending-sorted long arrays (set
+  * semantics assumed: no duplicates, as produced by
+  * `sort_array(collect_list(shingle_hash))`) — the PPJoin verification
+  * merge scan as one codegen'd primitive loop. Replaces the relational
+  * intersection (pair⋈shingles⋈shingles + groupBy count), whose shuffle
+  * volume is Σ|A∩B| rows across candidate pairs; here each pair costs
+  * O(|A|+|B|) sequential longs inside whole-stage codegen. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_count expects array<bigint>, got " +
+          s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+    }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements(); val m = y.numElements()
+    var i = 0; var j = 0; var cnt = 0L
+    while (i < n && j < m) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { cnt += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // all locals fresh-named: this fragment inlines into surrounding
+      // whole-stage code where bare i/j/n would collide
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val cnt = ctx.freshName("cnt")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |final int $n = $a.numElements(), $m = $b.numElements();
+         |int $i = 0, $j = 0; long $cnt = 0L;
+         |while ($i < $n && $j < $m) {
+         |  final long $x = $a.getLong($i), $y = $b.getLong($j);
+         |  if ($x == $y) { $cnt++; $i++; $j++; }
+         |  else if ($x < $y) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Distinct 64-bit hashes of the 3-token shingles of a token array —

@@ -96,30 +96,37 @@ object Dedup {
   }
 
   /** Exact-Jaccard verification of (da, db) candidate pairs against the
-    * full shingle sets: intersection by pairwise join, union by the
-    * cardinality identity |A∪B| = |A|+|B|-|A∩B|. Output precision is
-    * 1.0 regardless of how candidates were generated — this is the
-    * shared tail of the prefix-filter, MinHash and any future blocking
-    * scheme. `sh` is referenced three times; callers should pass a
-    * cached/checkpointed frame (at corpus scale: DISK_ONLY or a
-    * materialized table — shingles are ~10x the text). */
+    * full shingle sets; union by the cardinality identity
+    * |A∪B| = |A|+|B|-|A∩B|. Output precision is 1.0 regardless of how
+    * candidates were generated — this is the shared tail of the
+    * prefix-filter, MinHash and any future blocking scheme.
+    *
+    * Verification is the PPJoin merge scan: each doc's sorted hash set
+    * is materialized once (`sort_array(collect_list)`) and each
+    * surviving pair costs one O(|A|+|B|) codegen'd merge
+    * ([[graft.functions.SortedIntersectCount]]) — two equi-joins on
+    * doc_id, no per-common-shingle rows on any exchange. (The earlier
+    * relational form — pair⋈shingles⋈shingles + groupBy — shuffled
+    * Σ|A∩B| rows across pairs.) Set rows are bounded by document
+    * length, the same bound `collect_list` needs anywhere else; `sh` is
+    * referenced twice, so callers pass a cached/checkpointed frame (at
+    * corpus scale: DISK_ONLY or a materialized table). */
   def verifyJaccard(cands: DataFrame, sh: DataFrame, tau: Double): DataFrame = {
-    val card = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
-    val ca = card.select(col("doc_id").as("da"), col("c").as("ca"))
-    val cb = card.select(col("doc_id").as("db"), col("c").as("cb"))
-    // PPJoin length filter first: J(A,B) <= min(|A|,|B|)/max(|A|,|B|),
-    // so J >= tau needs min >= tau*max. Two broadcast-size joins drop
-    // the bulk of candidates (at sf0.1: ~150k -> ~20k) before the
-    // expensive shingle-set intersection join below.
-    val sized = cands.join(ca, "da").join(cb, "db")
+    val sets = sh.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("s"))).as("ss"),
+           count(lit(1)).as("c"))
+    val sa = sets.select(col("doc_id").as("da"), col("ss").as("ssa"),
+      col("c").as("ca"))
+    val sb = sets.select(col("doc_id").as("db"), col("ss").as("ssb"),
+      col("c").as("cb"))
+    cands.join(sa, "da").join(sb, "db")
+      // PPJoin length filter: J(A,B) <= min/max, so J >= tau needs
+      // min >= tau*max — drops the bulk of candidates (at sf0.1:
+      // ~150k -> ~20k) before any merge runs
       .filter(least(col("ca"), col("cb")) >=
         greatest(col("ca"), col("cb")) * tau)
-    val inter = sized
-      .join(sh.as("a"), col("da") === col("a.doc_id"))
-      .join(sh.as("b"),
-        col("db") === col("b.doc_id") && col("a.s") === col("b.s"))
-      .groupBy("da", "db", "ca", "cb").agg(count(lit(1)).as("i"))
-    inter
+      .withColumn("i",
+        call_function("sorted_intersect_count", col("ssa"), col("ssb")))
       .withColumn("jaccard",
         col("i").cast("double") / (col("ca") + col("cb") - col("i")))
       .filter(col("jaccard") >= tau)

@@ -96,7 +96,7 @@ object Functions {
         "adaptive page-size arithmetic (BackupProcessor.php:171,185) " +
         "generalized. Transcendentals rounded to 8 dp for cross-libm " +
         "stability.",
-      (s, d) => Tables.lineitem(s, d).select(
+      (s, d) => Tables.spread(Tables.lineitem(s, d)).select(
         col("l_orderkey"), col("l_linenumber"),
         ceil(col("l_quantity")).cast("bigint").as("qty_ceil"),
         floor(col("l_quantity")).cast("bigint").as("qty_floor"),
