@@ -12,12 +12,15 @@ import scala.util.Try
   * the JIT. Queries run in sorted name order for run-to-run
   * comparability.
   *
-  * Each query is timed SPARK_GRAFT_REPS times (default 2) and the MIN
-  * is reported: this host shows noisy-neighbor spikes that inflate
-  * arbitrary trivial queries 5-40x (a map-only scan observed at 40 s
-  * vs its usual 0.3 s, identical code), and min-of-reps is the
+  * Each query is timed SPARK_GRAFT_REPS times (default 3, interleaved
+  * round-robin across queries) and the MIN is reported: this host
+  * shows noisy-neighbor bursts that inflate arbitrary trivial queries
+  * 5-40x for tens of seconds at a stretch (a map-only scan observed at
+  * 40 s vs its usual 0.3 s, identical code), and min-of-reps is the
   * standard estimator for uncontended cost under asymmetric noise —
-  * a query cannot run faster than the engine allows.
+  * a query cannot run faster than the engine allows. Interleaving
+  * spaces a query's reps a full sweep apart so one burst cannot cover
+  * them all.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -53,22 +56,34 @@ object Bench {
     // uncontended cost is ~1.2 s); a third rep makes min() robust to
     // a burst spanning two.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    // Reps are INTERLEAVED round-robin (rep 1 of every query, then rep
+    // 2, ...), not back-to-back: host-noise bursts run tens of seconds,
+    // so consecutive reps of one query can all land inside a single
+    // burst (observed: a 1.2 s query reporting 30 s as the min of 3
+    // adjacent reps). Round-robin separates a query's reps by the full
+    // sweep time (~minutes), so min() needs only ONE quiet sweep out
+    // of `reps` — burst immunity scales with sweep spacing, not count.
+    //
     // A rep that throws must NOT feed its time-to-exception into min()
     // (a fast failure would read as a speedup): failed queries report
     // -1 and are listed under "errors", excluded from the total.
-    val results = ordered.map { case (name, fn) =>
-      val times = (1 to math.max(reps, 1)).flatMap { _ =>
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    (1 to math.max(reps, 1)).foreach { _ =>
+      ordered.foreach { case (name, fn) =>
         // cold cache per rep: Spark's CacheManager matches by canonical
         // plan, so a repeat of a cache()-bearing query would otherwise
-        // read rep 1's cache and min() would report the warm path
+        // read an earlier rep's cache and min() would report the warm path
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        try { force(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9)
+        try {
+          force(fn(spark, sfDir))
+          samples(name) ::= (System.nanoTime() - t0) / 1e9
         } catch { case e: Throwable =>
-          System.err.println(s"BENCH FAIL $name: ${e.getMessage}"); None }
+          System.err.println(s"BENCH FAIL $name: ${e.getMessage}") }
       }
-      name -> times.minOption
     }
+    val results = ordered.map { case (name, _) => name -> samples(name).minOption }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.getOrElse(-1.0) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, None) => s"\"" + k + "\"" }
