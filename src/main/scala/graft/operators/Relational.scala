@@ -492,6 +492,31 @@ object Relational {
         "WINDOW w AS (ORDER BY spend DESC, o_custkey) ORDER BY o_custkey")),
 
     GraftQuery(
+      "q_window_cume",
+      "percent_rank + cume_dist over per-customer totals — the " +
+        "distribution half of the ranking family (q_window_rank covers " +
+        "rank/dense_rank). Total window order via the custkey tiebreak; " +
+        "values rounded 8 dp (both engines compute the same rational " +
+        "numbers; rounding guards float formatting).",
+      (s, d) => {
+        val w = Window.orderBy(desc("spend"), asc("o_custkey"))
+        Tables.orders(s, d)
+          .groupBy("o_custkey")
+          .agg(decSum(col("o_totalprice"), 12, 2).as("spend"))
+          .select(col("o_custkey"), col("spend"),
+            round(percent_rank().over(w), 8).as("pct_rank"),
+            round(cume_dist().over(w), 8).as("cume"))
+          .orderBy("o_custkey")
+      },
+      Some("SELECT o_custkey, spend, " +
+        "round(percent_rank() OVER w, 8) AS pct_rank, " +
+        "round(cume_dist() OVER w, 8) AS cume " +
+        "FROM (SELECT o_custkey, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend " +
+        "FROM orders GROUP BY o_custkey) " +
+        "WINDOW w AS (ORDER BY spend DESC, o_custkey) ORDER BY o_custkey")),
+
+    GraftQuery(
       "q_window_firstlast",
       "first_value / last_value / nth_value over the full partition " +
         "frame (ROWS UNBOUNDED PRECEDING → UNBOUNDED FOLLOWING): each " +

@@ -250,6 +250,54 @@ object TextAnalysis {
         "WHERE rn <= 5 ORDER BY source, rn")),
 
     GraftQuery(
+      "q_tfidf",
+      "TF-IDF top-5 terms per source: tf = occurrences within the " +
+        "source, idf = ln(N / doc-frequency). Two bounded-key " +
+        "aggregates (token df, (source, token) tf), the 1-row corpus " +
+        "count broadcast into the scoring join, WindowGroupLimit for " +
+        "the per-source top-5. Ranking uses the ROUNDED score both " +
+        "sides so sub-1e-6 libm drift cannot flip an order; ties break " +
+        "on the token.",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            explode(split(col("text"), " ")).as("token"))
+          .filter(length(col("token")) > 0)
+        val ndocs = Tables.documents(s, d)
+          .agg(countDistinct(col("doc_id")).as("n_docs"))
+        val dfreq = toks.groupBy("token")
+          .agg(countDistinct(col("doc_id")).as("df"))
+        val tfreq = toks.groupBy("source", "token")
+          .agg(count(lit(1)).as("c_tf"))
+        val score = round(col("c_tf") * log(col("n_docs") / col("df")), 6)
+        val w = Window.partitionBy("source")
+          .orderBy(desc("score"), asc("token"))
+        tfreq.join(dfreq, "token").crossJoin(broadcast(ndocs))
+          .withColumn("score", score)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 5)
+          .select("source", "token", "score", "rn")
+          .orderBy("source", "rn")
+      },
+      Some("WITH tok AS (SELECT doc_id, source, " +
+        "unnest(str_split(text, ' ')) AS token FROM documents), " +
+        "tok2 AS (SELECT * FROM tok WHERE length(token) > 0), " +
+        "nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents), " +
+        "dfreq AS (SELECT token, count(DISTINCT doc_id) AS df " +
+        "FROM tok2 GROUP BY token), " +
+        "tfreq AS (SELECT source, token, count(*) AS c_tf " +
+        "FROM tok2 GROUP BY source, token) " +
+        "SELECT source, token, score, rn FROM (" +
+        "SELECT tfreq.source, tfreq.token, " +
+        "round(c_tf * ln(n_docs / df), 6) AS score, " +
+        "CAST(row_number() OVER (PARTITION BY tfreq.source " +
+        "ORDER BY round(c_tf * ln(n_docs / df), 6) DESC, tfreq.token) " +
+        "AS BIGINT) AS rn " +
+        "FROM tfreq JOIN dfreq ON tfreq.token = dfreq.token, nd) " +
+        "WHERE rn <= 5 ORDER BY source, rn")),
+
+    GraftQuery(
       "q_regexp_extract",
       "Pattern extraction over documents: all numbers and capitalized " +
         "words via regexp_extract_all — the PII/structure-mining pass " +
