@@ -14,6 +14,9 @@ import org.apache.spark.sql.SparkSession
   *   runMain graft.Cli import <backupDir> <outParquetDir>
   *     (file-based sink: re-materializes the leaf rows; a live sink
   *      implements pipeline.Restore.KVSink instead)
+  *   runMain graft.Cli migrate <refTarGzGlob> <backupDir>
+  *     (a backup archive produced by the REFERENCE PHP tool becomes a
+  *      native engine backup — pipeline.Archive)
   *   runMain graft.Cli query <name> <sfDir>
   */
 object Cli {
@@ -43,6 +46,13 @@ object Cli {
         Export.readBackup(spark, in)
           .write.mode("overwrite").parquet(out)
         println(s"imported -> $out")
+      case "migrate" :: in :: out :: Nil =>
+        // a tar.gz (glob) produced by the REFERENCE tool becomes a
+        // native engine backup: archive -> leaf edges -> range-
+        // partitioned parquet + manifest
+        Export.writeBackup(
+          graft.pipeline.Archive.readReferenceArchive(spark, in), out)
+        println(s"migrated $in -> $out")
       case "query" :: name :: sfDir :: Nil =>
         SparkEntry.queries.get(name) match {
           case Some(fn) => fn(spark, sfDir).show(50, truncate = false)
@@ -54,7 +64,8 @@ object Cli {
       case _ =>
         System.err.println(
           "usage: graft.Cli export <treesJsonDir> <backupDir> [subtreePath] | " +
-            "import <backupDir> <outParquetDir> | query <name> <sfDir>")
+            "import <backupDir> <outParquetDir> | " +
+            "migrate <refTarGzGlob> <backupDir> | query <name> <sfDir>")
         sys.exit(2)
     }
     spark.stop()

@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.commons.compress.archivers.tar.TarArchiveInputStream
+import org.apache.commons.compress.compressors.gzip.GzipCompressorInputStream
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.io.ByteArrayInputStream
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** Source for the REFERENCE's own backup artifact — the tar.gz the PHP
+  * tool produces (`PharData` over a temp dir of md5-named `.json` page
+  * chunks plus a `metadata.json` manifest mapping firebase-path → ordered
+  * chunk list; BackupProcessor.php:202-242,49-51). A user of the
+  * reference can point this engine at their EXISTING backups: the
+  * archive is decoded into the engine's canonical leaf-edge frame
+  * `(path, key, value_json)` (TreeCodec / FIXTURES.md §2), from which
+  * Export.writeBackup re-materializes the Parquet form and Restore
+  * replays into any KVSink.
+  *
+  * Scale shape: one tar.gz is a single gzip stream — inherently
+  * non-splittable (the same property the reference's single-process
+  * writer has), so ONE archive decodes on one executor core with memory
+  * bounded by the archive size (the reference itself holds pages in a
+  * 4G-limit PHP process — frdbackup:11). Parallelism comes from MANY
+  * archives: `binaryFile` globs distribute one archive per task; the
+  * emitted edges then repartition like any other frame. Chunk values
+  * that are whole subtrees (pages the reference fetched without
+  * descending) are flattened to leaf edges with TreeCodec, so the
+  * output frame is identical in shape to a native export.
+  */
+object Archive {
+
+  /** Decode one archive's bytes into leaf edges (executor-side pure
+    * function). Chunks are replayed in manifest order per path — the
+    * reference's restore order (RestoreProcessor.php:62-67). */
+  def edgesFromArchive(bytes: Array[Byte]): Seq[TreeCodec.Edge] = {
+    val mapper = new ObjectMapper()
+    val files = mutable.Map.empty[String, Array[Byte]]
+    val tar = new TarArchiveInputStream(
+      new GzipCompressorInputStream(new ByteArrayInputStream(bytes)))
+    try {
+      var entry = tar.getNextEntry
+      while (entry != null) {
+        if (!entry.isDirectory) {
+          // PharData::buildFromDirectory keeps paths relative to the
+          // temp dir; normalize to the basename either way
+          val name = entry.getName.split('/').last
+          files(name) = tar.readAllBytes()
+        }
+        entry = tar.getNextEntry
+      }
+    } finally tar.close()
+    val manifest = mapper.readTree(files.getOrElse("metadata.json",
+      throw new IllegalArgumentException(
+        "not a reference backup archive: metadata.json missing")))
+    def childPath(parent: String, key: String): String =
+      if (parent == "/") s"/$key" else s"$parent/$key"
+    val out = Vector.newBuilder[TreeCodec.Edge]
+    manifest.fields().asScala.foreach { pathEntry =>
+      val path = pathEntry.getKey
+      pathEntry.getValue.elements().asScala.foreach { chunkName =>
+        val chunk = mapper.readTree(files(chunkName.asText()))
+        chunk.fields().asScala.foreach { kv =>
+          val (key, value) = (kv.getKey, kv.getValue)
+          if (value.isObject || value.isArray)
+            out ++= TreeCodec.flatten(
+              mapper.writeValueAsString(value), childPath(path, key))
+          else
+            out += TreeCodec.Edge(path, key, mapper.writeValueAsString(value))
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Read reference backup archive(s) — `pathGlob` may match many — as
+    * the engine's (path, key, value_json) frame. */
+  def readReferenceArchive(spark: SparkSession, pathGlob: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(pathGlob)
+      .select("content").as[Array[Byte]]
+      .flatMap(edgesFromArchive _)
+      .toDF("path", "key", "value_json")
+  }
+}
