@@ -46,6 +46,12 @@ object Cli {
         Export.readBackup(spark, in)
           .write.mode("overwrite").parquet(out)
         println(s"imported -> $out")
+      case "export-archive" :: in :: out :: Nil =>
+        // inverse of migrate: a native engine backup becomes a
+        // reference-format tar.gz the PHP tool's import can restore
+        graft.pipeline.Archive.writeReferenceArchive(
+          Export.readBackup(spark, in), out)
+        println(s"exported reference archive $in -> $out")
       case "migrate" :: in :: out :: Nil =>
         // a tar.gz (glob) produced by the REFERENCE tool becomes a
         // native engine backup: archive -> leaf edges -> range-
@@ -65,7 +71,8 @@ object Cli {
         System.err.println(
           "usage: graft.Cli export <treesJsonDir> <backupDir> [subtreePath] | " +
             "import <backupDir> <outParquetDir> | " +
-            "migrate <refTarGzGlob> <backupDir> | query <name> <sfDir>")
+            "migrate <refTarGzGlob> <backupDir> | " +
+            "export-archive <backupDir> <outTarGz> | query <name> <sfDir>")
         sys.exit(2)
     }
     spark.stop()

@@ -84,4 +84,64 @@ object Archive {
       .flatMap(edgesFromArchive _)
       .toDF("path", "key", "value_json")
   }
+
+  /** Chunk page size when writing — the reference's `max_ipp` ceiling
+    * (BackupProcessor.php:16). */
+  val PageSize = 1000
+
+  /** Write an edge frame AS a reference-format archive, so the PHP
+    * tool's own `import` can restore an engine export. The format is a
+    * single tar.gz — inherently one output stream — so this writes on
+    * the driver through `toLocalIterator` over the (path, key)-sorted
+    * frame: memory stays bounded by one page (PageSize keys), exactly
+    * the reference's own working-set bound, while the sort itself runs
+    * distributed. Chunk names are content-addressed (md5 of path +
+    * first key — deterministic, unlike the reference's uniqid, so
+    * exports are reproducible). */
+  def writeReferenceArchive(rows: DataFrame, outFile: String): Unit = {
+    import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+    import org.apache.commons.compress.compressors.gzip.GzipCompressorOutputStream
+    val mapper = new ObjectMapper()
+    val sorted = rows.select("path", "key", "value_json")
+      .orderBy("path", "key")
+    val manifest = mapper.createObjectNode()
+    val tar = new TarArchiveOutputStream(new GzipCompressorOutputStream(
+      new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(outFile))))
+    def putEntry(name: String, bytes: Array[Byte]): Unit = {
+      val e = new TarArchiveEntry(name)
+      e.setSize(bytes.length)
+      tar.putArchiveEntry(e)
+      tar.write(bytes)
+      tar.closeArchiveEntry()
+    }
+    try {
+      val it = sorted.toLocalIterator().asScala
+        .map(r => TreeCodec.Edge(r.getString(0), r.getString(1), r.getString(2)))
+        .buffered
+      while (it.hasNext) {
+        val path = it.head.path
+        val page = mapper.createObjectNode()
+        var n = 0
+        var first: String = null
+        while (it.hasNext && it.head.path == path && n < PageSize) {
+          val e = it.next()
+          if (first == null) first = e.key
+          page.set[com.fasterxml.jackson.databind.JsonNode](
+            e.key, mapper.readTree(e.valueJson))
+          n += 1
+        }
+        val name = org.apache.commons.codec.digest.DigestUtils
+          .md5Hex(s"$path#$first") + ".json"
+        putEntry(name, mapper.writeValueAsBytes(page))
+        // NOT manifest.withArray(path): jackson reads a leading "/" as
+        // a JSON Pointer and would register "/big" under key "big"
+        (manifest.get(path) match {
+          case a: com.fasterxml.jackson.databind.node.ArrayNode => a
+          case _ => manifest.putArray(path)
+        }).add(name)
+      }
+      putEntry("metadata.json", mapper.writeValueAsBytes(manifest))
+    } finally tar.close()
+  }
 }

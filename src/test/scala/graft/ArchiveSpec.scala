@@ -76,4 +76,35 @@ class ArchiveSpec extends SparkSuite {
     val bad = buildArchive(Map("c1.json" -> "{}"))
     intercept[IllegalArgumentException] { Archive.edgesFromArchive(bad) }
   }
+
+  test("write-then-read round-trips an edge frame, with paging") {
+    val sp = spark; import sp.implicits._
+    // 2500 keys on one path forces 3 pages (PageSize=1000, the
+    // reference's max_ipp), plus a second path in the same archive
+    val edges =
+      (1 to 2500).map(i => ("/big", f"k$i%05d", i.toString)) :+
+        (("/other", "x", "\"v\""))
+    val df = edges.toDF("path", "key", "value_json")
+    val dir = Files.createTempDirectory("graft-archive-w")
+    val out = dir.resolve("export.tar.gz").toString
+    Archive.writeReferenceArchive(df, out)
+
+    val back = Archive.edgesFromArchive(
+      Files.readAllBytes(java.nio.file.Paths.get(out)))
+    assert(back.toSet ==
+      edges.map(e => TreeCodec.Edge(e._1, e._2, e._3)).toSet)
+    // and the manifest pages /big into ceil(2500/1000) = 3 chunks
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val tar = new org.apache.commons.compress.archivers.tar.TarArchiveInputStream(
+      new org.apache.commons.compress.compressors.gzip.GzipCompressorInputStream(
+        new java.io.ByteArrayInputStream(
+          Files.readAllBytes(java.nio.file.Paths.get(out)))))
+    var meta: com.fasterxml.jackson.databind.JsonNode = null
+    var e = tar.getNextEntry
+    while (e != null) {
+      if (e.getName == "metadata.json") meta = mapper.readTree(tar.readAllBytes())
+      e = tar.getNextEntry
+    }
+    assert(meta.get("/big").size() == 3 && meta.get("/other").size() == 1)
+  }
 }
