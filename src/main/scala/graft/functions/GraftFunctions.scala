@@ -56,12 +56,16 @@ object GraftFunctions {
     }
 }
 
-/** `spark.sql.extensions` entry point for cluster deployments. */
+/** `spark.sql.extensions` entry point for cluster deployments: the
+  * native function registry plus the HOF-dot-product optimizer rewrite
+  * ([[RewriteHofDotProduct]]). */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, inf, builder) =>
       ext.injectFunction((FunctionIdentifier(name), inf, builder))
     }
+    ext.injectOptimizerRule(_ => RewriteHofDotProduct)
+  }
 }
 
 /** Dot product of two numeric arrays (float or double, mixed ok) in
