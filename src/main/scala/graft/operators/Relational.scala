@@ -573,18 +573,36 @@ object Relational {
       "q_window_rank",
       "Ranking family: rank/dense_rank over a tie-carrying order " +
         "(quantity only), ntile over a total order — tie semantics " +
-        "differ between the three and both engines must agree.",
+        "differ between the three and both engines must agree. " +
+        "rank/dense_rank are NOT computed with a window here: the " +
+        "partition key (returnflag) has cardinality 3, so a window " +
+        "would funnel the corpus through 3 sort tasks at any scale. " +
+        "With a bounded order-value domain the scale-safe form is " +
+        "rank-the-aggregate: per-(flag, quantity) counts (<=150 rows), " +
+        "rank that tiny frame, broadcast it back — assignment becomes " +
+        "map-only and the oracle's window rank() proves equivalence. " +
+        "ntile stays a true window (position depends on the global " +
+        "order): the documented global-sort family with q_window_ntile.",
       (s, d) => {
-        val byQty = Window.partitionBy("l_returnflag")
+        val li = Tables.lineitem(s, d)
+        // rank = 1 + rows with strictly higher qty; dense_rank = 1 +
+        // distinct higher qtys — both over the per-flag count frame
+        val wAgg = Window.partitionBy("l_returnflag")
           .orderBy(desc("l_quantity"))
+        val ranks = li.groupBy("l_returnflag", "l_quantity")
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("l_returnflag"), col("l_quantity"),
+            (coalesce(sum(col("cnt")).over(
+              wAgg.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) + 1L)
+              .as("rnk"),
+            row_number().over(wAgg).cast("bigint").as("drnk"))
         val total = Window.partitionBy("l_returnflag")
           .orderBy(desc("l_quantity"), asc("l_orderkey"), asc("l_linenumber"))
-        Tables.lineitem(s, d).select(
-          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-          col("l_quantity"),
-          rank().over(byQty).cast("bigint").as("rnk"),
-          dense_rank().over(byQty).cast("bigint").as("drnk"),
-          ntile(4).over(total).cast("bigint").as("quartile"))
+        li.join(broadcast(ranks), Seq("l_returnflag", "l_quantity"))
+          .select(
+            col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            col("l_quantity"), col("rnk"), col("drnk"),
+            ntile(4).over(total).cast("bigint").as("quartile"))
           .orderBy("l_orderkey", "l_linenumber", "l_returnflag",
             "l_quantity", "rnk", "drnk", "quartile")
       },
