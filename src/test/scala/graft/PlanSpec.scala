@@ -58,6 +58,14 @@ class PlanSpec extends SparkSuite {
       "q_sql_tpch_q18 IN-subquery no longer a semi-join")
   }
 
+  test("rank assignment is a broadcast join, not a 3-partition window") {
+    // q_window_rank: rnk/drnk come from the ranked (flag, qty)
+    // aggregate broadcast back to the fact — a window would funnel the
+    // corpus through |returnflag| = 3 sort tasks
+    assert(plan("q_window_rank").contains("BroadcastHashJoin"),
+      "q_window_rank lost its rank-the-aggregate broadcast shape")
+  }
+
   test("LSH bucketing is map-only: no aggregate before the bucket explode") {
     // the bucket computation must stay a projection (plane literals +
     // posexplode) — the retired shape aggregated sign bits with
