@@ -589,20 +589,35 @@ object Relational {
         // distinct higher qtys — both over the per-flag count frame
         val wAgg = Window.partitionBy("l_returnflag")
           .orderBy(desc("l_quantity"))
-        val ranks = li.groupBy("l_returnflag", "l_quantity")
+        val cells = li.groupBy("l_returnflag", "l_quantity")
           .agg(count(lit(1)).as("cnt"))
           .select(col("l_returnflag"), col("l_quantity"),
-            (coalesce(sum(col("cnt")).over(
-              wAgg.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) + 1L)
-              .as("rnk"),
-            row_number().over(wAgg).cast("bigint").as("drnk"))
-        val total = Window.partitionBy("l_returnflag")
-          .orderBy(desc("l_quantity"), asc("l_orderkey"), asc("l_linenumber"))
-        li.join(broadcast(ranks), Seq("l_returnflag", "l_quantity"))
+            coalesce(sum(col("cnt")).over(
+              wAgg.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+              .as("cum_before"),
+            row_number().over(wAgg).cast("bigint").as("drnk"),
+            sum(col("cnt")).over(Window.partitionBy("l_returnflag"))
+              .as("n_flag"))
+        // positional ntile decomposed the same way: global position =
+        // the cell's offset (from the tiny aggregate) + position WITHIN
+        // the (flag, qty) cell — a window over 150 distinct keys, so
+        // parallelism is |cells|, never |flags|. Bucket from position
+        // by ntile's big/small-bucket arithmetic (first n%4 buckets get
+        // one extra row); when n < buckets the ELSE is unreachable.
+        val wCell = Window.partitionBy("l_returnflag", "l_quantity")
+          .orderBy(asc("l_orderkey"), asc("l_linenumber"))
+        li.join(broadcast(cells), Seq("l_returnflag", "l_quantity"))
+          .withColumn("rn", col("cum_before") + row_number().over(wCell))
+          .withColumn("quartile", expr(
+            "CASE WHEN rn <= (n_flag DIV 4 + 1) * (n_flag % 4) " +
+              "THEN (rn - 1) DIV (n_flag DIV 4 + 1) + 1 " +
+              "ELSE (n_flag % 4) + " +
+              "(rn - 1 - (n_flag DIV 4 + 1) * (n_flag % 4)) DIV (n_flag DIV 4) " +
+              "+ 1 END").cast("bigint"))
           .select(
             col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-            col("l_quantity"), col("rnk"), col("drnk"),
-            ntile(4).over(total).cast("bigint").as("quartile"))
+            col("l_quantity"), (col("cum_before") + 1L).as("rnk"),
+            col("drnk"), col("quartile"))
           .orderBy("l_orderkey", "l_linenumber", "l_returnflag",
             "l_quantity", "rnk", "drnk", "quartile")
       },
