@@ -1,0 +1,239 @@
+package graft.pipeline
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** The live Firebase-REST export path — the reference's actual reason to
+  * exist (`firebase->get` pagination, BackupProcessor.php:150-200) for a
+  * user who holds only a live database, no archive.
+  *
+  * Faithful control-plane semantics, per path (all references are
+  * BackupProcessor.php):
+  *
+  *  - C1 keyset pagination: `orderBy="$key"` + `limitToFirst=ipp` +
+  *    `startAt="<lastKey>"`, startAt inclusive so every page after the
+  *    first drops its leading duplicate key (:150-199).
+  *  - C2 adaptive page sizing ("intelligent IPP"): halve on
+  *    `Payload is too large` (floor MIN_IPP=2, :10,:173-175), grow x1.2
+  *    after 5 consecutive successful pages, capped at max_ipp
+  *    (:181-184), remembered per path across the path's pages.
+  *  - C3 go-deeper recursion: a page that still fails at the floor means
+  *    one child is too fat to fetch whole — list the path's keys with
+  *    `shallow=true` (retried <=10x, then BackupFailure — :80-87),
+  *    descend into exactly one child, then resume pagination at the next
+  *    shallow key with the preserve-last-key flag so the resumed page
+  *    keeps its inclusive first element (:88-127).
+  *
+  * The data plane diverges deliberately: the reference is one PHP
+  * process walking the whole tree; here the driver only lists the
+  * root's shallow keys and each executor task walks its own top-level
+  * subtrees ([[export]]), so a 1000-executor cluster drains a database
+  * 1000 subtrees at a time. Page payloads are flattened to the engine's
+  * canonical leaf-edge frame (TreeCodec) instead of chunk files.
+  *
+  * Ordering note: key order is plain lexicographic string sort, matching
+  * the reference's `sort($this->shallow_tree[$path])` (:90). Real
+  * Firebase orders integer-like keys numerically first; for backup
+  * completeness only the SET of keys matters, not the visit order.
+  */
+object LiveExport {
+
+  /** Reference constants: BackupProcessor.php:10 (MIN_IPP), :16
+    * (max_ipp default), :84 (shallow retry cap), :181 (grow-after). */
+  val MinIpp = 2
+  val DefaultMaxIpp = 1000
+  val ShallowRetries = 10
+  val GrowAfter = 5
+
+  /** The BackupFailureException analog (exceptions/
+    * BackupFailureException.php): shallow listing failed 10x. */
+  final class BackupFailure(msg: String) extends RuntimeException(msg)
+
+  private sealed trait PageOut
+  /** One fetched page: direct children in key order (leading startAt
+    * duplicate already dropped unless preserved). */
+  private final case class Page(data: Seq[(String, JsonNode)],
+                                lastKey: String,
+                                isLastPage: Boolean) extends PageOut
+  /** Even MIN_IPP items exceed the payload limit — descend (C3). */
+  private case object GoDeeper extends PageOut
+  /** The path itself is a scalar leaf (possible when descending into a
+    * shallow key whose value is not a container). */
+  private final case class ScalarLeaf(json: String) extends PageOut
+
+  /** One walker instance per task/thread (holds per-path IPP state; not
+    * thread-safe by design — cheap to construct). */
+  final class Walker(client: RestClient, maxIpp: Int = DefaultMaxIpp) {
+    private val mapper = new ObjectMapper()
+    /** path -> (current ipp, consecutive successes) — the reference's
+      * `intelligent_IPP` map (BackupProcessor.php:151-155). */
+    private val ipp = mutable.Map.empty[String, (Int, Int)]
+
+    private def isTooLarge(n: JsonNode): Boolean =
+      n != null && n.isObject && n.has("error")
+
+    private def isEmptyPayload(n: JsonNode): Boolean =
+      n == null || n.isNull || (n.isObject && n.size() == 0) ||
+        (n.isArray && n.size() == 0) || isTooLarge(n)
+
+    /** BackupProcessor.php:150-199, one call = one successful page (or
+      * a go-deeper verdict), shrinking inside the loop. */
+    private def getPathsPaginated(path: String, startKey: Option[String],
+                                  preserveLastKey: Boolean): PageOut = {
+      var itemsPerPage = ipp.getOrElse(path, (math.min(DefaultMaxIpp, maxIpp), 0))._1
+      var out: PageOut = null
+      while (out == null) {
+        val query = Map("orderBy" -> "\"$key\"",
+          "limitToFirst" -> itemsPerPage.toString) ++
+          startKey.map(k => "startAt" -> ("\"" + k + "\""))
+        val node = mapper.readTree(client.get(path, query))
+        if (!isEmptyPayload(node) && !node.isObject && !node.isArray) {
+          out = ScalarLeaf(mapper.writeValueAsString(node))
+        } else if (isEmptyPayload(node)) {
+          if (itemsPerPage == MinIpp) {
+            ipp(path) = (MinIpp, 0)
+            out = GoDeeper
+          } else itemsPerPage =
+            math.max(MinIpp, math.ceil(itemsPerPage / 2.0).toInt)
+        } else {
+          // success: per-path IPP bookkeeping (:180-188)
+          val (_, succ) = ipp.getOrElse(path, (itemsPerPage, 0))
+          if (succ + 1 > GrowAfter)
+            ipp(path) = (math.min(maxIpp,
+              math.ceil(itemsPerPage * 1.2).toInt), 0)
+          else ipp(path) = (itemsPerPage, succ + 1)
+          val fields = node.fields().asScala
+            .map(e => e.getKey -> e.getValue).toVector
+          val lastKey = fields.last._1
+          val isLast = fields.size < itemsPerPage ||
+            (fields.size == 1 && startKey.contains(lastKey))
+          val data = if (startKey.isDefined && !preserveLastKey)
+            fields.drop(1) else fields
+          out = Page(data, lastKey, isLast)
+        }
+      }
+      out
+    }
+
+    /** `shallow=true` key listing with the reference's retry law
+      * (BackupProcessor.php:80-87): <=10 attempts, then BackupFailure. */
+    def shallowKeys(path: String): Vector[String] = {
+      var tries = 0
+      while (tries < ShallowRetries) {
+        val node = mapper.readTree(
+          client.get(path, Map("shallow" -> "true")))
+        tries += 1
+        if (!isEmptyPayload(node) && node.isObject)
+          return node.fieldNames().asScala.toVector.sorted
+      }
+      throw new BackupFailure(
+        s"Could not get database shallow data for $path " +
+          s"($ShallowRetries attempts)")
+    }
+
+    private def childPath(parent: String, key: String): String =
+      if (parent == "/") s"/$key" else s"$parent/$key"
+
+    private def emitValue(path: String, key: String, v: JsonNode,
+                          emit: TreeCodec.Edge => Unit): Unit =
+      if (v.isObject || v.isArray)
+        TreeCodec.flatten(mapper.writeValueAsString(v),
+          childPath(path, key)).foreach(emit)
+      else emit(TreeCodec.Edge(path, key, mapper.writeValueAsString(v)))
+
+    /** The reference's `getData` loop (BackupProcessor.php:71-136):
+      * paginate `path`, recursing into children too large to page. */
+    def fetchSubtree(path: String, emit: TreeCodec.Edge => Unit): Unit = {
+      var firstKey: Option[String] = None
+      var preserveLastKey = false
+      var isLastPage = false
+      var shallowCache: Vector[String] = null
+      while (!isLastPage) {
+        getPathsPaginated(path, firstKey, preserveLastKey) match {
+          case ScalarLeaf(json) =>
+            // the path itself is a leaf: it IS one edge at its parent
+            val (parent, key) =
+              if (path == "/") ("/", "")
+              else {
+                val i = path.lastIndexOf('/')
+                (if (i == 0) "/" else path.substring(0, i),
+                  path.substring(i + 1))
+              }
+            emit(TreeCodec.Edge(parent, key, json))
+            isLastPage = true
+          case Page(data, lastKey, last) =>
+            data.foreach { case (k, v) => emitValue(path, k, v, emit) }
+            firstKey = Some(lastKey)
+            isLastPage = last
+            preserveLastKey = false
+          case GoDeeper =>
+            if (shallowCache == null) shallowCache = shallowKeys(path)
+            val shallow = shallowCache
+            if (shallow.isEmpty) isLastPage = true
+            else {
+              // BackupProcessor.php:96-121: pick the ONE child to
+              // descend into, then resume pagination at the next key
+              val nextIdx: Option[Int] = firstKey match {
+                case Some(fk) =>
+                  val sub = if (preserveLastKey) -1 else 0
+                  val cand = shallow.indexOf(fk) + 1 + sub
+                  if (cand >= 0 && cand < shallow.size) Some(cand)
+                  else { isLastPage = true; None }
+                case None => Some(0)
+              }
+              nextIdx.foreach { i =>
+                fetchSubtree(childPath(path, shallow(i)), emit)
+                if (i + 1 < shallow.size) {
+                  firstKey = Some(shallow(i + 1))
+                  preserveLastKey = true
+                } else isLastPage = true
+              }
+            }
+        }
+      }
+    }
+
+    /** Materialized convenience (tests, per-task use). */
+    def fetchTree(path: String): Seq[TreeCodec.Edge] = {
+      val buf = Vector.newBuilder[TreeCodec.Edge]
+      fetchSubtree(path, buf += _)
+      buf.result()
+    }
+  }
+
+  /** Distributed live export: the driver lists the root's shallow keys
+    * (the only driver-side call), then each executor task walks its
+    * assigned top-level subtrees with its own Walker — the cluster-wide
+    * form of the reference's single-process tree walk. The resulting
+    * frame feeds Export.writeBackup unchanged.
+    *
+    * @param clientFactory built once per partition ON THE EXECUTOR (the
+    *        closure must be serializable; HttpRestClient instances are)
+    */
+  def export(spark: SparkSession, clientFactory: () => RestClient,
+             root: String = "/", maxIpp: Int = DefaultMaxIpp): DataFrame = {
+    import spark.implicits._
+    val keys = new Walker(clientFactory(), maxIpp).shallowKeys(root)
+    val par = math.max(1, math.min(keys.size,
+      spark.sparkContext.defaultParallelism))
+    def childPath(parent: String, key: String): String =
+      if (parent == "/") s"/$key" else s"$parent/$key"
+    spark.createDataset(keys)
+      .repartition(par)
+      .mapPartitions { ks =>
+        val walker = new Walker(clientFactory(), maxIpp)
+        ks.flatMap(k => walker.fetchTree(childPath(root, k)))
+      }
+      .toDF("path", "key", "value_json")
+  }
+
+  /** Single URL convenience mirroring the reference CLI surface
+    * (`frdbackup export -u <url> -k <token>`). */
+  def export(spark: SparkSession, baseUrl: String,
+             authToken: Option[String], maxIpp: Int): DataFrame =
+    export(spark, () => new HttpRestClient(baseUrl, authToken),
+      "/", maxIpp)
+}

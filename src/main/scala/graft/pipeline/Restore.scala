@@ -78,18 +78,53 @@ object Restore {
   }
 
   /** Restore a backup rows DataFrame: partitions drain concurrently,
-    * grouped by path within each partition (the backup artifact is
-    * range-partitioned by (path, key), so a path's keys are contiguous
-    * and mostly co-partitioned). */
+    * grouped by path within each partition.
+    *
+    * Memory contract: the backup artifact is range-partitioned AND
+    * sorted by (path, key) within partitions (Export.writeBackup), so a
+    * path's rows are a contiguous run — the drain walks the iterator
+    * run by run and never materializes more than ONE path's keys at a
+    * time. Executor memory is bounded by the largest single path, not
+    * the partition (a 128 MB partition of many small paths restores in
+    * page-sized working sets). Unsorted input still restores correctly:
+    * each contiguous run of a path drains as its own idempotent batch
+    * sequence (PATCH semantics make replays safe), it just costs more
+    * update() calls. */
   def restore(rows: DataFrame, sink: KVSink): Unit = {
     rows.select("path", "key", "value_json").foreachPartition {
       it: Iterator[org.apache.spark.sql.Row] =>
-        it.map(r => (r.getString(0), r.getString(1), r.getString(2)))
-          .toSeq.groupBy(_._1)
-          .foreach { case (path, edges) =>
-            drainPath(sink, path,
-              edges.map(e => e._2 -> e._3).toMap)
+        val edges = it.map(r => (r.getString(0), r.getString(1), r.getString(2)))
+          .buffered
+        while (edges.hasNext) {
+          val path = edges.head._1
+          val run = Map.newBuilder[String, String]
+          while (edges.hasNext && edges.head._1 == path) {
+            val e = edges.next()
+            run += (e._2 -> e._3)
           }
+          drainPath(sink, path, run.result())
+        }
+    }
+  }
+
+  /** Live HTTP sink — the reference's `firebase->update` PATCH
+    * (RestoreProcessor.php:80) behind the KVSink seam: one PATCH per
+    * adaptive batch, body `{key: value, ...}` with values embedded as
+    * raw JSON (they are already canonical value_json strings). A non-2xx
+    * or transport failure returns false, which drainPath answers with
+    * the reference's halve-and-retry. Fields are plain strings so the
+    * sink serializes into foreachPartition closures; each executor
+    * makes its own connections. */
+  final class HttpKVSink(baseUrl: String,
+                         authToken: Option[String] = None) extends KVSink {
+    @transient private lazy val client = new HttpRestClient(baseUrl, authToken)
+    @transient private lazy val mapper =
+      new com.fasterxml.jackson.databind.ObjectMapper()
+    override def update(path: String, batch: Map[String, String]): Boolean = {
+      val body = batch.toSeq.sortBy(_._1).map { case (k, v) =>
+        mapper.writeValueAsString(k) + ":" + v
+      }.mkString("{", ",", "}")
+      client.patch(path, body)
     }
   }
 }

@@ -1,0 +1,166 @@
+package graft
+
+import com.fasterxml.jackson.databind.node.ObjectNode
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicInteger
+import scala.jdk.CollectionConverters._
+
+/** In-process stand-in for the Firebase Realtime Database REST surface
+  * the reference consumes (no network in CI): a JSON tree behind
+  * `com.sun.net.httpserver` (JDK-only) answering
+  *
+  *   GET  <path>.json?shallow=true                      -> {key: true,...}
+  *   GET  <path>.json?orderBy="$key"&limitToFirst=N
+  *                   [&startAt="k"]                     -> key-ordered page
+  *   GET  <path>.json                                   -> whole node
+  *   PATCH <path>.json  {k: v, ...}                     -> merge children
+  *
+  * Fault injection mirrors the failure modes the reference's loops
+  * exist for: `maxPayloadBytes` makes oversized pages answer
+  * `{"error":"Payload is too large"}` (the C2/C3 trigger,
+  * BackupProcessor.php:174), `failShallow` makes the first N shallow
+  * listings return null (the <=10-retry path, :80-87), and
+  * `maxPatchKeys` rejects PATCH bodies with more keys (drives the
+  * restore's shrink loop, RestoreProcessor.php:82).
+  *
+  * Keys order lexicographically — same ordering LiveExport assumes.
+  * All handlers synchronize on the tree (single test server).
+  */
+final class FirebaseStub(maxPayloadBytes: Int = Int.MaxValue,
+                         failShallow: Int = 0,
+                         maxPatchKeys: Int = Int.MaxValue) {
+  private val mapper = new ObjectMapper()
+  private var root: ObjectNode = mapper.createObjectNode()
+  private val shallowFailsLeft = new AtomicInteger(failShallow)
+  val getCount = new AtomicInteger(0)
+  val patchCount = new AtomicInteger(0)
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+  server.createContext("/", (ex: HttpExchange) => handle(ex))
+  server.start()
+
+  def url: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+  def stop(): Unit = server.stop(0)
+
+  def seed(json: String): Unit = synchronized {
+    root = mapper.readTree(json).asInstanceOf[ObjectNode]
+  }
+  def snapshot(): String = synchronized { mapper.writeValueAsString(root) }
+
+  private def nodeAt(path: String): JsonNode =
+    if (path == "/" || path.isEmpty) root
+    else path.stripPrefix("/").split('/')
+      .foldLeft(root: JsonNode) { (n, seg) =>
+        if (n == null || !n.isObject) null else n.get(seg)
+      }
+
+  private def parseQuery(raw: String): Map[String, String] =
+    if (raw == null || raw.isEmpty) Map.empty
+    else raw.split('&').toSeq.map { kv =>
+      val i = kv.indexOf('=')
+      val dec = (s: String) =>
+        java.net.URLDecoder.decode(s, StandardCharsets.UTF_8.name())
+      if (i < 0) dec(kv) -> "" else dec(kv.take(i)) -> dec(kv.drop(i + 1))
+    }.toMap
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def handle(ex: HttpExchange): Unit = synchronized {
+    try {
+      val uriPath = ex.getRequestURI.getPath
+      if (!uriPath.endsWith(".json")) { respond(ex, 404, "null"); return }
+      val path = {
+        val p = uriPath.stripSuffix(".json")
+        if (p.isEmpty) "/" else p
+      }
+      val q = parseQuery(ex.getRequestURI.getRawQuery)
+      val isPatch = ex.getRequestMethod == "PATCH" ||
+        (ex.getRequestMethod == "POST" &&
+          "PATCH" == ex.getRequestHeaders.getFirst("X-HTTP-Method-Override"))
+      if (isPatch) {
+        patchCount.incrementAndGet()
+        val body = new String(ex.getRequestBody.readAllBytes(),
+          StandardCharsets.UTF_8)
+        val patch = mapper.readTree(body)
+        if (!patch.isObject) { respond(ex, 400, """{"error":"bad patch"}"""); return }
+        if (patch.size() > maxPatchKeys) {
+          respond(ex, 400, """{"error":"Payload is too large"}"""); return
+        }
+        // materialize the parent chain, then replace each named child
+        val target = {
+          if (path == "/") root
+          else path.stripPrefix("/").split('/').foldLeft(root) { (n, seg) =>
+            n.get(seg) match {
+              case o: ObjectNode => o
+              case _ =>
+                val c = mapper.createObjectNode()
+                n.set[JsonNode](seg, c); c
+            }
+          }
+        }
+        patch.fields().asScala.foreach { e =>
+          target.set[JsonNode](e.getKey, e.getValue.deepCopy[JsonNode]())
+        }
+        respond(ex, 200, mapper.writeValueAsString(patch))
+        return
+      }
+      // GET
+      getCount.incrementAndGet()
+      val node = nodeAt(path)
+      if (q.get("shallow").contains("true")) {
+        if (shallowFailsLeft.get() > 0) {
+          shallowFailsLeft.decrementAndGet(); respond(ex, 200, "null"); return
+        }
+        node match {
+          case o: ObjectNode =>
+            val out = mapper.createObjectNode()
+            o.fieldNames().asScala.foreach(out.put(_, true))
+            respond(ex, 200, mapper.writeValueAsString(out))
+          case null => respond(ex, 200, "null")
+          case other => respond(ex, 200, mapper.writeValueAsString(other))
+        }
+        return
+      }
+      (q.get("orderBy"), node) match {
+        case (Some("\"$key\""), o: ObjectNode) =>
+          val limit = q.get("limitToFirst").map(_.toInt).getOrElse(Int.MaxValue)
+          val startAt = q.get("startAt").map(_.stripPrefix("\"").stripSuffix("\""))
+          val keys = o.fieldNames().asScala.toVector.sorted
+            .dropWhile(k => startAt.exists(s => k < s))
+            .take(limit)
+          val page = mapper.createObjectNode()
+          keys.foreach(k => page.set[JsonNode](k, o.get(k)))
+          val body = mapper.writeValueAsString(page)
+          if (body.getBytes(StandardCharsets.UTF_8).length > maxPayloadBytes)
+            respond(ex, 200, """{"error":"Payload is too large"}""")
+          else respond(ex, 200, body)
+        case (Some("\"$key\""), null) => respond(ex, 200, "null")
+        case (Some("\"$key\""), scalar) =>
+          // ordering a scalar: Firebase returns the scalar itself
+          respond(ex, 200, mapper.writeValueAsString(scalar))
+        case (None, null) => respond(ex, 200, "null")
+        case (None, n) =>
+          val body = mapper.writeValueAsString(n)
+          if (body.getBytes(StandardCharsets.UTF_8).length > maxPayloadBytes)
+            respond(ex, 200, """{"error":"Payload is too large"}""")
+          else respond(ex, 200, body)
+        case (Some(other), _) =>
+          respond(ex, 400, s"""{"error":"unsupported orderBy $other"}""")
+      }
+    } catch {
+      case e: Throwable =>
+        try respond(ex, 500, s"""{"error":"${e.getMessage}"}""")
+        catch { case _: Throwable => () }
+    }
+  }
+}
