@@ -1,27 +1,95 @@
 package graft
 
-import graft.pipeline.{Export, Restore}
+import graft.pipeline.{Export, HttpRestClient, LiveExport, Restore}
 import org.apache.spark.sql.SparkSession
 
-/** Minimal CLI over the pipeline — the engine's analog of the
-  * reference's `frdbackup export|import` dispatch (frdbackup:12-35,
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneOffset}
+
+/** CLI over the pipeline — the engine's analog of the reference's
+  * `frdbackup export|import` dispatch (frdbackup:12-35,
   * AbstractCommand.php:37-74): a plain match over commands instead of
   * namespace reflection, Spark instead of a single-threaded HTTP loop.
   *
   *   runMain graft.Cli export <treesJsonDir> <backupDir> [subtreePath]
   *     treesJsonDir: text files, one JSON document per line;
   *     subtreePath scopes the backup to one node (default "/")
+  *   runMain graft.Cli export-live <firebaseUrl> [--output <dir>]
+  *       [--token <auth>] [--max_ipp <n>] [--temp_dir <dir>]
+  *     live HTTP export (LiveExport C1-C3). Defaults mirror
+  *     ExportCommand.php:15-48: --max_ipp 1000; --output
+  *     backups/<projectId>-<timestamp> (BackupProcessor.php:22-24);
+  *     --temp_dir relocates Spark's local scratch (the reference's
+  *     chunk temp dir analog).
   *   runMain graft.Cli import <backupDir> <outParquetDir>
-  *     (file-based sink: re-materializes the leaf rows; a live sink
-  *      implements pipeline.Restore.KVSink instead)
+  *     (file-based sink: re-materializes the leaf rows)
+  *   runMain graft.Cli import-live <backupDir> <firebaseUrl>
+  *       [--token <auth>] [--yes]
+  *     live HTTP restore. Prompts for confirmation like the reference
+  *     (ImportCommand.php:33-44) unless --yes.
   *   runMain graft.Cli migrate <refTarGzGlob> <backupDir>
   *     (a backup archive produced by the REFERENCE PHP tool becomes a
   *      native engine backup — pipeline.Archive)
+  *   runMain graft.Cli export-archive <backupDir> <outTarGz>
+  *       [--shards <n>]
+  *     (inverse of migrate; --shards emits n independently-restorable
+  *      tar.gz files for parallel drains)
   *   runMain graft.Cli query <name> <sfDir>
   */
 object Cli {
+
+  /** Split args into positionals and --key value / --key=value options;
+    * a bare trailing --flag maps to "true". */
+  def parseArgs(args: Seq[String]): (List[String], Map[String, String]) = {
+    val pos = List.newBuilder[String]
+    val opts = Map.newBuilder[String, String]
+    var rest = args.toList
+    while (rest.nonEmpty) rest match {
+      case opt :: tail if opt.startsWith("--") =>
+        val body = opt.drop(2)
+        val eq = body.indexOf('=')
+        if (eq >= 0) { opts += body.take(eq) -> body.drop(eq + 1); rest = tail }
+        else tail match {
+          case v :: t2 if !v.startsWith("--") =>
+            opts += body -> v; rest = t2
+          case _ => opts += body -> "true"; rest = tail
+        }
+      case p :: tail => pos += p; rest = tail
+      case Nil => ()
+    }
+    (pos.result(), opts.result())
+  }
+
+  /** The reference's default backup name (BackupProcessor.php:22-24 +
+    * generateCompressedBackup's `[^a-zA-Z0-9]+ -> -` sanitization):
+    * `<projectId>-<timestamp>` where projectId is the URL host's first
+    * dot-label. */
+  def defaultBackupName(firebaseUrl: String, now: Instant): String = {
+    val host = firebaseUrl.split("//").lift(1).getOrElse(firebaseUrl)
+    val projectId = host.split('.').head
+    val stamp = DateTimeFormatter.ISO_INSTANT
+      .format(now.atOffset(ZoneOffset.UTC).toInstant)
+    s"$projectId-$stamp".replaceAll("[^a-zA-Z0-9]+", "-")
+  }
+
+  /** The import confirmation gate (ImportCommand.php:33-44): only a
+    * literal `yes` line proceeds. */
+  def confirm(in: java.io.InputStream): Boolean = {
+    Console.println(
+      """------------------------- WARNING -------------------------
+        |- Restoring overwrites keys at the destination database.  -
+        |- Be sure any triggers/functions on it are disabled.      -
+        |-----------------------------------------------------------""".stripMargin)
+    Console.print("Do you want to proceed? (yes/no) ")
+    Console.flush()
+    val line = new java.io.BufferedReader(
+      new java.io.InputStreamReader(in)).readLine()
+    line != null && line.trim == "yes"
+  }
+
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
+    val (pos, opts) = parseArgs(args.toIndexedSeq)
+    val builder = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -29,28 +97,54 @@ object Cli {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // the reference's --temp_dir (ExportCommand.php:19-24): where
+    // intermediate files live — for Spark that is local scratch/spill
+    opts.get("temp_dir").foreach(builder.config("spark.local.dir", _))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    args.toList match {
+    val token = opts.get("token")
+    val maxIpp = opts.get("max_ipp").map(_.toInt)
+      .getOrElse(LiveExport.DefaultMaxIpp)
+
+    pos match {
       case "export" :: in :: out :: rest if rest.lengthCompare(1) <= 0 =>
-        // optional 4th arg: subtree node, the reference's path scope
+        // optional 3rd positional: subtree node, the reference's scope
         val node = rest.headOption.getOrElse("/")
         val trees = spark.read.textFile(in).map(j => ("/", j))
         Export.writeBackup(Export.subtree(
           Export.flattenTrees(trees.toDF("root", "json")
             .as[(String, String)]), node), out)
         println(s"exported $node -> $out")
+      case "export-live" :: url :: Nil =>
+        val out = opts.getOrElse("output",
+          "backups/" + defaultBackupName(url, Instant.now()))
+        val edges = LiveExport.export(spark,
+          () => new HttpRestClient(url, token), "/", maxIpp)
+        Export.writeBackup(edges, out)
+        println(s"exported live $url -> $out")
       case "import" :: in :: out :: Nil =>
         Export.readBackup(spark, in)
           .write.mode("overwrite").parquet(out)
         println(s"imported -> $out")
+      case "import-live" :: in :: url :: Nil =>
+        if (!opts.contains("yes") && !confirm(System.in)) {
+          System.err.println("aborted"); spark.stop(); sys.exit(1)
+        }
+        Restore.restore(Export.readBackup(spark, in),
+          new Restore.HttpKVSink(url, token))
+        println(s"restored $in -> $url")
       case "export-archive" :: in :: out :: Nil =>
-        // inverse of migrate: a native engine backup becomes a
-        // reference-format tar.gz the PHP tool's import can restore
-        graft.pipeline.Archive.writeReferenceArchive(
-          Export.readBackup(spark, in), out)
+        // inverse of migrate: a native engine backup becomes reference-
+        // format tar.gz(s) the PHP tool's import can restore
+        val shards = opts.get("shards").map(_.toInt).getOrElse(1)
+        if (shards <= 1)
+          graft.pipeline.Archive.writeReferenceArchive(
+            Export.readBackup(spark, in), out)
+        else
+          graft.pipeline.Archive.writeShardedReferenceArchive(
+            Export.readBackup(spark, in), out, shards)
         println(s"exported reference archive $in -> $out")
       case "migrate" :: in :: out :: Nil =>
         // a tar.gz (glob) produced by the REFERENCE tool becomes a
@@ -70,9 +164,12 @@ object Cli {
       case _ =>
         System.err.println(
           "usage: graft.Cli export <treesJsonDir> <backupDir> [subtreePath] | " +
+            "export-live <url> [--output d] [--token t] [--max_ipp n] [--temp_dir d] | " +
             "import <backupDir> <outParquetDir> | " +
+            "import-live <backupDir> <url> [--token t] [--yes] | " +
             "migrate <refTarGzGlob> <backupDir> | " +
-            "export-archive <backupDir> <outTarGz> | query <name> <sfDir>")
+            "export-archive <backupDir> <outTarGz> [--shards n] | " +
+            "query <name> <sfDir>")
         sys.exit(2)
     }
     spark.stop()

@@ -99,15 +99,25 @@ object Archive {
     * first key — deterministic, unlike the reference's uniqid, so
     * exports are reproducible). */
   def writeReferenceArchive(rows: DataFrame, outFile: String): Unit = {
+    val sorted = rows.select("path", "key", "value_json")
+      .orderBy("path", "key")
+    val it = sorted.toLocalIterator().asScala
+      .map(r => TreeCodec.Edge(r.getString(0), r.getString(1), r.getString(2)))
+    writeArchiveStream(it, new java.io.FileOutputStream(outFile))
+  }
+
+  /** Serialize (path,key)-sorted edges as one reference-format tar.gz
+    * onto `out` (closes it). Memory bounded by one page. Pure function
+    * of its iterator — runs identically on the driver (single archive)
+    * or inside a partition task (sharded export). */
+  def writeArchiveStream(edges: Iterator[TreeCodec.Edge],
+                         out: java.io.OutputStream): Unit = {
     import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
     import org.apache.commons.compress.compressors.gzip.GzipCompressorOutputStream
     val mapper = new ObjectMapper()
-    val sorted = rows.select("path", "key", "value_json")
-      .orderBy("path", "key")
     val manifest = mapper.createObjectNode()
     val tar = new TarArchiveOutputStream(new GzipCompressorOutputStream(
-      new java.io.BufferedOutputStream(
-        new java.io.FileOutputStream(outFile))))
+      new java.io.BufferedOutputStream(out)))
     def putEntry(name: String, bytes: Array[Byte]): Unit = {
       val e = new TarArchiveEntry(name)
       e.setSize(bytes.length)
@@ -116,9 +126,7 @@ object Archive {
       tar.closeArchiveEntry()
     }
     try {
-      val it = sorted.toLocalIterator().asScala
-        .map(r => TreeCodec.Edge(r.getString(0), r.getString(1), r.getString(2)))
-        .buffered
+      val it = edges.buffered
       while (it.hasNext) {
         val path = it.head.path
         val page = mapper.createObjectNode()
@@ -143,5 +151,37 @@ object Archive {
       }
       putEntry("metadata.json", mapper.writeValueAsBytes(manifest))
     } finally tar.close()
+  }
+
+  /** Sharded reference export — the 100 TB shape the single-stream
+    * format can't reach: range-partition the frame on (path, key) into
+    * `shards` slices and let EACH PARTITION TASK write its own complete
+    * tar.gz (own metadata.json + chunks) in parallel. Every shard is
+    * independently restorable by the PHP tool — PATCH merge semantics
+    * make splitting one path's keys across shards safe (each shard
+    * updates its own key subset) — and restoring all shards reproduces
+    * the database. Files land under `outDir/shard-NNNNN.tar.gz` on
+    * storage visible to the tasks (local dir in local mode, a shared
+    * filesystem on a cluster). */
+  def writeShardedReferenceArchive(rows: DataFrame, outDir: String,
+                                   shards: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val sp = rows.sparkSession
+    import sp.implicits._
+    rows.select("path", "key", "value_json")
+      .repartitionByRange(math.max(1, shards), col("path"), col("key"))
+      .sortWithinPartitions("path", "key")
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .rdd.mapPartitionsWithIndex { (i, it) =>
+        if (it.hasNext) {
+          val f = new java.io.File(outDir, f"shard-$i%05d.tar.gz")
+          writeArchiveStream(
+            it.map { case (p, k, v) => TreeCodec.Edge(p, k, v) },
+            new java.io.FileOutputStream(f))
+          Iterator.single(f.getPath)
+        } else Iterator.empty
+      }.collect()
+    ()
   }
 }

@@ -107,4 +107,34 @@ class ArchiveSpec extends SparkSuite {
     }
     assert(meta.get("/big").size() == 3 && meta.get("/other").size() == 1)
   }
+
+  test("sharded export: N independent archives union to the frame") {
+    val sp = spark; import sp.implicits._
+    // keys span shard boundaries: one fat path split across shards plus
+    // small paths, proving per-shard metadata stays self-contained
+    val edges =
+      (1 to 3000).map(i => ("/big", f"k$i%05d", i.toString)) ++
+        (1 to 40).map(i => (s"/small/s$i", "v", s""""x$i""""))
+    val df = edges.toDF("path", "key", "value_json")
+    val dir = Files.createTempDirectory("graft-archive-sh").toString
+    Archive.writeShardedReferenceArchive(df, dir, shards = 4)
+
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".tar.gz")).sortBy(_.getName)
+    assert(files.length == 4)
+    // every shard is a complete, independently-decodable archive
+    val perShard = files.map(f =>
+      Archive.edgesFromArchive(Files.readAllBytes(f.toPath)).toSet)
+    perShard.foreach(s => assert(s.nonEmpty))
+    // shards are disjoint and union back to the full frame
+    assert(perShard.map(_.size).sum == edges.size)
+    assert(perShard.reduce(_ ++ _) ==
+      edges.map(e => TreeCodec.Edge(e._1, e._2, e._3)).toSet)
+    // and the PHP-restore law: replaying every shard (any order)
+    // through PATCH-merge semantics reproduces the tree — equivalent
+    // here to assembling the union
+    val assembled = TreeCodec.assemble(perShard.reduce(_ ++ _).toSeq)
+    assert(TreeCodec.jsonEqual(assembled,
+      TreeCodec.assemble(edges.map(e => TreeCodec.Edge(e._1, e._2, e._3)))))
+  }
 }
