@@ -23,10 +23,17 @@ object Tables {
     * small single-file parquet arrives as ONE split, which serializes
     * any CPU-bound operator after it; at cluster scale inputs have
     * plenty of splits and this is a no-op (guarded by the partition
-    * count), so the shuffle is only paid where it buys parallelism. */
+    * count), so the shuffle is only paid where it buys parallelism.
+    *
+    * The guard reads `queryExecution.toRdd` (a cached lazy val on the
+    * Dataset) rather than `df.rdd`, which would wrap the same physical
+    * RDD in an extra InternalRow->Row conversion stage per call just to
+    * ask its partition count. */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (df.queryExecution.toRdd.getNumPartitions < target)
+      df.repartition(target)
+    else df
   }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")

@@ -75,7 +75,25 @@ object Dedup {
     * each doc, and rare-first ordering makes the per-shingle join
     * fan-out small — the difference between Σ df² and feasible at
     * corpus scale. */
-  def jaccardPairs(docs: DataFrame, tau: Double): DataFrame = {
+  def jaccardPairs(docs: DataFrame, tau: Double): DataFrame =
+    jaccardPairsM(docs, tau)._1
+
+  /** As [[jaccardPairs]], but also returns the persisted RDD handle
+    * backing the eagerly-materialized result, so callers can release
+    * its blocks once downstream consumers hold their own copy
+    * (q_dedup_groups does, after connectedComponents re-materializes).
+    *
+    * Cache hygiene: the shingle frame is referenced by five subplans
+    * (cardinalities, global df, prefix, candidate join, verification
+    * sets), so it is cached for the duration of THIS call only — the
+    * verified pair list is materialized with truncated lineage
+    * (localCheckpoint) and the shingle cache is dropped before
+    * returning. As a library call nothing graft-owned outlives the
+    * return except the (small — it IS the duplicate list) result
+    * blocks, which the caller releases via the handle or leaves to
+    * GC-driven ContextCleaner cleanup. DedupSpec pins this. */
+  def jaccardPairsM(docs: DataFrame, tau: Double)
+      : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
     import org.apache.spark.sql.expressions.Window
     val sh = explodedShingles(docs).cache()
     val card = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
@@ -92,7 +110,22 @@ object Dedup {
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    verifyJaccard(cands, sh, tau)
+    val out = materialized(verifyJaccard(cands, sh, tau))
+    sh.unpersist(blocking = false)
+    out
+  }
+
+  /** Eagerly materialize `df` with truncated lineage (the
+    * localCheckpoint contract), returning the frame plus the persisted
+    * RDD handle so callers can release the blocks the moment the frame
+    * is superseded. Shared by [[jaccardPairsM]] and
+    * [[connectedComponents]]. */
+  private[graft] def materialized(df: DataFrame)
+      : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+    val rdd = df.rdd
+    rdd.localCheckpoint()
+    rdd.count() // eager: blocks exist before the handle is returned
+    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
   }
 
   /** Exact-Jaccard verification of (da, db) candidate pairs against the
@@ -209,17 +242,7 @@ object Dedup {
     * the caller consumes it. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
                           localMaxEdges: Long = LocalCcMaxEdges): DataFrame = {
-    val spark = pairs.sparkSession
-    // materialize df eagerly with truncated lineage (the localCheckpoint
-    // contract) but keep the persisted RDD handle so the blocks can be
-    // released the moment the frame is superseded
-    def materialize(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
-      val rdd = df.rdd
-      rdd.localCheckpoint()
-      rdd.count() // eager: blocks exist before the handle is returned
-      (spark.createDataFrame(rdd, df.schema), rdd)
-    }
-    val (p, pRdd) = materialize(
+    val (p, pRdd) = materialized(
       pairs.select(col("da").cast("long"), col("db").cast("long")))
     val nEdges = p.count()
     if (nEdges <= localMaxEdges) {
@@ -230,12 +253,12 @@ object Dedup {
     // ~500k edges per partition: small graphs don't pay 32-way
     // shuffles, huge ones still spread
     val parts = math.max(1, (nEdges / 500000L).toInt)
-    val (edges, edgesRdd) = materialize(
+    val (edges, edgesRdd) = materialized(
       p.select(col("da").as("src"), col("db").as("dst"))
         .union(p.select(col("db").as("src"), col("da").as("dst")))
         .repartition(parts))
     pRdd.unpersist(blocking = false) // edges supersede the raw pair list
-    var (labels, labelsRdd) = materialize(
+    var (labels, labelsRdd) = materialized(
       edges.select(col("src").as("node")).distinct()
         .withColumn("lbl", col("node")))
     // null-safe: sum() over an empty frame is NULL (e.g. no pair
@@ -265,7 +288,7 @@ object Dedup {
     var iter = 0
     while (!converged && iter < maxIter) {
       iter += 1
-      val (updated, updatedRdd) = materialize(hop(labels))
+      val (updated, updatedRdd) = materialized(hop(labels))
       val newSum = labelSum(updated)
       labelsRdd.unpersist(blocking = false) // previous round superseded
       labels = updated
@@ -353,8 +376,11 @@ object Dedup {
         "keep-one-per-cluster dedup actually consumes. Oracle re-derives " +
         "components with WITH RECURSIVE reachability.",
       (s, d) => {
-        val labels = connectedComponents(
-          jaccardPairs(Tables.documents(s, d), 0.8))
+        val (pairs, pairsRdd) = jaccardPairsM(Tables.documents(s, d), 0.8)
+        val labels = connectedComponents(pairs)
+        // connectedComponents re-materialized its own copy of the pair
+        // list, so the jaccardPairsM result blocks are done
+        pairsRdd.unpersist(blocking = false)
         val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("csize"))
         labels.join(sizes, "lbl")
           .select(col("node").as("doc_id"), col("lbl").as("cluster_rep"),
@@ -392,10 +418,14 @@ object Dedup {
         "asserts precision 1.0 against q_ngram_jaccard.",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        // cached: verifyJaccard references the shingle frame 3x
+        // cached: verifyJaccard references the shingle frame 3x; the
+        // cache lives only until the verified pairs are materialized
+        // (same hygiene as jaccardPairsM)
         val sh = explodedShingles(docs).cache()
-        verifyJaccard(minhashCandidates(docs), sh, 0.8)
-          .orderBy("da", "db")
+        val (out, _) = materialized(
+          verifyJaccard(minhashCandidates(docs), sh, 0.8))
+        sh.unpersist(blocking = false)
+        out.orderBy("da", "db")
       },
       None),
 

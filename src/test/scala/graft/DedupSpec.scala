@@ -78,6 +78,20 @@ class DedupSpec extends SparkSuite {
     })
   }
 
+  test("jaccardPairsM releases every graft block except its own result") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (out, handle) = Dedup.jaccardPairsM(docs, 0.8)
+    assert(out.count() > 0)
+    // the shingle cache must be gone by return time; the only surviving
+    // graft-owned persistence is the materialized result itself
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked == Set(handle.id),
+      s"blocks leaked beyond the result handle: ${leaked - handle.id}")
+    handle.unpersist(blocking = true)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
+  }
+
   test("exact dedup keeps one keeper per fingerprint") {
     val df = SparkEntry.queries("q_dedup_exact")(spark, sf)
     val total = df.agg(sum("n_copies")).collect().head.getLong(0)
