@@ -84,12 +84,26 @@ object Bench {
       }
     }
     val results = ordered.map { case (name, _) => name -> samples(name).minOption }
+    // median alongside min: min is the headline (uncontended cost under
+    // asymmetric noise), but a min far below the median means bursts
+    // covered most reps — the median makes that visible in the record
+    // instead of silently flattering the run.
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted
+      s(s.size / 2)
+    }
+    val medians = ordered.map { case (name, _) =>
+      name -> (if (samples(name).isEmpty) None else Some(median(samples(name))))
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.getOrElse(-1.0) }
+      .mkString("{", ",", "}")
+    val qsMed = medians.map { case (k, v) => s"\"" + k + "\":" + v.getOrElse(-1.0) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, None) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val totalMed = medians.flatMap(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMed,"queries":$qs,"queries_median":$qsMed,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -24,6 +24,13 @@ object ScaleSmoke {
     "q_agg_basic", "q_agg_distinct", "q_filter_range", "q_join_inner",
     "q_sort", "q_topk", "q_window_rank", "q_math_funcs")
 
+  /** The LLM-pipeline families whose scale posture is argued in source
+    * (prefix-filtered candidates, bucketed LSH, map-side IVF combine):
+    * this ladder is the measurement behind those arguments. */
+  private val LlmQueries = Seq(
+    "q_ngram_jaccard", "q_dedup_groups", "q_dedup_minhash",
+    "q_ann_lsh", "q_ann_ivf", "q_tfidf")
+
   def replicate(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     val li = spark.read.parquet(s"$src/lineitem.parquet")
     val ord = spark.read.parquet(s"$src/orders.parquet")
@@ -32,12 +39,48 @@ object ScaleSmoke {
       (0 until k).map { i =>
         keys.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * span)))
       }.reduce(_ unionAll _)
-    shifted(li, Seq("l_orderkey"), okSpan)
+    def write(df: DataFrame, name: String): Unit = df
       .repartition(spark.sparkContext.defaultParallelism)
-      .write.mode(SaveMode.Overwrite).parquet(s"$out/lineitem.parquet")
-    shifted(ord, Seq("o_orderkey"), okSpan)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .write.mode(SaveMode.Overwrite).parquet(s"$out/orders.parquet")
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/$name.parquet")
+    write(shifted(li, Seq("l_orderkey"), okSpan), "lineitem")
+    write(shifted(ord, Seq("o_orderkey"), okSpan), "orders")
+
+    // documents: ids shift per replica; every WORD gets a replica
+    // suffix (shingles/tokens split on spaces), so within-replica
+    // similarity structure is bit-identical to the original while
+    // cross-replica shingle/token sets are disjoint — duplicate pairs,
+    // components, and vocabulary all scale ~k, never k² (a verbatim
+    // text copy would make every doc a 32-way duplicate group and the
+    // pair list quadratic in k, which is a different workload, not a
+    // bigger one).
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val docSpan = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+    write((0 until k).map { i =>
+      val d = docs.withColumn("doc_id", col("doc_id") + lit(i * docSpan))
+      if (i == 0) d
+      else d.withColumn("text",
+        regexp_replace(col("text"), "(\\S+)", "$1~" + i))
+    }.reduce(_ unionAll _), "documents")
+
+    // embeddings: ids shift; each replica's vectors are circularly
+    // rotated by a replica-specific offset — rotation is an orthogonal
+    // permutation, so all within-replica inner products (hence every
+    // cosine the queries compute) are preserved EXACTLY while replicas
+    // decorrelate (no k identical copies of each vector collapsing
+    // into one LSH bucket / IVF cell). Probe sets (vec_id < 10) stay
+    // fixed at replica 0, so the ladder measures search cost against a
+    // k× corpus at constant probe count — the scale question.
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val vecSpan = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    write((0 until k).map { i =>
+      val e = emb.withColumn("vec_id", col("vec_id") + lit(i * vecSpan))
+      val sh = (i * 7) % dim
+      if (sh == 0) e
+      else e.withColumn("embedding",
+        concat(slice(col("embedding"), sh + 1, dim - sh),
+               slice(col("embedding"), 1, sh)))
+    }.reduce(_ unionAll _), "embeddings")
   }
 
   def main(args: Array[String]): Unit = {
@@ -55,7 +98,11 @@ object ScaleSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    replicate(spark, src, work, k)
+    // SPARK_GRAFT_SMOKE_REUSE=1 skips replication when the work dir is
+    // already populated (iterating on one query's ratio)
+    val reuse = sys.env.get("SPARK_GRAFT_SMOKE_REUSE").contains("1") &&
+      new java.io.File(s"$work/lineitem.parquet").exists()
+    if (!reuse) replicate(spark, src, work, k)
 
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.queryExecution.toRdd.foreach(_ => ())
@@ -65,20 +112,27 @@ object ScaleSmoke {
       force(SparkEntry.queries(name)(spark, dir))
       (System.nanoTime() - t0) / 1e9
     }
+    // SPARK_GRAFT_SMOKE_ONLY=q_a,q_b overrides the ladder with exactly
+    // that list — any SparkEntry query name works, not just the
+    // defaults (local iteration aid, like Bench's SPARK_GRAFT_ONLY)
+    val queries = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(HeadlineQueries ++ LlmQueries)
     // warm both paths once, then interleaved min-of-2 (same rationale
     // as Bench: min under asymmetric noise, spaced reps)
-    HeadlineQueries.foreach { q => time(q, src); time(q, work) }
-    val reps = 2
+    queries.foreach { q => time(q, src); time(q, work) }
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SMOKE_REPS", "2").toInt
     val t1 = collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
     val tk = collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
     (1 to reps).foreach { _ =>
-      HeadlineQueries.foreach { q =>
+      queries.foreach { q =>
         t1(q) ::= time(q, src)
         tk(q) ::= time(q, work)
       }
     }
-    val rows = HeadlineQueries.map { q =>
-      val a = t1(q).min; val b = tk(q).min
+    val rows = queries.map { q =>
+      val a = t1(q).min
+      val b = tk(q).min
       f""""$q":{"t1":$a%.3f,"tk":$b%.3f,"ratio":${b / a}%.2f}"""
     }
     println(s"""{"metric":"scale_smoke","k":$k,"queries":{${rows.mkString(",")}}}""")

@@ -470,18 +470,70 @@ object Relational {
 
     GraftQuery(
       "q_window_ntile",
-      "ntile(4) spend quartiles + lead over per-customer totals — the " +
-        "ranking/analytic window pair on an aggregated (small) frame; " +
-        "the window order is made total with the custkey tiebreak so " +
-        "bucket boundaries are cross-engine deterministic.",
+      "ntile(4) spend quartiles + lead over per-customer totals. A " +
+        "bare Window.orderBy would funnel every customer through ONE " +
+        "sort task at any scale, so the global window is decomposed " +
+        "(the q_window_rank treatment generalized to an unbounded " +
+        "order-value domain): range-repartition on the total order " +
+        "(spend desc, custkey) makes partition id a coarse ordered " +
+        "bucket; a broadcast of the tiny per-bucket frame (count, " +
+        "cumulative offset, next bucket's first spend) turns global " +
+        "position into offset + within-bucket row_number, ntile into " +
+        "arithmetic on that position, and the cross-boundary lead into " +
+        "a coalesce with the next bucket's first row. Parallelism is " +
+        "|buckets| (~2x cores at any scale), never 1; the oracle's " +
+        "true window ntile/lead proves equivalence.",
       (s, d) => {
-        val w = Window.orderBy(desc("spend"), asc("o_custkey"))
-        Tables.orders(s, d)
+        val nb = math.max(2, s.sparkContext.defaultParallelism)
+        val agg = Tables.orders(s, d)
           .groupBy("o_custkey")
           .agg(decSum(col("o_totalprice"), 12, 2).as("spend"))
-          .select(col("o_custkey"), col("spend"),
-            ntile(4).over(w).as("quartile"),
-            lead(col("spend"), 1).over(w).as("next_spend"))
+          // explicit numPartitions so AQE never coalesces the range
+          // exchange; (spend, custkey) is a total order, so bucket
+          // boundaries never split a tie and exactness is independent
+          // of where the sampled boundaries land
+          .repartitionByRange(nb, desc("spend"), asc("o_custkey"))
+          .withColumn("bucket", spark_partition_id())
+          // bucket id comes from SAMPLED range boundaries (seeded by
+          // rdd id), so the frame must be evaluated exactly once: the
+          // stats subplan and the main join below both reference it,
+          // and recomputation under a different sample would misalign
+          // offsets. localCheckpoint (the Dedup.materialized pattern)
+          // pins one evaluation in executor storage — the frame is one
+          // row per customer, already aggregate-sized.
+          .localCheckpoint()
+        // tiny per-bucket frame: one row per non-empty bucket. The
+        // single-partition windows below run over <=nb rows — that is
+        // the point of the decomposition (sort nb rows, not the corpus).
+        val wB = Window.orderBy("bucket")
+        val buckets = agg.groupBy("bucket")
+          .agg(count(lit(1)).as("n_b"), max(col("spend")).as("first_spend"))
+          .select(col("bucket"),
+            coalesce(sum(col("n_b")).over(
+              wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+              .as("offset"),
+            sum(col("n_b")).over(
+              wB.rowsBetween(Window.unboundedPreceding,
+                Window.unboundedFollowing)).as("n_total"),
+            // next NON-EMPTY bucket's first row in order (its max
+            // spend with the min-custkey tiebreak — only the spend is
+            // needed): fills the last-row-of-bucket lead
+            lead(col("first_spend"), 1).over(wB).as("nb_spend"))
+        val wIn = Window.partitionBy("bucket")
+          .orderBy(desc("spend"), asc("o_custkey"))
+        agg.join(broadcast(buckets), "bucket")
+          .withColumn("lrn", row_number().over(wIn))
+          .withColumn("rn", col("offset") + col("lrn"))
+          .withColumn("quartile", expr(
+            "CASE WHEN rn <= (n_total DIV 4 + 1) * (n_total % 4) " +
+              "THEN (rn - 1) DIV (n_total DIV 4 + 1) + 1 " +
+              "ELSE (n_total % 4) + " +
+              "(rn - 1 - (n_total DIV 4 + 1) * (n_total % 4)) " +
+              "DIV (n_total DIV 4) + 1 END").cast("int"))
+          .withColumn("next_spend",
+            coalesce(lead(col("spend"), 1).over(wIn), col("nb_spend")))
+          .select(col("o_custkey"), col("spend"), col("quartile"),
+            col("next_spend"))
           .orderBy("o_custkey")
       },
       Some("SELECT o_custkey, spend, " +

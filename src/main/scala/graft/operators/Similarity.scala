@@ -12,16 +12,19 @@ import org.apache.spark.sql.functions._
   *    corpus join; the probe side is tiny and broadcast, so the corpus
   *    is scanned once with no shuffle of the vectors; per-probe top-k
   *    via window row_number (TakeOrdered-style).
-  *  - LSH (random hyperplane): 8 tables x 6 sign bits → per-table
-  *    bucket ids; candidates are the union of the probe's buckets.
-  *    Hyperplanes are a deterministic pseudo-random (splitmix64) table
-  *    built driver-side and broadcast — at 100 TB the plane table stays
-  *    48x64 doubles, and the bucket join replaces per-probe scans.
-  *  - IVF: coarse quantization by a deterministic centroid sample
-  *    (vec_id % 53 == 0, ~2%); every vector is assigned to its nearest
-  *    centroid (broadcast centroids, one corpus scan); probes search
-  *    nprobe=4 nearest cells. The inverted-file shape: cell assignment
-  *    is the partition key at scale.
+  *  - LSH (random hyperplane): 8 tables x lshBits(n) sign bits →
+  *    per-table bucket ids; candidates are the union of the probe's
+  *    buckets. Bits scale with the corpus so bucket occupancy (and so
+  *    candidate cost) stays ~constant. Hyperplanes are a deterministic
+  *    pseudo-random (splitmix64) table — at 100 TB the plane table
+  *    stays (8*bits)x64 doubles, baked into the plan as literals, and
+  *    the bucket join replaces per-probe scans.
+  *  - IVF: coarse quantization by a deterministic centroid sample of
+  *    ~sqrt(n) vectors (modulus floors at 53, today's behavior at test
+  *    scale); every vector is assigned to its nearest centroid
+  *    (broadcast centroids, one corpus scan); probes search
+  *    nprobe ≈ nlist/10 nearest cells (floor 4). The inverted-file
+  *    shape: cell assignment is the partition key at scale.
   *
   * All dot products go through the native codegen'd VectorDot
   * expression (graft.functions) in double precision — no UDFs, no
@@ -48,51 +51,63 @@ object Similarity {
     * oracle's CAST(embedding AS DOUBLE[])). */
   def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** splitmix64 — deterministic pseudo-random doubles in [-1, 1) for the
-    * hyperplane table (public-domain mixing constants). */
-  private def splitmix64(seed: Long): Long = {
-    var z = seed + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
+  /** Hyperplane weights: the canonical table lives in
+    * [[graft.functions.LshPlanes]] (shared with the native bucketing
+    * expression — identical weights are what keep probe and corpus
+    * buckets aligned). */
+  private def planeWeight(plane: Int, dim: Int): Double =
+    graft.functions.LshPlanes.weight(plane, dim)
 
-  private def planeWeight(plane: Int, dim: Int): Double = {
-    val h = splitmix64(plane.toLong * 1000003L + dim.toLong)
-    (h >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
-  }
-
-  // Multi-table LSH: Tables x BitsPerTable hyperplanes. One table of
-  // 16 bits would make buckets so fine that most probes find nothing;
-  // L independent coarse tables is the standard recall/cost trade
+  // Multi-table LSH: Tables x bits hyperplanes. One table of 16 bits
+  // would make buckets so fine that most probes find nothing; L
+  // independent coarse tables is the standard recall/cost trade
   // (candidates = union of the probe's bucket across tables).
   val LshTables = 8
   val BitsPerTable = 6
   val Dim = 64
 
-  /** The bucket of `e` in LSH table `t`: BitsPerTable sign bits packed
-    * into a long. The plane weights are LITERALS in the expression —
-    * the plane table is 48x64 doubles at any corpus size, so baking it
-    * into the plan is the degenerate (and cheapest) form of a
-    * broadcast: the whole bucketing becomes one codegen'd projection. */
-  private def tableBucket(t: Int, e: Column): Column =
-    (0 until BitsPerTable).map { p =>
-      val w = lit((0 until Dim).map(j => planeWeight(t * BitsPerTable + p, j)).toArray)
+  /** Sign bits per table, scaled to the corpus: bucket occupancy is
+    * n / 2^bits, so FIXED bits means candidate sets (hence the exact
+    * re-scoring join) grow linearly with the corpus — the 32x
+    * ScaleSmoke measured q_ann_lsh at 9.5x for 32x data under fixed
+    * 6-bit buckets. Holding occupancy near 32 keeps per-probe
+    * candidates bounded at any scale; the floor pins today's behavior
+    * at the test scale factors (n<=2000 -> 6 bits, unchanged). */
+  def lshBits(n: Long): Int =
+    math.max(BitsPerTable, math.min(16,
+      math.ceil(math.log(math.max(1L, n) / 32.0) / math.log(2.0)).toInt))
+
+  /** The bucket of `e` in LSH table `t`: `bits` sign bits packed into
+    * a long — the SPEC form, kept as documentation and as the law
+    * test's independent formulation. Production bucketing goes through
+    * the native `lsh_bucket_ids` expression instead: this Column
+    * version expands to tables x bits CASE WHEN vector_dot terms whose
+    * fused consume method is too large for HotSpot to JIT (whole-stage
+    * codegen cannot split expressions referencing the scan's local
+    * variables), so the "codegen'd" projection executes as interpreted
+    * bytecode — measured 33x slower than the native expression on the
+    * 32x ScaleSmoke corpus. Identical values: same LshPlanes table,
+    * same sign rule, SimilaritySpec pins spec == native. */
+  private[graft] def tableBucket(t: Int, e: Column, bits: Int): Column =
+    (0 until bits).map { p =>
+      val w = lit((0 until Dim).map(j => planeWeight(t * bits + p, j)).toArray)
       when(dot(e, w) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** One row per (vector, lsh table): the vector's bucket in that
     * table. Map-only — no join, no aggregation; a corpus scan computes
-    * all LshTables buckets per row and explodes them. (The earlier
-    * relational form — crossJoin against a plane table, then a
+    * all LshTables buckets per row in ONE native call
+    * ([[graft.functions.LshBucketIds]]) and explodes them. (The
+    * earlier relational form — crossJoin against a plane table, then a
     * groupBy(vec_id, table_id) packing bits — shuffled corpus x 48
     * rows to build what is a pure per-row function of the vector.) */
   def lshBuckets(spark: SparkSession, vecs: DataFrame,
+                 bits: Int = BitsPerTable,
                  spreadInput: Boolean = true): DataFrame =
     (if (spreadInput) Tables.spread(vecs) else vecs)
       .select(col("vec_id"),
-        posexplode(array((0 until LshTables).map(t =>
-          tableBucket(t, col("embedding"))): _*)))
+        posexplode(call_function("lsh_bucket_ids",
+          col("embedding"), lit(LshTables), lit(bits))))
       .toDF("vec_id", "table_id", "bucket")
 
   /** Corpus side pre-shaped for scoring: the vector as double[] plus
@@ -172,20 +187,33 @@ object Similarity {
 
     GraftQuery(
       "q_ann_lsh",
-      "LSH ANN: 8 hyperplane tables x 6 sign bits bucket the corpus; " +
+      "LSH ANN: 8 hyperplane tables x lshBits(n) sign bits bucket the " +
+        "corpus (bits scale with n so bucket occupancy stays ~32); " +
         "candidates = union of the probe's bucket across tables, then " +
         "exact top-5 by cosine. Oracle-exempt; SimilaritySpec measures " +
         "recall vs q_knn_cosine.",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val emb = Tables.embeddings(s, d)
-        val buckets = lshBuckets(s, emb)
+        // parquet metadata count; sizes the bucket granularity so
+        // occupancy (and so candidate cost) stays ~constant at scale
+        val bits = lshBits(emb.count())
+        val buckets = lshBuckets(s, emb, bits)
+        // probe extraction scans the corpus (a modulo/id filter cannot
+        // range-prune row groups once files interleave ids), so the
+        // <=10-row probe frame is materialized ONCE and every probe
+        // derivative reads the checkpoint — the 32x smoke showed the
+        // duplicated probe scans dominating at scale (embedding decode
+        // is the expensive column).
+        val probe0 = emb.filter(col("vec_id") < 10).localCheckpoint()
         // bucketing is map-only, so probe buckets are computed directly
         // from the (tiny) probe frame instead of joined out of the corpus
-        val probeB = lshBuckets(s, emb.filter(col("vec_id") < 10),
-            spreadInput = false)
+        val probeB = lshBuckets(s, probe0, bits, spreadInput = false)
           .select(col("vec_id").as("qid"), col("table_id").as("qtable"),
             col("bucket").as("qbucket"))
+        val probeQ = probe0
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            norm(col("embedding")).as("qn"))
         // candidates: union of the probe's bucket across tables
         val cands = buckets.join(broadcast(probeB),
             col("table_id") === col("qtable") &&
@@ -193,7 +221,7 @@ object Similarity {
           .select(col("qid"), col("vec_id").as("nid")).distinct()
         val scored = cands
           .join(scorable(emb).withColumnRenamed("vec_id", "nid"), "nid")
-          .join(broadcast(probes(s, d)), "qid")
+          .join(broadcast(probeQ), "qid")
           .select(col("qid"), col("nid"), pairScore.as("score"))
         val w = Window.partitionBy("qid").orderBy(desc("score"), asc("nid"))
         scored.withColumn("rn", row_number().over(w).cast("long"))
@@ -205,15 +233,34 @@ object Similarity {
 
     GraftQuery(
       "q_ann_ivf",
-      "IVF ANN: deterministic ~2% centroid sample, nearest-centroid cell " +
-        "assignment (broadcast centroids, one scan), probes search " +
-        "nprobe=4 cells. Oracle-exempt; recall in SimilaritySpec.",
+      "IVF ANN: deterministic ~sqrt(n) centroid sample, nearest-" +
+        "centroid cell assignment (broadcast centroids, one scan), " +
+        "probes search nprobe≈nlist/10 cells (floor 4). Oracle-exempt; " +
+        "recall in SimilaritySpec.",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val emb = Tables.embeddings(s, d)
-        val centroids = emb.filter(col("vec_id") % 53 === 0)
+        // Centroid count scales as ~sqrt(n), NOT a fixed fraction: a
+        // fixed modulus makes |centroids| ∝ n, so the assignment
+        // crossJoin costs n x |centroids| = O(n²) — the 32x ScaleSmoke
+        // measured q_ann_ivf at 7.7x for 32x data under mod 53. With
+        // nlist ≈ sqrt(n) assignment is O(n^1.5) (the standard IVF
+        // sizing); nprobe tracks nlist/10 so the searched fraction —
+        // and so recall — holds steady instead of collapsing as cells
+        // multiply. Floors pin today's behavior at the test scale
+        // factors (n<=2809 -> mod 53, nprobe 4, unchanged).
+        val n = math.max(1L, emb.count())
+        val nlistTarget = math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
+        val mod = math.max(53L, n / nlistTarget)
+        val nprobe = math.max(4, math.ceil(n / (10.0 * mod)).toInt)
+        // the centroid frame is ~sqrt(n) rows read out of a full
+        // corpus scan (modulo filters cannot range-prune); it feeds
+        // TWO crossJoins, so materialize it once (same rationale as
+        // q_ann_lsh's probe checkpoint)
+        val centroids = emb.filter(col("vec_id") % mod === 0)
           .select(col("vec_id").as("cid"), col("embedding").as("ke"),
             norm(col("embedding")).as("kn"))
+          .localCheckpoint()
         val centroidScore =
           round(dot(col("ce"), col("ke")) / (col("cn") * col("kn")), 6)
         // cell assignment: argmax cosine over centroids, tie-break asc
@@ -231,14 +278,14 @@ object Similarity {
               .as("cid"),
             any_value(col("ce")).as("ce"), any_value(col("cn")).as("cn"))
           .select(col("vec_id"), col("ce"), col("cn"), col("cid"))
-        // probe cells: top-4 centroids per probe
+        // probe cells: top-nprobe centroids per probe
         val wProbe = Window.partitionBy("qid").orderBy(desc("ccos"), asc("cid"))
         val probeCells = probes(s, d).crossJoin(broadcast(centroids))
           .select(col("qid"), col("qe"), col("qn"), col("cid"),
             round(dot(col("qe"), col("ke")) / (col("qn") * col("kn")), 6)
               .as("ccos"))
           .withColumn("crn", row_number().over(wProbe))
-          .filter(col("crn") <= 4)
+          .filter(col("crn") <= nprobe)
           .select(col("qid"), col("qe"), col("qn"), col("cid"))
         val scored = assigned.join(broadcast(probeCells), Seq("cid"))
           .filter(col("vec_id") =!= col("qid"))

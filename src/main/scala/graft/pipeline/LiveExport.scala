@@ -65,8 +65,15 @@ object LiveExport {
   private final case class ScalarLeaf(json: String) extends PageOut
 
   /** One walker instance per task/thread (holds per-path IPP state; not
-    * thread-safe by design — cheap to construct). */
-  final class Walker(client: RestClient, maxIpp: Int = DefaultMaxIpp) {
+    * thread-safe by design — cheap to construct).
+    *
+    * @param sleep retry pacing seam: called with the backoff delay in
+    *        ms before every shallow-listing RETRY (never on the first
+    *        attempt — the happy path performs zero sleeps). Injectable
+    *        so tests assert the schedule instead of waiting it out.
+    */
+  final class Walker(client: RestClient, maxIpp: Int = DefaultMaxIpp,
+                     sleep: Long => Unit = Thread.sleep) {
     private val mapper = new ObjectMapper()
     /** path -> (current ipp, consecutive successes) — the reference's
       * `intelligent_IPP` map (BackupProcessor.php:151-155). */
@@ -105,29 +112,61 @@ object LiveExport {
             ipp(path) = (math.min(maxIpp,
               math.ceil(itemsPerPage * 1.2).toInt), 0)
           else ipp(path) = (itemsPerPage, succ + 1)
-          val fields = node.fields().asScala
-            .map(e => e.getKey -> e.getValue).toVector
-          val lastKey = fields.last._1
-          val isLast = fields.size < itemsPerPage ||
-            (fields.size == 1 && startKey.contains(lastKey))
-          val data = if (startKey.isDefined && !preserveLastKey)
-            fields.drop(1) else fields
-          out = Page(data, lastKey, isLast)
+          // Firebase serializes dense integer-keyed nodes as JSON
+          // ARRAYS (element index = key), padding skipped leading
+          // indices with nulls on filtered reads — an object-only
+          // fields() here returned an empty iterator and crashed on
+          // .last. Arrays translate to index-keyed fields; the normal
+          // startAt-duplicate drop and isLast logic then apply
+          // unchanged (the first non-null element IS the inclusive
+          // startAt key).
+          val fields: Vector[(String, JsonNode)] =
+            if (node.isArray)
+              node.elements().asScala.zipWithIndex.collect {
+                case (v, i) if !v.isNull => (i.toString, v)
+              }.toVector
+            else node.fields().asScala
+              .map(e => e.getKey -> e.getValue).toVector
+          if (fields.isEmpty) {
+            // an all-null padded array page past the end: final page
+            out = Page(Vector.empty, startKey.getOrElse(""), isLastPage = true)
+          } else {
+            val lastKey = fields.last._1
+            val isLast = fields.size < itemsPerPage ||
+              (fields.size == 1 && startKey.contains(lastKey))
+            val data = if (startKey.isDefined && !preserveLastKey)
+              fields.drop(1) else fields
+            out = Page(data, lastKey, isLast)
+          }
         }
       }
       out
     }
 
     /** `shallow=true` key listing with the reference's retry law
-      * (BackupProcessor.php:80-87): <=10 attempts, then BackupFailure. */
+      * (BackupProcessor.php:80-87): <=10 attempts, then BackupFailure.
+      * Retries pace out exponentially via [[Backoff]] — the reference
+      * retries back-to-back, which against a rate-limited live
+      * database burns all 10 attempts in milliseconds; a transient
+      * quota window outlives our whole schedule. Array nodes list as
+      * their non-null element indices in NUMERIC order — the same
+      * cursor order the server uses for integer keys, which the
+      * go-deeper resume (`shallow.indexOf(lastKey) + 1`) relies on. */
     def shallowKeys(path: String): Vector[String] = {
       var tries = 0
       while (tries < ShallowRetries) {
+        if (tries > 0) sleep(Backoff.delayMs(tries - 1))
         val node = mapper.readTree(
           client.get(path, Map("shallow" -> "true")))
         tries += 1
-        if (!isEmptyPayload(node) && node.isObject)
-          return node.fieldNames().asScala.toVector.sorted
+        if (!isEmptyPayload(node)) {
+          if (node.isObject)
+            return node.fieldNames().asScala.toVector.sorted
+          if (node.isArray)
+            return node.elements().asScala.zipWithIndex.collect {
+              case (v, i) if !v.isNull => i.toString
+            }.toVector
+        }
       }
       throw new BackupFailure(
         s"Could not get database shallow data for $path " +
@@ -202,13 +241,66 @@ object LiveExport {
       fetchSubtree(path, buf += _)
       buf.result()
     }
+
+    /** Planning probe — the go-deeper verdict applied at PLAN time
+      * instead of mid-walk. One page fetch of `path`: if even the
+      * floor-sized page is too large (the exact condition the serial
+      * walker answers with recursion), the subtree is too fat to be
+      * one task's unit of work — return its shallow children as
+      * independent work items. Anything else (a normal page, a scalar
+      * leaf) means the path is walkable whole: return empty. The probe
+      * page is discarded — the walk stage re-fetches it, trading one
+      * duplicate page per work item for a dataflow where edge data
+      * never routes through the driver. */
+    def probeSplit(path: String): Seq[String] =
+      getPathsPaginated(path, None, preserveLastKey = false) match {
+        case GoDeeper => shallowKeys(path).map(childPath(path, _))
+        case _ => Nil
+      }
   }
 
-  /** Distributed live export: the driver lists the root's shallow keys
-    * (the only driver-side call), then each executor task walks its
-    * assigned top-level subtrees with its own Walker — the cluster-wide
-    * form of the reference's single-process tree walk. The resulting
-    * frame feeds Export.writeBackup unchanged.
+  /** Work-list planner for the distributed export. Round 0 is the
+    * root's shallow children; each round probes every pending path IN
+    * PARALLEL ([[Walker.probeSplit]]: one floor-page fetch) and splits
+    * the too-fat ones into their children for the next round. Only
+    * PATHS flow through the driver — never edge data — and the number
+    * of rounds is bounded by the depth of the fat spine, not the tree.
+    *
+    * This is what makes the export's parallelism granularity survive a
+    * skewed database: the earlier planner assigned whole top-level
+    * subtrees to tasks, so one fat subtree (the exact case go-deeper
+    * exists for, BackupProcessor.php:96-127) was walked serially by
+    * ONE task while the rest of the cluster idled. Now that subtree
+    * splits into its children and drains cluster-wide. */
+  def plan(spark: SparkSession, clientFactory: () => RestClient,
+           root: String = "/", maxIpp: Int = DefaultMaxIpp): Seq[String] = {
+    import spark.implicits._
+    def childPath(parent: String, key: String): String =
+      if (parent == "/") s"/$key" else s"$parent/$key"
+    var pending: Seq[String] = new Walker(clientFactory(), maxIpp)
+      .shallowKeys(root).map(childPath(root, _))
+    val work = Seq.newBuilder[String]
+    while (pending.nonEmpty) {
+      val par = math.max(1, math.min(pending.size,
+        spark.sparkContext.defaultParallelism))
+      val verdicts = spark.createDataset(pending)
+        .repartition(par)
+        .mapPartitions { ps =>
+          val w = new Walker(clientFactory(), maxIpp)
+          ps.map(p => p -> w.probeSplit(p))
+        }
+        .collect()
+      pending = verdicts.flatMap(_._2).toSeq
+      work ++= verdicts.collect { case (p, splits) if splits.isEmpty => p }
+    }
+    work.result()
+  }
+
+  /** Distributed live export: [[plan]] builds the work list (splitting
+    * fat subtrees so no single task owns one), then each executor task
+    * walks its assigned subtrees with its own Walker — the
+    * cluster-wide form of the reference's single-process tree walk.
+    * The resulting frame feeds Export.writeBackup unchanged.
     *
     * @param clientFactory built once per partition ON THE EXECUTOR (the
     *        closure must be serializable; HttpRestClient instances are)
@@ -216,16 +308,14 @@ object LiveExport {
   def export(spark: SparkSession, clientFactory: () => RestClient,
              root: String = "/", maxIpp: Int = DefaultMaxIpp): DataFrame = {
     import spark.implicits._
-    val keys = new Walker(clientFactory(), maxIpp).shallowKeys(root)
-    val par = math.max(1, math.min(keys.size,
+    val items = plan(spark, clientFactory, root, maxIpp)
+    val par = math.max(1, math.min(items.size,
       spark.sparkContext.defaultParallelism))
-    def childPath(parent: String, key: String): String =
-      if (parent == "/") s"/$key" else s"$parent/$key"
-    spark.createDataset(keys)
+    spark.createDataset(items)
       .repartition(par)
-      .mapPartitions { ks =>
+      .mapPartitions { ps =>
         val walker = new Walker(clientFactory(), maxIpp)
-        ks.flatMap(k => walker.fetchTree(childPath(root, k)))
+        ps.flatMap(p => walker.fetchTree(p))
       }
       .toDF("path", "key", "value_json")
   }

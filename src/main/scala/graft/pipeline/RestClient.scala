@@ -17,6 +17,20 @@ import java.nio.charset.StandardCharsets
   * Serializable so executor tasks can carry a client per partition in
   * the distributed export (LiveExport.export).
   */
+/** Exponential retry pacing shared by the live walker's shallow-retry
+  * loop and the restore drain. The reference retries back-to-back
+  * (BackupProcessor.php:80-87, RestoreProcessor.php:82-94) — against a
+  * real rate-limited database that burns the whole retry budget inside
+  * the same quota window; pacing 100ms → 200 → 400 → ... capped at 10s
+  * is the one deliberate production-shaped divergence. `attempt` is
+  * 0-based (the delay BEFORE retry attempt+2). */
+object Backoff {
+  val BaseMs = 100L
+  val CapMs = 10000L
+  def delayMs(attempt: Int): Long =
+    math.min(CapMs, BaseMs << math.min(attempt, 16))
+}
+
 trait RestClient extends Serializable {
 
   /** GET `path` with query params; returns the raw JSON body (Firebase

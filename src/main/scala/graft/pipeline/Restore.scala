@@ -47,7 +47,8 @@ object Restore {
     * analog. */
   def drainPath(sink: KVSink, path: String,
                 data: Map[String, String],
-                maxStalled: Int = 64): Int = {
+                maxStalled: Int = 64,
+                sleep: Long => Unit = Thread.sleep): Int = {
     var pending = scala.collection.immutable.SortedMap[String, String]() ++ data
     var batchSize = math.min(InitialBatch, math.max(pending.size, MinBatch))
     var successes = 0
@@ -72,6 +73,11 @@ object Restore {
               s"updates at batchSize=$batchSize")
         successes = 0
         batchSize = math.max(math.ceil(batchSize / 2.0).toInt, MinBatch)
+        // pace the retry (Backoff scaladoc): a failing sink is usually
+        // a rate limit or an outage, and immediate re-PATCH burns the
+        // stall budget inside one quota window. Resets with the streak,
+        // so an occasional rejection costs one base delay, not a ramp.
+        sleep(Backoff.delayMs(stalled - 1))
       }
     }
     calls
@@ -120,11 +126,35 @@ object Restore {
     @transient private lazy val client = new HttpRestClient(baseUrl, authToken)
     @transient private lazy val mapper =
       new com.fasterxml.jackson.databind.ObjectMapper()
+    /** Keys dropped by [[update]] because their value_json would not
+      * parse — per executor instance (the field is transient; read it
+      * where the sink runs: tests, or executor logs via the stderr
+      * line). */
+    @transient lazy val quarantined = new java.util.concurrent.atomic.LongAdder()
     override def update(path: String, batch: Map[String, String]): Boolean = {
-      val body = batch.toSeq.sortBy(_._1).map { case (k, v) =>
-        mapper.writeValueAsString(k) + ":" + v
-      }.mkString("{", ",", "}")
-      client.patch(path, body)
+      // The PATCH body embeds value_json strings verbatim, so ONE
+      // malformed value used to poison the whole batch: Firebase
+      // rejects the body, drainPath halves it all the way to 1, and
+      // the path stalls out after 64 calls. Validate with the mapper
+      // and quarantine bad rows instead — the rest of the batch
+      // restores, and the drain counts the quarantined keys as
+      // handled (they are: no retry can ever fix an unparseable row).
+      val (ok, bad) = batch.partition { case (_, v) =>
+        try { mapper.readTree(v); true }
+        catch { case _: java.io.IOException => false }
+      }
+      if (bad.nonEmpty) {
+        quarantined.add(bad.size)
+        System.err.println(s"HttpKVSink: quarantined ${bad.size} " +
+          s"malformed value(s) at $path: ${bad.keys.take(3).mkString(", ")}")
+      }
+      if (ok.isEmpty) true
+      else {
+        val body = ok.toSeq.sortBy(_._1).map { case (k, v) =>
+          mapper.writeValueAsString(k) + ":" + v
+        }.mkString("{", ",", "}")
+        client.patch(path, body)
+      }
     }
   }
 }

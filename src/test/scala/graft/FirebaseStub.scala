@@ -55,7 +55,10 @@ final class FirebaseStub(maxPayloadBytes: Int = Int.MaxValue,
     if (path == "/" || path.isEmpty) root
     else path.stripPrefix("/").split('/')
       .foldLeft(root: JsonNode) { (n, seg) =>
-        if (n == null || !n.isObject) null else n.get(seg)
+        if (n == null) null
+        else if (n.isObject) n.get(seg)
+        else if (n.isArray && seg.forall(_.isDigit)) n.get(seg.toInt)
+        else null
       }
 
   private def parseQuery(raw: String): Map[String, String] =
@@ -126,6 +129,14 @@ final class FirebaseStub(maxPayloadBytes: Int = Int.MaxValue,
             val out = mapper.createObjectNode()
             o.fieldNames().asScala.foreach(out.put(_, true))
             respond(ex, 200, mapper.writeValueAsString(out))
+          case a: com.fasterxml.jackson.databind.node.ArrayNode =>
+            // Firebase's array encoding: shallow over a dense
+            // integer-keyed node answers [true, true, ...]
+            val out = mapper.createArrayNode()
+            a.elements().asScala.foreach { v =>
+              if (v.isNull) out.addNull() else out.add(true)
+            }
+            respond(ex, 200, mapper.writeValueAsString(out))
           case null => respond(ex, 200, "null")
           case other => respond(ex, 200, mapper.writeValueAsString(other))
         }
@@ -140,6 +151,21 @@ final class FirebaseStub(maxPayloadBytes: Int = Int.MaxValue,
             .take(limit)
           val page = mapper.createObjectNode()
           keys.foreach(k => page.set[JsonNode](k, o.get(k)))
+          val body = mapper.writeValueAsString(page)
+          if (body.getBytes(StandardCharsets.UTF_8).length > maxPayloadBytes)
+            respond(ex, 200, """{"error":"Payload is too large"}""")
+          else respond(ex, 200, body)
+        case (Some("\"$key\""), a: com.fasterxml.jackson.databind.node.ArrayNode) =>
+          // integer keys order NUMERICALLY; a filtered read of an
+          // array node answers an ARRAY padded with nulls below the
+          // first included index (Firebase REST array encoding)
+          val limit = q.get("limitToFirst").map(_.toInt).getOrElse(Int.MaxValue)
+          val start = q.get("startAt")
+            .map(_.stripPrefix("\"").stripSuffix("\"").toInt).getOrElse(0)
+          val page = mapper.createArrayNode()
+          (0 until math.min(start, a.size())).foreach(_ => page.addNull())
+          (start until math.min(a.size(), start + limit))
+            .foreach(i => page.add(a.get(i).deepCopy[JsonNode]()))
           val body = mapper.writeValueAsString(page)
           if (body.getBytes(StandardCharsets.UTF_8).length > maxPayloadBytes)
             respond(ex, 200, """{"error":"Payload is too large"}""")

@@ -73,7 +73,8 @@ class LiveSpec extends SparkSuite {
     val stub = new FirebaseStub(maxPayloadBytes = 600, failShallow = 10)
     try {
       stub.seed(s"""{"big": {"fat": {$fat}}}""")
-      val walker = new LiveExport.Walker(new HttpRestClient(stub.url))
+      val walker = new LiveExport.Walker(new HttpRestClient(stub.url),
+        sleep = _ => ())
       intercept[LiveExport.BackupFailure] { walker.fetchTree("/big") }
     } finally stub.stop()
   }
@@ -84,7 +85,8 @@ class LiveSpec extends SparkSuite {
     val stub = new FirebaseStub(maxPayloadBytes = 600, failShallow = 9)
     try {
       stub.seed(json)
-      val walker = new LiveExport.Walker(new HttpRestClient(stub.url))
+      val walker = new LiveExport.Walker(new HttpRestClient(stub.url),
+        sleep = _ => ())
       assert(walker.fetchTree("/big").toSet == edgesOf(json))
     } finally stub.stop()
   }
@@ -107,13 +109,132 @@ class LiveSpec extends SparkSuite {
     try {
       val sink = new Restore.HttpKVSink(stub.url)
       val data = (1 to 50).map(i => s"k$i" -> i.toString).toMap
-      Restore.drainPath(sink, "/dst", data)
+      Restore.drainPath(sink, "/dst", data, sleep = _ => ())
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val dst = mapper.readTree(stub.snapshot()).get("dst")
       assert(dst.size() == 50)
       assert(dst.get("k17").asInt() == 17)
       // really was batched adaptively, not per-key
       assert(stub.patchCount.get() < 50)
+    } finally stub.stop()
+  }
+
+  test("array node pages as index-keyed edges (Firebase array encoding)") {
+    // /arr is a dense integer-keyed node: the stub answers paginated
+    // reads with null-padded ARRAYS, the representation that crashed
+    // the object-only walker (fields() empty -> .last threw). 50
+    // elements at ipp=16 forces several mid-pagination array pages.
+    val elems = (0 until 50).map(i => s""""v$i"""").mkString(",")
+    val json = s"""{"arr": [$elems], "z": 1}"""
+    val stub = new FirebaseStub()
+    try {
+      stub.seed(json)
+      val walker = new LiveExport.Walker(
+        new HttpRestClient(stub.url), maxIpp = 16)
+      val got = (walker.fetchTree("/arr") ++ walker.fetchTree("/z")).toSet
+      assert(got == edgesOf(json))
+      assert(got.contains(TreeCodec.Edge("/arr", "17", "\"v17\"")))
+    } finally stub.stop()
+  }
+
+  test("go-deeper descends into an array child via index-keyed shallow") {
+    // /big's page is too large even at the floor, so the walker
+    // shallow-lists /big and descends; /big/fat is an ARRAY whose
+    // shallow listing must come back as indices, and whose own pages
+    // are arrays
+    val elems = (0 until 200).map(i => s""""${"x" * 10}$i"""").mkString(",")
+    val json = s"""{"big": {"fat": [$elems], "thin": 1}, "tiny": 2}"""
+    val stub = new FirebaseStub(maxPayloadBytes = 600)
+    try {
+      stub.seed(json)
+      val walker = new LiveExport.Walker(new HttpRestClient(stub.url))
+      val got = walker.fetchTree("/big").toSet
+      assert(got == edgesOf(json).filter(_.path.startsWith("/big")))
+    } finally stub.stop()
+  }
+
+  test("shallow retries pace out exponentially; happy path never sleeps") {
+    val fat = (1 to 200).map(i => s""""k$i": "${"x" * 10}$i"""").mkString(",")
+    val json = s"""{"big": {"fat": {$fat}}}"""
+    val delays = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val stub = new FirebaseStub(maxPayloadBytes = 600, failShallow = 4)
+    try {
+      stub.seed(json)
+      val walker = new LiveExport.Walker(new HttpRestClient(stub.url),
+        sleep = delays += _)
+      assert(walker.fetchTree("/big").toSet == edgesOf(json))
+      // 4 failures -> 4 paced retries: 100, 200, 400, 800 (doubling
+      // from Backoff.BaseMs), and nothing after the success
+      assert(delays.toList == List(100L, 200L, 400L, 800L))
+    } finally stub.stop()
+
+    val quiet = new FirebaseStub()
+    try {
+      quiet.seed(json)
+      val happyDelays = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val walker = new LiveExport.Walker(new HttpRestClient(quiet.url),
+        sleep = happyDelays += _)
+      walker.fetchTree("/big")
+      assert(happyDelays.isEmpty, s"happy path slept: $happyDelays")
+    } finally quiet.stop()
+  }
+
+  test("restore retries pace out; drain schedule resets on success") {
+    val delays = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var failuresLeft = 3
+    val sink = new Restore.KVSink {
+      override def update(p: String, b: Map[String, String]): Boolean = {
+        if (failuresLeft > 0) { failuresLeft -= 1; false } else true
+      }
+    }
+    Restore.drainPath(sink, "/p",
+      (1 to 20).map(i => s"k$i" -> i.toString).toMap, sleep = delays += _)
+    assert(delays.toList == List(100L, 200L, 400L))
+  }
+
+  test("a fat subtree splits into per-child work items (planner)") {
+    // /fat holds ~90% of all keys and each child is large enough that
+    // even a floor-sized page of /fat exceeds the payload cap — the
+    // case the serial walker go-deepers on, and the case the OLD
+    // planner handed to ONE task. plan() must split /fat into its 30
+    // children (31+ work items total) so the walk stage spreads it
+    // over the cluster; the walked edges must still be exactly the
+    // tree's.
+    val kids = (0 until 30).map(i =>
+      s""""c$i": {"k1": "${"x" * 180}", "k2": "${"y" * 180}"}""")
+      .mkString(",")
+    val json = s"""{"fat": {$kids}, "tiny": 1, "cfg": {"m": "a"}}"""
+    val stub = new FirebaseStub(maxPayloadBytes = 600)
+    try {
+      stub.seed(json)
+      val u = stub.url
+      val items = LiveExport.plan(spark, () => new HttpRestClient(u))
+      assert(items.count(_.startsWith("/fat/")) == 30,
+        s"fat subtree not split into its children: $items")
+      assert(items.contains("/tiny") && items.contains("/cfg"))
+      assert(!items.contains("/fat"))
+      val df = LiveExport.export(spark, () => new HttpRestClient(u))
+      val got = df.collect().map(r =>
+        TreeCodec.Edge(r.getString(0), r.getString(1), r.getString(2))).toSet
+      assert(got == edgesOf(json))
+    } finally stub.stop()
+  }
+
+  test("HttpKVSink quarantines malformed values; the rest restore") {
+    val stub = new FirebaseStub()
+    try {
+      val sink = new Restore.HttpKVSink(stub.url)
+      val data = (1 to 20).map(i => s"k$i" -> i.toString).toMap +
+        ("bad" -> """{oops""") // unparseable value_json
+      val calls = Restore.drainPath(sink, "/dst", data, sleep = _ => ())
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val dst = mapper.readTree(stub.snapshot()).get("dst")
+      assert(dst.size() == 20, "good rows did not restore")
+      assert(dst.get("k7").asInt() == 7)
+      assert(!dst.has("bad"))
+      assert(sink.quarantined.sum() == 1)
+      // no halve-to-1 stall: the whole path drains in one batch call
+      assert(calls == 1, s"drain stalled/shrank: $calls calls")
     } finally stub.stop()
   }
 

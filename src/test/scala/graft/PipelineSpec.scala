@@ -112,7 +112,7 @@ class PipelineSpec extends SparkSuite {
   test("drainPath shrinks to the sink's capacity and still drains") {
     val sink = new MemorySink(failAbove = 7) // payload-too-large analog
     val data = (1 to 100).map(i => f"k$i%03d" -> i.toString).toMap
-    Restore.drainPath(sink, "/p", data)
+    Restore.drainPath(sink, "/p", data, sleep = _ => ())
     assert(sink.store.size == 100)
     // must have shrunk 1000->...->7 wards: more calls than a perfect
     // 100/7 split but bounded well below per-key writes + retries
@@ -132,7 +132,7 @@ class PipelineSpec extends SparkSuite {
         if (failures > 0) { failures -= 1; false } else true
       }
     }
-    Restore.drainPath(flaky, "/p", data)
+    Restore.drainPath(flaky, "/p", data, sleep = _ => ())
     val sizes = flaky.sizes.reverse
     // after shrinking 50->25->13->7, five successes at 7 then growth
     assert(sizes.take(4) == List(50, 25, 13, 7))
@@ -142,7 +142,8 @@ class PipelineSpec extends SparkSuite {
   test("unsinkable data raises (RestoreFailureException analog)") {
     val sink = new MemorySink(failAbove = 0)
     intercept[IllegalStateException] {
-      Restore.drainPath(sink, "/p", Map("k" -> "1"), maxStalled = 8)
+      Restore.drainPath(sink, "/p", Map("k" -> "1"), maxStalled = 8,
+        sleep = _ => ())
     }
   }
 

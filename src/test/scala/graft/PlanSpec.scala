@@ -66,6 +66,24 @@ class PlanSpec extends SparkSuite {
       "q_window_rank lost its rank-the-aggregate broadcast shape")
   }
 
+  test("ntile assignment is bucket arithmetic, not a global window") {
+    // q_window_ntile: a Window.orderBy with no partitionBy funnels
+    // every customer through ONE sort task; the decomposed form range-
+    // partitions the total order and turns ntile/lead into arithmetic
+    // over a broadcast per-bucket frame. The corpus-side plan must
+    // carry no ntile window function (the only remaining windows run
+    // over the <=|buckets| stats frame and the bucket-partitioned
+    // row_number/lead).
+    // (the range exchange itself sits behind the checkpoint barrier —
+    // a LogicalRDD scan in this plan — so the pinnable signatures are
+    // the absent ntile window and the broadcast stats join)
+    val p = plan("q_window_ntile")
+    assert(!p.contains("ntile("),
+      "q_window_ntile regressed to a true global ntile window")
+    assert(p.contains("BroadcastHashJoin"),
+      "q_window_ntile lost its broadcast bucket-stats join")
+  }
+
   test("LSH bucketing is map-only: no aggregate before the bucket explode") {
     // the bucket computation must stay a projection (plane literals +
     // posexplode) — the retired shape aggregated sign bits with

@@ -53,6 +53,27 @@ class SimilaritySpec extends SparkSuite {
     assert(mean >= 0.5, s"ivf mean recall $mean < 0.5")
   }
 
+  test("native lsh_bucket_ids matches the spec-form Column buckets") {
+    // production bucketing is one native call per row (LshBucketIds);
+    // the CASE WHEN vector_dot formulation (Similarity.tableBucket) is
+    // the independent spec both for values and for the shared
+    // LshPlanes table — every (vec, table) bucket must agree, for the
+    // default bits and a scaled-up bits
+    val emb = Tables.embeddings(spark, sf)
+    for (bits <- Seq(Similarity.BitsPerTable, 11)) {
+      val native = Similarity.lshBuckets(spark, emb, bits)
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val spec = emb.select(col("vec_id") +:
+          (0 until Similarity.LshTables).map(t =>
+            Similarity.tableBucket(t, col("embedding"), bits).as(s"b$t")): _*)
+        .collect().flatMap { r =>
+          (0 until Similarity.LshTables).map(t =>
+            (r.getLong(0), t) -> r.getLong(t + 1))
+        }.toMap
+      assert(native == spec, s"bucket mismatch at bits=$bits")
+    }
+  }
+
   test("ann scores are exact cosines (verification is not approximate)") {
     // every (qid, nid, score) an ANN query returns must equal the
     // brute-force cosine for that same pair
