@@ -238,6 +238,41 @@ class LiveSpec extends SparkSuite {
     } finally stub.stop()
   }
 
+  test("DSv2 firebase source matches LiveExport.export row-for-row") {
+    val stub = new FirebaseStub()
+    try {
+      stub.seed(wideTree)
+      val u = stub.url
+      val df = spark.read.format("firebase").option("url", u).load()
+      val viaDsv2 = df.collect().map(r =>
+        TreeCodec.Edge(r.getString(0), r.getString(1), r.getString(2))).toSet
+      assert(viaDsv2 == edgesOf(wideTree))
+      val viaFn = LiveExport.export(spark,
+          () => new HttpRestClient(u)).collect()
+        .map(r => TreeCodec.Edge(r.getString(0), r.getString(1),
+          r.getString(2))).toSet
+      assert(viaDsv2 == viaFn)
+      // one InputPartition per top-level subtree (users, config, version)
+      assert(df.rdd.getNumPartitions == 3)
+    } finally stub.stop()
+  }
+
+  test("DSv2 planning splits a fat subtree into per-child partitions") {
+    val kids = (0 until 30).map(i =>
+      s""""c$i": {"k1": "${"x" * 180}", "k2": "${"y" * 180}"}""")
+      .mkString(",")
+    val json = s"""{"fat": {$kids}, "tiny": 1}"""
+    val stub = new FirebaseStub(maxPayloadBytes = 600)
+    try {
+      stub.seed(json)
+      val df = spark.read.format("firebase").option("url", stub.url).load()
+      assert(df.rdd.getNumPartitions == 31) // 30 fat children + /tiny
+      val got = df.collect().map(r =>
+        TreeCodec.Edge(r.getString(0), r.getString(1), r.getString(2))).toSet
+      assert(got == edgesOf(json))
+    } finally stub.stop()
+  }
+
   test("live round-trip: HTTP export -> parquet backup -> HTTP restore") {
     val src = new FirebaseStub()
     val dst = new FirebaseStub()

@@ -3,9 +3,12 @@ package graft
 import graft.multimodal.Media
 import org.apache.spark.sql.functions._
 
-/** The multimodal plumbing contract: schema, batch shape, determinism.
-  * (Decode itself is a documented stub — no media libs in this
-  * environment — so the laws are about the pipeline, not pixels.) */
+/** The multimodal plumbing contract: schema, batch shape, determinism —
+  * plus the REAL pure-JDK decode paths (ImageIO for images,
+  * javax.sound for WAV audio; video remains the documented stub). The
+  * synthetic corpus carries text bytes, so corpus-level laws exercise
+  * the fallback ladder; the decode tests below feed genuine PNG/WAV
+  * payloads generated in-memory. */
 class MultimodalSpec extends SparkSuite {
 
   private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
@@ -77,5 +80,63 @@ class MultimodalSpec extends SparkSuite {
     val a = frames.orderBy("media_id", "frame_idx").collect()
     val b = Media.sampleFrames(media).orderBy("media_id", "frame_idx").collect()
     assert(a.sameElements(b))
+  }
+
+  // ---- real decode paths (pure JDK, in-memory payloads) --------------
+
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("image decode is real: PNG dimensions and channel means") {
+    val sp = spark; import sp.implicits._
+    // a solid orange 12x8 PNG: decoded dims and means must be exact
+    val bytes = pngBytes(12, 8, 0xFF8020)
+    val rows = Seq(Media.MediaRow(1L, "image", bytes, 0, 0)).toDS()
+    val f = Media.extractFeatures(rows).collect().head
+    assert(f.features(0) == 12.0f && f.features(1) == 8.0f)
+    assert(f.features(2) == 255.0f) // mean R
+    assert(f.features(3) == 128.0f) // mean G
+    assert(f.features(4) == 32.0f)  // mean B
+    // one luminance bin holds every pixel
+    assert((5 until 13).map(f.features(_)).count(_ == 1.0f) == 1)
+  }
+
+  test("audio decode is real: WAV rate, frames, RMS of a known signal") {
+    val sp = spark; import sp.implicits._
+    // a constant full-scale-half signal: RMS == 0.5, peak == 0.5
+    val samples = Array.fill[Short](8000)((16384).toShort)
+    val pcm = java.nio.ByteBuffer.allocate(samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(pcm.putShort)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm.array()), fmt, samples.length)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val rows = Seq(Media.MediaRow(2L, "audio", out.toByteArray, 0, 0)).toDS()
+    val f = Media.extractFeatures(rows).collect().head
+    assert(f.features(0) == 8000f)          // sample rate
+    assert(f.features(1) == 1f)             // channels
+    assert(f.features(2) == 8000f)          // frames
+    assert(math.abs(f.features(4) - 0.5f) < 1e-3) // RMS
+    assert(math.abs(f.features(5) - 0.5f) < 1e-3) // peak
+  }
+
+  test("undecodable payloads fall back to the deterministic ladder") {
+    val sp = spark; import sp.implicits._
+    val junk = "definitely not a png".getBytes("UTF-8")
+    val rows = Seq(Media.MediaRow(3L, "image", junk, 0, 0)).toDS()
+    val f1 = Media.extractFeatures(rows).collect().head
+    val f2 = Media.extractFeatures(rows).collect().head
+    assert(f1.features.toSeq == f2.features.toSeq) // deterministic
+    assert(f1.features.length == 16)
+    assert(f1.digest == f2.digest)
   }
 }
