@@ -31,6 +31,14 @@ object ScaleSmoke {
     "q_ngram_jaccard", "q_dedup_groups", "q_dedup_minhash",
     "q_ann_lsh", "q_ann_ivf", "q_tfidf")
 
+  /** Event/sessionization family: user ids shift per replica, so
+    * per-user session structure is identical while the partition key
+    * (user) scales k-fold — windows keyed by time keep a FIXED group
+    * count with k-fold heavier groups, the other interesting shape. */
+  private val EventQueries = Seq(
+    "q_events_session", "q_events_window", "q_events_sliding",
+    "q_events_gapfill")
+
   def replicate(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     val li = spark.read.parquet(s"$src/lineitem.parquet")
     val ord = spark.read.parquet(s"$src/orders.parquet")
@@ -70,6 +78,20 @@ object ScaleSmoke {
     // into one LSH bucket / IVF cell). Probe sets (vec_id < 10) stay
     // fixed at replica 0, so the ladder measures search cost against a
     // k× corpus at constant probe count — the scale question.
+    // events: user_id/event_id shift per replica, ts untouched — the
+    // same time range carries k times the users and k times the rows,
+    // so sessionization scales by partition count and time-window aggs
+    // by per-group weight (ts stays the raw nanos LongType here; the
+    // replica file round-trips as INT64 and Tables.events normalizes
+    // it the same way it does the original's TIMESTAMP(NANOS))
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val uidSpan = ev.agg(max(col("user_id"))).head.getLong(0) + 1
+    val eidSpan = ev.agg(max(col("event_id"))).head.getLong(0) + 1
+    write((0 until k).map { i =>
+      ev.withColumn("user_id", col("user_id") + lit(i * uidSpan))
+        .withColumn("event_id", col("event_id") + lit(i * eidSpan))
+    }.reduce(_ unionAll _), "events")
+
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val vecSpan = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
     val dim = emb.select(size(col("embedding"))).head.getInt(0)
@@ -117,7 +139,7 @@ object ScaleSmoke {
     // defaults (local iteration aid, like Bench's SPARK_GRAFT_ONLY)
     val queries = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(HeadlineQueries ++ LlmQueries)
+      .getOrElse(HeadlineQueries ++ LlmQueries ++ EventQueries)
     // warm both paths once, then interleaved min-of-2 (same rationale
     // as Bench: min under asymmetric noise, spaced reps)
     queries.foreach { q => time(q, src); time(q, work) }
