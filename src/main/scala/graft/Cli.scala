@@ -107,6 +107,9 @@ object Cli {
     val token = opts.get("token")
     val maxIpp = opts.get("max_ipp").map(_.toInt)
       .getOrElse(LiveExport.DefaultMaxIpp)
+    // the reference's --root_start_ipp (ExportCommand.php:45): seed
+    // the first page size tried instead of min(1000, max_ipp)
+    val rootStartIpp = opts.get("root_start_ipp").map(_.toInt)
 
     pos match {
       case "export" :: in :: out :: rest if rest.lengthCompare(1) <= 0 =>
@@ -121,7 +124,7 @@ object Cli {
         val out = opts.getOrElse("output",
           "backups/" + defaultBackupName(url, Instant.now()))
         val edges = LiveExport.export(spark,
-          () => new HttpRestClient(url, token), "/", maxIpp)
+          () => new HttpRestClient(url, token), "/", maxIpp, rootStartIpp)
         Export.writeBackup(edges, out)
         println(s"exported live $url -> $out")
       case "import" :: in :: out :: Nil =>
@@ -132,9 +135,15 @@ object Cli {
         if (!opts.contains("yes") && !confirm(System.in)) {
           System.err.println("aborted"); spark.stop(); sys.exit(1)
         }
+        // driver-visible quarantine count: a restore that silently
+        // dropped rows is a data-recovery failure the caller must see
+        val quarantined = spark.sparkContext.longAccumulator("restore_quarantined")
         Restore.restore(Export.readBackup(spark, in),
-          new Restore.HttpKVSink(url, token))
-        println(s"restored $in -> $url")
+          new Restore.HttpKVSink(url, token, Some(quarantined)))
+        if (quarantined.value > 0)
+          System.err.println(s"WARNING: ${quarantined.value} row(s) had " +
+            "malformed value_json and were quarantined (not restored)")
+        println(s"restored $in -> $url (quarantined: ${quarantined.value})")
       case "export-archive" :: in :: out :: Nil =>
         // inverse of migrate: a native engine backup becomes reference-
         // format tar.gz(s) the PHP tool's import can restore
@@ -164,7 +173,8 @@ object Cli {
       case _ =>
         System.err.println(
           "usage: graft.Cli export <treesJsonDir> <backupDir> [subtreePath] | " +
-            "export-live <url> [--output d] [--token t] [--max_ipp n] [--temp_dir d] | " +
+            "export-live <url> [--output d] [--token t] [--max_ipp n] " +
+            "[--root_start_ipp n] [--temp_dir d] | " +
             "import <backupDir> <outParquetDir> | " +
             "import-live <backupDir> <url> [--token t] [--yes] | " +
             "migrate <refTarGzGlob> <backupDir> | " +

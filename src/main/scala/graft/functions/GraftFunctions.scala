@@ -30,26 +30,38 @@ object GraftFunctions {
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft.functions", null, name, usage, "")
 
+  // checkInputDataTypes validates TYPES after construction, but the
+  // builder itself indexes es(1)/es(2) — a wrong ARGUMENT COUNT must be
+  // a comprehensible analysis error, not IndexOutOfBoundsException
+  private def arity(es: Seq[Expression], n: Int, sig: String): Seq[Expression] = {
+    if (es.length != n) throw new IllegalArgumentException(
+      s"expected $n argument(s): $sig, got ${es.length}")
+    es
+  }
+
   val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("vector_dot", info("vector_dot",
       "vector_dot(a, b) - double dot product of two float/double arrays"),
-      es => VectorDot(es.head, es(1))),
+      es0 => { val es = arity(es0, 2, "vector_dot(a, b)")
+        VectorDot(es.head, es(1)) }),
     ("simhash64", info("simhash64",
       "simhash64(tokens) - 64-bit SimHash of a string array"),
-      es => SimHash64(es.head)),
+      es0 => SimHash64(arity(es0, 1, "simhash64(tokens)").head)),
     ("minhash_sig", info("minhash_sig",
       "minhash_sig(tokens) - 64 minhash values over 3-token shingles"),
-      es => MinHashSig(es.head)),
+      es0 => MinHashSig(arity(es0, 1, "minhash_sig(tokens)").head)),
     ("shingle_hashes", info("shingle_hashes",
       "shingle_hashes(tokens) - distinct xxhash64 of the 3-token shingles"),
-      es => ShingleHashes(es.head)),
+      es0 => ShingleHashes(arity(es0, 1, "shingle_hashes(tokens)").head)),
     ("sorted_intersect_count", info("sorted_intersect_count",
       "sorted_intersect_count(a, b) - |A ∩ B| of two sorted long arrays"),
-      es => SortedIntersectCount(es.head, es(1))),
+      es0 => { val es = arity(es0, 2, "sorted_intersect_count(a, b)")
+        SortedIntersectCount(es.head, es(1)) }),
     ("lsh_bucket_ids", info("lsh_bucket_ids",
       "lsh_bucket_ids(vec, tables, bits) - per-table hyperplane LSH buckets"),
-      es => LshBucketIds(es.head, intLit(es(1), "tables"),
-        intLit(es(2), "bits")))
+      es0 => { val es = arity(es0, 3, "lsh_bucket_ids(vec, tables, bits)")
+        LshBucketIds(es.head, intLit(es(1), "tables"),
+          intLit(es(2), "bits")) })
   )
 
   private def intLit(e: Expression, name: String): Int = e match {

@@ -187,7 +187,13 @@ final class MediaCodec extends Serializable {
         feats(13) = (w.toDouble / ht).toFloat
         Some(MediaFeatures(m.media_id, m.kind, m.bytes.length.toLong, h, feats))
       }
-    } catch { case _: java.io.IOException => None }
+    } catch {
+      // ImageIO plugins throw unchecked exceptions (CMMException,
+      // IllegalArgumentException, ...) on truncated/malformed bytes;
+      // any decode failure must route to the fallback ladder, never
+      // fail the task.
+      case scala.util.control.NonFatal(_) => None
+    }
 
   /** Real PCM-audio decode (WAV/AIFF): sample rate, channels, frame
     * count, duration, RMS + peak of the first channel — 16 floats. */
@@ -224,10 +230,7 @@ final class MediaCodec extends Serializable {
         feats(6) = fmt.getSampleSizeInBits.toFloat
         Some(MediaFeatures(m.media_id, m.kind, m.bytes.length.toLong, h, feats))
       } finally in.close()
-    } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException => None
-      case _: java.io.IOException => None
-    }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   private def decodeOne(m: MediaRow): MediaFeatures = {
     val h = digestOf(m.bytes)

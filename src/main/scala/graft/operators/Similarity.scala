@@ -87,10 +87,16 @@ object Similarity {
     * variables), so the "codegen'd" projection executes as interpreted
     * bytecode — measured 33x slower than the native expression on the
     * 32x ScaleSmoke corpus. Identical values: same LshPlanes table,
-    * same sign rule, SimilaritySpec pins spec == native. */
-  private[graft] def tableBucket(t: Int, e: Column, bits: Int): Column =
+    * same sign rule, SimilaritySpec pins spec == native.
+    *
+    * `dim` must match the data's embedding width (the native
+    * expression sizes planes from the actual vector length at eval;
+    * a dim mismatch here would truncate the dot and silently break
+    * the spec==native law for non-64-wide corpora). */
+  private[graft] def tableBucket(t: Int, e: Column, bits: Int,
+                                 dim: Int = Dim): Column =
     (0 until bits).map { p =>
-      val w = lit((0 until Dim).map(j => planeWeight(t * bits + p, j)).toArray)
+      val w = lit((0 until dim).map(j => planeWeight(t * bits + p, j)).toArray)
       when(dot(e, w) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 

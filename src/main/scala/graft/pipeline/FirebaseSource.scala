@@ -56,8 +56,11 @@ object FirebaseSource {
   /** Plain-string config so every plan node serializes cleanly into
     * executor tasks. */
   final case class Conf(url: String, token: Option[String],
-                        root: String, maxIpp: Int) {
+                        root: String, maxIpp: Int,
+                        startIpp: Option[Int] = None) {
     def client(): RestClient = new HttpRestClient(url, token)
+    def walker(): LiveExport.Walker =
+      new LiveExport.Walker(client(), maxIpp, startIpp = startIpp)
   }
 
   def conf(o: CaseInsensitiveStringMap): Conf = {
@@ -68,7 +71,9 @@ object FirebaseSource {
       Option(o.get("token")).filter(_.nonEmpty),
       Option(o.get("root")).filter(_.nonEmpty).getOrElse("/"),
       Option(o.get("maxipp")).map(_.toInt)
-        .getOrElse(LiveExport.DefaultMaxIpp))
+        .getOrElse(LiveExport.DefaultMaxIpp),
+      // the reference's root_start_ipp (ExportCommand.php:45)
+      Option(o.get("rootstartipp")).map(_.toInt))
   }
 }
 
@@ -92,7 +97,7 @@ final class FirebaseScan(conf: FirebaseSource.Conf)
     * subtree with one floor page; split the too-fat ones into their
     * children until every work item is walkable whole. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val walker = new LiveExport.Walker(conf.client(), conf.maxIpp)
+    val walker = conf.walker()
     def childPath(parent: String, key: String): String =
       if (parent == "/") s"/$key" else s"$parent/$key"
     var pending: Seq[String] =
@@ -118,7 +123,7 @@ final class FirebaseReaderFactory(conf: FirebaseSource.Conf)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private val it = new LiveExport.Walker(conf.client(), conf.maxIpp)
+      private val it = conf.walker()
         .fetchTree(p.asInstanceOf[FirebasePartition].path).iterator
       private var cur: TreeCodec.Edge = _
       override def next(): Boolean =

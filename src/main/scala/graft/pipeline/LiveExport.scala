@@ -71,9 +71,23 @@ object LiveExport {
     *        ms before every shallow-listing RETRY (never on the first
     *        attempt — the happy path performs zero sleeps). Injectable
     *        so tests assert the schedule instead of waiting it out.
+    * @param startIpp the reference's `root_start_ipp` knob
+    *        (ExportCommand.php:45, seeded into the IPP map at
+    *        BackupProcessor.php:44-46): the FIRST page size tried for a
+    *        path with no IPP history yet, instead of min(1000, maxIpp).
+    *        A user who knows the default is too big for their data
+    *        seeds a smaller start and skips the halve-churn. One
+    *        deliberate generalization: the reference seeds only the
+    *        root path, but in the distributed export every work item
+    *        is the root of its own walk, so the seed applies to every
+    *        path's first fetch (adaptive per-path sizing takes over
+    *        from there, exactly as in the reference).
     */
   final class Walker(client: RestClient, maxIpp: Int = DefaultMaxIpp,
-                     sleep: Long => Unit = Thread.sleep) {
+                     sleep: Long => Unit = Thread.sleep,
+                     startIpp: Option[Int] = None) {
+    private val initIpp: Int =
+      math.max(MinIpp, math.min(startIpp.getOrElse(DefaultMaxIpp), maxIpp))
     private val mapper = new ObjectMapper()
     /** path -> (current ipp, consecutive successes) — the reference's
       * `intelligent_IPP` map (BackupProcessor.php:151-155). */
@@ -90,7 +104,7 @@ object LiveExport {
       * a go-deeper verdict), shrinking inside the loop. */
     private def getPathsPaginated(path: String, startKey: Option[String],
                                   preserveLastKey: Boolean): PageOut = {
-      var itemsPerPage = ipp.getOrElse(path, (math.min(DefaultMaxIpp, maxIpp), 0))._1
+      var itemsPerPage = ipp.getOrElse(path, (initIpp, 0))._1
       var out: PageOut = null
       while (out == null) {
         val query = Map("orderBy" -> "\"$key\"",
@@ -273,7 +287,8 @@ object LiveExport {
     * ONE task while the rest of the cluster idled. Now that subtree
     * splits into its children and drains cluster-wide. */
   def plan(spark: SparkSession, clientFactory: () => RestClient,
-           root: String = "/", maxIpp: Int = DefaultMaxIpp): Seq[String] = {
+           root: String = "/", maxIpp: Int = DefaultMaxIpp,
+           startIpp: Option[Int] = None): Seq[String] = {
     import spark.implicits._
     def childPath(parent: String, key: String): String =
       if (parent == "/") s"/$key" else s"$parent/$key"
@@ -286,7 +301,7 @@ object LiveExport {
       val verdicts = spark.createDataset(pending)
         .repartition(par)
         .mapPartitions { ps =>
-          val w = new Walker(clientFactory(), maxIpp)
+          val w = new Walker(clientFactory(), maxIpp, startIpp = startIpp)
           ps.map(p => p -> w.probeSplit(p))
         }
         .collect()
@@ -306,15 +321,16 @@ object LiveExport {
     *        closure must be serializable; HttpRestClient instances are)
     */
   def export(spark: SparkSession, clientFactory: () => RestClient,
-             root: String = "/", maxIpp: Int = DefaultMaxIpp): DataFrame = {
+             root: String = "/", maxIpp: Int = DefaultMaxIpp,
+             startIpp: Option[Int] = None): DataFrame = {
     import spark.implicits._
-    val items = plan(spark, clientFactory, root, maxIpp)
+    val items = plan(spark, clientFactory, root, maxIpp, startIpp)
     val par = math.max(1, math.min(items.size,
       spark.sparkContext.defaultParallelism))
     spark.createDataset(items)
       .repartition(par)
       .mapPartitions { ps =>
-        val walker = new Walker(clientFactory(), maxIpp)
+        val walker = new Walker(clientFactory(), maxIpp, startIpp = startIpp)
         ps.flatMap(p => walker.fetchTree(p))
       }
       .toDF("path", "key", "value_json")
@@ -323,7 +339,8 @@ object LiveExport {
   /** Single URL convenience mirroring the reference CLI surface
     * (`frdbackup export -u <url> -k <token>`). */
   def export(spark: SparkSession, baseUrl: String,
-             authToken: Option[String], maxIpp: Int): DataFrame =
+             authToken: Option[String], maxIpp: Int,
+             startIpp: Option[Int]): DataFrame =
     export(spark, () => new HttpRestClient(baseUrl, authToken),
-      "/", maxIpp)
+      "/", maxIpp, startIpp)
 }

@@ -122,10 +122,20 @@ object Restore {
     * sink serializes into foreachPartition closures; each executor
     * makes its own connections. */
   final class HttpKVSink(baseUrl: String,
-                         authToken: Option[String] = None) extends KVSink {
+                         authToken: Option[String] = None,
+                         quarantineAcc: Option[org.apache.spark.util.LongAccumulator] = None)
+      extends KVSink {
     @transient private lazy val client = new HttpRestClient(baseUrl, authToken)
-    @transient private lazy val mapper =
-      new com.fasterxml.jackson.databind.ObjectMapper()
+    @transient private lazy val mapper = {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      // readTree stops at the first complete value by default, so
+      // '{"a":1}garbage' would VALIDATE yet corrupt the hand-built
+      // PATCH body — the exact poisoned-batch stall quarantine exists
+      // to prevent. Fail on trailing tokens.
+      m.enable(com.fasterxml.jackson.databind.DeserializationFeature
+        .FAIL_ON_TRAILING_TOKENS)
+      m
+    }
     /** Keys dropped by [[update]] because their value_json would not
       * parse — per executor instance (the field is transient; read it
       * where the sink runs: tests, or executor logs via the stderr
@@ -139,19 +149,24 @@ object Restore {
       // and quarantine bad rows instead — the rest of the batch
       // restores, and the drain counts the quarantined keys as
       // handled (they are: no retry can ever fix an unparseable row).
-      val (ok, bad) = batch.partition { case (_, v) =>
-        try { mapper.readTree(v); true }
-        catch { case _: java.io.IOException => false }
+      // The body embeds the RE-SERIALIZED parse tree, not the raw
+      // string, so the payload is well-formed by construction.
+      val parsed = batch.flatMap { case (k, v) =>
+        try Some(k -> mapper.readTree(v))
+        catch { case scala.util.control.NonFatal(_) => None }
       }
-      if (bad.nonEmpty) {
-        quarantined.add(bad.size)
-        System.err.println(s"HttpKVSink: quarantined ${bad.size} " +
-          s"malformed value(s) at $path: ${bad.keys.take(3).mkString(", ")}")
+      val bad = batch.size - parsed.size
+      if (bad > 0) {
+        quarantined.add(bad.toLong)
+        quarantineAcc.foreach(_.add(bad.toLong))
+        val badKeys = (batch.keySet -- parsed.keySet).take(3)
+        System.err.println(s"HttpKVSink: quarantined $bad " +
+          s"malformed value(s) at $path: ${badKeys.mkString(", ")}")
       }
-      if (ok.isEmpty) true
+      if (parsed.isEmpty) true
       else {
-        val body = ok.toSeq.sortBy(_._1).map { case (k, v) =>
-          mapper.writeValueAsString(k) + ":" + v
+        val body = parsed.toSeq.sortBy(_._1).map { case (k, node) =>
+          mapper.writeValueAsString(k) + ":" + mapper.writeValueAsString(node)
         }.mkString("{", ",", "}")
         client.patch(path, body)
       }

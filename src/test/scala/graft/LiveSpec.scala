@@ -52,6 +52,39 @@ class LiveSpec extends SparkSuite {
     } finally stub.stop()
   }
 
+  test("root_start_ipp seeds the first page size (reference knob)") {
+    // ExportCommand.php:45 / BackupProcessor.php:44-46: the user can
+    // seed the initial IPP so a known-too-big default skips its halve
+    // churn. Record every limitToFirst the walker sends.
+    val stub = new FirebaseStub()
+    try {
+      stub.seed(wideTree)
+      val limits = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val recording = new graft.pipeline.RestClient {
+        private val inner = new HttpRestClient(stub.url)
+        override def get(path: String, query: Map[String, String]): String = {
+          query.get("limitToFirst").foreach(l => limits += l.toInt)
+          inner.get(path, query)
+        }
+        override def patch(path: String, body: String): Boolean =
+          inner.patch(path, body)
+      }
+      val walker = new LiveExport.Walker(recording, startIpp = Some(16))
+      val got = walker.fetchTree("/users").toSet
+      assert(got == edgesOf(wideTree).filter(_.path.startsWith("/users")))
+      assert(limits.head == 16, s"first page used ${limits.head}, not the seed")
+      // adaptive growth takes over from the seed (GrowAfter straight
+      // successes at 16 -> x1.2), exactly the reference's bookkeeping
+      assert(limits.forall(_ >= 16))
+      // seed is clamped into [MinIpp, maxIpp]
+      val clamped = new LiveExport.Walker(recording, maxIpp = 8,
+        startIpp = Some(5000))
+      limits.clear()
+      clamped.fetchTree("/users")
+      assert(limits.head == 8)
+    } finally stub.stop()
+  }
+
   test("a child too fat for the floor triggers go-deeper recursion (C3)") {
     // /big/fat is one child whose serialized size exceeds the payload
     // cap, so even a MIN_IPP page at /big fails -> shallow listing ->
@@ -223,16 +256,23 @@ class LiveSpec extends SparkSuite {
   test("HttpKVSink quarantines malformed values; the rest restore") {
     val stub = new FirebaseStub()
     try {
-      val sink = new Restore.HttpKVSink(stub.url)
+      val acc = spark.sparkContext.longAccumulator("restore_quarantined")
+      val sink = new Restore.HttpKVSink(stub.url, None, Some(acc))
       val data = (1 to 20).map(i => s"k$i" -> i.toString).toMap +
-        ("bad" -> """{oops""") // unparseable value_json
+        ("bad" -> """{oops""") + // unparseable value_json
+        // parses as a complete value then has trailing garbage — a
+        // default readTree ACCEPTS this yet it corrupts the PATCH body
+        ("trail" -> """{"a":1}garbage""")
       val calls = Restore.drainPath(sink, "/dst", data, sleep = _ => ())
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val dst = mapper.readTree(stub.snapshot()).get("dst")
       assert(dst.size() == 20, "good rows did not restore")
       assert(dst.get("k7").asInt() == 7)
       assert(!dst.has("bad"))
-      assert(sink.quarantined.sum() == 1)
+      assert(!dst.has("trail"))
+      assert(sink.quarantined.sum() == 2)
+      // driver-visible: the count also lands in the Spark accumulator
+      assert(acc.value == 2L)
       // no halve-to-1 stall: the whole path drains in one batch call
       assert(calls == 1, s"drain stalled/shrank: $calls calls")
     } finally stub.stop()

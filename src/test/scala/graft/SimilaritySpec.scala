@@ -74,6 +74,42 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("spec==native law holds for a non-64-dim corpus") {
+    // the native expression sizes planes from the actual vector length
+    // at eval; tableBucket must be parameterizable to the same dim or
+    // it stops being a valid oracle for corpora of other widths
+    val sp = spark; import sp.implicits._
+    val dim = 5
+    val vecs = (0L until 32L).map(i =>
+      (i, Array.tabulate(dim)(j =>
+        (functions.LshPlanes.splitmix64(i * 131 + j) >>> 40).toFloat / 1e6f - 8f)))
+      .toDF("vec_id", "embedding")
+    val bits = 4
+    val native = Similarity.lshBuckets(spark, vecs, bits, spreadInput = false)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val spec = vecs.select(col("vec_id") +:
+        (0 until Similarity.LshTables).map(t =>
+          Similarity.tableBucket(t, col("embedding"), bits, dim).as(s"b$t")): _*)
+      .collect().flatMap { r =>
+        (0 until Similarity.LshTables).map(t =>
+          (r.getLong(0), t) -> r.getLong(t + 1))
+      }.toMap
+    assert(native == spec, s"dim=$dim bucket mismatch")
+  }
+
+  test("registered functions reject wrong arity with a clear error") {
+    graft.functions.GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT lsh_bucket_ids(array(1.0d), 8)").collect()
+    }
+    assert(e.getMessage.contains("lsh_bucket_ids(vec, tables, bits)"),
+      s"unhelpful arity error: ${e.getMessage}")
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT vector_dot(array(1.0d))").collect()
+    }
+    assert(e2.getMessage.contains("vector_dot(a, b)"))
+  }
+
   test("ann scores are exact cosines (verification is not approximate)") {
     // every (qid, nid, score) an ANN query returns must equal the
     // brute-force cosine for that same pair
