@@ -232,12 +232,31 @@ final class MediaCodec extends Serializable {
       } finally in.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Video CONTAINER metadata (ISO-BMFF boxes via [[Mp4]]): duration,
+    * dimensions, track layout — the fields a pipeline filters on — are
+    * real for real MP4/MOV files; frame decode has no JDK codec, so
+    * payloads that are not valid containers (including the synthetic
+    * text-bytes corpus) still fall back to the ladder. */
+  private def decodeVideo(m: MediaRow, h: Long): Option[MediaFeatures] =
+    Mp4.parse(m.bytes).map { meta =>
+      val feats = new Array[Float](16)
+      feats(0) = meta.width.toFloat
+      feats(1) = meta.height.toFloat
+      feats(2) = meta.durationSec.toFloat
+      feats(3) = meta.nTracks.toFloat
+      feats(4) = meta.nVideo.toFloat
+      feats(5) = meta.nAudio.toFloat
+      feats(6) = meta.timescale.toFloat
+      MediaFeatures(m.media_id, m.kind, m.bytes.length.toLong, h, feats)
+    }
+
   private def decodeOne(m: MediaRow): MediaFeatures = {
     val h = digestOf(m.bytes)
     m.kind match {
       case "image" => decodeImage(m, h).getOrElse(fallback(m, h))
       case "audio" => decodeAudio(m, h).getOrElse(fallback(m, h))
-      case _ => fallback(m, h) // video: no JDK codec — documented stub
+      case "video" => decodeVideo(m, h).getOrElse(fallback(m, h))
+      case _ => fallback(m, h)
     }
   }
 
