@@ -34,6 +34,13 @@ import java.time.{Instant, ZoneOffset}
   *       [--shards <n>]
   *     (inverse of migrate; --shards emits n independently-restorable
   *      tar.gz files for parallel drains)
+  *   runMain graft.Cli diff <prevBackupDir> <curBackupDir> <outDir>
+  *     (incremental backup: write only the changed rows — see
+  *      Export.diffBackups; the reference must re-export everything)
+  *   runMain graft.Cli import-diff <diffDir> <firebaseUrl>
+  *       [--token <auth>] [--yes]
+  *     (apply a diff to a live database: added/changed PATCH, removed
+  *      delete via null-PATCH; same confirmation gate as import-live)
   *   runMain graft.Cli query <name> <sfDir>
   */
 object Cli {
@@ -162,6 +169,22 @@ object Cli {
         Export.writeBackup(
           graft.pipeline.Archive.readReferenceArchive(spark, in), out)
         println(s"migrated $in -> $out")
+      case "diff" :: prev :: cur :: out :: Nil =>
+        val diff = Export.diffBackups(
+          Export.readBackup(spark, prev), Export.readBackup(spark, cur))
+        diff.write.mode("overwrite")
+          .option("compression", "zstd").parquet(out)
+        println(s"diff $prev -> $cur written to $out")
+      case "import-diff" :: in :: url :: Nil =>
+        if (!opts.contains("yes") && !confirm(System.in)) {
+          System.err.println("aborted"); spark.stop(); sys.exit(1)
+        }
+        val quarantinedDiff =
+          spark.sparkContext.longAccumulator("restore_quarantined")
+        Restore.restoreDiff(spark.read.parquet(in),
+          new Restore.HttpKVSink(url, token, Some(quarantinedDiff)))
+        println(s"applied diff $in -> $url " +
+          s"(quarantined: ${quarantinedDiff.value})")
       case "query" :: name :: sfDir :: Nil =>
         SparkEntry.queries.get(name) match {
           case Some(fn) => fn(spark, sfDir).show(50, truncate = false)
@@ -176,6 +199,8 @@ object Cli {
             "export-live <url> [--output d] [--token t] [--max_ipp n] " +
             "[--root_start_ipp n] [--temp_dir d] | " +
             "import <backupDir> <outParquetDir> | " +
+            "diff <prevBackupDir> <curBackupDir> <outDir> | " +
+            "import-diff <diffDir> <url> [--token t] [--yes] | " +
             "import-live <backupDir> <url> [--token t] [--yes] | " +
             "migrate <refTarGzGlob> <backupDir> | " +
             "export-archive <backupDir> <outTarGz> [--shards n] | " +

@@ -39,6 +39,20 @@ object ScaleSmoke {
     "q_events_session", "q_events_window", "q_events_sliding",
     "q_events_gapfill")
 
+  /** The multi-join / specialty-join / wide-window surface, previously
+    * never rehearsed (the round-6 ladder covered scans, basic joins,
+    * and the LLM families). Facts scale k-fold, dims stay fixed — the
+    * realistic 100 TB shape — so TPC-H plans must keep their broadcast
+    * dims broadcast and their fact joins shuffle-partitioned; the
+    * skew/range/as-of joins are where super-linear candidate growth
+    * would hide. */
+  private val RelationalQueries = Seq(
+    "q_sql_tpch_q3", "q_sql_tpch_q5", "q_sql_tpch_q10", "q_sql_tpch_q18",
+    "q_join_skew", "q_join_range", "q_join_asof", "q_join_multi",
+    "q_window_running", "q_window_range", "q_window_firstlast",
+    "q_group_collect", "q_string_agg", "q_pivot", "q_sample_hash",
+    "q_backup_diff")
+
   def replicate(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     val li = spark.read.parquet(s"$src/lineitem.parquet")
     val ord = spark.read.parquet(s"$src/orders.parquet")
@@ -52,6 +66,15 @@ object ScaleSmoke {
       .write.mode(SaveMode.Overwrite).parquet(s"$out/$name.parquet")
     write(shifted(li, Seq("l_orderkey"), okSpan), "lineitem")
     write(shifted(ord, Seq("o_orderkey"), okSpan), "orders")
+
+    // dimension tables copy through UNSHIFTED: at 100 TB the facts
+    // grow and the dims don't, so a k× ladder that also inflated dims
+    // would rehearse the wrong workload (customer joins get k× heavier
+    // per key here, exactly like production growth)
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/$t.parquet")
+    }
 
     // documents: ids shift per replica; every WORD gets a replica
     // suffix (shingles/tokens split on spaces), so within-replica
@@ -139,7 +162,8 @@ object ScaleSmoke {
     // defaults (local iteration aid, like Bench's SPARK_GRAFT_ONLY)
     val queries = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(HeadlineQueries ++ LlmQueries ++ EventQueries)
+      .getOrElse(HeadlineQueries ++ LlmQueries ++ EventQueries ++
+        RelationalQueries)
     // warm both paths once, then interleaved min-of-2 (same rationale
     // as Bench: min under asymmetric noise, spaced reps)
     queries.foreach { q => time(q, src); time(q, work) }

@@ -20,7 +20,8 @@ object SparkEntry {
       operators.Similarity.queries ++
       operators.Stats.queries ++
       operators.Sql.queries ++
-      operators.Multimodal.queries
+      operators.Multimodal.queries ++
+      operators.Incremental.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -92,4 +92,53 @@ object Export {
     if (node == "/" || node.isEmpty) rows
     else rows.filter(col("path") === node ||
       col("path").startsWith(node + "/"))
+
+  /** Snapshot diff — the incremental-backup primitive. Two backup
+    * frames in, one change frame out: `(path, key, change ∈
+    * added|removed|changed, old_value, new_value)`; unchanged rows are
+    * dropped. The reference can only re-export the whole database
+    * (BackupProcessor.php has no notion of a previous snapshot); a 100
+    * TB corpus cannot afford that, so the diff IS the backup after the
+    * first full one.
+    *
+    * Scale shape: in the incremental regime almost every row is
+    * unchanged, so the one thing the plan must NOT do is shuffle both
+    * snapshots' VALUES only to discard 99% of them. Phase 1 full-outer
+    * joins fixed-width digests only — (path, key, 2×64-bit value
+    * hashes); the wide value column never enters the first shuffle.
+    * Phase 2 fetches values by INNER-joining each big snapshot against
+    * the (small) changed keyset — streamed big side, broadcast keyset
+    * (AQE sees the post-filter size), so the snapshots are scanned but
+    * never shuffled. A left join FROM the keyset would have forced a
+    * shuffle of the big side instead (broadcast hash join can only
+    * build the non-preserved side). The keyset is localCheckpoint'd:
+    * it feeds four plan branches, and re-deriving it would re-run the
+    * digest shuffle each time. Two independent hash seeds put
+    * collision masking at 2^-128 per pair (below hardware error rates;
+    * a single 64-bit hash would make silent drop a real event at
+    * 10^12-row scale). */
+  def diffBackups(prev: DataFrame, cur: DataFrame): DataFrame = {
+    def digests(df: DataFrame, tag: String): DataFrame =
+      df.select(col("path"), col("key"),
+        xxhash64(col("value_json")).as(s"${tag}_h1"),
+        xxhash64(lit(1), col("value_json")).as(s"${tag}_h2"))
+    val changedKeys = digests(prev, "o")
+      .join(digests(cur, "n"), Seq("path", "key"), "full_outer")
+      .withColumn("change",
+        when(col("o_h1").isNull, lit("added"))
+          .when(col("n_h1").isNull, lit("removed"))
+          .when(col("o_h1") =!= col("n_h1") ||
+                col("o_h2") =!= col("n_h2"), lit("changed")))
+      .filter(col("change").isNotNull)
+      .select("path", "key", "change")
+      .localCheckpoint()
+    val keyset = changedKeys.select("path", "key")
+    val oldVals = prev.join(keyset, Seq("path", "key"))
+      .select(col("path"), col("key"), col("value_json").as("old_value"))
+    val newVals = cur.join(keyset, Seq("path", "key"))
+      .select(col("path"), col("key"), col("value_json").as("new_value"))
+    changedKeys
+      .join(oldVals, Seq("path", "key"), "left")
+      .join(newVals, Seq("path", "key"), "left")
+  }
 }

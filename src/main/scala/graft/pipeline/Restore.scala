@@ -113,6 +113,19 @@ object Restore {
     }
   }
 
+  /** Apply a snapshot diff ([[Export.diffBackups]] shape) instead of
+    * replaying a full backup: added/changed rows PATCH their new
+    * value; removed rows PATCH JSON `null`, which in Firebase's
+    * update semantics DELETES the key — so one idempotent pass brings
+    * the destination from the old snapshot to the new one without
+    * touching the unchanged 99%. Same partition-drain machinery as
+    * [[restore]] (adaptive batches, quarantine, backoff). */
+  def restoreDiff(diff: DataFrame, sink: KVSink): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    restore(diff.select(col("path"), col("key"),
+      coalesce(col("new_value"), lit("null")).as("value_json")), sink)
+  }
+
   /** Live HTTP sink — the reference's `firebase->update` PATCH
     * (RestoreProcessor.php:80) behind the KVSink seam: one PATCH per
     * adaptive batch, body `{key: value, ...}` with values embedded as

@@ -112,7 +112,9 @@ final class FirebaseStub(maxPayloadBytes: Int = Int.MaxValue,
           }
         }
         patch.fields().asScala.foreach { e =>
-          target.set[JsonNode](e.getKey, e.getValue.deepCopy[JsonNode]())
+          // Firebase update semantics: a null value DELETES the key
+          if (e.getValue.isNull) target.remove(e.getKey)
+          else target.set[JsonNode](e.getKey, e.getValue.deepCopy[JsonNode]())
         }
         respond(ex, 200, mapper.writeValueAsString(patch))
         return
