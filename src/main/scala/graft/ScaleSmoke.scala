@@ -29,7 +29,8 @@ object ScaleSmoke {
     * this ladder is the measurement behind those arguments. */
   private val LlmQueries = Seq(
     "q_ngram_jaccard", "q_dedup_groups", "q_dedup_minhash",
-    "q_ann_lsh", "q_ann_ivf", "q_tfidf")
+    "q_ann_lsh", "q_ann_ivf", "q_tfidf", "q_decontaminate",
+    "q_text_repetition")
 
   /** Event/sessionization family: user ids shift per replica, so
     * per-user session structure is identical while the partition key

@@ -337,6 +337,53 @@ object Dedup {
   val queries: Seq[GraftQuery] = Seq(
 
     GraftQuery(
+      "q_decontaminate",
+      "Train/eval decontamination — the cross-corpus dedup an LLM " +
+        "pipeline runs before training: find training documents sharing " +
+        ">= 3 distinct 3-grams with any eval-set document (eval = " +
+        "doc_id % 41 == 0 here; a fixed benchmark suite in production). " +
+        "Per-doc ngrams dedup with array_distinct INSIDE the row (no " +
+        "shuffle), and the eval side — fixed-size while the train corpus " +
+        "grows without bound — broadcasts, so the 100 TB train side is " +
+        "scanned once and never shuffled. The distinct-3-gram count is " +
+        "the standard n-gram-overlap contamination signal.",
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val grams3 = when(size(toks) >= 3,
+          transform(sequence(lit(1), size(toks) - 2),
+            i => concat_ws(" ", element_at(toks, i),
+              element_at(toks, i + 1), element_at(toks, i + 2))))
+          .otherwise(array().cast("array<string>"))
+        val ng = Tables.spread(Tables.documents(s, d))
+          .select(col("doc_id"), explode(array_distinct(grams3)).as("g"))
+        val train = ng.filter(col("doc_id") % 41 =!= 0)
+          .withColumnRenamed("doc_id", "train_id")
+        val ev = ng.filter(col("doc_id") % 41 === 0)
+          .withColumnRenamed("doc_id", "eval_id")
+        train.join(broadcast(ev), "g")
+          .groupBy("train_id", "eval_id")
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 3)
+          .orderBy("train_id", "eval_id")
+      },
+      Some("""
+        |WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+        |ng AS (
+        |  SELECT DISTINCT doc_id, unnest(
+        |    CASE WHEN len(t) >= 3 THEN
+        |      list_transform(generate_series(1, len(t)-2),
+        |                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |    ELSE [] END) AS g
+        |  FROM toks),
+        |tr AS (SELECT doc_id AS train_id, g FROM ng WHERE doc_id % 41 <> 0),
+        |ev AS (SELECT doc_id AS eval_id, g FROM ng WHERE doc_id % 41 = 0)
+        |SELECT train_id, eval_id, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM tr JOIN ev USING (g)
+        |GROUP BY train_id, eval_id HAVING count(*) >= 3
+        |ORDER BY train_id, eval_id
+        |""".stripMargin)),
+
+    GraftQuery(
       "q_dedup_exact",
       "Exact dedup by md5 fingerprint of the lowercased text: one " +
         "hash-groupBy on a 32-char key; keeper = min doc_id per group.",

@@ -40,6 +40,50 @@ object TextAnalysis {
   val queries: Seq[GraftQuery] = Seq(
 
     GraftQuery(
+      "q_text_repetition",
+      "Within-document repetition signals (the Gopher/C4-style " +
+        "boilerplate filters): 2-gram duplicate ratio and top-2-gram " +
+        "fraction per document. explode -> two-level aggregate; partial " +
+        "(map-side) aggregation absorbs most of the 2-gram volume before " +
+        "the (doc_id, gram) shuffle, and the second aggregate is keyed " +
+        "by doc_id alone — both scale with the corpus, never pairwise.",
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val grams2 = when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - 1),
+            i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+          .otherwise(array().cast("array<string>"))
+        Tables.spread(Tables.documents(s, d))
+          .select(col("doc_id"), explode(grams2).as("ng"))
+          .groupBy("doc_id", "ng").agg(count(lit(1)).as("cnt"))
+          .groupBy("doc_id").agg(
+            sum("cnt").cast("bigint").as("n_2grams"),
+            count(lit(1)).cast("bigint").as("n_distinct_2grams"),
+            round(lit(1.0) - count(lit(1)).cast("double") / sum("cnt"), 6)
+              .as("dup_ratio"),
+            max("cnt").cast("bigint").as("max_rep"),
+            round(max("cnt").cast("double") / sum("cnt"), 6).as("top_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        |WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(t) >= 2 THEN
+        |      list_transform(generate_series(1, len(t)-1),
+        |                     i -> t[i] || ' ' || t[i+1])
+        |    ELSE [] END) AS ng
+        |  FROM toks),
+        |c AS (SELECT doc_id, ng, count(*) AS cnt FROM g GROUP BY doc_id, ng)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_2grams,
+        |  CAST(count(*) AS BIGINT) AS n_distinct_2grams,
+        |  round(1.0 - CAST(count(*) AS DOUBLE) / sum(cnt), 6) AS dup_ratio,
+        |  CAST(max(cnt) AS BIGINT) AS max_rep,
+        |  round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top_frac
+        |FROM c GROUP BY doc_id ORDER BY doc_id
+        |""".stripMargin)),
+
+    GraftQuery(
       "q_text_stats",
       "Per-document token statistics: counts, distinct counts, mean token " +
         "length, stopword ratio — one scan, no shuffle but the output sort.",

@@ -37,6 +37,41 @@ class BucketingSpec extends SparkSuite {
     }
   }
 
+  test("diff over bucketed snapshot tables drops the digest exchanges") {
+    import graft.pipeline.Export
+    val sp = spark; import sp.implicits._
+    val prev = (1 to 500).map(i => (s"/p${i % 9}", s"k$i", i.toString))
+      .toDF("path", "key", "value_json")
+    val cur = (1 to 500).map(i =>
+        (s"/p${i % 9}", s"k$i", if (i % 11 == 0) s"${i}x" else i.toString))
+      .toDF("path", "key", "value_json")
+    Bucketed.writeBackupTable(prev, "snap_prev")
+    Bucketed.writeBackupTable(cur, "snap_cur")
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+        "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).size
+      val plain = Export.diffBackups(prev, cur)
+      val bucketed = Export.diffBackups(
+        spark.table("snap_prev"), spark.table("snap_cur"))
+      // same answer either way...
+      val a = plain.collect().map(_.toString).sorted
+      val b = bucketed.collect().map(_.toString).sorted
+      assert(a.sameElements(b))
+      assert(a.count(_.contains("changed")) == 500 / 11)
+      // ...but the bucketed layout pre-pays the (path,key) shuffle at
+      // write time: the recurring diff plans strictly fewer exchanges
+      assert(exchanges(bucketed) < exchanges(plain),
+        s"bucketed diff did not drop exchanges: " +
+          s"${exchanges(bucketed)} vs ${exchanges(plain)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.sql("DROP TABLE IF EXISTS snap_prev")
+      spark.sql("DROP TABLE IF EXISTS snap_cur")
+    }
+  }
+
   test("page-union invariance: any range partitioning unions to the same set") {
     val rows = spark.read.parquet(s"$sf/lineitem.parquet")
       .select("l_orderkey", "l_linenumber", "l_quantity")

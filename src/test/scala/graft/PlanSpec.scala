@@ -84,6 +84,18 @@ class PlanSpec extends SparkSuite {
       "q_window_ntile lost its broadcast bucket-stats join")
   }
 
+  test("decontamination broadcasts the eval side, never shuffles train") {
+    // the eval/benchmark set is fixed-size while the train corpus grows
+    // without bound: the gram join must be a broadcast of eval (the
+    // train side is scanned once) — a sort-merge join here would
+    // shuffle the 100 TB side on a string key
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      "q_decontaminate lost its eval-side broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "q_decontaminate shuffles the train side")
+  }
+
   test("LSH bucketing is map-only: no aggregate before the bucket explode") {
     // the bucket computation must stay a projection (plane literals +
     // posexplode) — the retired shape aggregated sign bits with
