@@ -104,6 +104,13 @@ object Bench {
     val total = results.flatMap(_._2).sum
     val totalMed = medians.flatMap(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMed,"queries":$qs,"queries_median":$qsMed,"errors":$errs,"sf":"$sfDir"}""")
+    // The driver records only the LAST 2000 chars of stdout; the full
+    // line above leads with the totals, so truncation eats them (and
+    // the q_agg_*/q_ann_* head of the per-query map) every round. A
+    // second, compact line printed LAST always survives the tail
+    // capture, so the record stays self-describing.
+    val nErr = results.count(_._2.isEmpty)
+    println(f"""{"metric":"summary","n_queries":${results.size},"total":$total%.3f,"total_median":$totalMed%.3f,"n_errors":$nErr,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -150,6 +150,15 @@ object ScaleSmoke {
       new java.io.File(s"$work/lineitem.parquet").exists()
     if (!reuse) replicate(spark, src, work, k)
 
+    // SPARK_GRAFT_SMOKE_REPLICATE_ONLY=1 stops after writing the k×
+    // corpus: the 32× correctness spot-gate (tools/scale_gate.sh)
+    // feeds it to Verify + tools/check_oracles.py, so results — not
+    // just times — are checked against DuckDB at replicated scale.
+    if (sys.env.get("SPARK_GRAFT_SMOKE_REPLICATE_ONLY").contains("1")) {
+      spark.stop()
+      return
+    }
+
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.queryExecution.toRdd.foreach(_ => ())
     def time(name: String, dir: String): Double = {

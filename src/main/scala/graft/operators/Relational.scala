@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{GraftQuery, Tables}
 import graft.GraftQuery.{decAvg, decSum}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -470,71 +471,35 @@ object Relational {
 
     GraftQuery(
       "q_window_ntile",
-      "ntile(4) spend quartiles + lead over per-customer totals. A " +
-        "bare Window.orderBy would funnel every customer through ONE " +
-        "sort task at any scale, so the global window is decomposed " +
-        "(the q_window_rank treatment generalized to an unbounded " +
-        "order-value domain): range-repartition on the total order " +
-        "(spend desc, custkey) makes partition id a coarse ordered " +
-        "bucket; a broadcast of the tiny per-bucket frame (count, " +
-        "cumulative offset, next bucket's first spend) turns global " +
-        "position into offset + within-bucket row_number, ntile into " +
-        "arithmetic on that position, and the cross-boundary lead into " +
-        "a coalesce with the next bucket's first row. Parallelism is " +
-        "|buckets| (~2x cores at any scale), never 1; the oracle's " +
-        "true window ntile/lead proves equivalence.",
+      "ntile(4) spend quartiles + lead over per-customer totals, " +
+        "size-gated (the Dedup connected-components pattern): at or " +
+        "below NtilePlainMaxRows customers a plain global window sorts " +
+        "the aggregate-sized frame in one task — cheap and exchange-" +
+        "free; above it the bucket decomposition engages (range-" +
+        "repartition on the total order, broadcast per-bucket offsets, " +
+        "ntile as position arithmetic, cross-boundary lead from the " +
+        "next bucket's first row) so parallelism is |buckets|, never " +
+        "1, at any scale. PlanSpec pins the large branch's no-global-" +
+        "window shape directly; the oracle's true window ntile/lead " +
+        "proves both branches equivalent.",
       (s, d) => {
-        val nb = math.max(2, s.sparkContext.defaultParallelism)
-        val agg = Tables.orders(s, d)
-          .groupBy("o_custkey")
-          .agg(decSum(col("o_totalprice"), 12, 2).as("spend"))
-          // explicit numPartitions so AQE never coalesces the range
-          // exchange; (spend, custkey) is a total order, so bucket
-          // boundaries never split a tie and exactness is independent
-          // of where the sampled boundaries land
-          .repartitionByRange(nb, desc("spend"), asc("o_custkey"))
-          .withColumn("bucket", spark_partition_id())
-          // bucket id comes from SAMPLED range boundaries (seeded by
-          // rdd id), so the frame must be evaluated exactly once: the
-          // stats subplan and the main join below both reference it,
-          // and recomputation under a different sample would misalign
-          // offsets. localCheckpoint (the Dedup.materialized pattern)
-          // pins one evaluation in executor storage — the frame is one
-          // row per customer, already aggregate-sized.
-          .localCheckpoint()
-        // tiny per-bucket frame: one row per non-empty bucket. The
-        // single-partition windows below run over <=nb rows — that is
-        // the point of the decomposition (sort nb rows, not the corpus).
-        val wB = Window.orderBy("bucket")
-        val buckets = agg.groupBy("bucket")
-          .agg(count(lit(1)).as("n_b"), max(col("spend")).as("first_spend"))
-          .select(col("bucket"),
-            coalesce(sum(col("n_b")).over(
-              wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
-              .as("offset"),
-            sum(col("n_b")).over(
-              wB.rowsBetween(Window.unboundedPreceding,
-                Window.unboundedFollowing)).as("n_total"),
-            // next NON-EMPTY bucket's first row in order (its max
-            // spend with the min-custkey tiebreak — only the spend is
-            // needed): fills the last-row-of-bucket lead
-            lead(col("first_spend"), 1).over(wB).as("nb_spend"))
-        val wIn = Window.partitionBy("bucket")
-          .orderBy(desc("spend"), asc("o_custkey"))
-        agg.join(broadcast(buckets), "bucket")
-          .withColumn("lrn", row_number().over(wIn))
-          .withColumn("rn", col("offset") + col("lrn"))
-          .withColumn("quartile", expr(
-            "CASE WHEN rn <= (n_total DIV 4 + 1) * (n_total % 4) " +
-              "THEN (rn - 1) DIV (n_total DIV 4 + 1) + 1 " +
-              "ELSE (n_total % 4) + " +
-              "(rn - 1 - (n_total DIV 4 + 1) * (n_total % 4)) " +
-              "DIV (n_total DIV 4) + 1 END").cast("int"))
-          .withColumn("next_spend",
-            coalesce(lead(col("spend"), 1).over(wIn), col("nb_spend")))
-          .select(col("o_custkey"), col("spend"), col("quartile"),
-            col("next_spend"))
-          .orderBy("o_custkey")
+        val agg = ntileAgg(s, d)
+        // the gate counts the PRE-aggregation table — an empty-schema
+        // parquet scan (row counts come from footers, no column reads)
+        // and a conservative upper bound on |customers| — so the small
+        // branch pays ~nothing for the gate and keeps exactly the
+        // plain plan (no checkpoint, no extra job over the aggregate)
+        if (Tables.orders(s, d).count() <= NtilePlainMaxRows) {
+          // small branch: the frame is one row per customer and fits a
+          // single sort task comfortably — a true window is the best
+          // plan HERE (no range exchange, no stats join); the count
+          // gate, not the plan, is what keeps this off the 100 TB path
+          val w = Window.orderBy(desc("spend"), asc("o_custkey"))
+          agg.select(col("o_custkey"), col("spend"),
+            ntile(4).over(w).as("quartile"),
+            lead(col("spend"), 1).over(w).as("next_spend"))
+            .orderBy("o_custkey")
+        } else ntileDecomposed(s, agg)
       },
       Some("SELECT o_custkey, spend, " +
         "ntile(4) OVER w AS quartile, lead(spend, 1) OVER w AS next_spend " +
@@ -551,6 +516,13 @@ object Relational {
         "values rounded 8 dp (both engines compute the same rational " +
         "numbers; rounding guards float formatting).",
       (s, d) => {
+        // Window.orderBy with no partitionBy is INTENTIONAL (the
+        // "No Partition Defined for Window" WARN is expected): the
+        // frame is the per-customer AGGREGATE, not the corpus, and
+        // percent_rank/cume_dist depend on global position. Past the
+        // single-task comfort zone this takes the q_window_ntile
+        // bucket decomposition (rn and n_total are exactly what
+        // ntileDecomposed's broadcast offsets provide).
         val w = Window.orderBy(desc("spend"), asc("o_custkey"))
         Tables.orders(s, d)
           .groupBy("o_custkey")
@@ -773,4 +745,95 @@ object Relational {
         .orderBy("l_returnflag"),
       None)
   )
+
+  /** Customers-with-spend frame for q_window_ntile; referenced exactly
+    * once by either branch (the decomposition's double-reference
+    * problem starts at its range exchange, which it checkpoints
+    * itself), so no materialization is needed here.
+    */
+  private[graft] def ntileAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(decSum(col("o_totalprice"), 12, 2).as("spend"))
+
+  /** Plain-window ceiling for q_window_ntile, compared against the
+    * pre-aggregation row count (an upper bound on |customers|): at or
+    * below this the aggregate sorts in one task (a few hundred MB at
+    * ~50 B/row — comfortably single-task); above it the bucket
+    * decomposition bounds the largest sort at n/|buckets|. A size
+    * gate like [[Dedup.LocalCcMaxEdges]], so small corpora keep the
+    * cheap plan and the 100 TB path never sees a global window.
+    * SPARK_GRAFT_NTILE_PLAIN_MAX overrides (tools/scale_gate.sh lowers
+    * it so the decomposition branch is the one hash-checked against
+    * DuckDB on the replicated corpus).
+    */
+  private[graft] def NtilePlainMaxRows: Long =
+    sys.env.get("SPARK_GRAFT_NTILE_PLAIN_MAX")
+      .map(_.toLong).getOrElse(5000000L)
+
+  /** The scale branch of q_window_ntile (the q_window_rank treatment
+    * generalized to an unbounded order-value domain): range-repartition
+    * on the total order (spend desc, custkey) makes partition id a
+    * coarse ordered bucket; a broadcast of the tiny per-bucket frame
+    * (count, cumulative offset, next bucket's first spend) turns global
+    * position into offset + within-bucket row_number, ntile into
+    * arithmetic on that position, and the cross-boundary lead into a
+    * coalesce with the next bucket's first row. Parallelism is
+    * |buckets| (~2x cores), never 1.
+    */
+  private[graft] def ntileDecomposed(s: SparkSession,
+                                     agg0: DataFrame): DataFrame = {
+    val nb = math.max(2, s.sparkContext.defaultParallelism)
+    // explicit numPartitions so AQE never coalesces the range
+    // exchange; (spend, custkey) is a total order, so bucket
+    // boundaries never split a tie and exactness is independent
+    // of where the sampled boundaries land
+    val agg = agg0
+      .repartitionByRange(nb, desc("spend"), asc("o_custkey"))
+      .withColumn("bucket", spark_partition_id())
+      // bucket id comes from SAMPLED range boundaries (seeded by
+      // rdd id), so the frame must be evaluated exactly once: the
+      // stats subplan and the main join below both reference it,
+      // and recomputation under a different sample would misalign
+      // offsets. localCheckpoint (the Dedup.materialized pattern)
+      // pins one evaluation in executor storage — the frame is one
+      // row per customer, already aggregate-sized.
+      .localCheckpoint()
+    // tiny per-bucket frame: one row per non-empty bucket. The
+    // single-partition windows below run over <=nb rows — that is
+    // the point of the decomposition (sort nb rows, not the corpus).
+    // Window.orderBy with no partitionBy is INTENTIONAL here (Spark's
+    // "No Partition Defined for Window" WARN is about corpus-sized
+    // frames; this one is bounded by |buckets|).
+    val wB = Window.orderBy("bucket")
+    val buckets = agg.groupBy("bucket")
+      .agg(count(lit(1)).as("n_b"), max(col("spend")).as("first_spend"))
+      .select(col("bucket"),
+        coalesce(sum(col("n_b")).over(
+          wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .as("offset"),
+        sum(col("n_b")).over(
+          wB.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)).as("n_total"),
+        // next NON-EMPTY bucket's first row in order (its max
+        // spend with the min-custkey tiebreak — only the spend is
+        // needed): fills the last-row-of-bucket lead
+        lead(col("first_spend"), 1).over(wB).as("nb_spend"))
+    val wIn = Window.partitionBy("bucket")
+      .orderBy(desc("spend"), asc("o_custkey"))
+    agg.join(broadcast(buckets), "bucket")
+      .withColumn("lrn", row_number().over(wIn))
+      .withColumn("rn", col("offset") + col("lrn"))
+      .withColumn("quartile", expr(
+        "CASE WHEN rn <= (n_total DIV 4 + 1) * (n_total % 4) " +
+          "THEN (rn - 1) DIV (n_total DIV 4 + 1) + 1 " +
+          "ELSE (n_total % 4) + " +
+          "(rn - 1 - (n_total DIV 4 + 1) * (n_total % 4)) " +
+          "DIV (n_total DIV 4) + 1 END").cast("int"))
+      .withColumn("next_spend",
+        coalesce(lead(col("spend"), 1).over(wIn), col("nb_spend")))
+      .select(col("o_custkey"), col("spend"), col("quartile"),
+        col("next_spend"))
+      .orderBy("o_custkey")
+  }
 }

@@ -66,22 +66,30 @@ class PlanSpec extends SparkSuite {
       "q_window_rank lost its rank-the-aggregate broadcast shape")
   }
 
-  test("ntile assignment is bucket arithmetic, not a global window") {
-    // q_window_ntile: a Window.orderBy with no partitionBy funnels
-    // every customer through ONE sort task; the decomposed form range-
-    // partitions the total order and turns ntile/lead into arithmetic
-    // over a broadcast per-bucket frame. The corpus-side plan must
-    // carry no ntile window function (the only remaining windows run
-    // over the <=|buckets| stats frame and the bucket-partitioned
-    // row_number/lead).
+  test("ntile large branch is bucket arithmetic, not a global window") {
+    // q_window_ntile is size-gated: at test scale the query entry takes
+    // the plain-window branch (the whole aggregate fits one sort task),
+    // so the 100 TB branch is pinned directly. A Window.orderBy with no
+    // partitionBy funnels every customer through ONE sort task; the
+    // decomposed form range-partitions the total order and turns
+    // ntile/lead into arithmetic over a broadcast per-bucket frame.
+    // The corpus-side plan must carry no ntile window function (the
+    // only remaining windows run over the <=|buckets| stats frame and
+    // the bucket-partitioned row_number/lead).
     // (the range exchange itself sits behind the checkpoint barrier —
     // a LogicalRDD scan in this plan — so the pinnable signatures are
     // the absent ntile window and the broadcast stats join)
-    val p = plan("q_window_ntile")
+    import graft.operators.Relational
+    val p = Relational.ntileDecomposed(spark, Relational.ntileAgg(spark, sf))
+      .queryExecution.explainString(FormattedMode)
     assert(!p.contains("ntile("),
-      "q_window_ntile regressed to a true global ntile window")
+      "q_window_ntile large branch regressed to a true global ntile window")
     assert(p.contains("BroadcastHashJoin"),
-      "q_window_ntile lost its broadcast bucket-stats join")
+      "q_window_ntile large branch lost its broadcast bucket-stats join")
+    // the gated entry at test scale must be the PLAIN window (the gate
+    // exists to recover the small-corpus cost of the decomposition)
+    assert(plan("q_window_ntile").contains("ntile("),
+      "q_window_ntile small branch no longer a plain window below the gate")
   }
 
   test("decontamination broadcasts the eval side, never shuffles train") {

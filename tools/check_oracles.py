@@ -8,7 +8,7 @@ wrote, so oracle-SQL dialect bugs are caught before the driver runs.
 
 Usage: python3 tools/check_oracles.py <sfDir> <verifyOutDir>
 """
-import json, sys, math
+import json, os, sys, math
 import duckdb
 
 def canon(rows, colnames):
@@ -34,7 +34,11 @@ def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # testdata tables are single files; ScaleSmoke-replicated tables
+        # are directories of part files (the scale_gate path) -> glob
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name, sql in sorted(oracles.items()):

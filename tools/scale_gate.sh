@@ -1,0 +1,39 @@
+#!/usr/bin/env bash
+# 32x correctness spot-gate.
+#
+# Correctness is normally gated only at sf0.01 (driver + check_oracles);
+# the scale ladder (ScaleSmoke) only times queries. A scale bug that
+# changes RESULTS — a boundary misalignment after a range repartition, a
+# size-gate branch that diverges, an overflow past int range — would
+# slip both. This script replays a cheap oracled subset against DuckDB
+# on the ScaleSmoke-replicated corpus, so the k-times path is
+# hash-checked, not just timed.
+#
+# Usage: tools/scale_gate.sh [k] [srcDir] [workDir] [outDir]
+#   k       replication factor            (default 32)
+#   srcDir  base corpus                   (default /root/testdata/sf0.01;
+#           pass sf0.1 for a heavier gate — the python row compare on
+#           q_filter_range is the cost driver)
+#   SCALE_GATE_QUERIES overrides the query subset (comma-separated).
+set -euo pipefail
+K="${1:-32}"
+SRC="${2:-/root/testdata/sf0.01}"
+WORK="${3:-/tmp/graft_scale_gate}"
+OUT="${4:-/tmp/graft_scale_gate_out}"
+# subset rationale: q_agg_basic (grouped agg), q_agg_distinct (distinct
+# agg), q_filter_range (pushed-filter scan, row-level output),
+# q_topk (TakeOrderedAndProject), q_string_agg (ordered collect per
+# group — 32x heavier groups), q_window_ntile (the size-gated
+# decomposition: above the gate both branch selection and bucket
+# arithmetic are exercised at replicated scale)
+QUERIES="${SCALE_GATE_QUERIES:-q_agg_basic,q_agg_distinct,q_filter_range,q_topk,q_string_agg,q_window_ntile}"
+cd "$(dirname "$0")/.."
+SPARK_GRAFT_SMOKE_REPLICATE_ONLY=1 sbt -batch "runMain graft.ScaleSmoke $K $SRC $WORK"
+rm -rf "$OUT"
+# NTILE_PLAIN_MAX lowered so q_window_ntile takes its DECOMPOSITION
+# branch here (the replicated corpus is still under the production 5M
+# gate) — the branch that only ever runs at scale is exactly the one
+# that must be hash-checked at scale
+SPARK_GRAFT_NTILE_PLAIN_MAX=1 SPARK_GRAFT_ONLY="$QUERIES" \
+  sbt -batch "runMain graft.Verify $WORK $OUT"
+python3 tools/check_oracles.py "$WORK" "$OUT"
