@@ -61,7 +61,15 @@ object GraftFunctions {
       "lsh_bucket_ids(vec, tables, bits) - per-table hyperplane LSH buckets"),
       es0 => { val es = arity(es0, 3, "lsh_bucket_ids(vec, tables, bits)")
         LshBucketIds(es.head, intLit(es(1), "tables"),
-          intLit(es(2), "bits")) })
+          intLit(es(2), "bits")) }),
+    ("nearest_centroid", info("nearest_centroid",
+      "nearest_centroid(vec, cids, cents_flat, norms) - id of the " +
+        "centroid maximizing dot(vec, c)/|c|, ties to the smallest id"),
+      es0 => { val es = arity(es0, 4,
+        "nearest_centroid(vec, cids, cents_flat, norms)")
+        NearestCentroid(es.head, longArrayLit(es(1), "cids"),
+          doubleArrayLit(es(2), "cents_flat"),
+          doubleArrayLit(es(3), "norms")) })
   )
 
   private def intLit(e: Expression, name: String): Int = e match {
@@ -69,6 +77,31 @@ object GraftFunctions {
     case _ => throw new IllegalArgumentException(
       s"lsh_bucket_ids: $name must be an integer literal")
   }
+
+  // literal arrays extracted to PRIMITIVE arrays at BUILD time (the
+  // VectorDot constDoubles rule: GenericArrayData element reads unbox
+  // java.lang.Double per element — per-row per-centroid that's the
+  // difference between register loops and megamorphic calls)
+  private def longArrayLit(e: Expression, name: String): Array[Long] =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(
+          a: ArrayData, ArrayType(LongType, _)) if a != null =>
+        a.toLongArray()
+      case _ => throw new IllegalArgumentException(
+        s"nearest_centroid: $name must be an array<bigint> literal")
+    }
+
+  private def doubleArrayLit(e: Expression, name: String): Array[Double] =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(
+          a: ArrayData, ArrayType(DoubleType, _)) if a != null =>
+        a.toDoubleArray()
+      case org.apache.spark.sql.catalyst.expressions.Literal(
+          a: ArrayData, ArrayType(FloatType, _)) if a != null =>
+        a.toFloatArray().map(_.toDouble)
+      case _ => throw new IllegalArgumentException(
+        s"nearest_centroid: $name must be an array<double> literal")
+    }
 
   /** Idempotent per-session registration (temp functions). */
   def register(spark: SparkSession): Unit =
@@ -285,6 +318,83 @@ case class LshBucketIds(child: Expression, tables: Int, bits: Int)
   }
 
   override protected def withNewChildInternal(c: Expression): LshBucketIds =
+    copy(child = c)
+}
+
+/** Nearest-centroid id for a vector: argmax over the baked-in centroid
+  * matrix of dot(v, c)/|c| (a per-row monotone transform of cosine —
+  * the vector's own norm scales every candidate equally, so it is not
+  * computed), ties to the smallest centroid id. ONE interpreted
+  * dispatch per ROW with primitive double loops over all nlist x dim
+  * multiply-adds inside (the LshBucketIds/MinHashSig pattern).
+  *
+  * Exists because the relational formulation of IVF cell assignment —
+  * crossJoin against broadcast centroids, then a max_by aggregate —
+  * materializes n x nlist rows EACH carrying two vector copies through
+  * the join and a partial-aggregate pipeline: the 128x ScaleSmoke
+  * measured q_ann_ivf at 15.65x for 128x data (256k vectors x 506
+  * centroids = 130M wide intermediate rows), where the same FLOPs as a
+  * fused in-register loop are sub-second. Assignment compares
+  * UNROUNDED scores (the old form rounded cosines to 6 dp first, which
+  * only quantized near-ties; both forms break remaining ties on cid).
+  *
+  * Centroids arrive as array literals extracted to primitive arrays at
+  * BUILD time ([[GraftFunctions]] builder). Scale: nlist tracks
+  * sqrt(n), so at n = 1e10 (100 TB of vectors) the matrix is
+  * 1e5 x 64 doubles = 51 MB — task-closure scale; a cluster deployment
+  * would hand the same expression a Broadcast handle instead of plan
+  * literals. */
+case class NearestCentroid(child: Expression, cids: Array[Long],
+                           centsFlat: Array[Double], norms: Array[Double])
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      if (cids.nonEmpty && norms.length == cids.length &&
+          centsFlat.length % cids.length == 0)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"nearest_centroid: inconsistent centroid shapes (|cids|=" +
+          s"${cids.length}, |cents_flat|=${centsFlat.length}, " +
+          s"|norms|=${norms.length})")
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroid expects array<float|double>, got " +
+        child.dataType.simpleString)
+  }
+
+  override def dataType: DataType = LongType
+
+  private def elemFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  private val dim =
+    if (cids.isEmpty) 0 else centsFlat.length / cids.length
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val m = math.min(arr.numElements(), dim)
+    val v = new Array[Double](m)
+    var j = 0
+    if (elemFloat) while (j < m) { v(j) = arr.getFloat(j).toDouble; j += 1 }
+    else while (j < m) { v(j) = arr.getDouble(j); j += 1 }
+    var best = Double.NegativeInfinity
+    var bestCid = Long.MaxValue
+    var c = 0
+    while (c < cids.length) {
+      val off = c * dim
+      var dot = 0.0
+      var i = 0
+      while (i < m) { dot += v(i) * centsFlat(off + i); i += 1 }
+      val s = dot / norms(c)
+      if (s > best || (s == best && cids(c) < bestCid)) {
+        best = s; bestCid = cids(c)
+      }
+      c += 1
+    }
+    bestCid
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCentroid =
     copy(child = c)
 }
 

@@ -240,7 +240,8 @@ object Similarity {
     GraftQuery(
       "q_ann_ivf",
       "IVF ANN: deterministic ~sqrt(n) centroid sample, nearest-" +
-        "centroid cell assignment (broadcast centroids, one scan), " +
+        "centroid cell assignment (one map-only scan; the whole argmax " +
+        "loop is a single native expression per row — NearestCentroid), " +
         "probes search nprobe≈nlist/10 cells (floor 4). Oracle-exempt; " +
         "recall in SimilaritySpec.",
       (s, d) => {
@@ -261,29 +262,41 @@ object Similarity {
         val nprobe = math.max(4, math.ceil(n / (10.0 * mod)).toInt)
         // the centroid frame is ~sqrt(n) rows read out of a full
         // corpus scan (modulo filters cannot range-prune); it feeds
-        // TWO crossJoins, so materialize it once (same rationale as
-        // q_ann_lsh's probe checkpoint)
+        // the probe crossJoin AND the driver collect below, so
+        // materialize it once (same rationale as q_ann_lsh's probe
+        // checkpoint)
         val centroids = emb.filter(col("vec_id") % mod === 0)
           .select(col("vec_id").as("cid"), col("embedding").as("ke"),
             norm(col("embedding")).as("kn"))
           .localCheckpoint()
-        val centroidScore =
-          round(dot(col("ce"), col("ke")) / (col("cn") * col("kn")), 6)
-        // cell assignment: argmax cosine over centroids, tie-break asc
-        // cid — max_by on the (ccos, -cid) struct, NOT a window: the
-        // aggregate partial-combines map-side, so the exchange carries
-        // one row per vector instead of corpus x |centroids| rows
-        // sorted per partition. ce/cn are constant within a vec_id
-        // group, so any_value is exact.
-        val assigned = scorable(emb).crossJoin(broadcast(centroids))
-          .select(col("vec_id"), col("ce"), col("cn"), col("cid"),
-            centroidScore.as("ccos"))
-          .groupBy("vec_id")
-          .agg(
-            max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc")))
-              .as("cid"),
-            any_value(col("ce")).as("ce"), any_value(col("cn")).as("cn"))
-          .select(col("vec_id"), col("ce"), col("cn"), col("cid"))
+        // cell assignment: ONE native expression per row doing the
+        // whole argmax loop over the centroid matrix (the LshBucketIds
+        // pattern — see NearestCentroid's scaladoc). The relational
+        // form (crossJoin + max_by, partial-combining map-side) still
+        // materialized n x nlist wide rows through the join: with
+        // nlist ~ sqrt(n) that intermediate is O(n^1.5) ROWS, and the
+        // 128x ScaleSmoke measured it at 15.65x for 128x data. The
+        // FLOP count is unchanged (flat IVF assignment is n x nlist
+        // dots by definition — FAISS does the same as a matmul); what
+        // the fused loop removes is the per-pair row machinery. The
+        // sqrt-sized centroid collect is driver-safe by the CC gate
+        // argument: 1e5 x 64 doubles = 51 MB at n = 1e10.
+        val crows = centroids.select(col("cid"), col("ke"), col("kn"))
+          .collect().sortBy(_.getLong(0))
+        val cdim = if (crows.isEmpty) 0 else crows.head.getSeq[Float](1).size
+        val cidsArr = crows.map(_.getLong(0))
+        val centsFlat = new Array[Double](crows.length * cdim)
+        var ci = 0
+        while (ci < crows.length) {
+          val e = crows(ci).getSeq[Float](1)
+          var i = 0
+          while (i < cdim) { centsFlat(ci * cdim + i) = e(i).toDouble; i += 1 }
+          ci += 1
+        }
+        val knArr = crows.map(_.getDouble(2))
+        val assigned = scorable(emb)
+          .withColumn("cid", call_function("nearest_centroid",
+            col("ce"), lit(cidsArr), lit(centsFlat), lit(knArr)))
         // probe cells: top-nprobe centroids per probe
         val wProbe = Window.partitionBy("qid").orderBy(desc("ccos"), asc("cid"))
         val probeCells = probes(s, d).crossJoin(broadcast(centroids))

@@ -369,6 +369,148 @@ object TextAnalysis {
         "AS n_capitalized, " +
         "coalesce(regexp_extract(text, '([a-z]{6,})', 1), '') " +
         "AS first_long_word " +
-        "FROM documents ORDER BY doc_id"))
+        "FROM documents ORDER BY doc_id")),
+
+    GraftQuery(
+      "q_pii_redact",
+      "PII scrubbing (emails, phone numbers, IPv4s → typed tokens) " +
+        "with per-class match counts — the privacy pass of a corpus " +
+        "pipeline. The synthetic corpus carries no PII, so a " +
+        "deterministic doc_id-derived footer is appended FIRST (the " +
+        "oracle injects the identical footer) and the redaction " +
+        "regexes do real work on varying per-doc mixes; patterns stay " +
+        "in the RE2 ∩ Java common dialect. Map-only until the " +
+        "presentation sort.",
+      (s, d) => {
+        val did = col("doc_id")
+        val aug = concat(
+          col("text"),
+          when(did % 3 === 0, concat(lit(" mail user"),
+            did.cast("string"), lit("@example.org"))).otherwise(""),
+          when(did % 4 === 0, concat(lit(" call +1-202-555-"),
+            (lit(1000) + did % 9000).cast("string"))).otherwise(""),
+          when(did % 5 === 0, concat(lit(" host 10."),
+            (did % 256).cast("string"), lit(".0."),
+            (did % 100).cast("string"))).otherwise(""))
+        // email first (only pattern with '@'), then phone (no dots),
+        // then IP (dots, no '+') — the classes can't consume each
+        // other's spans in this order
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phoneRe = "\\+[0-9][0-9-]{7,}[0-9]"
+        val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+        Tables.documents(s, d)
+          .select(col("doc_id"), aug.as("aug"))
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("aug"), lit(emailRe), lit(0)))
+              .cast("bigint").as("n_emails"),
+            size(regexp_extract_all(col("aug"), lit(phoneRe), lit(0)))
+              .cast("bigint").as("n_phones"),
+            size(regexp_extract_all(col("aug"), lit(ipRe), lit(0)))
+              .cast("bigint").as("n_ips"),
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(col("aug"), emailRe, "<EMAIL>"),
+                phoneRe, "<PHONE>"),
+              ipRe, "<IP>").as("redacted"))
+          .orderBy("doc_id")
+      },
+      Some("WITH aug AS (SELECT doc_id, text || " +
+        "CASE WHEN doc_id % 3 = 0 THEN ' mail user' || " +
+        "CAST(doc_id AS VARCHAR) || '@example.org' ELSE '' END || " +
+        "CASE WHEN doc_id % 4 = 0 THEN ' call +1-202-555-' || " +
+        "CAST(1000 + doc_id % 9000 AS VARCHAR) ELSE '' END || " +
+        "CASE WHEN doc_id % 5 = 0 THEN ' host 10.' || " +
+        "CAST(doc_id % 256 AS VARCHAR) || '.0.' || " +
+        "CAST(doc_id % 100 AS VARCHAR) ELSE '' END AS aug " +
+        "FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(len(regexp_extract_all(aug, " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) " +
+        "AS n_emails, " +
+        "CAST(len(regexp_extract_all(aug, '\\+[0-9][0-9-]{7,}[0-9]')) " +
+        "AS BIGINT) AS n_phones, " +
+        "CAST(len(regexp_extract_all(aug, " +
+        "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) " +
+        "AS BIGINT) AS n_ips, " +
+        "regexp_replace(regexp_replace(regexp_replace(aug, " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\+[0-9][0-9-]{7,}[0-9]', '<PHONE>', 'g'), " +
+        "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', " +
+        "'<IP>', 'g') AS redacted " +
+        "FROM aug ORDER BY doc_id")),
+
+    GraftQuery(
+      "q_seq_pack",
+      "Concat-and-chunk sequence packing (how pretraining batches are " +
+        "built: concatenate the token stream, cut every B tokens): " +
+        "docs land in NSH independent pack streams (doc_id mod NSH; " +
+        "production hashes), token counts cumsum WITHIN a stream, and " +
+        "each doc gets its context-window bin (cum_before div B) and " +
+        "start offset inside it. Parallelism is |streams| — the " +
+        "training-shard count, thousands at 100 TB — never 1: each " +
+        "stream's window sorts one partition, there is no global " +
+        "order anywhere.",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val nsh = 32
+        val b = 512
+        val w = Window.partitionBy("shard").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            (col("doc_id") % nsh).cast("bigint").as("shard"),
+            size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+          .withColumn("cum_before",
+            coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+          .select(col("doc_id"), col("shard"), col("n_tokens"),
+            expr(s"cum_before DIV $b").as("bin"),
+            (col("cum_before") % b).cast("bigint").as("bin_offset"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, shard, n_tokens, " +
+        "CAST(cum_before // 512 AS BIGINT) AS bin, " +
+        "CAST(cum_before % 512 AS BIGINT) AS bin_offset FROM (" +
+        "SELECT doc_id, CAST(doc_id % 32 AS BIGINT) AS shard, " +
+        "CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+        "COALESCE(SUM(CAST(len(str_split(text, ' ')) AS BIGINT)) " +
+        "OVER (PARTITION BY doc_id % 32 ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
+        "AS cum_before FROM documents) ORDER BY doc_id")),
+
+    GraftQuery(
+      "q_source_mix",
+      "Data-mixing weights per source (temperature resampling, " +
+        "α = 0.7): document/token counts, raw share, temperature-" +
+        "flattened share, and the resulting up/down-sampling boost — " +
+        "the mixture table a pretraining run consumes. One shuffle to " +
+        "|sources| rows; the totals come back via a broadcast of the " +
+        "1-row aggregate, so nothing funnels through a single " +
+        "partition.",
+      (s, d) => {
+        val per = Tables.documents(s, d)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(split(col("text"), " "))).cast("bigint")
+              .as("n_tokens"))
+        val tot = per.agg(sum(col("n_docs")).as("tot_docs"),
+          sum(pow(col("n_docs"), 0.7)).as("tot_w"))
+        per.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            round(col("n_docs") / col("tot_docs"), 6).as("p_raw"),
+            round(pow(col("n_docs"), 0.7) / col("tot_w"), 6).as("p_temp"),
+            round((pow(col("n_docs"), 0.7) / col("tot_w")) /
+              (col("n_docs") / col("tot_docs")), 6).as("boost"))
+          .orderBy("source")
+      },
+      Some("WITH per AS (SELECT source, count(*) AS n_docs, " +
+        "CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS n_tokens " +
+        "FROM documents GROUP BY source), " +
+        "tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tot_docs, " +
+        "SUM(pow(n_docs, 0.7)) AS tot_w FROM per) " +
+        "SELECT source, n_docs, n_tokens, " +
+        "round(n_docs / tot_docs, 6) AS p_raw, " +
+        "round(pow(n_docs, 0.7) / tot_w, 6) AS p_temp, " +
+        "round((pow(n_docs, 0.7) / tot_w) / (n_docs / tot_docs), 6) " +
+        "AS boost FROM per, tot ORDER BY source"))
   )
 }
