@@ -364,6 +364,8 @@ case class NearestCentroid(child: Expression, cids: Array[Long],
 
   override def dataType: DataType = LongType
 
+  override def prettyName: String = "nearest_centroid"
+
   private def elemFloat =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 

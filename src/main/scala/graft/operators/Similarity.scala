@@ -146,6 +146,34 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         norm(col("embedding")).as("qn"))
 
+  /** IVF coarse-quantizer sizing: |centroids| ~ sqrt(n) via a modulo
+    * sample (floor 53 pins test-scale behavior — see q_ann_ivf). */
+  private def centroidMod(n: Long): Long = {
+    val nlistTarget = math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
+    math.max(53L, n / nlistTarget)
+  }
+
+  /** Collected (cid, embedding, norm) centroid rows baked to the
+    * primitive constants [[graft.functions.NearestCentroid]] takes:
+    * (cids, flattened row-major matrix, norms), sorted by cid so the
+    * baked literals — and so the plan — are deterministic. The collect
+    * is driver-safe by the sqrt-sizing argument (51 MB at n = 1e10). */
+  private def centroidConsts(centroids: DataFrame)
+      : (Array[Long], Array[Double], Array[Double]) = {
+    val crows = centroids.collect().sortBy(_.getLong(0))
+    val cdim = if (crows.isEmpty) 0 else crows.head.getSeq[Float](1).size
+    val cids = crows.map(_.getLong(0))
+    val centsFlat = new Array[Double](crows.length * cdim)
+    var c = 0
+    while (c < crows.length) {
+      val e = crows(c).getSeq[Float](1)
+      var i = 0
+      while (i < cdim) { centsFlat(c * cdim + i) = e(i).toDouble; i += 1 }
+      c += 1
+    }
+    (cids, centsFlat, crows.map(_.getDouble(2)))
+  }
+
   val queries: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -257,8 +285,7 @@ object Similarity {
         // multiply. Floors pin today's behavior at the test scale
         // factors (n<=2809 -> mod 53, nprobe 4, unchanged).
         val n = math.max(1L, emb.count())
-        val nlistTarget = math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
-        val mod = math.max(53L, n / nlistTarget)
+        val mod = centroidMod(n)
         val nprobe = math.max(4, math.ceil(n / (10.0 * mod)).toInt)
         // the centroid frame is ~sqrt(n) rows read out of a full
         // corpus scan (modulo filters cannot range-prune); it feeds
@@ -281,19 +308,8 @@ object Similarity {
         // the fused loop removes is the per-pair row machinery. The
         // sqrt-sized centroid collect is driver-safe by the CC gate
         // argument: 1e5 x 64 doubles = 51 MB at n = 1e10.
-        val crows = centroids.select(col("cid"), col("ke"), col("kn"))
-          .collect().sortBy(_.getLong(0))
-        val cdim = if (crows.isEmpty) 0 else crows.head.getSeq[Float](1).size
-        val cidsArr = crows.map(_.getLong(0))
-        val centsFlat = new Array[Double](crows.length * cdim)
-        var ci = 0
-        while (ci < crows.length) {
-          val e = crows(ci).getSeq[Float](1)
-          var i = 0
-          while (i < cdim) { centsFlat(ci * cdim + i) = e(i).toDouble; i += 1 }
-          ci += 1
-        }
-        val knArr = crows.map(_.getDouble(2))
+        val (cidsArr, centsFlat, knArr) =
+          centroidConsts(centroids.select(col("cid"), col("ke"), col("kn")))
         val assigned = scorable(emb)
           .withColumn("cid", call_function("nearest_centroid",
             col("ce"), lit(cidsArr), lit(centsFlat), lit(knArr)))
@@ -316,6 +332,50 @@ object Similarity {
           .orderBy("qid", "rn")
       },
       None),
+
+    GraftQuery(
+      "q_cluster_assign",
+      "One-pass document clustering: every vector gets its nearest " +
+        "centroid from the deterministic ~sqrt(n) modulo sample, plus " +
+        "the cluster's size — the IVF coarse quantizer exposed as its " +
+        "own operator (topic/segment bucketing for mixture control). " +
+        "Assignment is the fused NearestCentroid argmax on a map-only " +
+        "scan; unlike the oracle-exempt q_ann_ivf this IS " +
+        "DuckDB-oracled — the oracle recomputes argmax(dot/|c|) with a " +
+        "window over the same doubles folded in the same order, giving " +
+        "the native expression differential coverage. One shuffle " +
+        "(|centroids| keys) for the size histogram.",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = Tables.embeddings(s, d)
+        val mod = centroidMod(math.max(1L, emb.count()))
+        val (cidsArr, centsFlat, knArr) = centroidConsts(
+          emb.filter(col("vec_id") % mod === 0)
+            .select(col("vec_id").as("cid"), col("embedding").as("ke"),
+              norm(col("embedding")).as("kn")))
+        Tables.spread(emb)
+          .select(col("vec_id"), call_function("nearest_centroid",
+            col("embedding"), lit(cidsArr), lit(centsFlat), lit(knArr))
+            .as("cid"))
+          .withColumn("cluster_size",
+            count(lit(1)).over(Window.partitionBy("cid")).cast("bigint"))
+          .select(col("vec_id"), col("cid"), col("cluster_size"))
+          .orderBy("vec_id")
+      },
+      Some("WITH n AS (SELECT count(*) AS cnt FROM embeddings), " +
+        "m AS (SELECT greatest(53, cnt // CAST(ceil(sqrt(cnt)) AS " +
+        "BIGINT)) AS md FROM n), " +
+        "c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ke, " +
+        "sqrt(list_aggregate(list_transform(CAST(embedding AS " +
+        "DOUBLE[]), x -> x*x), 'sum')) AS kn " +
+        "FROM embeddings, m WHERE vec_id % md = 0), " +
+        "a AS (SELECT vec_id, cid FROM (" +
+        "SELECT e.vec_id, c.cid, row_number() OVER (" +
+        "PARTITION BY e.vec_id ORDER BY " +
+        "list_dot_product(CAST(e.embedding AS DOUBLE[]), c.ke) / c.kn " +
+        "DESC, c.cid) AS rn FROM embeddings e, c) WHERE rn = 1) " +
+        "SELECT vec_id, cid, CAST(count(*) OVER (PARTITION BY cid) " +
+        "AS BIGINT) AS cluster_size FROM a ORDER BY vec_id")),
 
     GraftQuery(
       "q_embed_stats",

@@ -104,6 +104,21 @@ class PlanSpec extends SparkSuite {
       "q_decontaminate shuffles the train side")
   }
 
+  test("IVF cell assignment is a fused map-only expression, not a join") {
+    // the crossJoin+max_by form materialized n x nlist wide rows —
+    // O(n^1.5) with sqrt-sized centroids; 15.65x at the 128x rehearsal.
+    // The assignment must stay ONE native expression on the corpus scan
+    // (the only nested-loop join left is the tiny probe x centroid one,
+    // whose build side is the <=10-row probe frame).
+    for (q <- Seq("q_ann_ivf", "q_cluster_assign")) {
+      val p = plan(q)
+      assert(p.contains("nearest_centroid"),
+        s"$q lost its fused NearestCentroid assignment")
+      assert(!p.contains("max_by"),
+        s"$q regressed to the crossJoin+max_by assignment")
+    }
+  }
+
   test("LSH bucketing is map-only: no aggregate before the bucket explode") {
     // the bucket computation must stay a projection (plane literals +
     // posexplode) — the retired shape aggregated sign bits with
