@@ -514,23 +514,23 @@ object Relational {
         "distribution half of the ranking family (q_window_rank covers " +
         "rank/dense_rank). Total window order via the custkey tiebreak; " +
         "values rounded 8 dp (both engines compute the same rational " +
-        "numbers; rounding guards float formatting).",
+        "numbers; rounding guards float formatting). Size-gated like " +
+        "q_window_ntile: plain window on the aggregate-sized frame " +
+        "below the gate, the globalPosition bucket decomposition above " +
+        "(with a total order both functions are arithmetic on global " +
+        "row number).",
       (s, d) => {
-        // Window.orderBy with no partitionBy is INTENTIONAL (the
-        // "No Partition Defined for Window" WARN is expected): the
-        // frame is the per-customer AGGREGATE, not the corpus, and
-        // percent_rank/cume_dist depend on global position. Past the
-        // single-task comfort zone this takes the q_window_ntile
-        // bucket decomposition (rn and n_total are exactly what
-        // ntileDecomposed's broadcast offsets provide).
-        val w = Window.orderBy(desc("spend"), asc("o_custkey"))
-        Tables.orders(s, d)
-          .groupBy("o_custkey")
-          .agg(decSum(col("o_totalprice"), 12, 2).as("spend"))
-          .select(col("o_custkey"), col("spend"),
+        val agg = ntileAgg(s, d)
+        if (Tables.orders(s, d).count() <= NtilePlainMaxRows) {
+          // intentional global window on the SMALL branch: the frame
+          // is the per-customer aggregate under the count gate, so the
+          // "No Partition Defined for Window" WARN is expected here
+          val w = Window.orderBy(desc("spend"), asc("o_custkey"))
+          agg.select(col("o_custkey"), col("spend"),
             round(percent_rank().over(w), 8).as("pct_rank"),
             round(cume_dist().over(w), 8).as("cume"))
-          .orderBy("o_custkey")
+            .orderBy("o_custkey")
+        } else cumeDecomposed(s, agg)
       },
       Some("SELECT o_custkey, spend, " +
         "round(percent_rank() OVER w, 8) AS pct_rank, " +
@@ -756,7 +756,8 @@ object Relational {
       .groupBy("o_custkey")
       .agg(decSum(col("o_totalprice"), 12, 2).as("spend"))
 
-  /** Plain-window ceiling for q_window_ntile, compared against the
+  /** Plain-window ceiling for the gated global windows (q_window_ntile,
+    * q_window_cume), compared against the
     * pre-aggregation row count (an upper bound on |customers|): at or
     * below this the aggregate sorts in one task (a few hundred MB at
     * ~50 B/row — comfortably single-task); above it the bucket
@@ -771,18 +772,25 @@ object Relational {
     sys.env.get("SPARK_GRAFT_NTILE_PLAIN_MAX")
       .map(_.toLong).getOrElse(5000000L)
 
-  /** The scale branch of q_window_ntile (the q_window_rank treatment
+  /** The shared scale machinery of the decomposed global windows
+    * (q_window_ntile, q_window_cume — the q_window_rank treatment
     * generalized to an unbounded order-value domain): range-repartition
     * on the total order (spend desc, custkey) makes partition id a
     * coarse ordered bucket; a broadcast of the tiny per-bucket frame
     * (count, cumulative offset, next bucket's first spend) turns global
-    * position into offset + within-bucket row_number, ntile into
-    * arithmetic on that position, and the cross-boundary lead into a
-    * coalesce with the next bucket's first row. Parallelism is
-    * |buckets| (~2x cores), never 1.
+    * position into offset + within-bucket row_number. Because the
+    * order is TOTAL (custkey tiebreak), every rank-family function is
+    * pure arithmetic on that position: ntile is the big/small-bucket
+    * formula, percent_rank is (rn-1)/(n-1), cume_dist is rn/n, and the
+    * cross-boundary lead is a coalesce with the next bucket's first
+    * row. Parallelism is |buckets| (~2x cores), never 1.
+    *
+    * Returns the aggregate plus bucket, rn (global row number),
+    * n_total, and next_spend (the within-bucket lead patched across
+    * the boundary).
     */
-  private[graft] def ntileDecomposed(s: SparkSession,
-                                     agg0: DataFrame): DataFrame = {
+  private[graft] def globalPosition(s: SparkSession,
+                                    agg0: DataFrame): DataFrame = {
     val nb = math.max(2, s.sparkContext.defaultParallelism)
     // explicit numPartitions so AQE never coalesces the range
     // exchange; (spend, custkey) is a total order, so bucket
@@ -824,16 +832,39 @@ object Relational {
     agg.join(broadcast(buckets), "bucket")
       .withColumn("lrn", row_number().over(wIn))
       .withColumn("rn", col("offset") + col("lrn"))
+      .withColumn("next_spend",
+        coalesce(lead(col("spend"), 1).over(wIn), col("nb_spend")))
+  }
+
+  /** The scale branch of q_window_ntile: ntile/lead as arithmetic on
+    * [[globalPosition]]. */
+  private[graft] def ntileDecomposed(s: SparkSession,
+                                     agg0: DataFrame): DataFrame =
+    globalPosition(s, agg0)
       .withColumn("quartile", expr(
         "CASE WHEN rn <= (n_total DIV 4 + 1) * (n_total % 4) " +
           "THEN (rn - 1) DIV (n_total DIV 4 + 1) + 1 " +
           "ELSE (n_total % 4) + " +
           "(rn - 1 - (n_total DIV 4 + 1) * (n_total % 4)) " +
           "DIV (n_total DIV 4) + 1 END").cast("int"))
-      .withColumn("next_spend",
-        coalesce(lead(col("spend"), 1).over(wIn), col("nb_spend")))
       .select(col("o_custkey"), col("spend"), col("quartile"),
         col("next_spend"))
       .orderBy("o_custkey")
-  }
+
+  /** The scale branch of q_window_cume: with a TOTAL window order,
+    * percent_rank degenerates to (rn-1)/(n-1) and cume_dist to rn/n —
+    * pure arithmetic on [[globalPosition]] (a non-total order would
+    * need tie-group counts; every presentation order here is total by
+    * engine rule). Single-row edge: percent_rank of a 1-row frame is
+    * 0.0 by definition, (rn-1)/(n-1) would be 0/0. */
+  private[graft] def cumeDecomposed(s: SparkSession,
+                                    agg0: DataFrame): DataFrame =
+    globalPosition(s, agg0)
+      .select(col("o_custkey"), col("spend"),
+        round(when(col("n_total") === 1, 0.0)
+          .otherwise((col("rn") - 1).cast("double") /
+            (col("n_total") - 1).cast("double")), 8).as("pct_rank"),
+        round(col("rn").cast("double") /
+          col("n_total").cast("double"), 8).as("cume"))
+      .orderBy("o_custkey")
 }

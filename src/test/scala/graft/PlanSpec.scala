@@ -90,6 +90,13 @@ class PlanSpec extends SparkSuite {
     // exists to recover the small-corpus cost of the decomposition)
     assert(plan("q_window_ntile").contains("ntile("),
       "q_window_ntile small branch no longer a plain window below the gate")
+    // same gate, same machinery for the distribution family
+    val pc = Relational.cumeDecomposed(spark, Relational.ntileAgg(spark, sf))
+      .queryExecution.explainString(FormattedMode)
+    assert(!pc.contains("percent_rank(") && !pc.contains("cume_dist("),
+      "q_window_cume large branch regressed to true global windows")
+    assert(pc.contains("BroadcastHashJoin"),
+      "q_window_cume large branch lost its broadcast bucket-stats join")
   }
 
   test("decontamination broadcasts the eval side, never shuffles train") {

@@ -27,6 +27,29 @@ class QueriesSmokeSpec extends SparkSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("decomposed global windows equal their plain-window form") {
+    // q_window_ntile / q_window_cume are size-gated: at test scale the
+    // query entries take the plain branch, so the decomposition (the
+    // branch that runs at 100 TB) is proven equal here row for row
+    import graft.operators.Relational
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val agg = Relational.ntileAgg(spark, sf)
+    val w = Window.orderBy(desc("spend"), asc("o_custkey"))
+    val plainNtile = agg.select(col("o_custkey"), col("spend"),
+      ntile(4).over(w).as("quartile"),
+      lead(col("spend"), 1).over(w).as("next_spend"))
+      .orderBy("o_custkey").collect().toSeq
+    assert(Relational.ntileDecomposed(spark, agg).collect().toSeq
+      == plainNtile, "ntile decomposition diverged from the true window")
+    val plainCume = agg.select(col("o_custkey"), col("spend"),
+      round(percent_rank().over(w), 8).as("pct_rank"),
+      round(cume_dist().over(w), 8).as("cume"))
+      .orderBy("o_custkey").collect().toSeq
+    assert(Relational.cumeDecomposed(spark, agg).collect().toSeq
+      == plainCume, "cume decomposition diverged from the true window")
+  }
+
   test("entry (flagship) returns the TPC-H Q1 shape") {
     val rows = SparkEntry.entry(spark).collect()
     assert(rows.length == 6) // 3 returnflags x 2 linestatus at sf0.001

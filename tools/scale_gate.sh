@@ -23,10 +23,10 @@ OUT="${4:-/tmp/graft_scale_gate_out}"
 # subset rationale: q_agg_basic (grouped agg), q_agg_distinct (distinct
 # agg), q_filter_range (pushed-filter scan, row-level output),
 # q_topk (TakeOrderedAndProject), q_string_agg (ordered collect per
-# group — 32x heavier groups), q_window_ntile (the size-gated
-# decomposition: above the gate both branch selection and bucket
-# arithmetic are exercised at replicated scale)
-QUERIES="${SCALE_GATE_QUERIES:-q_agg_basic,q_agg_distinct,q_filter_range,q_topk,q_string_agg,q_window_ntile}"
+# group — 32x heavier groups), q_window_ntile + q_window_cume (the
+# size-gated decompositions: above the gate both branch selection and
+# bucket arithmetic are exercised at replicated scale)
+QUERIES="${SCALE_GATE_QUERIES:-q_agg_basic,q_agg_distinct,q_filter_range,q_topk,q_string_agg,q_window_ntile,q_window_cume}"
 cd "$(dirname "$0")/.."
 SPARK_GRAFT_SMOKE_REPLICATE_ONLY=1 sbt -batch "runMain graft.ScaleSmoke $K $SRC $WORK"
 rm -rf "$OUT"
