@@ -51,8 +51,16 @@ object GraftFunctions {
       "minhash_sig(tokens) - 64 minhash values over 3-token shingles"),
       es0 => MinHashSig(arity(es0, 1, "minhash_sig(tokens)").head)),
     ("shingle_hashes", info("shingle_hashes",
-      "shingle_hashes(tokens) - distinct xxhash64 of the 3-token shingles"),
-      es0 => ShingleHashes(arity(es0, 1, "shingle_hashes(tokens)").head)),
+      "shingle_hashes(tokens[, width]) - distinct xxhash64 of the " +
+        "width-token shingles (default 3)"),
+      es0 => es0.length match {
+        case 1 => ShingleHashes(es0.head)
+        case 2 => ShingleHashes(es0.head,
+          intLit(es0(1), "shingle_hashes: width"))
+        case _ => throw new IllegalArgumentException(
+          "expected 1-2 argument(s): shingle_hashes(tokens[, width]), " +
+            s"got ${es0.length}")
+      }),
     ("sorted_intersect_count", info("sorted_intersect_count",
       "sorted_intersect_count(a, b) - |A ∩ B| of two sorted long arrays"),
       es0 => { val es = arity(es0, 2, "sorted_intersect_count(a, b)")
@@ -60,8 +68,8 @@ object GraftFunctions {
     ("lsh_bucket_ids", info("lsh_bucket_ids",
       "lsh_bucket_ids(vec, tables, bits) - per-table hyperplane LSH buckets"),
       es0 => { val es = arity(es0, 3, "lsh_bucket_ids(vec, tables, bits)")
-        LshBucketIds(es.head, intLit(es(1), "tables"),
-          intLit(es(2), "bits")) }),
+        LshBucketIds(es.head, intLit(es(1), "lsh_bucket_ids: tables"),
+          intLit(es(2), "lsh_bucket_ids: bits")) }),
     ("nearest_centroid", info("nearest_centroid",
       "nearest_centroid(vec, cids, cents_flat, norms) - id of the " +
         "centroid maximizing dot(vec, c)/|c|, ties to the smallest id"),
@@ -75,7 +83,7 @@ object GraftFunctions {
   private def intLit(e: Expression, name: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
     case _ => throw new IllegalArgumentException(
-      s"lsh_bucket_ids: $name must be an integer literal")
+      s"$name must be an integer literal")
   }
 
   // literal arrays extracted to PRIMITIVE arrays at BUILD time (the
@@ -558,11 +566,13 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   * bit-identical to the expression chain this replaces. Dedup happens
   * on hashes, not strings — the same set w.h.p. (collisions ~ n²/2⁶⁵),
   * and only set cardinalities flow downstream. */
-case class ShingleHashes(child: Expression)
+case class ShingleHashes(child: Expression, width: Int = 3)
     extends UnaryExpression with CodegenFallback {
 
-  val Width = 3
+  private def Width = width
   val Seed = 42L // xxhash64's default seed
+
+  override def prettyName: String = "shingle_hashes"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess

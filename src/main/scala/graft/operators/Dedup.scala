@@ -502,6 +502,48 @@ object Dedup {
           .filter(col("hamming") <= 3)
           .orderBy("da", "db")
       },
-      None)
+      None),
+
+    GraftQuery(
+      "q_span_dup",
+      "Cross-document duplicated-span detection (the C4-style exact " +
+        "long-span pass, complementary to n-gram Jaccard near-dup): " +
+        "per-doc DISTINCT 8-token span hashes in ONE native " +
+        "shingle_hashes call per row, a per-span document count, and " +
+        "each doc's fraction of spans appearing in at least one other " +
+        "document. Shuffles only 8-byte hashes — the span text never " +
+        "leaves the scan (two map-only span passes; at test scale the " +
+        "optimizer even broadcasts the join side, at corpus scale both " +
+        "sides co-partition on the hash); per-span counts partial-" +
+        "aggregate map-side. Cost tracks Σ tokens, never corpus². The " +
+        "oracle recomputes over span STRINGS — equality modulo a " +
+        "2^-64 xxhash collision.",
+      (s, d) => {
+        val spans = Tables.spread(Tables.documents(s, d))
+          .select(col("doc_id"),
+            explode(call_function("shingle_hashes",
+              split(col("text"), " "), lit(8))).as("h"))
+        val spanDocs = spans.groupBy("h").agg(count(lit(1)).as("nd"))
+        spans.join(spanDocs, "h")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            count(when(col("nd") >= 2, 1)).as("n_dup_spans"))
+          .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+            round(col("n_dup_spans") / col("n_spans"), 6).as("dup_frac"))
+          .orderBy("doc_id")
+      },
+      Some("WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks " +
+        "FROM documents), " +
+        "s AS (SELECT DISTINCT doc_id, " +
+        "array_to_string(toks[i:i+7], ' ') AS span FROM t, " +
+        "UNNEST(generate_series(1, greatest(len(toks) - 7, 1))) " +
+        "AS g(i)), " +
+        "df AS (SELECT span, count(*) AS nd FROM s GROUP BY span) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, " +
+        "CAST(count(*) FILTER (WHERE nd >= 2) AS BIGINT) " +
+        "AS n_dup_spans, " +
+        "round(count(*) FILTER (WHERE nd >= 2) / count(*), 6) " +
+        "AS dup_frac " +
+        "FROM s JOIN df USING (span) GROUP BY doc_id ORDER BY doc_id"))
   )
 }
