@@ -492,6 +492,9 @@ object TextAnalysis {
           .agg(count(lit(1)).as("n_docs"),
             sum(size(split(col("text"), " "))).cast("bigint")
               .as("n_tokens"))
+          // referenced twice (totals + the final join): pin the
+          // |sources|-row aggregate so the corpus is scanned ONCE
+          .localCheckpoint()
         val tot = per.agg(sum(col("n_docs")).as("tot_docs"),
           sum(pow(col("n_docs"), 0.7)).as("tot_w"))
         per.crossJoin(broadcast(tot))
