@@ -44,6 +44,29 @@ class DedupSpec extends SparkSuite {
     assert(grouped(spec) == grouped(native))
   }
 
+  test("shingle_hashes width parameter equals the HOF spec form") {
+    // the width-parameterized native form (q_span_dup uses width 8)
+    // against an independent transform/slice/concat_ws + xxhash64
+    // formulation — same window count max(n-w+1, 1), same end clamp,
+    // same distinct-hash semantics
+    graft.functions.GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)
+    for (w <- Seq(1, 8)) {
+      val toks = split(col("text"), " ")
+      val nSh = greatest(size(toks) - (w - 1), lit(1))
+      val spec = docs.select(col("doc_id"),
+        explode(array_distinct(transform(sequence(lit(0), nSh - 1),
+          i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(w)))))))
+          .as("s"))
+      val native = docs.select(col("doc_id"),
+        explode(call_function("shingle_hashes", toks, lit(w))).as("s"))
+      def grouped(df: org.apache.spark.sql.DataFrame) =
+        df.collect().groupBy(_.getLong(0))
+          .map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+      assert(grouped(spec) == grouped(native), s"width $w diverged")
+    }
+  }
+
   test("identical texts collide in every signature") {
     val sp = spark; import sp.implicits._
     val docs = Seq(
