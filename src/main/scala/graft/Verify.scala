@@ -25,6 +25,15 @@ object Verify {
     // pair. The driver runs with the env unset → full dump, unchanged.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // A typo'd name would silently shrink the dump AND oracle_sql.json
+    // together, so check_oracles would print "0 ok, 0 fail" and exit 0
+    // — the scale gate would pass vacuously. Fail fast instead.
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        sys.error(s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: " +
+          unknown.toSeq.sorted.mkString(", "))
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

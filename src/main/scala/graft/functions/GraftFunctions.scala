@@ -55,8 +55,11 @@ object GraftFunctions {
         "width-token shingles (default 3)"),
       es0 => es0.length match {
         case 1 => ShingleHashes(es0.head)
-        case 2 => ShingleHashes(es0.head,
-          intLit(es0(1), "shingle_hashes: width"))
+        case 2 =>
+          val w = intLit(es0(1), "shingle_hashes: width")
+          if (w < 1) throw new IllegalArgumentException(
+            s"shingle_hashes: width must be >= 1, got $w")
+          ShingleHashes(es0.head, w)
         case _ => throw new IllegalArgumentException(
           "expected 1-2 argument(s): shingle_hashes(tokens[, width]), " +
             s"got ${es0.length}")
@@ -75,9 +78,10 @@ object GraftFunctions {
         "centroid maximizing dot(vec, c)/|c|, ties to the smallest id"),
       es0 => { val es = arity(es0, 4,
         "nearest_centroid(vec, cids, cents_flat, norms)")
-        NearestCentroid(es.head, longArrayLit(es(1), "cids"),
+        NearestCentroid(es.head, validCentroids(LiteralCentroids(
+          longArrayLit(es(1), "cids"),
           doubleArrayLit(es(2), "cents_flat"),
-          doubleArrayLit(es(3), "norms")) })
+          doubleArrayLit(es(3), "norms")))) })
   )
 
   private def intLit(e: Expression, name: String): Int = e match {
@@ -111,12 +115,52 @@ object GraftFunctions {
         s"nearest_centroid: $name must be an array<double> literal")
     }
 
-  /** Idempotent per-session registration (temp functions). */
-  def register(spark: SparkSession): Unit =
+  // NaN scores are unselectable in the argmax (s>best and s==best are
+  // both false), so a zero/NaN-norm or non-finite centroid would
+  // silently skip that centroid here while DuckDB's ORDER BY sorts NaN
+  // GREATEST — the two engines would diverge. Reject the degenerate
+  // domain at build time so both engines face the same one.
+  private def validCentroids(c: CentroidSet): CentroidSet = {
+    if (c.centsFlat.exists(d => java.lang.Double.isNaN(d) ||
+        java.lang.Double.isInfinite(d)))
+      throw new IllegalArgumentException(
+        "nearest_centroid: cents_flat must be finite")
+    if (c.norms.exists(n => !(n > 0) || java.lang.Double.isInfinite(n)))
+      throw new IllegalArgumentException(
+        "nearest_centroid: norms must be finite and > 0 " +
+          "(zero-norm centroid => NaN score for every row)")
+    c
+  }
+
+  /** Column form of [[NearestCentroid]] over a `Broadcast` handle — the
+    * cluster deployment path. The registered SQL function covers the
+    * literal form (a registry builder only ever sees literal
+    * arguments); this covers clusters where sqrt(n)-sized plan literals
+    * are unwelcome: the handle is validated on the driver (broadcast
+    * values are driver-readable), and executors fetch the matrix once
+    * each instead of deserializing it with every task's plan. */
+  def nearestCentroid(vec: org.apache.spark.sql.Column,
+      handle: org.apache.spark.broadcast.Broadcast[
+        (Array[Long], Array[Double], Array[Double])])
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(NearestCentroid(
+      GraftColumnBridge.expression(vec),
+      validCentroids(BroadcastCentroids(handle))))
+  }
+
+  /** Idempotent per-session registration (temp functions). Skips names
+    * already present so repeated calls (one per query invocation) don't
+    * emit a "replaced a previously registered function" WARN each —
+    * hundreds of those per test run bury the log lines the project
+    * actually greps for (e.g. codegen "Failed to compile"). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
     all.foreach { case (name, _, builder) =>
-      spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(name, builder, "built-in")
+      if (!reg.functionExists(FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
     }
+  }
 }
 
 /** `spark.sql.extensions` entry point for cluster deployments: the
@@ -329,6 +373,34 @@ case class LshBucketIds(child: Expression, tables: Int, bits: Int)
     copy(child = c)
 }
 
+/** How [[NearestCentroid]] receives its centroid matrix. Both forms
+  * present the same primitive arrays to the eval loop; they differ only
+  * in what travels with the serialized plan. */
+sealed trait CentroidSet extends Serializable {
+  def cids: Array[Long]
+  def centsFlat: Array[Double]
+  def norms: Array[Double]
+}
+
+/** Plan-literal centroids — what the SQL function builder produces
+  * (a registry builder can only see literal arguments). The arrays ride
+  * inside the expression tree: fine locally, but serialized per task
+  * on a cluster (51 MB of plan at n = 1e10). */
+case class LiteralCentroids(cids: Array[Long], centsFlat: Array[Double],
+                            norms: Array[Double]) extends CentroidSet
+
+/** Broadcast-handle centroids — the cluster path: the plan carries only
+  * the handle, each executor fetches (cids, centsFlat, norms) once from
+  * its block manager. Built via [[GraftFunctions.nearestCentroid]]. */
+case class BroadcastCentroids(
+    handle: org.apache.spark.broadcast.Broadcast[
+      (Array[Long], Array[Double], Array[Double])]) extends CentroidSet {
+  @transient private lazy val v = handle.value
+  override def cids: Array[Long] = v._1
+  override def centsFlat: Array[Double] = v._2
+  override def norms: Array[Double] = v._3
+}
+
 /** Nearest-centroid id for a vector: argmax over the baked-in centroid
   * matrix of dot(v, c)/|c| (a per-row monotone transform of cosine —
   * the vector's own norm scales every candidate equally, so it is not
@@ -346,15 +418,26 @@ case class LshBucketIds(child: Expression, tables: Int, bits: Int)
   * UNROUNDED scores (the old form rounded cosines to 6 dp first, which
   * only quantized near-ties; both forms break remaining ties on cid).
   *
-  * Centroids arrive as array literals extracted to primitive arrays at
-  * BUILD time ([[GraftFunctions]] builder). Scale: nlist tracks
-  * sqrt(n), so at n = 1e10 (100 TB of vectors) the matrix is
-  * 1e5 x 64 doubles = 51 MB — task-closure scale; a cluster deployment
-  * would hand the same expression a Broadcast handle instead of plan
-  * literals. */
-case class NearestCentroid(child: Expression, cids: Array[Long],
-                           centsFlat: Array[Double], norms: Array[Double])
+  * Centroids arrive through a [[CentroidSet]]: either array literals
+  * extracted to primitive arrays at BUILD time ([[GraftFunctions]]
+  * builder — the SQL-registerable form) or a `Broadcast` handle
+  * ([[GraftFunctions.nearestCentroid]]). Scale: nlist tracks sqrt(n),
+  * so at n = 1e10 (100 TB of vectors) the matrix is 1e5 x 64 doubles =
+  * 51 MB; as plan literals that is 51 MB of plan serialized with every
+  * task and resident in every plan-cache entry, while the broadcast
+  * form ships a ~bytes handle and each EXECUTOR fetches the matrix
+  * once via the block manager (TorrentBroadcast) — the cluster
+  * deployment path. */
+case class NearestCentroid(child: Expression, source: CentroidSet)
     extends UnaryExpression with CodegenFallback {
+
+  // Dereferenced ONCE per (de)serialized expression instance, not per
+  // row: on an executor the first access pulls the broadcast value
+  // from the local block manager, after which eval loops over plain
+  // primitive arrays exactly as the literal form does.
+  @transient private lazy val cids: Array[Long] = source.cids
+  @transient private lazy val centsFlat: Array[Double] = source.centsFlat
+  @transient private lazy val norms: Array[Double] = source.norms
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
@@ -377,7 +460,7 @@ case class NearestCentroid(child: Expression, cids: Array[Long],
   private def elemFloat =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  private val dim =
+  @transient private lazy val dim =
     if (cids.isEmpty) 0 else centsFlat.length / cids.length
 
   override def nullSafeEval(a: Any): Any = {

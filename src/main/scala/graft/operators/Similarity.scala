@@ -161,18 +161,40 @@ object Similarity {
   private def centroidConsts(centroids: DataFrame)
       : (Array[Long], Array[Double], Array[Double]) = {
     val crows = centroids.collect().sortBy(_.getLong(0))
-    val cdim = if (crows.isEmpty) 0 else crows.head.getSeq[Float](1).size
+    // NearestCentroid accepts array<float|double>; mirror that here —
+    // hard-coding getSeq[Float] would ClassCastException at build time
+    // for an array<double> embeddings table.
+    def elems(r: org.apache.spark.sql.Row): Seq[Double] =
+      r.getSeq[Any](1).map {
+        case f: Float  => f.toDouble
+        case d: Double => d
+        case other => throw new IllegalArgumentException(
+          s"centroid embedding must be float or double, got " +
+            s"${if (other == null) "null" else other.getClass.getName}")
+      }
+    val cdim = if (crows.isEmpty) 0 else elems(crows.head).size
     val cids = crows.map(_.getLong(0))
     val centsFlat = new Array[Double](crows.length * cdim)
     var c = 0
     while (c < crows.length) {
-      val e = crows(c).getSeq[Float](1)
+      val e = elems(crows(c))
       var i = 0
-      while (i < cdim) { centsFlat(c * cdim + i) = e(i).toDouble; i += 1 }
+      while (i < cdim) { centsFlat(c * cdim + i) = e(i); i += 1 }
       c += 1
     }
     (cids, centsFlat, crows.map(_.getDouble(2)))
   }
+
+  /** [[centroidConsts]] wrapped in a Broadcast — the handle the
+    * cluster-friendly [[graft.functions.GraftFunctions.nearestCentroid]]
+    * column form takes. The operators below use this (plan carries a
+    * handle, executors fetch the matrix once); the registered SQL
+    * function keeps the literal form, and SimilaritySpec pins the two
+    * assignments equal row for row. */
+  private def centroidHandle(s: SparkSession, centroids: DataFrame)
+      : org.apache.spark.broadcast.Broadcast[
+        (Array[Long], Array[Double], Array[Double])] =
+    s.sparkContext.broadcast(centroidConsts(centroids))
 
   val queries: Seq[GraftQuery] = Seq(
 
@@ -308,11 +330,11 @@ object Similarity {
         // the fused loop removes is the per-pair row machinery. The
         // sqrt-sized centroid collect is driver-safe by the CC gate
         // argument: 1e5 x 64 doubles = 51 MB at n = 1e10.
-        val (cidsArr, centsFlat, knArr) =
-          centroidConsts(centroids.select(col("cid"), col("ke"), col("kn")))
+        val handle = centroidHandle(s,
+          centroids.select(col("cid"), col("ke"), col("kn")))
         val assigned = scorable(emb)
-          .withColumn("cid", call_function("nearest_centroid",
-            col("ce"), lit(cidsArr), lit(centsFlat), lit(knArr)))
+          .withColumn("cid",
+            graft.functions.GraftFunctions.nearestCentroid(col("ce"), handle))
         // probe cells: top-nprobe centroids per probe
         val wProbe = Window.partitionBy("qid").orderBy(desc("ccos"), asc("cid"))
         val probeCells = probes(s, d).crossJoin(broadcast(centroids))
@@ -349,14 +371,14 @@ object Similarity {
         import org.apache.spark.sql.expressions.Window
         val emb = Tables.embeddings(s, d)
         val mod = centroidMod(math.max(1L, emb.count()))
-        val (cidsArr, centsFlat, knArr) = centroidConsts(
+        val handle = centroidHandle(s,
           emb.filter(col("vec_id") % mod === 0)
             .select(col("vec_id").as("cid"), col("embedding").as("ke"),
               norm(col("embedding")).as("kn")))
         Tables.spread(emb)
-          .select(col("vec_id"), call_function("nearest_centroid",
-            col("embedding"), lit(cidsArr), lit(centsFlat), lit(knArr))
-            .as("cid"))
+          .select(col("vec_id"),
+            graft.functions.GraftFunctions
+              .nearestCentroid(col("embedding"), handle).as("cid"))
           .withColumn("cluster_size",
             count(lit(1)).over(Window.partitionBy("cid")).cast("bigint"))
           .select(col("vec_id"), col("cid"), col("cluster_size"))

@@ -67,6 +67,17 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("shingle_hashes rejects width < 1 at build") {
+    // width 0 would silently produce n+1 hashes of the empty string
+    // per doc (one "shingle" of zero tokens) instead of an error
+    graft.functions.GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT shingle_hashes(array('a','b'), 0)").collect()
+    }
+    assert(e.getMessage.contains("width must be >= 1"),
+      s"unexpected: ${e.getMessage}")
+  }
+
   test("identical texts collide in every signature") {
     val sp = spark; import sp.implicits._
     val docs = Seq(

@@ -110,6 +110,62 @@ class SimilaritySpec extends SparkSuite {
     assert(e2.getMessage.contains("vector_dot(a, b)"))
   }
 
+  test("broadcast-handle nearest_centroid equals the literal SQL form") {
+    // the cluster path (Broadcast handle, GraftFunctions.nearestCentroid)
+    // must assign every vector to the same centroid as the plan-literal
+    // registered function — same matrix, same fold order, so exact
+    // equality, not approximate
+    graft.functions.GraftFunctions.register(spark)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val crows = emb.filter(col("vec_id") % 53 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("ke"))
+      .collect().sortBy(_.getLong(0))
+    val dim = crows.head.getSeq[Float](1).size
+    val cids = crows.map(_.getLong(0))
+    val cents = crows.flatMap(_.getSeq[Float](1).map(_.toDouble))
+    val norms = crows.map(r =>
+      math.sqrt(r.getSeq[Float](1).map(f => f.toDouble * f.toDouble).sum))
+    assert(cents.length == cids.length * dim)
+    val handle = spark.sparkContext.broadcast((cids, cents, norms))
+    val both = emb.select(col("vec_id"),
+      call_function("nearest_centroid", col("embedding"),
+        lit(cids), lit(cents), lit(norms)).as("lit_cid"),
+      graft.functions.GraftFunctions
+        .nearestCentroid(col("embedding"), handle).as("bc_cid"))
+      .collect()
+    assert(both.nonEmpty)
+    assert(both.forall(r => r.getLong(1) == r.getLong(2)),
+      "broadcast and literal assignments diverged")
+  }
+
+  test("nearest_centroid rejects degenerate centroid domains at build") {
+    // a zero-norm centroid scores NaN for EVERY row; NaN never wins the
+    // argmax here but sorts greatest in DuckDB — the build must refuse
+    // the domain instead of letting the engines diverge (ADVICE r7)
+    graft.functions.GraftFunctions.register(spark)
+    val sp = spark; import sp.implicits._
+    val one = Seq(Tuple1(Array(1.0d))).toDF("v")
+    val zeroNorm = intercept[Exception] {
+      one.select(call_function("nearest_centroid", col("v"),
+        lit(Array(1L)), lit(Array(0.0d)), lit(Array(0.0d)))).collect()
+    }
+    assert(zeroNorm.getMessage.contains("norms must be finite and > 0"),
+      s"unexpected: ${zeroNorm.getMessage}")
+    val nanCent = intercept[Exception] {
+      one.select(call_function("nearest_centroid", col("v"),
+        lit(Array(1L)), lit(Array(Double.NaN)), lit(Array(1.0d)))).collect()
+    }
+    assert(nanCent.getMessage.contains("cents_flat must be finite"))
+    // the Broadcast path goes through the same validation
+    val bc = spark.sparkContext.broadcast(
+      (Array(1L), Array(1.0), Array(0.0)))
+    val bcErr = intercept[IllegalArgumentException] {
+      graft.functions.GraftFunctions.nearestCentroid(
+        org.apache.spark.sql.functions.col("x"), bc)
+    }
+    assert(bcErr.getMessage.contains("norms"))
+  }
+
   test("ann scores are exact cosines (verification is not approximate)") {
     // every (qid, nid, score) an ANN query returns must equal the
     // brute-force cosine for that same pair
