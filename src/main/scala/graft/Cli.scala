@@ -79,6 +79,36 @@ object Cli {
     s"$projectId-$stamp".replaceAll("[^a-zA-Z0-9]+", "-")
   }
 
+  /** One tar.gz stream per this much backup parquet when --shards is
+    * not given. A single gzip stream is non-splittable and writes
+    * serially through the driver's toLocalIterator — the right call for
+    * a laptop-sized backup (one artifact, exactly what the PHP tool
+    * emits), a bottleneck past a few hundred MB — so export-archive
+    * auto-selects the sharded writer once the input outgrows one
+    * stream. Parquet is ~2-4x denser than the JSON it decodes to, so
+    * 512 MB of input keeps each shard's write (and any later PHP-tool
+    * restore of it) in low-GB working sets. */
+  val ShardTargetBytes: Long = 512L * 1024 * 1024
+
+  /** Shard count for a backup of `bytes` total parquet: ceil over
+    * [[ShardTargetBytes]], min 1 (single-file reference format), capped
+    * so a pathological input cannot request millions of output files. */
+  def autoShards(bytes: Long): Int =
+    math.min(4096L, math.max(1L,
+      (bytes + ShardTargetBytes - 1) / ShardTargetBytes)).toInt
+
+  /** Recursive byte size of a backup directory (0 if missing). */
+  def dirBytes(dir: String): Long = {
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(root)) 0L
+    else {
+      val s = java.nio.file.Files.walk(root)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally s.close()
+    }
+  }
+
   /** The import confirmation gate (ImportCommand.php:33-44): only a
     * literal `yes` line proceeds. */
   def confirm(in: java.io.InputStream): Boolean = {
@@ -154,7 +184,8 @@ object Cli {
       case "export-archive" :: in :: out :: Nil =>
         // inverse of migrate: a native engine backup becomes reference-
         // format tar.gz(s) the PHP tool's import can restore
-        val shards = opts.get("shards").map(_.toInt).getOrElse(1)
+        val shards = opts.get("shards").map(_.toInt)
+          .getOrElse(autoShards(dirBytes(in)))
         if (shards <= 1)
           graft.pipeline.Archive.writeReferenceArchive(
             Export.readBackup(spark, in), out)

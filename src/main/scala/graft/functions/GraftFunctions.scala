@@ -649,6 +649,40 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   * bit-identical to the expression chain this replaces. Dedup happens
   * on hashes, not strings — the same set w.h.p. (collisions ~ n²/2⁶⁵),
   * and only set cardinalities flow downstream. */
+object ShingleHashes {
+  /** The expression's hash loop as a plain function over tokens —
+    * identical windows (max(n-width+1, 1), end-clamped), identical
+    * separator and xxhash64 seed, so values are bit-compatible with
+    * the column form. Exists for the streaming twins
+    * (graft.streaming.CorpusStreams), whose typed flatMaps hash spans
+    * outside any Catalyst expression; DedupSpec pins the equality. */
+  def of(toks: Array[String], width: Int): Array[Long] = {
+    require(width >= 1, s"shingle width must be >= 1, got $width")
+    val n = toks.length
+    val nShingles = math.max(n - width + 1, 1)
+    val seen = new java.util.HashSet[java.lang.Long](nShingles * 2)
+    val out = new Array[Long](nShingles)
+    var m = 0
+    var i = 0
+    while (i < nShingles) {
+      val end = math.min(i + width, n)
+      val sb = new java.lang.StringBuilder
+      var w = i
+      while (w < end) {
+        if (w > i) sb.append(' ')
+        sb.append(toks(w))
+        w += 1
+      }
+      val sh = UTF8String.fromString(sb.toString)
+      val v = XXH64.hashUnsafeBytes(sh.getBaseObject, sh.getBaseOffset,
+        sh.numBytes, 42L)
+      if (seen.add(v)) { out(m) = v; m += 1 }
+      i += 1
+    }
+    if (m == nShingles) out else java.util.Arrays.copyOf(out, m)
+  }
+}
+
 case class ShingleHashes(child: Expression, width: Int = 3)
     extends UnaryExpression with CodegenFallback {
 

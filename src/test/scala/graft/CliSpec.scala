@@ -32,6 +32,25 @@ class CliSpec extends AnyFunSuite {
     assert(name.matches("[a-zA-Z0-9-]+"))
   }
 
+  test("export-archive auto-shards by backup size, --shards overrides") {
+    // ceil(bytes / 512MB), floor 1 (the single-file reference format),
+    // cap 4096 (no million-file explosions from a bad size estimate)
+    val M = 1024L * 1024
+    assert(Cli.autoShards(0L) == 1)
+    assert(Cli.autoShards(1L) == 1)
+    assert(Cli.autoShards(512 * M) == 1)
+    assert(Cli.autoShards(512 * M + 1) == 2)
+    assert(Cli.autoShards(10L * 1024 * M) == 20)
+    assert(Cli.autoShards(Long.MaxValue / 2) == 4096)
+    // dirBytes: missing dir is 0 bytes -> 1 shard (never throws)
+    assert(Cli.dirBytes("/tmp/definitely-missing-graft-dir") == 0L)
+    val d = java.nio.file.Files.createTempDirectory("cli-bytes")
+    java.nio.file.Files.write(d.resolve("a.parquet"), new Array[Byte](1000))
+    val sub = java.nio.file.Files.createDirectory(d.resolve("sub"))
+    java.nio.file.Files.write(sub.resolve("b.parquet"), new Array[Byte](500))
+    assert(Cli.dirBytes(d.toString) == 1500L)
+  }
+
   test("confirmation gate accepts only a literal yes line") {
     def gate(line: String): Boolean =
       Console.withOut(new java.io.ByteArrayOutputStream()) {

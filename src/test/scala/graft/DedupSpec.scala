@@ -67,6 +67,25 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("static ShingleHashes.of equals the column form bit for bit") {
+    // the streaming twins hash spans outside Catalyst via
+    // ShingleHashes.of; same windows, separator, and seed as the
+    // expression, pinned here on real corpus text
+    graft.functions.GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)
+    for (w <- Seq(3, 8)) {
+      val fromCol = docs.select(col("doc_id"),
+        call_function("shingle_hashes", split(col("text"), " "), lit(w)))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+      val fromFn = docs.select("doc_id", "text").collect()
+        .map(r => r.getLong(0) ->
+          graft.functions.ShingleHashes
+            .of(r.getString(1).split(" ", -1), w).toVector).toMap
+      assert(fromCol == fromFn, s"width $w diverged")
+    }
+  }
+
   test("shingle_hashes rejects width < 1 at build") {
     // width 0 would silently produce n+1 hashes of the empty string
     // per doc (one "shingle" of zero tokens) instead of an error

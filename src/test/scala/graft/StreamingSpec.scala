@@ -181,6 +181,74 @@ class StreamingSpec extends SparkSuite {
       s"timed-out single-event session missing: $rows")
   }
 
+  test("streaming decontaminate equals the batch operator row for row") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    import graft.streaming.CorpusStreams
+    import graft.streaming.CorpusStreams.Doc
+
+    val docs = Tables.documents(sp, sf).select("doc_id", "text")
+    val evalDocs = docs.filter(col("doc_id") % 41 === 0)
+    val train = docs.filter(col("doc_id") % 41 =!= 0).as[Doc].collect()
+
+    val input = MemoryStream[Doc]
+    val q = CorpusStreams.decontaminateStream(input.toDS(), evalDocs)
+      .writeStream.format("memory").queryName("decon")
+      .outputMode("append").start()
+    try {
+      // two micro-batches: verdicts must not depend on batching
+      val (a, b) = train.splitAt(train.length / 2)
+      input.addData(a.toSeq)
+      q.processAllAvailable()
+      input.addData(b.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def triples(df: org.apache.spark.sql.DataFrame) =
+      df.select("train_id", "eval_id", "n_shared").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = triples(sp.table("decon"))
+    val batch = triples(SparkEntry.queries("q_decontaminate")(sp, sf))
+    assert(batch.nonEmpty, "batch decontaminate found nothing to compare")
+    assert(streamed == batch)
+  }
+
+  test("streaming span-dup hits equal the batch operator's dup counts") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    import graft.streaming.CorpusStreams
+    import graft.streaming.CorpusStreams.Doc
+
+    val docs = Tables.documents(sp, sf).select("doc_id", "text")
+      .as[Doc].collect()
+
+    val input = MemoryStream[Doc]
+    val q = CorpusStreams.spanDupStream(input.toDS())
+      .writeStream.format("memory").queryName("spandup")
+      .outputMode("append").start()
+    try {
+      // split mid-corpus so planted near-dup pairs straddle the batch
+      // boundary: the first holder must be flagged RETROACTIVELY when
+      // its twin arrives in a later micro-batch
+      val (a, b) = docs.splitAt(docs.length / 2)
+      input.addData(a.toSeq)
+      q.processAllAvailable()
+      input.addData(b.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamedDup = sp.table("spandup").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (d, hs) => d -> hs.map(_._2).distinct.length }
+    val batch = SparkEntry.queries("q_span_dup")(sp, sf)
+      .select("doc_id", "n_dup_spans").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .filter(_._2 > 0).toMap
+    assert(batch.nonEmpty, "no planted dup spans in the corpus?")
+    assert(streamedDup.map { case (d, n) => d -> n.toLong } == batch,
+      s"streamed dup counts diverge from batch")
+  }
+
   test("continuous restore drains a stream of edges into the KV sink") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = sp.sqlContext
