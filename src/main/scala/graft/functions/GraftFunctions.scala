@@ -156,9 +156,16 @@ object GraftFunctions {
     * actually greps for (e.g. codegen "Failed to compile"). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    all.foreach { case (name, _, builder) =>
-      if (!reg.functionExists(FunctionIdentifier(name)))
-        reg.createOrReplaceTempFunction(name, builder, "built-in")
+    all.foreach { case (name, inf, builder) =>
+      // "ours already present" is recognized by the ExpressionInfo
+      // className stamp ("graft.functions") — a user's own function
+      // under a graft name still gets replaced, exactly as before.
+      // registerFunction (not createOrReplaceTempFunction, which
+      // synthesizes its own info and would lose the stamp) records
+      // `inf` so the next call can see it.
+      val ours = reg.lookupFunction(FunctionIdentifier(name))
+        .exists(_.getClassName == "graft.functions")
+      if (!ours) reg.registerFunction(FunctionIdentifier(name), inf, builder)
     }
   }
 }

@@ -25,8 +25,12 @@ OUT="${4:-/tmp/graft_scale_gate_out}"
 # q_topk (TakeOrderedAndProject), q_string_agg (ordered collect per
 # group — 32x heavier groups), q_window_ntile + q_window_cume (the
 # size-gated decompositions: above the gate both branch selection and
-# bucket arithmetic are exercised at replicated scale)
-QUERIES="${SCALE_GATE_QUERIES:-q_agg_basic,q_agg_distinct,q_filter_range,q_topk,q_string_agg,q_window_ntile,q_window_cume}"
+# bucket arithmetic are exercised at replicated scale), plus the LLM
+# family most likely to actually run at 100 TB: q_span_dup (span-hash
+# shuffle + per-span df), q_tfidf (two-pass df/tf), q_source_mix
+# (broadcast totals resample), q_backup_diff (digest-first full-outer
+# snapshot diff)
+QUERIES="${SCALE_GATE_QUERIES:-q_agg_basic,q_agg_distinct,q_filter_range,q_topk,q_string_agg,q_window_ntile,q_window_cume,q_span_dup,q_tfidf,q_source_mix,q_backup_diff}"
 cd "$(dirname "$0")/.."
 SPARK_GRAFT_SMOKE_REPLICATE_ONLY=1 sbt -batch "runMain graft.ScaleSmoke $K $SRC $WORK"
 rm -rf "$OUT"
@@ -36,4 +40,14 @@ rm -rf "$OUT"
 # that must be hash-checked at scale
 SPARK_GRAFT_NTILE_PLAIN_MAX=1 SPARK_GRAFT_ONLY="$QUERIES" \
   sbt -batch "runMain graft.Verify $WORK $OUT"
-python3 tools/check_oracles.py "$WORK" "$OUT"
+RESULT="$(python3 tools/check_oracles.py "$WORK" "$OUT")"
+echo "$RESULT"
+# a query that throws inside Verify is skipped (stderr warning only),
+# shrinking both the dump and oracle_sql.json — check_oracles would
+# then pass on whatever remains. Gate on the expected OK count too.
+WANT="$(echo "$QUERIES" | tr ',' '\n' | grep -c .)"
+GOT="$(echo "$RESULT" | tail -1 | sed -n 's/^== \([0-9]*\) ok, 0 fail$/\1/p')"
+if [ "$GOT" != "$WANT" ]; then
+  echo "SCALE GATE FAILED: expected $WANT ok, got '${GOT:-parse-failure}'" >&2
+  exit 1
+fi
