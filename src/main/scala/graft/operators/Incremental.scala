@@ -32,7 +32,7 @@ object Incremental {
     * `cur` drops multiples of 89 (`removed`) and bumps the value on
     * multiples of 7 (`changed`); everything else is identical and must
     * NOT appear in the diff. */
-  private def prevSnap(orders: DataFrame): DataFrame =
+  private[graft] def prevSnap(orders: DataFrame): DataFrame =
     orders.filter(col("o_orderkey") % 97 =!= 0)
       .select(
         concat(lit("/orders/"), (col("o_orderkey") % 50).cast("string"))
@@ -40,7 +40,7 @@ object Incremental {
         col("o_orderkey").cast("string").as("key"),
         col("o_custkey").cast("string").as("value_json"))
 
-  private def curSnap(orders: DataFrame): DataFrame =
+  private[graft] def curSnap(orders: DataFrame): DataFrame =
     orders.filter(col("o_orderkey") % 89 =!= 0)
       .select(
         concat(lit("/orders/"), (col("o_orderkey") % 50).cast("string"))
