@@ -514,6 +514,79 @@ object TextAnalysis {
         "round(n_docs / tot_docs, 6) AS p_raw, " +
         "round(pow(n_docs, 0.7) / tot_w, 6) AS p_temp, " +
         "round((pow(n_docs, 0.7) / tot_w) / (n_docs / tot_docs), 6) " +
-        "AS boost FROM per, tot ORDER BY source"))
+        "AS boost FROM per, tot ORDER BY source")),
+
+    GraftQuery(
+      "q_train_shuffle",
+      "Deterministic seeded corpus shuffle — the training-order " +
+        "randomization step before sequence packing: every doc gets a " +
+        "shard (round-robin, the seq_pack stream rule) and a position " +
+        "within its shard by md5(doc_id + seed) order. Reading shards " +
+        "in position order yields a reproducible pseudo-random global " +
+        "order with NO corpus-global sort: the only window partitions " +
+        "by shard. 32 shards pins test behavior; production sets " +
+        "shards ~ corpus/target-shard-size so per-shard state stays " +
+        "bounded (and uses xxhash64 keys — md5 here is the " +
+        "cross-engine-checkable stand-in, same role as q_dedup_exact's " +
+        "fingerprint).",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val skey = md5(concat(col("doc_id").cast("string"), lit("#s42"))
+          .cast("binary"))
+        val w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+        Tables.documents(s, d)
+          .select(col("doc_id"), pmod(col("doc_id"), lit(32)).as("shard"),
+            skey.as("skey"))
+          .withColumn("pos", row_number().over(w).cast("bigint"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, doc_id % 32 AS shard, " +
+        "md5(CAST(doc_id AS VARCHAR) || '#s42') AS skey, " +
+        "CAST(row_number() OVER (PARTITION BY doc_id % 32 " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR) || '#s42'), doc_id) " +
+        "AS BIGINT) AS pos " +
+        "FROM documents ORDER BY doc_id")),
+
+    GraftQuery(
+      "q_quality_calibrated",
+      "Retention-calibrated quality filter: instead of a hand-picked " +
+        "score threshold, the cutoff is the exact 20th percentile of " +
+        "the corpus quality distribution — 'keep the top 80%' stays " +
+        "true as the corpus drifts. One aggregation to a 1-row cutoff " +
+        "(exact interpolated percentile — the DuckDB-checkable form; " +
+        "exact percentile buffers the column on the final reducer, so " +
+        "at corpus scale production swaps in percentile_approx, a " +
+        "mergeable bounded-memory sketch with the same plan shape), " +
+        "broadcast back over a second scan; the keep verdict compares " +
+        "UNROUNDED scores (the argmax-unrounded rule: both engines " +
+        "fold the same doubles), rounding only presentation columns.",
+      (s, d) => {
+        val n = size(toks).cast("bigint")
+        val ttr = size(array_distinct(toks)).cast("double") / n
+        val mwl = length(regexp_replace(col("text"), " ", ""))
+          .cast("double") / n
+        val q = least(lit(1.0), n.cast("double") / 50.0) * 0.4 +
+          ttr * 0.3 + when(mwl.between(3.0, 8.0), 1.0).otherwise(0.0) * 0.3
+        val scored = Tables.documents(s, d)
+          .select(col("doc_id"), q.as("q"))
+        val cutoff = scored.agg(
+          expr("percentile(q, 0.2)").as("cutoff"))
+        scored.crossJoin(broadcast(cutoff))
+          .select(col("doc_id"), round(col("q"), 6).as("quality"),
+            round(col("cutoff"), 6).as("cutoff"),
+            (col("q") >= col("cutoff")).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some("WITH scored AS (SELECT doc_id, " +
+        "least(1.0, CAST(len(str_split(text,' ')) AS DOUBLE)/50.0) * 0.4 " +
+        "+ (CAST(len(list_distinct(str_split(text,' '))) AS DOUBLE) / " +
+        "len(str_split(text,' '))) * 0.3 " +
+        "+ (CASE WHEN CAST(length(replace(text,' ','')) AS DOUBLE) / " +
+        "len(str_split(text,' ')) BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 " +
+        "END) * 0.3 AS q FROM documents), " +
+        "cut AS (SELECT quantile_cont(q, 0.2) AS cutoff FROM scored) " +
+        "SELECT doc_id, round(q, 6) AS quality, " +
+        "round(cutoff, 6) AS cutoff, q >= cutoff AS keep " +
+        "FROM scored, cut ORDER BY doc_id"))
   )
 }
