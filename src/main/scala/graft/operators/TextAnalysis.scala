@@ -587,6 +587,64 @@ object TextAnalysis {
         "cut AS (SELECT quantile_cont(q, 0.2) AS cutoff FROM scored) " +
         "SELECT doc_id, round(q, 6) AS quality, " +
         "round(cutoff, 6) AS cutoff, q >= cutoff AS keep " +
-        "FROM scored, cut ORDER BY doc_id"))
+        "FROM scored, cut ORDER BY doc_id")),
+
+    GraftQuery(
+      "q_ngram_lm",
+      "Bigram-LM negative-log-likelihood scoring (the CCNet-style " +
+        "perplexity quality filter, self-trained): corpus unigram/" +
+        "bigram counts with add-one smoothing over the observed vocab, " +
+        "then each doc's mean -ln P(w_i | w_{i-1}). Words are joined " +
+        "and counted by 64-bit xxhash (the explodedShingles rule: " +
+        "count/join structure is unchanged w.h.p. while every shuffle " +
+        "moves 8-byte keys, never strings — the oracle recomputes over " +
+        "the strings themselves, so equality is modulo a 2^-64 " +
+        "collision); the vocab size rides a broadcast 1-row aggregate. " +
+        "Per-doc sums go through DECIMAL (order-independent — the " +
+        "decSum rule) over terms pre-rounded to 8 dp so both engines " +
+        "sum identical values; presentation rounds to 6.",
+      (s, d) => {
+        val tk = split(col("text"), " ")
+        val docs = Tables.spread(Tables.documents(s, d))
+        val bigrams = docs.select(col("doc_id"), explode(
+          when(size(tk) >= 2, transform(sequence(lit(1), size(tk) - 1),
+            i => struct(xxhash64(element_at(tk, i)).as("h1"),
+              xxhash64(element_at(tk, i + 1)).as("h2"))))
+            .otherwise(array().cast("array<struct<h1:bigint,h2:bigint>>")))
+          .as("bg"))
+          .select(col("doc_id"), col("bg.h1"), col("bg.h2"))
+        val uni = docs.select(explode(tk).as("w"))
+          .select(xxhash64(col("w")).as("h1"))
+          .groupBy("h1").agg(count(lit(1)).as("c1"))
+        val vocab = uni.agg(count(lit(1)).as("v"))
+        val big = bigrams.groupBy("h1", "h2").agg(count(lit(1)).as("c2"))
+        val term = round(-log((col("c2") + 1) / (col("c1") + col("v"))), 8)
+        bigrams
+          .join(big, Seq("h1", "h2"))
+          .join(uni, Seq("h1"))
+          .crossJoin(broadcast(vocab))
+          .select(col("doc_id"), term.as("term"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(GraftQuery.decSum(col("term"), 28, 8) / count(lit(1)), 6)
+              .as("avg_nll"))
+          .orderBy("doc_id")
+      },
+      Some("WITH t AS (SELECT doc_id, str_split(text,' ') AS tk " +
+        "FROM documents), " +
+        "bg AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2 FROM t, " +
+        "UNNEST(generate_series(1, len(tk)-1)) AS g(i) " +
+        "WHERE len(tk) >= 2), " +
+        "uni AS (SELECT w, count(*) AS c1 FROM " +
+        "(SELECT unnest(tk) AS w FROM t) GROUP BY w), " +
+        "vocab AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni), " +
+        "big AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2), " +
+        "terms AS (SELECT doc_id, round(-ln((c2+1)/(c1+v)), 8) AS term " +
+        "FROM bg JOIN big USING (w1, w2) " +
+        "JOIN uni ON uni.w = bg.w1, vocab) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, " +
+        "round(CAST(SUM(CAST(term AS DECIMAL(28,8))) AS DOUBLE) " +
+        "/ count(*), 6) AS avg_nll " +
+        "FROM terms GROUP BY doc_id ORDER BY doc_id"))
   )
 }
