@@ -400,6 +400,100 @@ object Similarity {
         "AS BIGINT) AS cluster_size FROM a ORDER BY vec_id")),
 
     GraftQuery(
+      "q_kmeans_refine",
+      "One Lloyd refinement of the coarse quantizer: assign every " +
+        "vector to its nearest seed centroid (the q_cluster_assign " +
+        "pass), recompute each cluster's mean, reassign against the " +
+        "refined centroids — k-means as the engine runs it: two " +
+        "map-only fused-argmax scans (broadcast-handle " +
+        "NearestCentroid both times) around one per-(cid,dim) mean " +
+        "whose partial aggregation combines map-side, so the update " +
+        "shuffle is |clusters| x dim combined rows, never n x dim. " +
+        "Cross-engine determinism: dimension values are pre-rounded " +
+        "to 8 dp and summed through DECIMAL (the decSum rule), means " +
+        "divide that exact sum, and norms/dots fold in index order on " +
+        "both engines — the refined matrix is bit-identical, so the " +
+        "DuckDB twin (both argmax passes unrolled over the same " +
+        "folded doubles) checks assignment, update, and reassignment " +
+        "differentially.",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = Tables.embeddings(s, d)
+        val mod = centroidMod(math.max(1L, emb.count()))
+        val handle0 = centroidHandle(s,
+          emb.filter(col("vec_id") % mod === 0)
+            .select(col("vec_id").as("cid"), col("embedding").as("ke"),
+              norm(col("embedding")).as("kn")))
+        // mean per (cluster, dimension): 8dp-rounded doubles through
+        // an exact decimal sum — order-independent, engine-identical
+        val upd = Tables.spread(emb)
+          .select(graft.functions.GraftFunctions
+              .nearestCentroid(col("embedding"), handle0).as("cid"),
+            posexplode(col("embedding")))
+          .select(col("cid"), col("pos"),
+            round(col("col").cast("double"), 8).as("x"))
+          .groupBy("cid", "pos")
+          .agg((sum(col("x").cast("decimal(28,8)")).cast("double") /
+            count(lit(1))).as("m"))
+        // sqrt(n)-sized driver collect (the CC-gate argument), arrays
+        // assembled in (cid, pos) order; norms fold pos-ascending,
+        // matching DuckDB's list_aggregate order
+        val rows = upd.collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+          .sortBy(t => (t._1, t._2))
+        val cids1 = rows.map(_._1).distinct
+        val dim = if (rows.isEmpty) 0 else rows.map(_._2).max + 1
+        val byCid = rows.groupBy(_._1)
+        val flat = cids1.flatMap(c => byCid(c).sortBy(_._2).map(_._3))
+        val norms1 = cids1.map { c =>
+          var ss = 0.0
+          byCid(c).sortBy(_._2).foreach(t => ss += t._3 * t._3)
+          math.sqrt(ss)
+        }
+        val handle1 = s.sparkContext.broadcast((cids1, flat, norms1))
+        Tables.spread(emb)
+          .select(col("vec_id"),
+            graft.functions.GraftFunctions
+              .nearestCentroid(col("embedding"), handle1).as("cid"))
+          .withColumn("cluster_size",
+            count(lit(1)).over(Window.partitionBy("cid")).cast("bigint"))
+          .select(col("vec_id"), col("cid"), col("cluster_size"))
+          .orderBy("vec_id")
+      },
+      Some("WITH n AS (SELECT count(*) AS cnt FROM embeddings), " +
+        "m AS (SELECT greatest(53, cnt // CAST(ceil(sqrt(cnt)) AS " +
+        "BIGINT)) AS md FROM n), " +
+        "c0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ke, " +
+        "sqrt(list_aggregate(list_transform(CAST(embedding AS " +
+        "DOUBLE[]), x -> x*x), 'sum')) AS kn " +
+        "FROM embeddings, m WHERE vec_id % md = 0), " +
+        "a0 AS (SELECT vec_id, cid FROM (" +
+        "SELECT e.vec_id, c0.cid, row_number() OVER (" +
+        "PARTITION BY e.vec_id ORDER BY " +
+        "list_dot_product(CAST(e.embedding AS DOUBLE[]), c0.ke) / c0.kn " +
+        "DESC, c0.cid) AS rn FROM embeddings e, c0) WHERE rn = 1), " +
+        "u AS (SELECT a0.cid, g.pos, " +
+        "round(CAST(e.embedding[g.pos] AS DOUBLE), 8) AS x " +
+        "FROM embeddings e JOIN a0 USING (vec_id), " +
+        "UNNEST(generate_series(1, len(e.embedding))) AS g(pos)), " +
+        "cent AS (SELECT cid, pos, " +
+        "CAST(SUM(CAST(x AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS mv " +
+        "FROM u GROUP BY cid, pos), " +
+        "c1 AS (SELECT cid, list(mv ORDER BY pos) AS ke FROM cent " +
+        "GROUP BY cid), " +
+        "c1n AS (SELECT cid, ke, " +
+        "sqrt(list_aggregate(list_transform(ke, x -> x*x), 'sum')) AS kn " +
+        "FROM c1), " +
+        "a1 AS (SELECT vec_id, cid FROM (" +
+        "SELECT e.vec_id, c1n.cid, row_number() OVER (" +
+        "PARTITION BY e.vec_id ORDER BY " +
+        "list_dot_product(CAST(e.embedding AS DOUBLE[]), c1n.ke) / " +
+        "c1n.kn DESC, c1n.cid) AS rn FROM embeddings e, c1n) " +
+        "WHERE rn = 1) " +
+        "SELECT vec_id, cid, CAST(count(*) OVER (PARTITION BY cid) " +
+        "AS BIGINT) AS cluster_size FROM a1 ORDER BY vec_id")),
+
+    GraftQuery(
       "q_embed_stats",
       "Per-vector statistics (dim, L2 norm, element mean/min/max) — the " +
         "embedding-column health check before any ANN build. Norm and " +
