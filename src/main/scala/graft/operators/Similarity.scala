@@ -494,6 +494,82 @@ object Similarity {
         "AS BIGINT) AS cluster_size FROM a1 ORDER BY vec_id")),
 
     GraftQuery(
+      "q_embed_outliers",
+      "Embedding outlier detection for corpus cleaning: every vector's " +
+        "cosine to its own cluster centroid, then a per-cluster z-score " +
+        "over those cosines — |z| > 2 flags mis-embedded / off-" +
+        "distribution documents. One fused-argmax assignment scan, one " +
+        "broadcast join to the sqrt(n)-sized centroid table for the " +
+        "score, one |clusters|-row moment aggregate joined back by " +
+        "broadcast. Moments are computed from DECIMAL-exact sums of " +
+        "8dp-rounded scores (sum and sum-of-squares), so mean/std — " +
+        "and therefore every z and every flag — are bit-identical " +
+        "across engines; singleton/zero-variance clusters get z = 0, " +
+        "outlier = false by definition.",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val mod = centroidMod(math.max(1L, emb.count()))
+        val cent = emb.filter(col("vec_id") % mod === 0)
+          .select(col("vec_id").as("cid"), col("embedding").as("ke"),
+            norm(col("embedding")).as("kn"))
+          .localCheckpoint()
+        val handle = centroidHandle(s, cent)
+        val rs = round(dot(col("ce"), col("ke")) / (col("cn") * col("kn")), 8)
+        val scored = scorable(emb)
+          .withColumn("cid",
+            graft.functions.GraftFunctions.nearestCentroid(col("ce"), handle))
+          .join(broadcast(cent), Seq("cid"))
+          .select(col("vec_id"), col("cid"), rs.as("rs"))
+        val stats = scored.groupBy("cid").agg(
+          count(lit(1)).as("cn_rows"),
+          sum(col("rs").cast("decimal(19,8)")).cast("double").as("s1"),
+          sum((col("rs") * col("rs")).cast("decimal(30,16)")).cast("double")
+            .as("s2"))
+        val mean = col("s1") / col("cn_rows")
+        val variance = (col("s2") - col("s1") * col("s1") / col("cn_rows")) /
+          (col("cn_rows") - 1)
+        val sd = when(col("cn_rows") >= 2, sqrt(variance)).otherwise(lit(0.0))
+        val z = when(col("cn_rows") < 2 || sd === 0.0, lit(0.0))
+          .otherwise((col("rs") - mean) / sd)
+        scored.join(broadcast(stats), Seq("cid"))
+          .select(col("vec_id"), col("cid"),
+            round(col("rs"), 6).as("score"),
+            round(z, 4).as("z"),
+            (abs(z) > 2.0).as("outlier"))
+          .orderBy("vec_id")
+      },
+      Some("WITH n AS (SELECT count(*) AS cnt FROM embeddings), " +
+        "m AS (SELECT greatest(53, cnt // CAST(ceil(sqrt(cnt)) AS " +
+        "BIGINT)) AS md FROM n), " +
+        "c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ke, " +
+        "sqrt(list_aggregate(list_transform(CAST(embedding AS " +
+        "DOUBLE[]), x -> x*x), 'sum')) AS kn " +
+        "FROM embeddings, m WHERE vec_id % md = 0), " +
+        "a AS (SELECT vec_id, cid FROM (" +
+        "SELECT e.vec_id, c.cid, row_number() OVER (" +
+        "PARTITION BY e.vec_id ORDER BY " +
+        "list_dot_product(CAST(e.embedding AS DOUBLE[]), c.ke) / c.kn " +
+        "DESC, c.cid) AS rn FROM embeddings e, c) WHERE rn = 1), " +
+        "sc AS (SELECT e.vec_id, a.cid, round(" +
+        "list_dot_product(CAST(e.embedding AS DOUBLE[]), c.ke) / (" +
+        "sqrt(list_aggregate(list_transform(CAST(e.embedding AS " +
+        "DOUBLE[]), x -> x*x), 'sum')) * c.kn), 8) AS rs " +
+        "FROM embeddings e JOIN a USING (vec_id) JOIN c USING (cid)), " +
+        "st AS (SELECT cid, count(*) AS cn_rows, " +
+        "CAST(SUM(CAST(rs AS DECIMAL(19,8))) AS DOUBLE) AS s1, " +
+        "CAST(SUM(CAST(rs * rs AS DECIMAL(30,16))) AS DOUBLE) AS s2 " +
+        "FROM sc GROUP BY cid), " +
+        "zs AS (SELECT vec_id, cid, rs, " +
+        "CASE WHEN cn_rows >= 2 THEN " +
+        "sqrt((s2 - s1 * s1 / cn_rows) / (cn_rows - 1)) ELSE 0.0 END " +
+        "AS sd, s1 / cn_rows AS mean FROM sc JOIN st USING (cid)) " +
+        "SELECT vec_id, cid, round(rs, 6) AS score, " +
+        "round(CASE WHEN sd = 0.0 THEN 0.0 ELSE (rs - mean) / sd END, 4) " +
+        "AS z, " +
+        "abs(CASE WHEN sd = 0.0 THEN 0.0 ELSE (rs - mean) / sd END) > 2.0 " +
+        "AS outlier FROM zs ORDER BY vec_id")),
+
+    GraftQuery(
       "q_embed_stats",
       "Per-vector statistics (dim, L2 norm, element mean/min/max) — the " +
         "embedding-column health check before any ANN build. Norm and " +

@@ -84,6 +84,42 @@ object CorpusStreams {
     }.toDF("train_id", "eval_id", "n_shared")
   }
 
+  /** A doc's packing verdict — the streaming twin of q_seq_pack's
+    * output row. */
+  final case class PackedDoc(doc_id: Long, shard: Long, n_tokens: Long,
+                             bin: Long, bin_offset: Long)
+
+  /** Streaming concat-and-chunk sequence packing: docs land in `nsh`
+    * independent pack streams (doc_id mod nsh), each stream carries
+    * one Long of state — its cumulative token count — and every
+    * arriving doc is placed at the current offset (bin = cum DIV b,
+    * offset = cum mod b), exactly the batch q_seq_pack arithmetic.
+    * Parallelism is |streams|, state is 8 bytes per stream, and the
+    * stream == batch equality holds when docs arrive doc_id-ascending
+    * per stream (an append-ordered ingest; within one micro-batch any
+    * order works — the group sorts its batch slice). */
+  def seqPackStream(docs: Dataset[Doc], nsh: Int = 32,
+                    b: Long = 512): Dataset[PackedDoc] = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    docs
+      .map(d => (d.doc_id, d.doc_id % nsh, toks(d.text).length.toLong))
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, PackedDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard: Long, rows: Iterator[(Long, Long, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_._1).map { case (id, sh, n) =>
+            val r = PackedDoc(id, sh, n, cum / b, cum % b)
+            cum += n
+            r
+          }
+          state.update(cum)
+          out.iterator
+      }
+  }
+
   /** Streaming cross-document span duplication: every arriving
     * document's distinct `width`-token span hashes (bit-identical to
     * the batch q_span_dup's shingle_hashes) are checked against all

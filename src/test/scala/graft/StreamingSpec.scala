@@ -249,6 +249,40 @@ class StreamingSpec extends SparkSuite {
       s"streamed dup counts diverge from batch")
   }
 
+  test("streaming seq-pack equals the batch packing row for row") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    import graft.streaming.CorpusStreams
+    import graft.streaming.CorpusStreams.Doc
+
+    val docs = Tables.documents(sp, sf).select("doc_id", "text")
+      .as[Doc].collect().sortBy(_.doc_id)
+
+    val input = MemoryStream[Doc]
+    val q = CorpusStreams.seqPackStream(input.toDS())
+      .writeStream.format("memory").queryName("seqpack")
+      .outputMode("append").start()
+    try {
+      // doc_id-ascending across batches (the append-ordered ingest
+      // contract); the split exercises cross-batch cumsum state
+      val (a, b) = docs.splitAt(docs.length / 3)
+      input.addData(a.toSeq)
+      q.processAllAvailable()
+      input.addData(b.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "shard", "n_tokens", "bin", "bin_offset")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    val streamed = rows(sp.table("seqpack"))
+    val batch = rows(SparkEntry.queries("q_seq_pack")(sp, sf))
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("continuous restore drains a stream of edges into the KV sink") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = sp.sqlContext
