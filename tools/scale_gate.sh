@@ -29,8 +29,11 @@ OUT="${4:-/tmp/graft_scale_gate_out}"
 # family most likely to actually run at 100 TB: q_span_dup (span-hash
 # shuffle + per-span df), q_tfidf (two-pass df/tf), q_source_mix
 # (broadcast totals resample), q_backup_diff (digest-first full-outer
-# snapshot diff)
-QUERIES="${SCALE_GATE_QUERIES:-q_agg_basic,q_agg_distinct,q_filter_range,q_topk,q_string_agg,q_window_ntile,q_window_cume,q_span_dup,q_tfidf,q_source_mix,q_backup_diff}"
+# snapshot diff), q_train_shuffle (shard-partitioned window),
+# q_ngram_lm (hashed-key count joins), q_kmeans_refine (assign ->
+# exact-decimal centroid update -> reassign, the collect+rebroadcast
+# path)
+QUERIES="${SCALE_GATE_QUERIES:-q_agg_basic,q_agg_distinct,q_filter_range,q_topk,q_string_agg,q_window_ntile,q_window_cume,q_span_dup,q_tfidf,q_source_mix,q_backup_diff,q_train_shuffle,q_ngram_lm,q_kmeans_refine}"
 cd "$(dirname "$0")/.."
 SPARK_GRAFT_SMOKE_REPLICATE_ONLY=1 sbt -batch "runMain graft.ScaleSmoke $K $SRC $WORK"
 rm -rf "$OUT"
