@@ -26,7 +26,10 @@ object DiffSmoke {
   def main(args: Array[String]): Unit = {
     val k = if (args.nonEmpty) args(0).toInt else 32
     val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val work = if (args.length > 2) args(2) else "/tmp/graft_scale32"
+    // the default work dir is k-specific: reusing one dir across
+    // different k would silently time the OLD replication factor under
+    // the new k's label (an explicit workDir arg is trusted as-is)
+    val work = if (args.length > 2) args(2) else s"/tmp/graft_diff_smoke_$k"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -64,6 +64,9 @@ object GraftFunctions {
           "expected 1-2 argument(s): shingle_hashes(tokens[, width]), " +
             s"got ${es0.length}")
       }),
+    ("bigram_hashes", info("bigram_hashes",
+      "bigram_hashes(tokens) - (h1, h2) xxhash64 pairs of adjacent tokens"),
+      es0 => BigramHashes(arity(es0, 1, "bigram_hashes(tokens)").head)),
     ("sorted_intersect_count", info("sorted_intersect_count",
       "sorted_intersect_count(a, b) - |A ∩ B| of two sorted long arrays"),
       es0 => { val es = arity(es0, 2, "sorted_intersect_count(a, b)")
@@ -656,6 +659,55 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   * bit-identical to the expression chain this replaces. Dedup happens
   * on hashes, not strings — the same set w.h.p. (collisions ~ n²/2⁶⁵),
   * and only set cardinalities flow downstream. */
+/** Adjacent-token xxhash64 pairs (h1, h2) of a string array — the
+  * per-row work of bigram-LM scoring (q_ngram_lm) as ONE eval per row:
+  * each token is hashed once (the equivalent
+  * `transform(sequence(...), i => struct(xxhash64(el_i), xxhash64(el_i+1)))`
+  * chain is interpreted per position and hashes every interior token
+  * twice — CLAUDE.md rule 1). Seed 42 = Spark's xxhash64 default, so
+  * values are bit-identical to the expression chain this replaces.
+  * Duplicates are KEPT (each occurrence is an LM event). */
+case class BigramHashes(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def prettyName: String = "bigram_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"bigram_hashes expects array<string>, got ${child.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("h1", LongType, nullable = false),
+      StructField("h2", LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullSafeEval(a: Any): Any = {
+    val toks = a.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val h = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      h(i) = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset,
+        t.numBytes, 42L)
+      i += 1
+    }
+    val out = new Array[Any](n - 1)
+    i = 0
+    while (i < n - 1) {
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(h(i), h(i + 1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BigramHashes =
+    copy(child = newChild)
+}
+
 object ShingleHashes {
   /** The expression's hash loop as a plain function over tokens —
     * identical windows (max(n-width+1, 1), end-clamped), identical

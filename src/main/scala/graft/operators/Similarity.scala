@@ -526,8 +526,13 @@ object Similarity {
           sum((col("rs") * col("rs")).cast("decimal(30,16)")).cast("double")
             .as("s2"))
         val mean = col("s1") / col("cn_rows")
-        val variance = (col("s2") - col("s1") * col("s1") / col("cn_rows")) /
-          (col("cn_rows") - 1)
+        // the exact-sum identity can cancel to a TINY NEGATIVE for a
+        // constant-score cluster (s2 - s1²/n ≈ -1e-16): clamp at 0 or
+        // Spark takes sqrt→NaN (NaN compares greatest, flagging garbage
+        // outliers) while DuckDB hard-errors on sqrt of a negative
+        val variance = greatest(
+          (col("s2") - col("s1") * col("s1") / col("cn_rows")) /
+            (col("cn_rows") - 1), lit(0.0))
         val sd = when(col("cn_rows") >= 2, sqrt(variance)).otherwise(lit(0.0))
         val z = when(col("cn_rows") < 2 || sd === 0.0, lit(0.0))
           .otherwise((col("rs") - mean) / sd)
@@ -561,7 +566,8 @@ object Similarity {
         "FROM sc GROUP BY cid), " +
         "zs AS (SELECT vec_id, cid, rs, " +
         "CASE WHEN cn_rows >= 2 THEN " +
-        "sqrt((s2 - s1 * s1 / cn_rows) / (cn_rows - 1)) ELSE 0.0 END " +
+        "sqrt(greatest((s2 - s1 * s1 / cn_rows) / (cn_rows - 1), 0.0)) " +
+        "ELSE 0.0 END " +
         "AS sd, s1 / cn_rows AS mean FROM sc JOIN st USING (cid)) " +
         "SELECT vec_id, cid, round(rs, 6) AS score, " +
         "round(CASE WHEN sd = 0.0 THEN 0.0 ELSE (rs - mean) / sd END, 4) " +

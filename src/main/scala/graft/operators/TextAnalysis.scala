@@ -606,12 +606,11 @@ object TextAnalysis {
       (s, d) => {
         val tk = split(col("text"), " ")
         val docs = Tables.spread(Tables.documents(s, d))
-        val bigrams = docs.select(col("doc_id"), explode(
-          when(size(tk) >= 2, transform(sequence(lit(1), size(tk) - 1),
-            i => struct(xxhash64(element_at(tk, i)).as("h1"),
-              xxhash64(element_at(tk, i + 1)).as("h2"))))
-            .otherwise(array().cast("array<struct<h1:bigint,h2:bigint>>")))
-          .as("bg"))
+        // ONE native eval per row (BigramHashes): each token hashed
+        // once, pairs emitted primitive — the HOF spec form is
+        // interpreted per position (rule 1); DedupSpec pins equality
+        val bigrams = docs.select(col("doc_id"),
+          explode(call_function("bigram_hashes", tk)).as("bg"))
           .select(col("doc_id"), col("bg.h1"), col("bg.h2"))
         val uni = docs.select(explode(tk).as("w"))
           .select(xxhash64(col("w")).as("h1"))

@@ -86,6 +86,29 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("native bigram_hashes equals the HOF spec form, pairs in order") {
+    // q_ngram_lm's per-row loop vs the interpreted
+    // transform/sequence/xxhash64 chain it replaces — same pairs, same
+    // order, duplicates kept (each occurrence is an LM event)
+    graft.functions.GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)
+    val tk = split(col("text"), " ")
+    val spec = docs.select(col("doc_id"), explode(
+      when(size(tk) >= 2, transform(sequence(lit(1), size(tk) - 1),
+        i => struct(xxhash64(element_at(tk, i)).as("h1"),
+          xxhash64(element_at(tk, i + 1)).as("h2"))))
+        .otherwise(array().cast("array<struct<h1:bigint,h2:bigint>>")))
+      .as("bg"))
+    val native = docs.select(col("doc_id"),
+      explode(call_function("bigram_hashes", tk)).as("bg"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("bg.h1"), col("bg.h2")).collect()
+        .groupBy(_.getLong(0))
+        .map { case (k, rs) =>
+          k -> rs.map(r => (r.getLong(1), r.getLong(2))).toVector }
+    assert(pairs(spec) == pairs(native))
+  }
+
   test("shingle_hashes rejects width < 1 at build") {
     // width 0 would silently produce n+1 hashes of the empty string
     // per doc (one "shingle" of zero tokens) instead of an error

@@ -43,7 +43,9 @@ rm -rf "$OUT"
 # that must be hash-checked at scale
 SPARK_GRAFT_NTILE_PLAIN_MAX=1 SPARK_GRAFT_ONLY="$QUERIES" \
   sbt -batch "runMain graft.Verify $WORK $OUT"
-RESULT="$(python3 tools/check_oracles.py "$WORK" "$OUT")"
+# capture WITHOUT dying under set -e (check_oracles exits 1 on any
+# FAIL — the diagnostics must still be echoed before we gate on them)
+RESULT="$(python3 tools/check_oracles.py "$WORK" "$OUT")" || true
 echo "$RESULT"
 # a query that throws inside Verify is skipped (stderr warning only),
 # shrinking both the dump and oracle_sql.json — check_oracles would
