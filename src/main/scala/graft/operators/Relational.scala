@@ -632,12 +632,8 @@ object Relational {
           .orderBy(asc("l_orderkey"), asc("l_linenumber"))
         li.join(broadcast(cells), Seq("l_returnflag", "l_quantity"))
           .withColumn("rn", col("cum_before") + row_number().over(wCell))
-          .withColumn("quartile", expr(
-            "CASE WHEN rn <= (n_flag DIV 4 + 1) * (n_flag % 4) " +
-              "THEN (rn - 1) DIV (n_flag DIV 4 + 1) + 1 " +
-              "ELSE (n_flag % 4) + " +
-              "(rn - 1 - (n_flag DIV 4 + 1) * (n_flag % 4)) DIV (n_flag DIV 4) " +
-              "+ 1 END").cast("bigint"))
+          .withColumn("quartile",
+            expr(ntileExpr("rn", "n_flag", 4)).cast("bigint"))
           .select(
             col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
             col("l_quantity"), (col("cum_before") + 1L).as("rnk"),
@@ -836,17 +832,26 @@ object Relational {
         coalesce(lead(col("spend"), 1).over(wIn), col("nb_spend")))
   }
 
+  /** ntile(k) as positional arithmetic: the first n%k buckets take one
+    * extra row (SQL-standard big/small-bucket rule); when n < k the
+    * ELSE branch is unreachable. ONE definition — q_window_rank's
+    * per-partition quartile and q_window_ntile's scale branch both
+    * inline it with their own row-number/count column names, and the
+    * two must never disagree on tie handling. */
+  private[graft] def ntileExpr(rnCol: String, nCol: String, k: Int): String =
+    s"CASE WHEN $rnCol <= ($nCol DIV $k + 1) * ($nCol % $k) " +
+      s"THEN ($rnCol - 1) DIV ($nCol DIV $k + 1) + 1 " +
+      s"ELSE ($nCol % $k) + " +
+      s"($rnCol - 1 - ($nCol DIV $k + 1) * ($nCol % $k)) " +
+      s"DIV ($nCol DIV $k) + 1 END"
+
   /** The scale branch of q_window_ntile: ntile/lead as arithmetic on
     * [[globalPosition]]. */
   private[graft] def ntileDecomposed(s: SparkSession,
                                      agg0: DataFrame): DataFrame =
     globalPosition(s, agg0)
-      .withColumn("quartile", expr(
-        "CASE WHEN rn <= (n_total DIV 4 + 1) * (n_total % 4) " +
-          "THEN (rn - 1) DIV (n_total DIV 4 + 1) + 1 " +
-          "ELSE (n_total % 4) + " +
-          "(rn - 1 - (n_total DIV 4 + 1) * (n_total % 4)) " +
-          "DIV (n_total DIV 4) + 1 END").cast("int"))
+      .withColumn("quartile",
+        expr(ntileExpr("rn", "n_total", 4)).cast("int"))
       .select(col("o_custkey"), col("spend"), col("quartile"),
         col("next_spend"))
       .orderBy("o_custkey")

@@ -56,7 +56,7 @@ object Archive {
       throw new IllegalArgumentException(
         "not a reference backup archive: metadata.json missing")))
     def childPath(parent: String, key: String): String =
-      if (parent == "/") s"/$key" else s"$parent/$key"
+      TreeCodec.childPath(parent, key)
     val out = Vector.newBuilder[TreeCodec.Edge]
     manifest.fields().asScala.foreach { pathEntry =>
       val path = pathEntry.getKey

@@ -65,7 +65,15 @@ object Export {
       .write.mode(SaveMode.Overwrite)
       .option("compression", "zstd")
       .parquet(s"$outDir/rows")
-    manifest(rows.sparkSession, rows).write
+    // the manifest must describe the rows actually PERSISTED:
+    // re-evaluating an uncached `rows` lineage would re-run its source
+    // — for a live export, a second full HTTP walk of the database
+    // (double wall-clock and API quota), and any concurrent write
+    // between the two walks would desynchronize manifest from rows,
+    // breaking the restore-verifies-completeness contract. Aggregate
+    // the written artifact instead.
+    val sp = rows.sparkSession
+    manifest(sp, readBackup(sp, outDir)).write
       .mode(SaveMode.Overwrite).json(s"$outDir/manifest")
   }
 

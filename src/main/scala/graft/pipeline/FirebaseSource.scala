@@ -99,7 +99,7 @@ final class FirebaseScan(conf: FirebaseSource.Conf)
   override def planInputPartitions(): Array[InputPartition] = {
     val walker = conf.walker()
     def childPath(parent: String, key: String): String =
-      if (parent == "/") s"/$key" else s"$parent/$key"
+      TreeCodec.childPath(parent, key)
     var pending: Seq[String] =
       walker.shallowKeys(conf.root).map(childPath(conf.root, _))
     val work = Array.newBuilder[InputPartition]

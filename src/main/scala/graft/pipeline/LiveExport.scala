@@ -34,10 +34,14 @@ import scala.jdk.CollectionConverters._
   * 1000 subtrees at a time. Page payloads are flattened to the engine's
   * canonical leaf-edge frame (TreeCodec) instead of chunk files.
   *
-  * Ordering note: key order is plain lexicographic string sort, matching
-  * the reference's `sort($this->shallow_tree[$path])` (:90). Real
-  * Firebase orders integer-like keys numerically first; for backup
-  * completeness only the SET of keys matters, not the visit order.
+  * Ordering note: shallow keys sort in Firebase's `$key` CURSOR order
+  * ([[LiveExport.KeyOrdering]] — integer-parseable keys first,
+  * numerically), NOT the reference's plain lexicographic
+  * `sort($this->shallow_tree[$path])` (:90): the go-deeper resume sets
+  * `startAt` from the client-side sort while the server pages in cursor
+  * order, so a lexicographic sort (which puts "10" before "2") makes a
+  * resume at "10" silently skip key "2"'s subtree — a latent
+  * completeness bug in the reference for mixed integer/string keys.
   */
 object LiveExport {
 
@@ -51,6 +55,20 @@ object LiveExport {
   /** The BackupFailureException analog (exceptions/
     * BackupFailureException.php): shallow listing failed 10x. */
   final class BackupFailure(msg: String) extends RuntimeException(msg)
+
+  /** Firebase `$key` cursor order (REST API "Ordering of data"): keys
+    * parseable as 32-bit integers sort FIRST, numerically; everything
+    * else follows lexicographically. The go-deeper resume
+    * (startAt = the child after the one descended into) walks pages in
+    * this order, so the client-side shallow-key sort MUST match it —
+    * a lexicographic sort puts "10" before "2", and resuming at "10"
+    * makes the server-side cursor silently skip key "2"'s subtree. */
+  val KeyOrdering: Ordering[String] = Ordering.by { k: String =>
+    k.toIntOption match {
+      case Some(v) => (0, v.toLong, "")
+      case None => (1, 0L, k)
+    }
+  }
 
   private sealed trait PageOut
   /** One fetched page: direct children in key order (leading startAt
@@ -93,12 +111,27 @@ object LiveExport {
       * `intelligent_IPP` map (BackupProcessor.php:151-155). */
     private val ipp = mutable.Map.empty[String, (Int, Int)]
 
-    private def isTooLarge(n: JsonNode): Boolean =
-      n != null && n.isObject && n.has("error")
+    /** 401/403 are definitive — retrying or halving cannot fix a bad
+      * token, and degrading into the go-deeper path buries the real
+      * cause in "could not get shallow data" noise. */
+    private def failIfDenied(resp: RestResponse, path: String): Unit =
+      if (resp.status == 401 || resp.status == 403)
+        throw new BackupFailure(
+          s"permission denied for $path (HTTP ${resp.status}): ${resp.body}")
+
+    /** The reference classifies errors by BODY shape because its PHP
+      * lib discards the HTTP status (`{"error": ...}` — BackupProcessor
+      * .php:174). Body shape alone misclassifies legitimate data whose
+      * child KEY is "error" (a page of such a node answers
+      * `{"error": <value>}` with 200), so here the status — which
+      * Firebase does send (400 for size-capped reads) — is the signal,
+      * one of the deliberate production-shaped divergences. */
+    private def isErrorResponse(resp: RestResponse): Boolean =
+      resp.status >= 400
 
     private def isEmptyPayload(n: JsonNode): Boolean =
-      n == null || n.isNull || (n.isObject && n.size() == 0) ||
-        (n.isArray && n.size() == 0) || isTooLarge(n)
+      n == null || n.isNull || n.isMissingNode ||
+        (n.isObject && n.size() == 0) || (n.isArray && n.size() == 0)
 
     /** BackupProcessor.php:150-199, one call = one successful page (or
       * a go-deeper verdict), shrinking inside the loop. */
@@ -110,15 +143,26 @@ object LiveExport {
         val query = Map("orderBy" -> "\"$key\"",
           "limitToFirst" -> itemsPerPage.toString) ++
           startKey.map(k => "startAt" -> ("\"" + k + "\""))
-        val node = mapper.readTree(client.get(path, query))
-        if (!isEmptyPayload(node) && !node.isObject && !node.isArray) {
+        val resp = client.getR(path, query)
+        failIfDenied(resp, path)
+        val node = mapper.readTree(resp.body)
+        val shrink = isErrorResponse(resp) || isEmptyPayload(node)
+        if (!shrink && !node.isObject && !node.isArray) {
           out = ScalarLeaf(mapper.writeValueAsString(node))
-        } else if (isEmptyPayload(node)) {
+        } else if (shrink) {
           if (itemsPerPage == MinIpp) {
             ipp(path) = (MinIpp, 0)
             out = GoDeeper
-          } else itemsPerPage =
-            math.max(MinIpp, math.ceil(itemsPerPage / 2.0).toInt)
+          } else {
+            itemsPerPage =
+              math.max(MinIpp, math.ceil(itemsPerPage / 2.0).toInt)
+            // store the halved size AND reset the success streak —
+            // the reference counts its grow-after-5 successes FROM the
+            // failure (BackupProcessor.php:181-188); without the reset
+            // one post-failure success inherits the old streak and
+            // immediately re-grows toward the size that just failed
+            ipp(path) = (itemsPerPage, 0)
+          }
         } else {
           // success: per-path IPP bookkeeping (:180-188)
           val (_, succ) = ipp.getOrElse(path, (itemsPerPage, 0))
@@ -170,16 +214,24 @@ object LiveExport {
       var tries = 0
       while (tries < ShallowRetries) {
         if (tries > 0) sleep(Backoff.delayMs(tries - 1))
-        val node = mapper.readTree(
-          client.get(path, Map("shallow" -> "true")))
+        val resp = client.getR(path, Map("shallow" -> "true"))
+        failIfDenied(resp, path)
+        val node = mapper.readTree(resp.body)
         tries += 1
-        if (!isEmptyPayload(node)) {
-          if (node.isObject)
-            return node.fieldNames().asScala.toVector.sorted
-          if (node.isArray)
+        if (!isErrorResponse(resp)) {
+          if (node != null && node.isObject && node.size() > 0)
+            // sorted in the SERVER's cursor order (integer keys first,
+            // numerically) — the go-deeper resume depends on it
+            return node.fieldNames().asScala.toVector.sorted(KeyOrdering)
+          if (node != null && node.isArray && node.size() > 0)
             return node.elements().asScala.zipWithIndex.collect {
               case (v, i) if !v.isNull => i.toString
             }.toVector
+          // a 200 null/{}/[] is DEFINITIVE: the path is empty (an
+          // empty database, or a subtree deleted since planning) —
+          // retrying a correct answer ~33s just to abort the whole
+          // export would turn "nothing here" into a failure
+          if (isEmptyPayload(node)) return Vector.empty
         }
       }
       throw new BackupFailure(
@@ -188,7 +240,7 @@ object LiveExport {
     }
 
     private def childPath(parent: String, key: String): String =
-      if (parent == "/") s"/$key" else s"$parent/$key"
+      TreeCodec.childPath(parent, key)
 
     private def emitValue(path: String, key: String, v: JsonNode,
                           emit: TreeCodec.Edge => Unit): Unit =
@@ -291,7 +343,7 @@ object LiveExport {
            startIpp: Option[Int] = None): Seq[String] = {
     import spark.implicits._
     def childPath(parent: String, key: String): String =
-      if (parent == "/") s"/$key" else s"$parent/$key"
+      TreeCodec.childPath(parent, key)
     var pending: Seq[String] = new Walker(clientFactory(), maxIpp)
       .shallowKeys(root).map(childPath(root, _))
     val work = Seq.newBuilder[String]

@@ -31,13 +31,29 @@ object Backoff {
     math.min(CapMs, BaseMs << math.min(attempt, 16))
 }
 
+/** One GET's outcome: HTTP status + raw body. Firebase signals real
+  * errors (auth, size limits) with 4xx statuses AND an
+  * `{"error": ...}` body; the status is what disambiguates them from
+  * legitimate user data whose child KEY happens to be "error" — a page
+  * read of such a node answers `{"error": <value>}` with 200, which is
+  * indistinguishable from an error payload by shape alone. */
+final case class RestResponse(status: Int, body: String)
+
 trait RestClient extends Serializable {
 
   /** GET `path` with query params; returns the raw JSON body (Firebase
     * reports in-band errors like `{"error":"Payload is too large"}` in
     * the body, which callers inspect — BackupProcessor.php:174). Throws
     * IOException only on transport failure. */
-  def get(path: String, query: Map[String, String]): String
+  def get(path: String, query: Map[String, String]): String =
+    getR(path, query).body
+
+  /** As [[get]], but with the HTTP status (see [[RestResponse]]). The
+    * reference's PHP lib discards the status, which is why it must
+    * classify errors by body shape; the walker here uses the status
+    * when the transport provides one. Implementations that cannot
+    * report a status answer 200. */
+  def getR(path: String, query: Map[String, String]): RestResponse
 
   /** PATCH `path` with a JSON object body (Firebase `update` — merge of
     * direct children). True on 2xx. The restore drain interprets false
@@ -64,8 +80,16 @@ final class HttpRestClient(baseUrl: String,
   private def enc(s: String): String =
     URLEncoder.encode(s, StandardCharsets.UTF_8.name())
 
+  // Firebase keys may contain URI-illegal characters (spaces, unicode —
+  // only . $ # [ ] / are forbidden): each path SEGMENT percent-encodes
+  // (URLEncoder is form-encoding, so its '+' must become '%20' in a
+  // path), else `new URI` throws URISyntaxException mid-export
+  private def encPath(path: String): String =
+    path.split("/", -1).map(seg =>
+      enc(seg).replace("+", "%20")).mkString("/")
+
   private def urlFor(path: String, query: Map[String, String]): URI = {
-    val p = if (path == "/" || path.isEmpty) "/" else path
+    val p = if (path == "/" || path.isEmpty) "/" else encPath(path)
     val q = (query ++ authToken.map("auth" -> _))
       .map { case (k, v) => enc(k) + "=" + enc(v) }.mkString("&")
     new URI(baseUrl.stripSuffix("/") + p + ".json" +
@@ -80,13 +104,14 @@ final class HttpRestClient(baseUrl: String,
     finally is.close()
   }
 
-  override def get(path: String, query: Map[String, String]): String = {
+  override def getR(path: String,
+                    query: Map[String, String]): RestResponse = {
     val conn = urlFor(path, query).toURL.openConnection()
       .asInstanceOf[HttpURLConnection]
     conn.setConnectTimeout(connectTimeoutMs)
     conn.setReadTimeout(readTimeoutMs)
     conn.setRequestMethod("GET")
-    try readAll(conn)
+    try RestResponse(conn.getResponseCode, readAll(conn))
     finally conn.disconnect()
   }
 

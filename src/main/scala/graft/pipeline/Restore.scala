@@ -62,7 +62,12 @@ object Restore {
         stalled = 0
         successes += 1
         if (successes >= GrowAfter) {      // grow x1.2 after 5 straight
-          batchSize = math.max(math.ceil(batchSize * 1.2).toInt, batchSize + 1)
+          // capped at the reference's 1000-key ceiling (InitialBatch,
+          // RestoreProcessor.php batch contract): unbounded growth
+          // eventually serializes+sends a body the server must reject,
+          // then oscillates around the limit forever
+          batchSize = math.min(InitialBatch,
+            math.max(math.ceil(batchSize * 1.2).toInt, batchSize + 1))
           successes = 0
         }
       } else {

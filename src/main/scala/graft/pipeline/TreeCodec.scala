@@ -31,12 +31,17 @@ object TreeCodec {
 
   private val mapper = new ObjectMapper()
 
+  /** The '/'-rooted path-join rule — load-bearing for backup/restore
+    * path identity, so it lives in exactly one place (previously five
+    * private copies across the walker, planner, archive decoder, DSv2
+    * scan, and this codec). */
+  def childPath(parent: String, key: String): String =
+    if (parent == "/") s"/$key" else s"$parent/$key"
+
   /** Flatten one JSON document into leaf edges. Empty objects/arrays
     * produce no edges (Firebase has no empty-node representation). */
   def flatten(json: String, rootPath: String = "/"): Seq[Edge] = {
     val buf = Vector.newBuilder[Edge]
-    def childPath(parent: String, key: String): String =
-      if (parent == "/") s"/$key" else s"$parent/$key"
     def walk(path: String, node: JsonNode): Unit =
       if (node.isObject) {
         node.fields().asScala.foreach { e =>

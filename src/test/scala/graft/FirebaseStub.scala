@@ -21,13 +21,17 @@ import scala.jdk.CollectionConverters._
   *
   * Fault injection mirrors the failure modes the reference's loops
   * exist for: `maxPayloadBytes` makes oversized pages answer
-  * `{"error":"Payload is too large"}` (the C2/C3 trigger,
+  * `{"error":"Payload is too large"}` with HTTP 400 (Firebase's real
+  * status for size-capped reads — the C2/C3 trigger,
   * BackupProcessor.php:174), `failShallow` makes the first N shallow
-  * listings return null (the <=10-retry path, :80-87), and
+  * listings answer HTTP 503 (the <=10-retry path, :80-87), and
   * `maxPatchKeys` rejects PATCH bodies with more keys (drives the
   * restore's shrink loop, RestoreProcessor.php:82).
   *
-  * Keys order lexicographically — same ordering LiveExport assumes.
+  * Keys order in Firebase's `$key` cursor order
+  * (LiveExport.KeyOrdering: 32-bit-integer-parseable keys first,
+  * numerically, then the rest lexicographically) — the order the
+  * walker's go-deeper resume depends on.
   * All handlers synchronize on the tree (single test server).
   */
 final class FirebaseStub(maxPayloadBytes: Int = Int.MaxValue,
@@ -124,7 +128,8 @@ final class FirebaseStub(maxPayloadBytes: Int = Int.MaxValue,
       val node = nodeAt(path)
       if (q.get("shallow").contains("true")) {
         if (shallowFailsLeft.get() > 0) {
-          shallowFailsLeft.decrementAndGet(); respond(ex, 200, "null"); return
+          shallowFailsLeft.decrementAndGet()
+          respond(ex, 503, """{"error":"Service unavailable"}"""); return
         }
         node match {
           case o: ObjectNode =>
@@ -148,14 +153,15 @@ final class FirebaseStub(maxPayloadBytes: Int = Int.MaxValue,
         case (Some("\"$key\""), o: ObjectNode) =>
           val limit = q.get("limitToFirst").map(_.toInt).getOrElse(Int.MaxValue)
           val startAt = q.get("startAt").map(_.stripPrefix("\"").stripSuffix("\""))
-          val keys = o.fieldNames().asScala.toVector.sorted
-            .dropWhile(k => startAt.exists(s => k < s))
+          val ord = graft.pipeline.LiveExport.KeyOrdering
+          val keys = o.fieldNames().asScala.toVector.sorted(ord)
+            .dropWhile(k => startAt.exists(s => ord.lt(k, s)))
             .take(limit)
           val page = mapper.createObjectNode()
           keys.foreach(k => page.set[JsonNode](k, o.get(k)))
           val body = mapper.writeValueAsString(page)
           if (body.getBytes(StandardCharsets.UTF_8).length > maxPayloadBytes)
-            respond(ex, 200, """{"error":"Payload is too large"}""")
+            respond(ex, 400, """{"error":"Payload is too large"}""")
           else respond(ex, 200, body)
         case (Some("\"$key\""), a: com.fasterxml.jackson.databind.node.ArrayNode) =>
           // integer keys order NUMERICALLY; a filtered read of an
@@ -170,7 +176,7 @@ final class FirebaseStub(maxPayloadBytes: Int = Int.MaxValue,
             .foreach(i => page.add(a.get(i).deepCopy[JsonNode]()))
           val body = mapper.writeValueAsString(page)
           if (body.getBytes(StandardCharsets.UTF_8).length > maxPayloadBytes)
-            respond(ex, 200, """{"error":"Payload is too large"}""")
+            respond(ex, 400, """{"error":"Payload is too large"}""")
           else respond(ex, 200, body)
         case (Some("\"$key\""), null) => respond(ex, 200, "null")
         case (Some("\"$key\""), scalar) =>
@@ -180,7 +186,7 @@ final class FirebaseStub(maxPayloadBytes: Int = Int.MaxValue,
         case (None, n) =>
           val body = mapper.writeValueAsString(n)
           if (body.getBytes(StandardCharsets.UTF_8).length > maxPayloadBytes)
-            respond(ex, 200, """{"error":"Payload is too large"}""")
+            respond(ex, 400, """{"error":"Payload is too large"}""")
           else respond(ex, 200, body)
         case (Some(other), _) =>
           respond(ex, 400, s"""{"error":"unsupported orderBy $other"}""")

@@ -62,9 +62,10 @@ class LiveSpec extends SparkSuite {
       val limits = scala.collection.mutable.ArrayBuffer.empty[Int]
       val recording = new graft.pipeline.RestClient {
         private val inner = new HttpRestClient(stub.url)
-        override def get(path: String, query: Map[String, String]): String = {
+        override def getR(path: String, query: Map[String, String])
+            : graft.pipeline.RestResponse = {
           query.get("limitToFirst").foreach(l => limits += l.toInt)
-          inner.get(path, query)
+          inner.getR(path, query)
         }
         override def patch(path: String, body: String): Boolean =
           inner.patch(path, body)
@@ -97,6 +98,72 @@ class LiveSpec extends SparkSuite {
       val walker = new LiveExport.Walker(new HttpRestClient(stub.url))
       val got = walker.fetchTree("/big").toSet
       assert(got == edgesOf(json).filter(_.path.startsWith("/big")))
+    } finally stub.stop()
+  }
+
+  test("go-deeper resume respects Firebase integer-first key order") {
+    // keys "1","2","10","x" cursor-order as 1,2,10,x (32-bit-integer
+    // keys first, numerically). A lexicographic client sort (1,10,2,x)
+    // resumes at "10" after descending "1" and the server cursor then
+    // skips key "2"'s subtree entirely — silent data loss. Each child
+    // is fat enough that /mix itself always go-deepers.
+    val blob = (1 to 40).map(i => s""""k$i": "${"v" * 12}"""").mkString(",")
+    val json = s"""{"mix": {"1": {$blob}, "2": {$blob}, "10": {$blob},
+                   "x": {$blob}}}"""
+    val stub = new FirebaseStub(maxPayloadBytes = 400)
+    try {
+      stub.seed(json)
+      val walker = new LiveExport.Walker(new HttpRestClient(stub.url),
+        sleep = _ => ())
+      val got = walker.fetchTree("/mix").toSet
+      assert(got == edgesOf(json),
+        s"missing: ${edgesOf(json) -- got}")
+    } finally stub.stop()
+  }
+
+  test("empty database exports an empty frame instead of failing") {
+    // a 200 null/{} shallow answer is DEFINITIVE — retrying a correct
+    // 'nothing here' ~33s and then aborting would turn an empty (or
+    // concurrently-deleted) path into a BackupFailure
+    val stub = new FirebaseStub()
+    try {
+      stub.seed("{}")
+      val delays = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val walker = new LiveExport.Walker(new HttpRestClient(stub.url),
+        sleep = delays += _)
+      assert(walker.shallowKeys("/") == Vector.empty)
+      assert(delays.isEmpty, s"empty answer slept: $delays")
+      val u = stub.url
+      val df = LiveExport.export(spark, () => new HttpRestClient(u))
+      assert(df.collect().isEmpty)
+    } finally stub.stop()
+  }
+
+  test("data whose child key is literally 'error' exports as data") {
+    // a page of such a node answers {"error": <value>} with HTTP 200 —
+    // indistinguishable from an error payload by body shape alone; the
+    // walker must classify by status, not shape
+    val json = """{"config": {"error": "none", "mode": "live"}}"""
+    val stub = new FirebaseStub()
+    try {
+      stub.seed(json)
+      val walker = new LiveExport.Walker(new HttpRestClient(stub.url),
+        sleep = _ => ())
+      assert(walker.fetchTree("/config").toSet == edgesOf(json))
+    } finally stub.stop()
+  }
+
+  test("keys with URI-illegal characters round-trip through the client") {
+    // Firebase forbids only . $ # [ ] / in keys — spaces and unicode
+    // are legal and must be percent-encoded per path segment, not
+    // crash URI construction
+    val json = """{"my app": {"key one": "v1", "kéy": "v2"}}"""
+    val stub = new FirebaseStub()
+    try {
+      stub.seed(json)
+      val walker = new LiveExport.Walker(new HttpRestClient(stub.url),
+        sleep = _ => ())
+      assert(walker.fetchTree("/my app").toSet == edgesOf(json))
     } finally stub.stop()
   }
 

@@ -139,6 +139,23 @@ class PipelineSpec extends SparkSuite {
     assert(sizes.exists(_ > 7), s"batch never grew: $sizes")
   }
 
+  test("drainPath batch growth is capped at the reference's 1000 ceiling") {
+    // unbounded x1.2 growth would eventually serialize+send a body the
+    // server must reject, then oscillate around its limit forever; the
+    // reference contract is batches of UP TO 1000 key-writes
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val sink = new Restore.KVSink {
+      override def update(p: String, b: Map[String, String]): Boolean = {
+        sizes += b.size; true
+      }
+    }
+    val data = (1 to 20000).map(i => f"k$i%06d" -> i.toString).toMap
+    Restore.drainPath(sink, "/p", data, sleep = _ => ())
+    assert(sizes.max == Restore.InitialBatch,
+      s"batch exceeded the ceiling: ${sizes.max}")
+    assert(sizes.forall(_ <= Restore.InitialBatch))
+  }
+
   test("unsinkable data raises (RestoreFailureException analog)") {
     val sink = new MemorySink(failAbove = 0)
     intercept[IllegalStateException] {
