@@ -63,16 +63,23 @@ object Media {
 
   /** Repartition media by PAYLOAD BYTES, not row count — media rows are
     * KBs-to-MBs, so a row-count split makes partitions that differ by
-    * orders of magnitude in memory. One cheap metadata aggregate sizes
-    * the shuffle; the target mirrors
+    * orders of magnitude in memory. Sizing prefers the plan's
+    * statistics (for a file scan, file sizes from the already-listed
+    * footer metadata — free) and only falls back to aggregating
+    * `length(bytes)` when the optimizer has no estimate (the default
+    * sentinel): summing lengths re-READS the heaviest column before
+    * any work starts, which at the 100 TB design point is an extra
+    * full pass. The target mirrors
     * `spark.sql.files.maxPartitionBytes`'s 128 MB default. */
   def repartitionByBytes(media: Dataset[MediaRow],
                          targetBytes: Long = 128L << 20): Dataset[MediaRow] = {
-    val total = media.agg(sum(length(col("bytes"))))
-      .head.getAs[java.lang.Long](0)
-    val parts = math.max(1,
-      math.ceil(Option(total).map(_.toDouble).getOrElse(0.0) /
-        targetBytes).toInt)
+    val statBytes =
+      media.queryExecution.optimizedPlan.stats.sizeInBytes
+    val total: Double =
+      if (statBytes < BigInt(Long.MaxValue) / 4) statBytes.toDouble
+      else Option(media.agg(sum(length(col("bytes"))))
+        .head.getAs[java.lang.Long](0)).map(_.toDouble).getOrElse(0.0)
+    val parts = math.max(1, math.ceil(total / targetBytes).toInt)
     media.repartition(parts)
   }
 

@@ -46,8 +46,8 @@ object Mp4 {
   private def fourcc(b: Array[Byte], o: Int): String =
     new String(b, o, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
 
-  /** (type, payloadStart, payloadEnd, boxEnd) for each box in
-    * [from, to); stops (returns what it has) on a malformed header. */
+  /** (type, payloadStart, boxEnd) for each box in [from, to);
+    * stops (returns what it has) on a malformed header. */
   private def boxes(b: Array[Byte], from: Int, to: Int)
       : List[(String, Int, Int)] = {
     val out = List.newBuilder[(String, Int, Int)]
@@ -88,9 +88,15 @@ object Mp4 {
       val inMoov = boxes(b, ms, me)
       find(inMoov, "mvhd").map { case (_, hs, he) =>
         val ver = b(hs) & 0xFF
+        // the branches are exclusive ON VERSION: a truncated v1 box
+        // must NOT fall through to the v0 layout — offsets 12/16 sit
+        // inside v1's 64-bit creation/modification times, so the v0
+        // read would fabricate a garbage timescale/duration instead of
+        // the honest (0, 0)
         val (timescale, duration) =
-          if (ver == 1 && he - hs >= 4 + 8 + 8 + 4 + 8)
-            (u32(b, hs + 20), u64(b, hs + 24))
+          if (ver == 1)
+            if (he - hs >= 4 + 8 + 8 + 4 + 8) (u32(b, hs + 20), u64(b, hs + 24))
+            else (0L, 0L)
           else if (he - hs >= 4 + 4 + 4 + 4 + 4)
             (u32(b, hs + 12), u32(b, hs + 16))
           else (0L, 0L)

@@ -267,28 +267,37 @@ object Dedup {
     def labelSum(df: DataFrame): Long =
       Option(df.agg(sum(col("lbl"))).collect().head
         .getAs[java.lang.Long](0)).map(_.longValue).getOrElse(0L)
-    def hop(l: DataFrame): DataFrame = {
+    def hop(l: DataFrame)
+        : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
       // every node has >= 1 edge by construction -> inner join is total
       val neighborMin = edges
         .join(l.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node"))
         .agg(min(col("lbl")).as("nlbl"))
-      val stepped = l.join(neighborMin, "node")
-        .select(col("node"), least(col("lbl"), col("nlbl")).as("lbl"))
+      // materialized ONCE: the pointer-jump self-join below reads it as
+      // both sides with different join keys, and an unmaterialized
+      // plan would re-run the edges-join + min-aggregate subtree twice
+      // per round (ReuseExchange only shares the inner shuffle)
+      val (stepped, steppedRdd) = materialized(
+        l.join(neighborMin, "node")
+          .select(col("node"), least(col("lbl"), col("nlbl")).as("lbl")))
       // pointer jump: lbl := label of lbl. Every label is itself a node
       // of the graph (labels start as node ids and only propagate), so
       // the self-join is total.
-      stepped.as("x")
+      val out = stepped.as("x")
         .join(stepped.as("y"), col("x.lbl") === col("y.node"))
         .select(col("x.node").as("node"),
           least(col("x.lbl"), col("y.lbl")).as("lbl"))
+      (out, steppedRdd)
     }
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       iter += 1
-      val (updated, updatedRdd) = materialized(hop(labels))
+      val (hopped, steppedRdd) = hop(labels)
+      val (updated, updatedRdd) = materialized(hopped)
+      steppedRdd.unpersist(blocking = false) // consumed by the self-join
       val newSum = labelSum(updated)
       labelsRdd.unpersist(blocking = false) // previous round superseded
       labels = updated
@@ -342,20 +351,24 @@ object Dedup {
         "pipeline runs before training: find training documents sharing " +
         ">= 3 distinct 3-grams with any eval-set document (eval = " +
         "doc_id % 41 == 0 here; a fixed benchmark suite in production). " +
-        "Per-doc ngrams dedup with array_distinct INSIDE the row (no " +
-        "shuffle), and the eval side — fixed-size while the train corpus " +
-        "grows without bound — broadcasts, so the 100 TB train side is " +
-        "scanned once and never shuffled. The distinct-3-gram count is " +
-        "the standard n-gram-overlap contamination signal.",
+        "Per-doc distinct gram hashes come from ONE native " +
+        "shingle_hashes eval per row (the explodedShingles rule — the " +
+        "equivalent transform/concat_ws chain is interpreted per gram; " +
+        "the contamination join only needs gram EQUALITY, so 8-byte " +
+        "hashes match like q_span_dup's, modulo 2^-64 collisions, and " +
+        "the oracle recomputes over the strings). The eval side — " +
+        "fixed-size while the train corpus grows without bound — " +
+        "broadcasts, so the 100 TB train side is scanned once and " +
+        "never shuffled. The distinct-3-gram count is the standard " +
+        "n-gram-overlap contamination signal.",
       (s, d) => {
         val toks = split(col("text"), " ")
-        val grams3 = when(size(toks) >= 3,
-          transform(sequence(lit(1), size(toks) - 2),
-            i => concat_ws(" ", element_at(toks, i),
-              element_at(toks, i + 1), element_at(toks, i + 2))))
-          .otherwise(array().cast("array<string>"))
+        // shingle_hashes clamps <3-token docs to ONE short shingle;
+        // this operator's gram definition emits none — filter first
         val ng = Tables.spread(Tables.documents(s, d))
-          .select(col("doc_id"), explode(array_distinct(grams3)).as("g"))
+          .filter(size(toks) >= 3)
+          .select(col("doc_id"),
+            explode(call_function("shingle_hashes", toks)).as("g"))
         val train = ng.filter(col("doc_id") % 41 =!= 0)
           .withColumnRenamed("doc_id", "train_id")
         val ev = ng.filter(col("doc_id") % 41 === 0)
@@ -498,8 +511,12 @@ object Dedup {
           .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
             bit_count(col("a.sig").bitwiseXOR(col("b.sig")))
               .cast("bigint").as("hamming"))
-          .distinct()
+          // hamming is deterministic per pair, so filtering BEFORE the
+          // distinct is identical — and the distinct's shuffle then
+          // carries only the (small) true near-dup set instead of
+          // every pigeonhole candidate
           .filter(col("hamming") <= 3)
+          .distinct()
           .orderBy("da", "db")
       },
       None),

@@ -118,8 +118,20 @@ object EventStreams {
                   closed += Session(user, s.start / 1000, s.nEvents,
                     (s.lastTs - s.start) / 1000)
                   cur = Some(SessionState(t, t, 1))
+                case Some(s) if t < s.start - gapSec * 1000 =>
+                  // late (within-watermark) event from BEFORE this
+                  // session with a full gap between them: its own
+                  // already-closed session, emitted immediately — the
+                  // open session's state must not absorb it
+                  closed += Session(user, t / 1000, 1, 0)
                 case Some(s) =>
-                  cur = Some(s.copy(lastTs = t, nEvents = s.nEvents + 1))
+                  // in-order events extend lastTs; a late event inside
+                  // the session (or within gap before its start) joins
+                  // it — lastTs must NEVER move backwards (a regressed
+                  // lastTs yields negative durations and bogus splits)
+                  // and start extends back to cover an early joiner
+                  cur = Some(SessionState(math.min(s.start, t),
+                    math.max(s.lastTs, t), s.nEvents + 1))
                 case None =>
                   cur = Some(SessionState(t, t, 1))
               }

@@ -181,6 +181,40 @@ class StreamingSpec extends SparkSuite {
       s"timed-out single-event session missing: $rows")
   }
 
+  test("sessionize handles late in-watermark events without regressing") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+
+    val input = MemoryStream[Ev]
+    val q = EventStreams.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("latesess")
+      .outputMode("append").start()
+    try {
+      // batch 1: a session open at [60, 70]
+      input.addData(Ev(1, ts(60), 1, "click", 1.0),
+        Ev(2, ts(70), 1, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: one late event INSIDE the open session (65 — must not
+      // regress lastTs to 65) and one from a full gap before it (10 —
+      // its own closed session, emitted immediately)
+      input.addData(Ev(3, ts(65), 1, "click", 1.0),
+        Ev(4, ts(10), 1, "click", 1.0))
+      q.processAllAvailable()
+      // close the open session via gap
+      input.addData(Ev(5, ts(140), 1, "click", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = sp.table("latesess").filter(col("user_id") === 1)
+      .select("session_start_sec", "n_events", "duration_sec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows.contains((base + 600L, 1L, 0L)),
+      s"pre-gap late event should close as its own session: $rows")
+    assert(rows.contains((base + 3600L, 3L, 600L)),
+      s"open session must keep [60,70] span with the late 65 counted: $rows")
+    assert(rows.forall(_._3 >= 0), s"negative duration: $rows")
+  }
+
   test("streaming decontaminate equals the batch operator row for row") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = sp.sqlContext
