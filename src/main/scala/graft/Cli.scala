@@ -4,7 +4,7 @@ import graft.pipeline.{Export, HttpRestClient, LiveExport, Restore}
 import org.apache.spark.sql.SparkSession
 
 import java.time.format.DateTimeFormatter
-import java.time.{Instant, ZoneOffset}
+import java.time.Instant
 
 /** CLI over the pipeline — the engine's analog of the reference's
   * `frdbackup export|import` dispatch (frdbackup:12-35,
@@ -45,8 +45,15 @@ import java.time.{Instant, ZoneOffset}
   */
 object Cli {
 
+  /** Flags that never take a value: without this schema, a bare flag
+    * placed BEFORE positionals would swallow the next positional as
+    * its value (`import-live --yes <backupDir> <url>` losing the
+    * backup dir to --yes). */
+  val BareFlags: Set[String] = Set("yes")
+
   /** Split args into positionals and --key value / --key=value options;
-    * a bare trailing --flag maps to "true". */
+    * a bare flag (BareFlags, or any trailing/valueless --flag) maps to
+    * "true". */
   def parseArgs(args: Seq[String]): (List[String], Map[String, String]) = {
     val pos = List.newBuilder[String]
     val opts = Map.newBuilder[String, String]
@@ -56,7 +63,9 @@ object Cli {
         val body = opt.drop(2)
         val eq = body.indexOf('=')
         if (eq >= 0) { opts += body.take(eq) -> body.drop(eq + 1); rest = tail }
-        else tail match {
+        else if (BareFlags.contains(body)) {
+          opts += body -> "true"; rest = tail
+        } else tail match {
           case v :: t2 if !v.startsWith("--") =>
             opts += body -> v; rest = t2
           case _ => opts += body -> "true"; rest = tail
@@ -74,8 +83,8 @@ object Cli {
   def defaultBackupName(firebaseUrl: String, now: Instant): String = {
     val host = firebaseUrl.split("//").lift(1).getOrElse(firebaseUrl)
     val projectId = host.split('.').head
-    val stamp = DateTimeFormatter.ISO_INSTANT
-      .format(now.atOffset(ZoneOffset.UTC).toInstant)
+    // ISO_INSTANT always formats in UTC; no zone conversion needed
+    val stamp = DateTimeFormatter.ISO_INSTANT.format(now)
     s"$projectId-$stamp".replaceAll("[^a-zA-Z0-9]+", "-")
   }
 
@@ -214,6 +223,12 @@ object Cli {
           spark.sparkContext.longAccumulator("restore_quarantined")
         Restore.restoreDiff(spark.read.parquet(in),
           new Restore.HttpKVSink(url, token, Some(quarantinedDiff)))
+        // same stderr contract as import-live: silently dropped rows
+        // are a data-recovery failure the caller must see (scripted
+        // callers grep for this pattern)
+        if (quarantinedDiff.value > 0)
+          System.err.println(s"WARNING: ${quarantinedDiff.value} row(s) " +
+            "had malformed value_json and were quarantined (not applied)")
         println(s"applied diff $in -> $url " +
           s"(quarantined: ${quarantinedDiff.value})")
       case "query" :: name :: sfDir :: Nil =>

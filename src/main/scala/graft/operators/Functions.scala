@@ -107,9 +107,12 @@ object Functions {
         round(sqrt(col("l_quantity")), 8).as("qty_sqrt"),
         round(log(col("l_extendedprice")), 8).as("price_ln"),
         (col("l_partkey") % 7).as("pk_mod7")
-        // non-unique (l_orderkey, l_linenumber): total sort over outputs
-      ).orderBy("l_orderkey", "l_linenumber", "qty_ceil", "price_round1",
-        "disc_dev", "pk_mod7"),
+        // non-unique (l_orderkey, l_linenumber): the sort must cover
+        // EVERY output column to be total (duplicate-key rows can tie
+        // on any proper subset and the row compare is positional)
+      ).orderBy("l_orderkey", "l_linenumber", "qty_ceil", "qty_floor",
+        "price_round1", "lo", "hi", "disc_dev", "qty_sqrt", "price_ln",
+        "pk_mod7"),
       Some("SELECT l_orderkey, l_linenumber, " +
         "CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil, " +
         "CAST(floor(l_quantity) AS BIGINT) AS qty_floor, " +
@@ -121,7 +124,8 @@ object Functions {
         "round(ln(l_extendedprice), 8) AS price_ln, " +
         "l_partkey % 7 AS pk_mod7 " +
         "FROM lineitem ORDER BY l_orderkey, l_linenumber, qty_ceil, " +
-        "price_round1, disc_dev, pk_mod7")),
+        "qty_floor, price_round1, lo, hi, disc_dev, qty_sqrt, " +
+        "price_ln, pk_mod7")),
 
     GraftQuery(
       "q_json_funcs",

@@ -515,11 +515,15 @@ object Similarity {
           .localCheckpoint()
         val handle = centroidHandle(s, cent)
         val rs = round(dot(col("ce"), col("ke")) / (col("cn") * col("kn")), 8)
+        // referenced by BOTH the moment aggregate and the final join:
+        // cache so the assignment scan + centroid join run once (the
+        // q_source_mix single-scan rule)
         val scored = scorable(emb)
           .withColumn("cid",
             graft.functions.GraftFunctions.nearestCentroid(col("ce"), handle))
           .join(broadcast(cent), Seq("cid"))
           .select(col("vec_id"), col("cid"), rs.as("rs"))
+          .cache()
         val stats = scored.groupBy("cid").agg(
           count(lit(1)).as("cn_rows"),
           sum(col("rs").cast("decimal(19,8)")).cast("double").as("s1"),

@@ -144,7 +144,7 @@ object TextAnalysis {
         val cDe = countIn(toks, deStops)
         val cEs = countIn(toks, esStops)
         val cFr = countIn(toks, frStops)
-        Tables.documents(s, d).select(
+        Tables.spread(Tables.documents(s, d)).select(
           col("doc_id"), col("lang"),
           cEn.as("c_en"), cDe.as("c_de"), cEs.as("c_es"), cFr.as("c_fr"),
           when(cEn > lit(0) && cEn >= greatest(cDe, cEs, cFr), "en")
@@ -172,7 +172,7 @@ object TextAnalysis {
         "bag-of-words 'shape' fingerprint (md5 of the sorted distinct " +
         "token set) — byte-identical across engines, the basis of " +
         "exact-dedup keys.",
-      (s, d) => Tables.documents(s, d).select(
+      (s, d) => Tables.spread(Tables.documents(s, d)).select(
         col("doc_id"),
         md5(lower(col("text")).cast("binary")).as("fp_exact"),
         md5(array_join(sort_array(array_distinct(split(lower(col("text")), " "))), " ")
@@ -187,7 +187,7 @@ object TextAnalysis {
       "Token counting two ways: whitespace tokens and a BPE-ish regex " +
         "lexer ([a-z]+ | digits | single non-space symbol) — the token " +
         "budget estimator of a training-data pipeline.",
-      (s, d) => Tables.documents(s, d).select(
+      (s, d) => Tables.spread(Tables.documents(s, d)).select(
         col("doc_id"),
         size(split(col("text"), " ")).cast("bigint").as("ws_tokens"),
         size(regexp_extract_all(col("text"),
@@ -304,10 +304,15 @@ object TextAnalysis {
         "on the token.",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val toks = Tables.documents(s, d)
+        // the exploded token frame feeds BOTH count aggregates: cache
+        // it so the corpus is tokenized once, not twice (the
+        // q_source_mix single-scan rule; blocks release via the
+        // ContextCleaner once the plan is unreferenced)
+        val toks = Tables.spread(Tables.documents(s, d))
           .select(col("doc_id"), col("source"),
             explode(split(col("text"), " ")).as("token"))
           .filter(length(col("token")) > 0)
+          .cache()
         val ndocs = Tables.documents(s, d)
           .agg(countDistinct(col("doc_id")).as("n_docs"))
         val dfreq = toks.groupBy("token")
@@ -348,7 +353,7 @@ object TextAnalysis {
         "of a corpus pipeline. Patterns stay in the RE2 ∩ Java common " +
         "dialect so both engines compile them identically; map-only " +
         "until the presentation sort.",
-      (s, d) => Tables.documents(s, d).select(
+      (s, d) => Tables.spread(Tables.documents(s, d)).select(
         col("doc_id"),
         array_join(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)), ",")
           .as("numbers_csv"),
@@ -398,7 +403,7 @@ object TextAnalysis {
         val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
         val phoneRe = "\\+[0-9][0-9-]{7,}[0-9]"
         val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
-        Tables.documents(s, d)
+        Tables.spread(Tables.documents(s, d))
           .select(col("doc_id"), aug.as("aug"))
           .select(col("doc_id"),
             size(regexp_extract_all(col("aug"), lit(emailRe), lit(0)))
@@ -495,8 +500,13 @@ object TextAnalysis {
           // referenced twice (totals + the final join): pin the
           // |sources|-row aggregate so the corpus is scanned ONCE
           .localCheckpoint()
+        // the temperature weights are doubles: sum them through
+        // DECIMAL over 8dp-pre-rounded terms (the decSum rule) so
+        // partial-aggregation order cannot drift tot_w by an ULP and
+        // flip a 6dp-rounded share against the oracle
         val tot = per.agg(sum(col("n_docs")).as("tot_docs"),
-          sum(pow(col("n_docs"), 0.7)).as("tot_w"))
+          sum(round(pow(col("n_docs"), 0.7), 8).cast("decimal(28,8)"))
+            .cast("double").as("tot_w"))
         per.crossJoin(broadcast(tot))
           .select(col("source"), col("n_docs"), col("n_tokens"),
             round(col("n_docs") / col("tot_docs"), 6).as("p_raw"),
@@ -509,7 +519,8 @@ object TextAnalysis {
         "CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS n_tokens " +
         "FROM documents GROUP BY source), " +
         "tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tot_docs, " +
-        "SUM(pow(n_docs, 0.7)) AS tot_w FROM per) " +
+        "CAST(SUM(CAST(round(pow(n_docs, 0.7), 8) AS DECIMAL(28,8))) " +
+        "AS DOUBLE) AS tot_w FROM per) " +
         "SELECT source, n_docs, n_tokens, " +
         "round(n_docs / tot_docs, 6) AS p_raw, " +
         "round(pow(n_docs, 0.7) / tot_w, 6) AS p_temp, " +
@@ -567,7 +578,7 @@ object TextAnalysis {
           .cast("double") / n
         val q = least(lit(1.0), n.cast("double") / 50.0) * 0.4 +
           ttr * 0.3 + when(mwl.between(3.0, 8.0), 1.0).otherwise(0.0) * 0.3
-        val scored = Tables.documents(s, d)
+        val scored = Tables.spread(Tables.documents(s, d))
           .select(col("doc_id"), q.as("q"))
         val cutoff = scored.agg(
           expr("percentile(q, 0.2)").as("cutoff"))
@@ -609,12 +620,18 @@ object TextAnalysis {
         // ONE native eval per row (BigramHashes): each token hashed
         // once, pairs emitted primitive — the HOF spec form is
         // interpreted per position (rule 1); DedupSpec pins equality
+        // both frames feed two consumers each (bigrams: the LM stream
+        // + the bigram counts; uni: the vocab size + the smoothing
+        // join): cache so the corpus is tokenized/hashed once, not
+        // four times
         val bigrams = docs.select(col("doc_id"),
           explode(call_function("bigram_hashes", tk)).as("bg"))
           .select(col("doc_id"), col("bg.h1"), col("bg.h2"))
+          .cache()
         val uni = docs.select(explode(tk).as("w"))
           .select(xxhash64(col("w")).as("h1"))
           .groupBy("h1").agg(count(lit(1)).as("c1"))
+          .cache()
         val vocab = uni.agg(count(lit(1)).as("v"))
         val big = bigrams.groupBy("h1", "h2").agg(count(lit(1)).as("c2"))
         val term = round(-log((col("c2") + 1) / (col("c1") + col("v"))), 8)
