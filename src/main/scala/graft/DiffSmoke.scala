@@ -40,7 +40,11 @@ object DiffSmoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (!new java.io.File(s"$work/orders.parquet").exists())
+    // gate reuse on the LAST table replicate() writes (embeddings),
+    // including its _SUCCESS marker — bare existence of the first
+    // table would silently reuse a partial corpus from an interrupted
+    // prior run and time the diff legs under the wrong k
+    if (!new java.io.File(s"$work/embeddings.parquet/_SUCCESS").exists())
       ScaleSmoke.replicate(spark, src, work, k)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 

@@ -108,10 +108,18 @@ object ScaleSmoke {
     // events: user_id/event_id shift per replica, ts untouched — the
     // same time range carries k times the users and k times the rows,
     // so sessionization scales by partition count and time-window aggs
-    // by per-group weight (ts stays the raw nanos LongType here; the
-    // replica file round-trips as INT64 and Tables.events normalizes
-    // it the same way it does the original's TIMESTAMP(NANOS))
-    val ev = spark.read.parquet(s"$src/events.parquet")
+    // by per-group weight. ts is normalized to a µs TIMESTAMP before
+    // writing: the nanosAsLong session reads the source as INT64, and
+    // round-tripping that raw long would leave the replica's ts as
+    // BIGINT for DuckDB — every event-family oracle would binder-error
+    // on date_trunc/epoch at replicated scale. Spark-side Tables.events
+    // passes TimestampType through unchanged either way.
+    val ev0 = spark.read.parquet(s"$src/events.parquet")
+    val ev =
+      if (ev0.schema("ts").dataType ==
+          org.apache.spark.sql.types.LongType)
+        ev0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else ev0
     val uidSpan = ev.agg(max(col("user_id"))).head.getLong(0) + 1
     val eidSpan = ev.agg(max(col("event_id"))).head.getLong(0) + 1
     write((0 until k).map { i =>
@@ -125,10 +133,30 @@ object ScaleSmoke {
     write((0 until k).map { i =>
       val e = emb.withColumn("vec_id", col("vec_id") + lit(i * vecSpan))
       val sh = (i * 7) % dim
-      if (sh == 0) e
-      else e.withColumn("embedding",
-        concat(slice(col("embedding"), sh + 1, dim - sh),
-               slice(col("embedding"), 1, sh)))
+      val rot =
+        if (sh == 0) e
+        else e.withColumn("embedding",
+          concat(slice(col("embedding"), sh + 1, dim - sh),
+                 slice(col("embedding"), 1, sh)))
+      // (i*7)%dim cycles after dim replicas (gcd(7,dim)=1 → full
+      // cycle), so replica i and i+dim would carry bit-identical
+      // vectors — a k>dim corpus (the 128x rehearsal) would duplicate
+      // every vector exactly once and hand LSH/IVF an artificially
+      // twinned similarity structure. Past the first cycle, also flip
+      // coordinate signs by a per-cycle mixed mask: a diagonal ±1 is
+      // orthogonal, so within-replica inner products (every cosine the
+      // queries compute) stay EXACT while cycles decorrelate. k <= dim
+      // (the 8x/32x ladders) is bit-for-bit unchanged.
+      val cyc = i / dim
+      if (cyc == 0) rot
+      else {
+        val mask = cyc.toLong * 0x9E3779B97F4A7C15L // golden-ratio mix
+        rot.withColumn("embedding",
+          transform(col("embedding"), (x, j) =>
+            when(call_function("shiftright", lit(mask),
+                pmod(j, lit(63)).cast("int"))
+              .bitwiseAND(lit(1L)) === lit(1L), -x).otherwise(x)))
+      }
     }.reduce(_ unionAll _), "embeddings")
   }
 
@@ -150,7 +178,9 @@ object ScaleSmoke {
     // SPARK_GRAFT_SMOKE_REUSE=1 skips replication when the work dir is
     // already populated (iterating on one query's ratio)
     val reuse = sys.env.get("SPARK_GRAFT_SMOKE_REUSE").contains("1") &&
-      new java.io.File(s"$work/lineitem.parquet").exists()
+      // last table replicate() writes + its commit marker: a partial
+      // corpus from an interrupted run must not be reused
+      new java.io.File(s"$work/embeddings.parquet/_SUCCESS").exists()
     if (!reuse) replicate(spark, src, work, k)
 
     // SPARK_GRAFT_SMOKE_REPLICATE_ONLY=1 stops after writing the k×

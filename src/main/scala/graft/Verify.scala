@@ -34,15 +34,31 @@ object Verify {
         sys.error(s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: " +
           unknown.toSeq.sorted.mkString(", "))
     }
+    var failed = List.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
+          failed ::= name
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }
+    // A failed query is skipped (dir missing) — visible to the driver's
+    // per-query compare as an err row, but invisible to exit-code-only
+    // callers, and a NON-oracled query's failure has no other machine
+    // signal at all. Summarize always; fail the process under
+    // SPARK_GRAFT_STRICT=1 (scale_gate / local gates) — the driver's
+    // documented contract stays exit-0 with per-query records.
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[verify] ${failed.size} quer(ies) failed: " +
+          failed.sorted.mkString(", "))
+      if (sys.env.get("SPARK_GRAFT_STRICT").contains("1")) {
+        spark.stop(); sys.exit(1)
+      }
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

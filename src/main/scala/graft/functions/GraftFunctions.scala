@@ -219,11 +219,10 @@ case class VectorDot(left: Expression, right: Expression)
       while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
     else if (!leftFloat && !rightFloat)
       while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
-    else {
-      val gx: Int => Double = if (leftFloat) i => x.getFloat(i).toDouble else x.getDouble
-      val gy: Int => Double = if (rightFloat) i => y.getFloat(i).toDouble else y.getDouble
-      while (i < n) { dot += gx(i) * gy(i); i += 1 }
-    }
+    else if (leftFloat)
+      while (i < n) { dot += x.getFloat(i).toDouble * y.getDouble(i); i += 1 }
+    else
+      while (i < n) { dot += x.getDouble(i) * y.getFloat(i).toDouble; i += 1 }
     dot
   }
 
@@ -330,6 +329,14 @@ object LshPlanes {
   * multiply-adds. */
 case class LshBucketIds(child: Expression, tables: Int, bits: Int)
     extends UnaryExpression with CodegenFallback {
+
+  // build-time domain checks (the shingle_hashes width pattern):
+  // tables < 1 would throw per-row at eval; bits > 63 would silently
+  // alias planes through 1L << (p & 63) — wrong buckets, no error
+  require(tables >= 1,
+    s"lsh_bucket_ids: tables must be >= 1, got $tables")
+  require(bits >= 1 && bits <= 63,
+    s"lsh_bucket_ids: bits must be in [1, 63], got $bits")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
@@ -691,7 +698,11 @@ case class BigramHashes(child: Expression)
     var i = 0
     while (i < n) {
       val t = toks.getUTF8String(i)
-      h(i) = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset,
+      // null token -> the seed, matching xxhash64(NULL) in the HOF
+      // chain this replaced (hash fns leave the accumulator at the
+      // seed for null inputs) — the chain tolerated nulls, so must we
+      h(i) = if (t == null) 42L
+      else XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset,
         t.numBytes, 42L)
       i += 1
     }
@@ -727,9 +738,16 @@ object ShingleHashes {
       val end = math.min(i + width, n)
       val sb = new java.lang.StringBuilder
       var w = i
+      var appended = false
       while (w < end) {
-        if (w > i) sb.append(' ')
-        sb.append(toks(w))
+        // skip null tokens entirely (no separator), matching the
+        // expression form's UTF8String.concatWs — appending would
+        // emit the literal "null" and diverge the hashes
+        if (toks(w) != null) {
+          if (appended) sb.append(' ')
+          sb.append(toks(w))
+          appended = true
+        }
         w += 1
       }
       val sh = UTF8String.fromString(sb.toString)

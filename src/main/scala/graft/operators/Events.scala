@@ -134,10 +134,14 @@ object Events {
         "corpus size. Hour starts emitted as whole-second epochs " +
         "(ns-vs-µs safe).",
       (s, d) => {
+        // referenced twice (spine bounds + the join's right side):
+        // pin the bounded-cardinality aggregate so the events corpus
+        // is scanned ONCE (the q_source_mix single-scan rule)
         val hourly = Tables.events(s, d)
           .groupBy(date_trunc("hour", col("ts")).as("h"))
           .agg(count(lit(1)).as("n"),
                decSum(col("value"), 18, 6).as("total_value"))
+          .localCheckpoint()
         val spine = hourly.agg(min("h").as("hmin"), max("h").as("hmax"))
           .select(explode(sequence(col("hmin"), col("hmax"),
             expr("interval 1 hour"))).as("h"))

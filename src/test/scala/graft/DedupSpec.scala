@@ -120,6 +120,43 @@ class DedupSpec extends SparkSuite {
       s"unexpected: ${e.getMessage}")
   }
 
+  test("bigram_hashes tolerates null tokens like the HOF chain") {
+    // xxhash64(NULL) = the seed (42): the chain this expression
+    // replaced hashed null tokens to 42, not NPE — the native form
+    // must keep that domain
+    graft.functions.GraftFunctions.register(spark)
+    val arr = array(lit("a"), lit(null).cast("string"), lit("b"))
+    val native = spark.range(1)
+      .select(explode(call_function("bigram_hashes", arr)).as("bg"))
+      .select(col("bg.h1"), col("bg.h2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toVector
+    val spec = spark.range(1)
+      .select(explode(transform(sequence(lit(1), lit(2)),
+        i => struct(xxhash64(element_at(arr, i)).as("h1"),
+          xxhash64(element_at(arr, i + 1)).as("h2")))).as("bg"))
+      .select(col("bg.h1"), col("bg.h2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toVector
+    assert(native == spec)
+    assert(native(0)._2 == 42L, "null token must hash to the seed")
+  }
+
+  test("ShingleHashes.of skips null tokens like concatWs") {
+    // the expression's concatWs drops null parts (no separator);
+    // StringBuilder.append(null) would emit the literal "null" and
+    // silently diverge streaming from batch shingle sets
+    graft.functions.GraftFunctions.register(spark)
+    val arr = array(lit("a"), lit(null).cast("string"), lit("b"),
+      lit("c"))
+    for (w <- Seq(2, 3)) {
+      val fromCol = spark.range(1)
+        .select(call_function("shingle_hashes", arr, lit(w)))
+        .head.getSeq[Long](0).toVector
+      val fromFn = graft.functions.ShingleHashes
+        .of(Array("a", null, "b", "c"), w).toVector
+      assert(fromCol == fromFn, s"width $w diverged on null tokens")
+    }
+  }
+
   test("identical texts collide in every signature") {
     val sp = spark; import sp.implicits._
     val docs = Seq(

@@ -166,6 +166,29 @@ class SimilaritySpec extends SparkSuite {
     assert(bcErr.getMessage.contains("norms"))
   }
 
+  test("lsh_bucket_ids rejects bad tables/bits at build") {
+    // tables < 1 threw NegativeArraySizeException per ROW; bits > 63
+    // silently aliased planes through 1L << (p & 63) — both must be
+    // build-time errors (the shingle_hashes width pattern)
+    graft.functions.GraftFunctions.register(spark)
+    val sp = spark; import sp.implicits._
+    val one = Seq(Tuple1(Array(1.0d))).toDF("v")
+    val badTables = intercept[Exception] {
+      one.select(call_function("lsh_bucket_ids", col("v"),
+        lit(-1), lit(16))).collect()
+    }
+    assert(badTables.getMessage.contains("tables must be >= 1"),
+      s"unexpected: ${badTables.getMessage}")
+    for (bits <- Seq(0, 64)) {
+      val badBits = intercept[Exception] {
+        one.select(call_function("lsh_bucket_ids", col("v"),
+          lit(4), lit(bits))).collect()
+      }
+      assert(badBits.getMessage.contains("bits must be in [1, 63]"),
+        s"bits=$bits unexpected: ${badBits.getMessage}")
+    }
+  }
+
   test("ann scores are exact cosines (verification is not approximate)") {
     // every (qid, nid, score) an ANN query returns must equal the
     // brute-force cosine for that same pair

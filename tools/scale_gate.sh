@@ -32,8 +32,10 @@ OUT="${4:-/tmp/graft_scale_gate_out}"
 # snapshot diff), q_train_shuffle (shard-partitioned window),
 # q_ngram_lm (hashed-key count joins), q_kmeans_refine (assign ->
 # exact-decimal centroid update -> reassign, the collect+rebroadcast
-# path)
-QUERIES="${SCALE_GATE_QUERIES:-q_agg_basic,q_agg_distinct,q_filter_range,q_topk,q_string_agg,q_window_ntile,q_window_cume,q_span_dup,q_tfidf,q_source_mix,q_backup_diff,q_train_shuffle,q_ngram_lm,q_kmeans_refine}"
+# path), and the events family (q_events_window hourly aggregate,
+# q_events_session per-user sessionization — gateable since replicas
+# write ts as a real µs TIMESTAMP, not raw INT64 nanos)
+QUERIES="${SCALE_GATE_QUERIES:-q_agg_basic,q_agg_distinct,q_filter_range,q_topk,q_string_agg,q_window_ntile,q_window_cume,q_span_dup,q_tfidf,q_source_mix,q_backup_diff,q_train_shuffle,q_ngram_lm,q_kmeans_refine,q_events_window,q_events_session}"
 cd "$(dirname "$0")/.."
 SPARK_GRAFT_SMOKE_REPLICATE_ONLY=1 sbt -batch "runMain graft.ScaleSmoke $K $SRC $WORK"
 rm -rf "$OUT"
@@ -42,6 +44,7 @@ rm -rf "$OUT"
 # gate) — the branch that only ever runs at scale is exactly the one
 # that must be hash-checked at scale
 SPARK_GRAFT_NTILE_PLAIN_MAX=1 SPARK_GRAFT_ONLY="$QUERIES" \
+  SPARK_GRAFT_STRICT=1 \
   sbt -batch "runMain graft.Verify $WORK $OUT"
 # capture WITHOUT dying under set -e (check_oracles exits 1 on any
 # FAIL — the diagnostics must still be echoed before we gate on them)
