@@ -409,6 +409,31 @@ object Dedup {
         "FROM documents GROUP BY fingerprint ORDER BY fingerprint")),
 
     GraftQuery(
+      "q_dedup_keep",
+      "Row-level canonical-keep verdict — the consumer-facing face of " +
+        "exact dedup: every doc gets keep = (doc_id == min doc_id of " +
+        "its fingerprint group), i.e. the filtered corpus is " +
+        "`WHERE keep`. One window over the fingerprint hash-partition; " +
+        "doc_id+fingerprint are projected BEFORE the window so the " +
+        "shuffle moves 40-byte rows, never text. Scale: shuffle keys " +
+        "are uniform md5 strings — no skew, no global sort, same " +
+        "shape at 100 TB.",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val fp = md5(lower(col("text")).cast("binary"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), fp.as("fingerprint"))
+          .withColumn("keeper",
+            min("doc_id").over(Window.partitionBy("fingerprint")))
+          .select(col("doc_id"), col("fingerprint"),
+            (col("doc_id") === col("keeper")).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, md5(lower(text)) AS fingerprint, " +
+        "doc_id = min(doc_id) OVER (PARTITION BY md5(lower(text))) " +
+        "AS keep FROM documents ORDER BY doc_id")),
+
+    GraftQuery(
       "q_ngram_jaccard",
       "Exact 3-gram Jaccard near-dup pairs (tau=0.8) via the relational " +
         "shingle-intersection join — the ground truth the MinHash path " +

@@ -559,6 +559,46 @@ object TextAnalysis {
         "FROM documents ORDER BY doc_id")),
 
     GraftQuery(
+      "q_token_budget",
+      "Token-budget sampling: each (source, shard) cell admits docs " +
+        "in seeded-hash order until its token budget fills — 'take " +
+        "500 tokens per cell from each source, uniformly at random, " +
+        "reproducibly'. The budget is split across shards UP FRONT " +
+        "(the distributed form: a per-source GLOBAL cumsum would be " +
+        "a corpus-wide ordered window per source; sharding bounds " +
+        "every window partition at budget-sized cells, the " +
+        "q_train_shuffle rule), so the only window partitions by " +
+        "(source, shard) and the kept set is deterministic under the " +
+        "seed. Production sets shards ~ source_bytes/shard_target; 8 " +
+        "pins test behavior.",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val skey = md5(concat(col("doc_id").cast("string"), lit("#b42"))
+          .cast("binary"))
+        val w = Window.partitionBy("source", "shard")
+          .orderBy("skey", "doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            pmod(col("doc_id"), lit(8)).as("shard"), skey.as("skey"),
+            size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+          .select(col("doc_id"), col("source"), col("shard"),
+            col("n_tokens"), col("cum_tokens"),
+            (col("cum_tokens") <= lit(500L)).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, source, shard, n_tokens, cum_tokens, " +
+        "cum_tokens <= 500 AS keep FROM (" +
+        "SELECT doc_id, source, doc_id % 8 AS shard, " +
+        "CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+        "CAST(SUM(CAST(len(str_split(text, ' ')) AS BIGINT)) OVER (" +
+        "PARTITION BY source, doc_id % 8 " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR) || '#b42'), doc_id " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens " +
+        "FROM documents) ORDER BY doc_id")),
+
+    GraftQuery(
       "q_quality_calibrated",
       "Retention-calibrated quality filter: instead of a hand-picked " +
         "score threshold, the cutoff is the exact 20th percentile of " +
