@@ -24,8 +24,12 @@ object GraftQuery {
   def decSum(c: Column, prec: Int = 18, scale: Int = 2): Column =
     sum(c.cast(s"decimal($prec,$scale)")).cast("double")
 
-  /** Deterministic mean: exact decimal sum divided by count, in
-    * double — identical in any engine given identical inputs. */
+  /** Deterministic mean over ALL rows: exact decimal sum divided by
+    * COUNT(*), in double — identical in any engine given identical
+    * inputs. NOT SQL AVG semantics on a nullable column (AVG divides
+    * by the non-null count): mirror it as
+    * `round(SUM(CAST(x AS DECIMAL))/count(*), …)`, never `AVG(x)`,
+    * and only apply it to non-null columns. */
   def decAvg(c: Column, prec: Int = 18, scale: Int = 2): Column =
     sum(c.cast(s"decimal($prec,$scale)")).cast("double") / count(lit(1))
 }

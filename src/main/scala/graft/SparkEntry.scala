@@ -11,17 +11,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   /** Every registered query, in module order. */
-  def all: Seq[GraftQuery] =
-    operators.Relational.queries ++
-      operators.Functions.queries ++
-      operators.Events.queries ++
-      operators.TextAnalysis.queries ++
-      operators.Dedup.queries ++
-      operators.Similarity.queries ++
-      operators.Stats.queries ++
-      operators.Sql.queries ++
-      operators.Multimodal.queries ++
-      operators.Incremental.queries
+  def all: Seq[GraftQuery] = {
+    val qs =
+      operators.Relational.queries ++
+        operators.Functions.queries ++
+        operators.Events.queries ++
+        operators.TextAnalysis.queries ++
+        operators.Dedup.queries ++
+        operators.Similarity.queries ++
+        operators.Stats.queries ++
+        operators.Sql.queries ++
+        operators.Multimodal.queries ++
+        operators.Incremental.queries
+    // a name collision across modules would silently shadow the
+    // earlier query in the toMap below — the shadowed operator loses
+    // ALL differential coverage with zero diagnostic. Fail fast.
+    val dup = qs.groupBy(_.name).collect { case (n, g) if g.size > 1 => n }
+    require(dup.isEmpty,
+      s"duplicate query name(s) across modules: ${dup.toSeq.sorted.mkString(", ")}")
+    qs
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

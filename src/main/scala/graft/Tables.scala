@@ -28,7 +28,13 @@ object Tables {
     * The guard reads `queryExecution.toRdd` (a cached lazy val on the
     * Dataset) rather than `df.rdd`, which would wrap the same physical
     * RDD in an extra InternalRow->Row conversion stage per call just to
-    * ask its partition count. */
+    * ask its partition count.
+    *
+    * SCAN-SHAPED INPUTS ONLY: under AQE, toRdd on a frame containing
+    * an Exchange finalizes the adaptive plan and eagerly EXECUTES the
+    * upstream shuffle stages just to answer getNumPartitions — the
+    * real job would then run them again. Every call site hands this a
+    * scan/select-shaped frame; keep it that way. */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.queryExecution.toRdd.getNumPartitions < target)

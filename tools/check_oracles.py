@@ -75,6 +75,13 @@ def main(sf_dir, out_dir):
         print(f"OK   {name} ({len(co)} rows)")
         n_ok += 1
     print(f"== {n_ok} ok, {n_bad} fail")
+    if n_ok + n_bad == 0:
+        # an empty oracle set (e.g. SPARK_GRAFT_ONLY restricted to
+        # oracle-exempt queries, or a truncated oracle_sql.json) must
+        # not read as a green gate
+        print("FAIL: zero oracles checked — vacuous pass refused",
+              file=sys.stderr)
+        return 1
     return 1 if n_bad else 0
 
 if __name__ == "__main__":
