@@ -33,7 +33,8 @@ object ScaleSmoke {
     "q_text_repetition", "q_pii_redact", "q_seq_pack", "q_source_mix",
     "q_cluster_assign", "q_span_dup", "q_train_shuffle",
     "q_quality_calibrated", "q_ngram_lm", "q_kmeans_refine",
-    "q_embed_outliers", "q_dedup_keep", "q_token_budget")
+    "q_embed_outliers", "q_dedup_keep", "q_token_budget",
+    "q_perplexity_filter")
 
   /** Event/sessionization family: user ids shift per replica, so
     * per-user session structure is identical while the partition key

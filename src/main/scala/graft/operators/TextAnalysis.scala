@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, Tables}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over `documents` — the training-data-pipeline
@@ -654,53 +654,99 @@ object TextAnalysis {
         "Per-doc sums go through DECIMAL (order-independent — the " +
         "decSum rule) over terms pre-rounded to 8 dp so both engines " +
         "sum identical values; presentation rounds to 6.",
-      (s, d) => {
-        val tk = split(col("text"), " ")
-        val docs = Tables.spread(Tables.documents(s, d))
-        // ONE native eval per row (BigramHashes): each token hashed
-        // once, pairs emitted primitive — the HOF spec form is
-        // interpreted per position (rule 1); DedupSpec pins equality
-        // both frames feed two consumers each (bigrams: the LM stream
-        // + the bigram counts; uni: the vocab size + the smoothing
-        // join): cache so the corpus is tokenized/hashed once, not
-        // four times
-        val bigrams = docs.select(col("doc_id"),
-          explode(call_function("bigram_hashes", tk)).as("bg"))
-          .select(col("doc_id"), col("bg.h1"), col("bg.h2"))
-          .cache()
-        val uni = docs.select(explode(tk).as("w"))
-          .select(xxhash64(col("w")).as("h1"))
-          .groupBy("h1").agg(count(lit(1)).as("c1"))
-          .cache()
-        val vocab = uni.agg(count(lit(1)).as("v"))
-        val big = bigrams.groupBy("h1", "h2").agg(count(lit(1)).as("c2"))
-        val term = round(-log((col("c2") + 1) / (col("c1") + col("v"))), 8)
-        bigrams
-          .join(big, Seq("h1", "h2"))
-          .join(uni, Seq("h1"))
-          .crossJoin(broadcast(vocab))
-          .select(col("doc_id"), term.as("term"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bigrams"),
-            round(GraftQuery.decSum(col("term"), 28, 8) / count(lit(1)), 6)
-              .as("avg_nll"))
-          .orderBy("doc_id")
-      },
-      Some("WITH t AS (SELECT doc_id, str_split(text,' ') AS tk " +
-        "FROM documents), " +
-        "bg AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2 FROM t, " +
-        "UNNEST(generate_series(1, len(tk)-1)) AS g(i) " +
-        "WHERE len(tk) >= 2), " +
-        "uni AS (SELECT w, count(*) AS c1 FROM " +
-        "(SELECT unnest(tk) AS w FROM t) GROUP BY w), " +
-        "vocab AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni), " +
-        "big AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2), " +
-        "terms AS (SELECT doc_id, round(-ln((c2+1)/(c1+v)), 8) AS term " +
-        "FROM bg JOIN big USING (w1, w2) " +
-        "JOIN uni ON uni.w = bg.w1, vocab) " +
+      (s, d) => lmNll(s, d).orderBy("doc_id"),
+      Some(LmCtes +
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, " +
         "round(CAST(SUM(CAST(term AS DECIMAL(28,8))) AS DOUBLE) " +
         "/ count(*), 6) AS avg_nll " +
-        "FROM terms GROUP BY doc_id ORDER BY doc_id"))
+        "FROM terms GROUP BY doc_id ORDER BY doc_id")),
+
+    GraftQuery(
+      "q_perplexity_filter",
+      "The CCNet filtering step itself: LM-score every document " +
+        "(q_ngram_lm's bigram NLL) and drop the worst-perplexity 10% " +
+        "— cutoff = the exact 90th percentile of the corpus avg_nll " +
+        "distribution, keep = avg_nll <= cutoff. The scored per-doc " +
+        "frame is pinned (referenced by the cutoff aggregate AND the " +
+        "verdict join — the q_source_mix single-scan rule), the 1-row " +
+        "cutoff broadcasts back, and the compare uses the 6dp-rounded " +
+        "avg_nll, which is engine-identical by construction (DECIMAL " +
+        "sums of 8dp-pre-rounded terms), so the keep set is exact " +
+        "across engines. Corpus scale: percentile_approx swaps in for " +
+        "the exact percentile with the same plan shape (the " +
+        "q_quality_calibrated note); docs with <2 tokens carry no " +
+        "bigrams and are out of scope on both sides.",
+      (s, d) => {
+        val perdoc = lmNll(s, d).localCheckpoint()
+        val cut = perdoc.agg(
+          expr("percentile(avg_nll, 0.9)").as("cutoff"))
+        perdoc.crossJoin(broadcast(cut))
+          .select(col("doc_id"), col("avg_nll"),
+            round(col("cutoff"), 6).as("cutoff"),
+            (col("avg_nll") <= col("cutoff")).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some(LmCtes +
+        ", perdoc AS (SELECT doc_id, " +
+        "round(CAST(SUM(CAST(term AS DECIMAL(28,8))) AS DOUBLE) " +
+        "/ count(*), 6) AS avg_nll FROM terms GROUP BY doc_id), " +
+        "cut AS (SELECT quantile_cont(avg_nll, 0.9) AS cutoff " +
+        "FROM perdoc) " +
+        "SELECT doc_id, avg_nll, round(cutoff, 6) AS cutoff, " +
+        "avg_nll <= cutoff AS keep FROM perdoc, cut ORDER BY doc_id"))
   )
+
+  /** Per-doc bigram-LM negative log likelihood (doc_id, n_bigrams,
+    * avg_nll) — the shared scorer behind q_ngram_lm (raw scores) and
+    * q_perplexity_filter (percentile-cutoff verdicts). See
+    * q_ngram_lm's scaladoc for the hashing/decimal discipline. */
+  private def lmNll(s: SparkSession, d: String): DataFrame = {
+    val tk = split(col("text"), " ")
+    val docs = Tables.spread(Tables.documents(s, d))
+    // ONE native eval per row (BigramHashes): each token hashed
+    // once, pairs emitted primitive — the HOF spec form is
+    // interpreted per position (rule 1); DedupSpec pins equality
+    // both frames feed two consumers each (bigrams: the LM stream
+    // + the bigram counts; uni: the vocab size + the smoothing
+    // join): cache so the corpus is tokenized/hashed once, not
+    // four times
+    val bigrams = docs.select(col("doc_id"),
+      explode(call_function("bigram_hashes", tk)).as("bg"))
+      .select(col("doc_id"), col("bg.h1"), col("bg.h2"))
+      .cache()
+    val uni = docs.select(explode(tk).as("w"))
+      .select(xxhash64(col("w")).as("h1"))
+      .groupBy("h1").agg(count(lit(1)).as("c1"))
+      .cache()
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val big = bigrams.groupBy("h1", "h2").agg(count(lit(1)).as("c2"))
+    val term = round(-log((col("c2") + 1) / (col("c1") + col("v"))), 8)
+    bigrams
+      .join(big, Seq("h1", "h2"))
+      .join(uni, Seq("h1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), term.as("term"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(GraftQuery.decSum(col("term"), 28, 8) / count(lit(1)), 6)
+          .as("avg_nll"))
+  }
+
+  /** The q_ngram_lm oracle's shared CTE chain (through `terms`) —
+    * reused verbatim by q_perplexity_filter so the two oracles can
+    * never drift apart. (A def, not a val: `queries` above initializes
+    * eagerly and a forward-referenced val would still be null.) */
+  private def LmCtes: String =
+    "WITH t AS (SELECT doc_id, str_split(text,' ') AS tk " +
+      "FROM documents), " +
+      "bg AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2 FROM t, " +
+      "UNNEST(generate_series(1, len(tk)-1)) AS g(i) " +
+      "WHERE len(tk) >= 2), " +
+      "uni AS (SELECT w, count(*) AS c1 FROM " +
+      "(SELECT unnest(tk) AS w FROM t) GROUP BY w), " +
+      "vocab AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni), " +
+      "big AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2), " +
+      "terms AS (SELECT doc_id, round(-ln((c2+1)/(c1+v)), 8) AS term " +
+      "FROM bg JOIN big USING (w1, w2) " +
+      "JOIN uni ON uni.w = bg.w1, vocab) "
 }
