@@ -662,6 +662,34 @@ object TextAnalysis {
         "FROM terms GROUP BY doc_id ORDER BY doc_id")),
 
     GraftQuery(
+      "q_data_split",
+      "Deterministic train/val/test split (90/5/5): every doc's md5 " +
+        "bucket (seeded, 0-99) decides its split — reproducible " +
+        "anywhere, stable under corpus growth (a doc's split never " +
+        "changes when others are added, unlike rand() or " +
+        "randomSplit), and map-only: no shuffle until the " +
+        "presentation sort, so it runs at any corpus size as a pure " +
+        "scan. The q_sample_hash bucket idiom (md5 hex prefix via " +
+        "conv), bit-identical across engines.",
+      (s, d) => {
+        val bucket = conv(substring(md5(
+          concat(col("doc_id").cast("string"), lit("#split42"))
+            .cast("binary")), 1, 8), 16, 10).cast("bigint") % 100
+        Tables.documents(s, d)
+          .select(col("doc_id"), bucket.as("bucket"))
+          .select(col("doc_id"), col("bucket"),
+            when(col("bucket") < 90, "train")
+              .when(col("bucket") < 95, "val")
+              .otherwise("test").as("split"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, bucket, CASE WHEN bucket < 90 THEN 'train' " +
+        "WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split FROM (" +
+        "SELECT doc_id, CAST(('0x' || substr(md5(" +
+        "CAST(doc_id AS VARCHAR) || '#split42'), 1, 8)) AS BIGINT) " +
+        "% 100 AS bucket FROM documents) ORDER BY doc_id")),
+
+    GraftQuery(
       "q_perplexity_filter",
       "The CCNet filtering step itself: LM-score every document " +
         "(q_ngram_lm's bigram NLL) and drop the worst-perplexity 10% " +
