@@ -64,7 +64,14 @@ object Cli {
         val eq = body.indexOf('=')
         if (eq >= 0) { opts += body.take(eq) -> body.drop(eq + 1); rest = tail }
         else if (BareFlags.contains(body)) {
-          opts += body -> "true"; rest = tail
+          // still honor an EXPLICIT boolean value (`--yes true` was
+          // valid under the old parser; scripts may rely on it) —
+          // anything else after a bare flag is a positional
+          tail match {
+            case v :: t2 if v == "true" || v == "false" =>
+              opts += body -> v; rest = t2
+            case _ => opts += body -> "true"; rest = tail
+          }
         } else tail match {
           case v :: t2 if !v.startsWith("--") =>
             opts += body -> v; rest = t2

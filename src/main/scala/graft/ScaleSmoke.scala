@@ -152,11 +152,15 @@ object ScaleSmoke {
       if (cyc == 0) rot
       else {
         val mask = cyc.toLong * 0x9E3779B97F4A7C15L // golden-ratio mix
+        // the ±1 mask is computed HERE, per replica, and baked as an
+        // array literal — zip_with then does one multiply per element
+        // instead of an interpreted shiftright/pmod expression tree
+        // per element (rule 1; this is one-time harness code but 64
+        // extra replicas of interpreted bit math added real minutes)
+        val signs = Array.tabulate(dim)(j =>
+          if (((mask >> (j % 63)) & 1L) == 1L) -1.0f else 1.0f)
         rot.withColumn("embedding",
-          transform(col("embedding"), (x, j) =>
-            when(call_function("shiftright", lit(mask),
-                pmod(j, lit(63)).cast("int"))
-              .bitwiseAND(lit(1L)) === lit(1L), -x).otherwise(x)))
+          zip_with(col("embedding"), lit(signs), (x, m) => x * m))
       }
     }.reduce(_ unionAll _), "embeddings")
   }

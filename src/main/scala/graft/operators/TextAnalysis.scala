@@ -609,8 +609,10 @@ object TextAnalysis {
         "at corpus scale production swaps in percentile_approx, a " +
         "mergeable bounded-memory sketch with the same plan shape), " +
         "broadcast back over a second scan; the keep verdict compares " +
-        "UNROUNDED scores (the argmax-unrounded rule: both engines " +
-        "fold the same doubles), rounding only presentation columns.",
+        "the 6dp-ROUNDED score against the 6dp-ROUNDED cutoff — raw " +
+        "per-row scores fold identically in both engines, but the " +
+        "interpolated percentile's expression order does not ULP-pin " +
+        "across engines, and rounding both operands absorbs that.",
       (s, d) => {
         val n = size(toks).cast("bigint")
         val ttr = size(array_distinct(toks)).cast("double") / n
@@ -622,10 +624,16 @@ object TextAnalysis {
           .select(col("doc_id"), q.as("q"))
         val cutoff = scored.agg(
           expr("percentile(q, 0.2)").as("cutoff"))
+        // compare 6dp-ROUNDED score vs 6dp-ROUNDED cutoff: the raw
+        // per-row q folds identically in both engines, but the
+        // interpolated percentile's ARITHMETIC differs in expression
+        // order and can land an ULP apart — rounding both operands
+        // absorbs that, and makes the verdict consistent with the
+        // displayed (rounded) columns
         scored.crossJoin(broadcast(cutoff))
           .select(col("doc_id"), round(col("q"), 6).as("quality"),
             round(col("cutoff"), 6).as("cutoff"),
-            (col("q") >= col("cutoff")).as("keep"))
+            (round(col("q"), 6) >= round(col("cutoff"), 6)).as("keep"))
           .orderBy("doc_id")
       },
       Some("WITH scored AS (SELECT doc_id, " +
@@ -637,7 +645,8 @@ object TextAnalysis {
         "END) * 0.3 AS q FROM documents), " +
         "cut AS (SELECT quantile_cont(q, 0.2) AS cutoff FROM scored) " +
         "SELECT doc_id, round(q, 6) AS quality, " +
-        "round(cutoff, 6) AS cutoff, q >= cutoff AS keep " +
+        "round(cutoff, 6) AS cutoff, " +
+        "round(q, 6) >= round(cutoff, 6) AS keep " +
         "FROM scored, cut ORDER BY doc_id")),
 
     GraftQuery(
@@ -708,10 +717,13 @@ object TextAnalysis {
         val perdoc = lmNll(s, d).localCheckpoint()
         val cut = perdoc.agg(
           expr("percentile(avg_nll, 0.9)").as("cutoff"))
+        // avg_nll is already 6dp-engine-identical; the interpolated
+        // percentile is not ULP-pinned across engines — compare
+        // against the ROUNDED cutoff (the q_quality_calibrated rule)
         perdoc.crossJoin(broadcast(cut))
           .select(col("doc_id"), col("avg_nll"),
             round(col("cutoff"), 6).as("cutoff"),
-            (col("avg_nll") <= col("cutoff")).as("keep"))
+            (col("avg_nll") <= round(col("cutoff"), 6)).as("keep"))
           .orderBy("doc_id")
       },
       Some(LmCtes +
@@ -721,7 +733,8 @@ object TextAnalysis {
         "cut AS (SELECT quantile_cont(avg_nll, 0.9) AS cutoff " +
         "FROM perdoc) " +
         "SELECT doc_id, avg_nll, round(cutoff, 6) AS cutoff, " +
-        "avg_nll <= cutoff AS keep FROM perdoc, cut ORDER BY doc_id"))
+        "avg_nll <= round(cutoff, 6) AS keep " +
+        "FROM perdoc, cut ORDER BY doc_id"))
   )
 
   /** Per-doc bigram-LM negative log likelihood (doc_id, n_bigrams,

@@ -330,7 +330,9 @@ class StreamingSpec extends SparkSuite {
       .as[Doc].collect().sortBy(_.doc_id).take(40)
     val maxId = base.map(_.doc_id).max
     val docs = (base :+
-      Doc(maxId + 1, base.head.text.toUpperCase) :+
+      // Locale.ROOT: the default locale's uppercase is not the
+      // inverse of Spark's lowercase for e.g. Turkish dotted I
+      Doc(maxId + 1, base.head.text.toUpperCase(java.util.Locale.ROOT)) :+
       Doc(maxId + 2, base(1).text)).sortBy(_.doc_id)
 
     val input = MemoryStream[Doc]
