@@ -424,16 +424,29 @@ object Similarity {
           emb.filter(col("vec_id") % mod === 0)
             .select(col("vec_id").as("cid"), col("embedding").as("ke"),
               norm(col("embedding")).as("kn")))
-        // mean per (cluster, dimension): 8dp-rounded doubles through
-        // an exact decimal sum — order-independent, engine-identical
+        // mean per (cluster, dimension): 8dp-rounded doubles summed as
+        // SCALED LONGS (x*1e8 rounded to the nearest integer) — the
+        // identical exact rational the oracle's DECIMAL(28,8) sum
+        // produces (Σk_i/1e8; k exact in long and in double up to
+        // 2^53 ≈ a 9e7-row cluster), order-independent, but codegen'd
+        // primitive adds instead of per-row decimal objects: the
+        // n x dim exploded aggregate input made decimal arithmetic
+        // the whole query's cost at 128x (34 s -> the long-sum form)
+        // cid in its OWN select, the explode in the next: a generator
+        // and an expensive expression in the same select() get split
+        // by ExtractGenerator with the expression in the project ABOVE
+        // the Generate — re-evaluated once per exploded ELEMENT (64x
+        // the argmax work; this was 28 of the query's 31 s at 128x)
         val upd = Tables.spread(emb)
           .select(graft.functions.GraftFunctions
               .nearestCentroid(col("embedding"), handle0).as("cid"),
-            posexplode(col("embedding")))
+            col("embedding"))
+          .select(col("cid"), posexplode(col("embedding")))
           .select(col("cid"), col("pos"),
-            round(col("col").cast("double"), 8).as("x"))
+            round(round(col("col").cast("double"), 8) * 1e8, 0)
+              .cast("long").as("k"))
           .groupBy("cid", "pos")
-          .agg((sum(col("x").cast("decimal(28,8)")).cast("double") /
+          .agg(((sum(col("k")).cast("double") / 1e8) /
             count(lit(1))).as("m"))
         // sqrt(n)-sized driver collect (the CC-gate argument), arrays
         // assembled in (cid, pos) order; norms fold pos-ascending,
