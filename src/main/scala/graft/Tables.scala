@@ -25,6 +25,18 @@ object Tables {
     * plenty of splits and this is a no-op (guarded by the partition
     * count), so the shuffle is only paid where it buys parallelism.
     *
+    * CPU-HEAVY CHAINS ONLY: the repartition adds a whole stage
+    * (shuffle of the full row + 32-task scheduling + an AQE re-plan,
+    * ~0.2-0.3 s fixed), so it must be amortized by the per-row work it
+    * parallelizes. The r9 A/B showed light map-only scans (md5 / split
+    * / one regex per row) run ~2x FASTER single-split than spread at
+    * sf0.1, while regex-heavy q_pii_redact kept its win. Also never
+    * useful in front of an explode+groupBy — the aggregate's own
+    * shuffle already redistributes. Read-time splitting is not an
+    * alternative: the testdata parquet is one row group per file, and
+    * Spark assigns whole row groups to splits by midpoint, so low
+    * maxPartitionBytes yields empty splits, not parallelism.
+    *
     * The guard reads `queryExecution.toRdd` (a cached lazy val on the
     * Dataset) rather than `df.rdd`, which would wrap the same physical
     * RDD in an extra InternalRow->Row conversion stage per call just to

@@ -172,7 +172,11 @@ object TextAnalysis {
         "bag-of-words 'shape' fingerprint (md5 of the sorted distinct " +
         "token set) — byte-identical across engines, the basis of " +
         "exact-dedup keys.",
-      (s, d) => Tables.spread(Tables.documents(s, d)).select(
+      // no spread: md5-per-row is light enough that the extra shuffle
+      // stage costs more than single-split execution saves (r9 A/B:
+      // 0.65 s spread vs 0.33 s plain at sf0.1; multi-split inputs at
+      // cluster scale parallelize at the scan with no help needed)
+      (s, d) => Tables.documents(s, d).select(
         col("doc_id"),
         md5(lower(col("text")).cast("binary")).as("fp_exact"),
         md5(array_join(sort_array(array_distinct(split(lower(col("text")), " "))), " ")
@@ -187,7 +191,9 @@ object TextAnalysis {
       "Token counting two ways: whitespace tokens and a BPE-ish regex " +
         "lexer ([a-z]+ | digits | single non-space symbol) — the token " +
         "budget estimator of a training-data pipeline.",
-      (s, d) => Tables.spread(Tables.documents(s, d)).select(
+      // no spread: light map work, the stage overhead dominates (the
+      // q_text_fingerprint rule)
+      (s, d) => Tables.documents(s, d).select(
         col("doc_id"),
         size(split(col("text"), " ")).cast("bigint").as("ws_tokens"),
         size(regexp_extract_all(col("text"),
@@ -304,15 +310,19 @@ object TextAnalysis {
         "on the token.",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        // the exploded token frame feeds BOTH count aggregates: cache
-        // it so the corpus is tokenized once, not twice (the
-        // q_source_mix single-scan rule; blocks release via the
-        // ContextCleaner once the plan is unreferenced)
-        val toks = Tables.spread(Tables.documents(s, d))
+        // the exploded token frame feeds BOTH count aggregates, but it
+        // is deliberately NOT cached: materializing a token-exploded
+        // frame (bigger than the corpus itself) trades two cheap
+        // projected scans for a corpus-sized write+read — measured
+        // slower at sf0.1 (1.02 s cached vs 0.91 recomputed) and a
+        // spill risk at 100 TB. No spread either: the groupBy right
+        // after the explode redistributes anyway, so pre-shuffling
+        // the text buys nothing and costs a stage (the
+        // q_text_fingerprint rule)
+        val toks = Tables.documents(s, d)
           .select(col("doc_id"), col("source"),
             explode(split(col("text"), " ")).as("token"))
           .filter(length(col("token")) > 0)
-          .cache()
         val ndocs = Tables.documents(s, d)
           .agg(countDistinct(col("doc_id")).as("n_docs"))
         val dfreq = toks.groupBy("token")
@@ -353,7 +363,9 @@ object TextAnalysis {
         "of a corpus pipeline. Patterns stay in the RE2 ∩ Java common " +
         "dialect so both engines compile them identically; map-only " +
         "until the presentation sort.",
-      (s, d) => Tables.spread(Tables.documents(s, d)).select(
+      // no spread: light regex work, stage overhead dominates (the
+      // q_text_fingerprint rule)
+      (s, d) => Tables.documents(s, d).select(
         col("doc_id"),
         array_join(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)), ",")
           .as("numbers_csv"),
