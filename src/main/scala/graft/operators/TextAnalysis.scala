@@ -615,16 +615,14 @@ object TextAnalysis {
       "Retention-calibrated quality filter: instead of a hand-picked " +
         "score threshold, the cutoff is the exact 20th percentile of " +
         "the corpus quality distribution — 'keep the top 80%' stays " +
-        "true as the corpus drifts. One aggregation to a 1-row cutoff " +
-        "(exact interpolated percentile — the DuckDB-checkable form; " +
-        "exact percentile buffers the column on the final reducer, so " +
-        "at corpus scale production swaps in percentile_approx, a " +
-        "mergeable bounded-memory sketch with the same plan shape), " +
-        "broadcast back over a second scan; the keep verdict compares " +
-        "the 6dp-ROUNDED score against the 6dp-ROUNDED cutoff — raw " +
-        "per-row scores fold identically in both engines, but the " +
-        "interpolated percentile's expression order does not ULP-pin " +
-        "across engines, and rounding both operands absorbs that.",
+        "true as the corpus drifts. One aggregation to a 1-row " +
+        "RANK-BASED cutoff (exact discrete percentile = the value at " +
+        "sorted rank ceil(p*n), an ACTUAL row value — so it is " +
+        "bit-identical across engines and the keep compare is exact, " +
+        "with no interpolation to ULP-drift), broadcast back over a " +
+        "second scan. At corpus scale production lowers the " +
+        "percentile_approx accuracy parameter: the mergeable " +
+        "bounded-memory sketch keeps the same plan shape.",
       (s, d) => {
         val n = size(toks).cast("bigint")
         val ttr = size(array_distinct(toks)).cast("double") / n
@@ -634,18 +632,22 @@ object TextAnalysis {
           ttr * 0.3 + when(mwl.between(3.0, 8.0), 1.0).otherwise(0.0) * 0.3
         val scored = Tables.spread(Tables.documents(s, d))
           .select(col("doc_id"), q.as("q"))
+        // RANK-BASED cutoff (r9): percentile_approx at max accuracy
+        // is Spark's exact discrete percentile — the smallest value
+        // with sorted rank >= ceil(p·n) — and DuckDB's quantile_disc
+        // implements the identical convention (ProbeSpec pinned both
+        // across n=1..9, p∈{.2,.5,.9}). The cutoff is therefore an
+        // ACTUAL row value, bit-identical in both engines because
+        // per-row scores fold identically — no interpolated
+        // arithmetic to land an ULP apart, so the compare is exact
+        // and the old 6dp-rounding workaround is gone. Production
+        // lowers the accuracy parameter (same plan, bounded memory).
         val cutoff = scored.agg(
-          expr("percentile(q, 0.2)").as("cutoff"))
-        // compare 6dp-ROUNDED score vs 6dp-ROUNDED cutoff: the raw
-        // per-row q folds identically in both engines, but the
-        // interpolated percentile's ARITHMETIC differs in expression
-        // order and can land an ULP apart — rounding both operands
-        // absorbs that, and makes the verdict consistent with the
-        // displayed (rounded) columns
+          expr("percentile_approx(q, 0.2, 2147483647)").as("cutoff"))
         scored.crossJoin(broadcast(cutoff))
           .select(col("doc_id"), round(col("q"), 6).as("quality"),
             round(col("cutoff"), 6).as("cutoff"),
-            (round(col("q"), 6) >= round(col("cutoff"), 6)).as("keep"))
+            (col("q") >= col("cutoff")).as("keep"))
           .orderBy("doc_id")
       },
       Some("WITH scored AS (SELECT doc_id, " +
@@ -655,10 +657,10 @@ object TextAnalysis {
         "+ (CASE WHEN CAST(length(replace(text,' ','')) AS DOUBLE) / " +
         "len(str_split(text,' ')) BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 " +
         "END) * 0.3 AS q FROM documents), " +
-        "cut AS (SELECT quantile_cont(q, 0.2) AS cutoff FROM scored) " +
+        "cut AS (SELECT quantile_disc(q, 0.2) AS cutoff FROM scored) " +
         "SELECT doc_id, round(q, 6) AS quality, " +
         "round(cutoff, 6) AS cutoff, " +
-        "round(q, 6) >= round(cutoff, 6) AS keep " +
+        "q >= cutoff AS keep " +
         "FROM scored, cut ORDER BY doc_id")),
 
     GraftQuery(
@@ -714,38 +716,39 @@ object TextAnalysis {
       "q_perplexity_filter",
       "The CCNet filtering step itself: LM-score every document " +
         "(q_ngram_lm's bigram NLL) and drop the worst-perplexity 10% " +
-        "— cutoff = the exact 90th percentile of the corpus avg_nll " +
-        "distribution, keep = avg_nll <= cutoff. The scored per-doc " +
-        "frame is pinned (referenced by the cutoff aggregate AND the " +
-        "verdict join — the q_source_mix single-scan rule), the 1-row " +
-        "cutoff broadcasts back, and the compare uses the 6dp-rounded " +
-        "avg_nll, which is engine-identical by construction (DECIMAL " +
-        "sums of 8dp-pre-rounded terms), so the keep set is exact " +
-        "across engines. Corpus scale: percentile_approx swaps in for " +
-        "the exact percentile with the same plan shape (the " +
-        "q_quality_calibrated note); docs with <2 tokens carry no " +
-        "bigrams and are out of scope on both sides.",
+        "— cutoff = the rank-based 90th percentile of the corpus " +
+        "avg_nll distribution (an actual row value, the " +
+        "q_quality_calibrated rule), keep = avg_nll <= cutoff. The " +
+        "scored per-doc frame is pinned (referenced by the cutoff " +
+        "aggregate AND the verdict join — the q_source_mix " +
+        "single-scan rule), the 1-row cutoff broadcasts back, and " +
+        "avg_nll is engine-identical by construction (DECIMAL sums " +
+        "of 8dp-pre-rounded terms), so the keep set is exact across " +
+        "engines. Corpus scale: a lower percentile_approx accuracy " +
+        "swaps in with the same plan shape; docs with <2 tokens " +
+        "carry no bigrams and are out of scope on both sides.",
       (s, d) => {
         val perdoc = lmNll(s, d).localCheckpoint()
+        // rank-based exact percentile (the q_quality_calibrated r9
+        // rule): the cutoff is an actual avg_nll row value — already
+        // 6dp-engine-identical by construction — so the keep compare
+        // is exact with no rounding workaround
         val cut = perdoc.agg(
-          expr("percentile(avg_nll, 0.9)").as("cutoff"))
-        // avg_nll is already 6dp-engine-identical; the interpolated
-        // percentile is not ULP-pinned across engines — compare
-        // against the ROUNDED cutoff (the q_quality_calibrated rule)
+          expr("percentile_approx(avg_nll, 0.9, 2147483647)").as("cutoff"))
         perdoc.crossJoin(broadcast(cut))
           .select(col("doc_id"), col("avg_nll"),
             round(col("cutoff"), 6).as("cutoff"),
-            (col("avg_nll") <= round(col("cutoff"), 6)).as("keep"))
+            (col("avg_nll") <= col("cutoff")).as("keep"))
           .orderBy("doc_id")
       },
       Some(LmCtes +
         ", perdoc AS (SELECT doc_id, " +
         "round(CAST(SUM(CAST(term AS DECIMAL(28,8))) AS DOUBLE) " +
         "/ count(*), 6) AS avg_nll FROM terms GROUP BY doc_id), " +
-        "cut AS (SELECT quantile_cont(avg_nll, 0.9) AS cutoff " +
+        "cut AS (SELECT quantile_disc(avg_nll, 0.9) AS cutoff " +
         "FROM perdoc) " +
         "SELECT doc_id, avg_nll, round(cutoff, 6) AS cutoff, " +
-        "avg_nll <= round(cutoff, 6) AS keep " +
+        "avg_nll <= cutoff AS keep " +
         "FROM perdoc, cut ORDER BY doc_id"))
   )
 
@@ -753,35 +756,49 @@ object TextAnalysis {
     * avg_nll) — the shared scorer behind q_ngram_lm (raw scores) and
     * q_perplexity_filter (percentile-cutoff verdicts). See
     * q_ngram_lm's scaladoc for the hashing/decimal discipline. */
-  private def lmNll(s: SparkSession, d: String): DataFrame = {
+  private[graft] def lmNll(s: SparkSession, d: String): DataFrame = {
     val tk = split(col("text"), " ")
     val docs = Tables.spread(Tables.documents(s, d))
     // ONE native eval per row (BigramHashes): each token hashed
     // once, pairs emitted primitive — the HOF spec form is
-    // interpreted per position (rule 1); DedupSpec pins equality
-    // both frames feed two consumers each (bigrams: the LM stream
-    // + the bigram counts; uni: the vocab size + the smoothing
-    // join): cache so the corpus is tokenized/hashed once, not
-    // four times
-    val bigrams = docs.select(col("doc_id"),
+    // interpreted per position (rule 1); DedupSpec pins equality.
+    //
+    // Occurrence-AGGREGATED join shape (r9): a document repeats
+    // bigrams, so every join below runs on the DISTINCT
+    // (doc, bigram) keys with a multiplicity column instead of one
+    // row per occurrence — the smoothing term is keyed by the
+    // bigram alone, so per-doc sums are Σ m·term, exactly equal
+    // (DECIMAL × integer multiplicity) to the per-occurrence sum
+    // the oracle computes. The first shuffle combines map-side
+    // (partial agg), and the (h1,h2)/h1 joins move aggregated
+    // 8-byte-key rows, not occurrences.
+    val occ = docs.select(col("doc_id"),
       explode(call_function("bigram_hashes", tk)).as("bg"))
       .select(col("doc_id"), col("bg.h1"), col("bg.h2"))
-      .cache()
+      .groupBy("doc_id", "h1", "h2").agg(count(lit(1)).as("m"))
+      .cache() // feeds the global bigram counts AND the per-doc sum
     val uni = docs.select(explode(tk).as("w"))
       .select(xxhash64(col("w")).as("h1"))
       .groupBy("h1").agg(count(lit(1)).as("c1"))
-      .cache()
+      .cache() // feeds the vocab size AND the smoothing join
     val vocab = uni.agg(count(lit(1)).as("v"))
-    val big = bigrams.groupBy("h1", "h2").agg(count(lit(1)).as("c2"))
+    val big = occ.groupBy("h1", "h2").agg(sum(col("m")).as("c2"))
     val term = round(-log((col("c2") + 1) / (col("c1") + col("v"))), 8)
-    bigrams
-      .join(big, Seq("h1", "h2"))
+    // per-bigram smoothed NLL term, computed once per DISTINCT bigram
+    val bterm = big
       .join(uni, Seq("h1"))
       .crossJoin(broadcast(vocab))
-      .select(col("doc_id"), term.as("term"))
+      .select(col("h1"), col("h2"), term.as("term"))
+    occ
+      .join(bterm, Seq("h1", "h2"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(GraftQuery.decSum(col("term"), 28, 8) / count(lit(1)), 6)
+      .agg(sum(col("m")).as("n_bigrams"),
+        // m·term with pinned decimal types: (20,8)x(12,0) -> (33,8),
+        // inside the 38-digit cap, so the product is EXACT — wider
+        // inputs would trip Spark's precision-loss rule and silently
+        // shrink the scale below the oracle's 8 dp
+        round(GraftQuery.decSum(col("term").cast("decimal(20,8)") *
+            col("m").cast("decimal(12,0)"), 28, 8) / sum(col("m")), 6)
           .as("avg_nll"))
   }
 
