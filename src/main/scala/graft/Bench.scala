@@ -110,7 +110,18 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
     val totalMed = medians.flatMap(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMed,"queries":$qs,"queries_median":$qsMed,"errors":$errs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMed,"queries":$qs,"queries_median":$qsMed,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // The driver's stdout capture keeps only the last 2000 chars, which
+    // truncates the per-query head of the map (lost in rounds 8 and 9).
+    // Persist the full record to a file Bench owns so every per-query
+    // time stays machine-readable regardless of capture; path
+    // overridable for side-worktree A/B runs.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_local.json")
+    Try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+        (line + "\n").getBytes("UTF-8"))
+    }.failed.foreach(e => System.err.println(s"bench file write failed: $e"))
     // The driver records only the LAST 2000 chars of stdout; the full
     // line above leads with the totals, so truncation eats them (and
     // the q_agg_*/q_ann_* head of the per-query map) every round. A
