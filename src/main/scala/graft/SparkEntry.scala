@@ -22,7 +22,8 @@ object SparkEntry {
         operators.Stats.queries ++
         operators.Sql.queries ++
         operators.Multimodal.queries ++
-        operators.Incremental.queries
+        operators.Incremental.queries ++
+        operators.Curation.queries
     // a name collision across modules would silently shadow the
     // earlier query in the toMap below — the shadowed operator loses
     // ALL differential coverage with zero diagnostic. Fail fast.

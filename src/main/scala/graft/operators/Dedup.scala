@@ -343,6 +343,30 @@ object Dedup {
     spark.createDataset(out.toIndexedSeq).toDF("node", "lbl")
   }
 
+  /** Per-doc distinct 3-gram hashes (doc_id, g) — one native
+    * shingle_hashes eval per row. shingle_hashes clamps <3-token docs
+    * to ONE short shingle; this gram definition emits none, so such
+    * docs are filtered first. Shared by q_decontaminate and the
+    * curation pipeline's decontamination stage. */
+  private[graft] def gramHashes(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    docs.filter(size(toks) >= 3)
+      .select(col("doc_id"),
+        explode(call_function("shingle_hashes", toks)).as("g"))
+  }
+
+  /** Contaminated (train_id, eval_id, n_shared) pairs: >= 3 distinct
+    * shared 3-grams. `train`/`ev` are [[gramHashes]] frames; the eval
+    * side — fixed-size while the train corpus grows without bound —
+    * broadcasts, so the train side is scanned once, never shuffled. */
+  private[graft] def contamination(train: DataFrame,
+                                   ev: DataFrame): DataFrame =
+    train.withColumnRenamed("doc_id", "train_id")
+      .join(broadcast(ev.withColumnRenamed("doc_id", "eval_id")), "g")
+      .groupBy("train_id", "eval_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+
   val queries: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -362,21 +386,10 @@ object Dedup {
         "never shuffled. The distinct-3-gram count is the standard " +
         "n-gram-overlap contamination signal.",
       (s, d) => {
-        val toks = split(col("text"), " ")
-        // shingle_hashes clamps <3-token docs to ONE short shingle;
-        // this operator's gram definition emits none — filter first
-        val ng = Tables.spread(Tables.documents(s, d))
-          .filter(size(toks) >= 3)
-          .select(col("doc_id"),
-            explode(call_function("shingle_hashes", toks)).as("g"))
-        val train = ng.filter(col("doc_id") % 41 =!= 0)
-          .withColumnRenamed("doc_id", "train_id")
-        val ev = ng.filter(col("doc_id") % 41 === 0)
-          .withColumnRenamed("doc_id", "eval_id")
-        train.join(broadcast(ev), "g")
-          .groupBy("train_id", "eval_id")
-          .agg(count(lit(1)).as("n_shared"))
-          .filter(col("n_shared") >= 3)
+        val ng = gramHashes(Tables.spread(Tables.documents(s, d)))
+        contamination(
+          ng.filter(col("doc_id") % 41 =!= 0),
+          ng.filter(col("doc_id") % 41 === 0))
           .orderBy("train_id", "eval_id")
       },
       Some("""

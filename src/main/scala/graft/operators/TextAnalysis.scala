@@ -20,6 +20,28 @@ object TextAnalysis {
 
   private def toks: Column = split(col("text"), " ")
 
+  /** The heuristic quality score (length, type-token ratio, mean-word-
+    * length band) behind q_quality_calibrated and the curation
+    * pipeline's first stage; [[QualitySql]] is its DuckDB twin —
+    * identical arithmetic in identical order, so scores fold
+    * bit-identically across engines. */
+  private[graft] def qualityExpr: Column = {
+    val n = size(toks).cast("bigint")
+    val ttr = size(array_distinct(toks)).cast("double") / n
+    val mwl = length(regexp_replace(col("text"), " ", ""))
+      .cast("double") / n
+    least(lit(1.0), n.cast("double") / 50.0) * 0.4 +
+      ttr * 0.3 + when(mwl.between(3.0, 8.0), 1.0).otherwise(0.0) * 0.3
+  }
+
+  private[graft] val QualitySql: String =
+    "least(1.0, CAST(len(str_split(text,' ')) AS DOUBLE)/50.0) * 0.4 " +
+      "+ (CAST(len(list_distinct(str_split(text,' '))) AS DOUBLE) / " +
+      "len(str_split(text,' '))) * 0.3 " +
+      "+ (CASE WHEN CAST(length(replace(text,' ','')) AS DOUBLE) / " +
+      "len(str_split(text,' ')) BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 " +
+      "END) * 0.3"
+
   /** #tokens of `arr` that appear in the literal word set. */
   private def countIn(arr: Column, words: Seq[String]): Column =
     size(filter(arr, t => array_contains(array(words.map(lit): _*), t)))
@@ -467,23 +489,7 @@ object TextAnalysis {
         "training-shard count, thousands at 100 TB — never 1: each " +
         "stream's window sorts one partition, there is no global " +
         "order anywhere.",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val nsh = 32
-        val b = 512
-        val w = Window.partitionBy("shard").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        Tables.documents(s, d)
-          .select(col("doc_id"),
-            (col("doc_id") % nsh).cast("bigint").as("shard"),
-            size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
-          .withColumn("cum_before",
-            coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-          .select(col("doc_id"), col("shard"), col("n_tokens"),
-            expr(s"cum_before DIV $b").as("bin"),
-            (col("cum_before") % b).cast("bigint").as("bin_offset"))
-          .orderBy("doc_id")
-      },
+      (s, d) => seqPack(Tables.documents(s, d)).orderBy("doc_id"),
       Some("SELECT doc_id, shard, n_tokens, " +
         "CAST(cum_before // 512 AS BIGINT) AS bin, " +
         "CAST(cum_before % 512 AS BIGINT) AS bin_offset FROM (" +
@@ -624,19 +630,16 @@ object TextAnalysis {
         "percentile_approx accuracy parameter: the mergeable " +
         "bounded-memory sketch keeps the same plan shape.",
       (s, d) => {
-        val n = size(toks).cast("bigint")
-        val ttr = size(array_distinct(toks)).cast("double") / n
-        val mwl = length(regexp_replace(col("text"), " ", ""))
-          .cast("double") / n
-        val q = least(lit(1.0), n.cast("double") / 50.0) * 0.4 +
-          ttr * 0.3 + when(mwl.between(3.0, 8.0), 1.0).otherwise(0.0) * 0.3
         val scored = Tables.spread(Tables.documents(s, d))
-          .select(col("doc_id"), q.as("q"))
+          .select(col("doc_id"), qualityExpr.as("q"))
         // RANK-BASED cutoff (r9): percentile_approx at max accuracy
         // is Spark's exact discrete percentile — the smallest value
         // with sorted rank >= ceil(p·n) — and DuckDB's quantile_disc
-        // implements the identical convention (ProbeSpec pinned both
-        // across n=1..9, p∈{.2,.5,.9}). The cutoff is therefore an
+        // implements the identical convention (Spark's side of the
+        // rank law is pinned by PercentileRankLawSpec; the DuckDB
+        // side by tools/probe_rank_law.py, so an engine upgrade that
+        // changes either convention fails loudly in-repo, not just
+        // in the differential gate). The cutoff is therefore an
         // ACTUAL row value, bit-identical in both engines because
         // per-row scores fold identically — no interpolated
         // arithmetic to land an ULP apart, so the compare is exact
@@ -650,13 +653,8 @@ object TextAnalysis {
             (col("q") >= col("cutoff")).as("keep"))
           .orderBy("doc_id")
       },
-      Some("WITH scored AS (SELECT doc_id, " +
-        "least(1.0, CAST(len(str_split(text,' ')) AS DOUBLE)/50.0) * 0.4 " +
-        "+ (CAST(len(list_distinct(str_split(text,' '))) AS DOUBLE) / " +
-        "len(str_split(text,' '))) * 0.3 " +
-        "+ (CASE WHEN CAST(length(replace(text,' ','')) AS DOUBLE) / " +
-        "len(str_split(text,' ')) BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 " +
-        "END) * 0.3 AS q FROM documents), " +
+      Some("WITH scored AS (SELECT doc_id, " + QualitySql +
+        " AS q FROM documents), " +
         "cut AS (SELECT quantile_disc(q, 0.2) AS cutoff FROM scored) " +
         "SELECT doc_id, round(q, 6) AS quality, " +
         "round(cutoff, 6) AS cutoff, " +
@@ -752,71 +750,162 @@ object TextAnalysis {
         "FROM perdoc, cut ORDER BY doc_id"))
   )
 
+  /** Concat-and-chunk sequence packing over an arbitrary docs frame
+    * (q_seq_pack's body, frame-parameterized for the curation
+    * pipeline): docs land in `nsh` independent pack streams, token
+    * counts cumsum within a stream, each doc gets its context-window
+    * bin and start offset. Parallelism is |streams|; no global order. */
+  private[graft] def seqPack(docs: DataFrame, nsh: Int = 32,
+                             b: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"),
+        (col("doc_id") % nsh).cast("bigint").as("shard"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        expr(s"cum_before DIV $b").as("bin"),
+        (col("cum_before") % b).cast("bigint").as("bin_offset"))
+  }
+
+  /** q_data_split's deterministic hash bucket (0-99) — a doc's split
+    * never changes as the corpus grows; frame-independent expression. */
+  private[graft] def splitBucket: Column =
+    conv(substring(md5(
+      concat(col("doc_id").cast("string"), lit("#split42"))
+        .cast("binary")), 1, 8), 16, 10).cast("bigint") % 100
+
+  /** Whether [[lmNll]] pre-aggregates per-(doc, bigram) occurrences
+    * before the count joins. The aggregated shape wins exactly when
+    * documents repeat bigrams (mean multiplicity > ~1.2): every join
+    * then moves the smaller distinct-key frame. On short documents
+    * multiplicity is ~1 and the extra groupBy shuffle is pure
+    * overhead — a same-window side-worktree A/B at sf0.1 (3 pairs,
+    * min of 5 interleaved reps) measured the aggregated shape at
+    * 2.21-2.38 s vs 1.94-1.98 s per-occurrence for q_ngram_lm, a
+    * consistent ~1.2x. Multiplicity itself costs a corpus scan to
+    * measure, so the gate uses a free proxy: average compressed
+    * bytes/doc from file-listing metadata + the parquet metadata
+    * count. Within-doc bigram repetition tracks document length;
+    * the ~120 B/doc synthetic corpora sit far below the 2 KiB
+    * threshold (per-occurrence), real KB-scale training documents
+    * sit far above (aggregated). SPARK_GRAFT_LM_OCC_AGG=1/0 forces
+    * a branch — the 32x scale gate forces 1 so the aggregated shape
+    * stays hash-checked at replicated scale (the NTILE_PLAIN_MAX
+    * pattern); LmGateSpec pins the two branches row-identical. */
+  private[graft] def lmOccAggregate(s: SparkSession, d: String): Boolean =
+    sys.env.get("SPARK_GRAFT_LM_OCC_AGG") match {
+      case Some("1") => true
+      case Some("0") => false
+      case _ =>
+        val p = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val bytes = fs.getContentSummary(p).getLength
+        val n = math.max(1L, Tables.documents(s, d).count())
+        bytes / n > 2048
+    }
+
   /** Per-doc bigram-LM negative log likelihood (doc_id, n_bigrams,
     * avg_nll) — the shared scorer behind q_ngram_lm (raw scores) and
     * q_perplexity_filter (percentile-cutoff verdicts). See
-    * q_ngram_lm's scaladoc for the hashing/decimal discipline. */
-  private[graft] def lmNll(s: SparkSession, d: String): DataFrame = {
+    * q_ngram_lm's scaladoc for the hashing/decimal discipline.
+    * `occAgg` overrides the [[lmOccAggregate]] size gate (tests). */
+  private[graft] def lmNll(s: SparkSession, d: String,
+                           occAgg: Option[Boolean] = None): DataFrame =
+    lmNllOf(Tables.spread(Tables.documents(s, d)),
+      occAgg.getOrElse(lmOccAggregate(s, d)))
+
+  /** [[lmNll]] over an arbitrary docs frame (doc_id, text, ...) — the
+    * curation pipeline trains the LM on each stage's SURVIVORS, not
+    * the raw table, so the scorer is frame-parameterized. */
+  private[graft] def lmNllOf(docs: DataFrame, occAgg: Boolean): DataFrame = {
     val tk = split(col("text"), " ")
-    val docs = Tables.spread(Tables.documents(s, d))
     // ONE native eval per row (BigramHashes): each token hashed
     // once, pairs emitted primitive — the HOF spec form is
     // interpreted per position (rule 1); DedupSpec pins equality.
-    //
-    // Occurrence-AGGREGATED join shape (r9): a document repeats
-    // bigrams, so every join below runs on the DISTINCT
-    // (doc, bigram) keys with a multiplicity column instead of one
-    // row per occurrence — the smoothing term is keyed by the
-    // bigram alone, so per-doc sums are Σ m·term, exactly equal
-    // (DECIMAL × integer multiplicity) to the per-occurrence sum
-    // the oracle computes. The first shuffle combines map-side
-    // (partial agg), and the (h1,h2)/h1 joins move aggregated
-    // 8-byte-key rows, not occurrences.
-    val occ = docs.select(col("doc_id"),
+    val pairs = docs.select(col("doc_id"),
       explode(call_function("bigram_hashes", tk)).as("bg"))
       .select(col("doc_id"), col("bg.h1"), col("bg.h2"))
-      .groupBy("doc_id", "h1", "h2").agg(count(lit(1)).as("m"))
-      .cache() // feeds the global bigram counts AND the per-doc sum
     val uni = docs.select(explode(tk).as("w"))
       .select(xxhash64(col("w")).as("h1"))
       .groupBy("h1").agg(count(lit(1)).as("c1"))
       .cache() // feeds the vocab size AND the smoothing join
     val vocab = uni.agg(count(lit(1)).as("v"))
-    val big = occ.groupBy("h1", "h2").agg(sum(col("m")).as("c2"))
     val term = round(-log((col("c2") + 1) / (col("c1") + col("v"))), 8)
-    // per-bigram smoothed NLL term, computed once per DISTINCT bigram
-    val bterm = big
-      .join(uni, Seq("h1"))
-      .crossJoin(broadcast(vocab))
-      .select(col("h1"), col("h2"), term.as("term"))
-    occ
-      .join(bterm, Seq("h1", "h2"))
-      .groupBy("doc_id")
-      .agg(sum(col("m")).as("n_bigrams"),
-        // m·term with pinned decimal types: (20,8)x(12,0) -> (33,8),
-        // inside the 38-digit cap, so the product is EXACT — wider
-        // inputs would trip Spark's precision-loss rule and silently
-        // shrink the scale below the oracle's 8 dp
-        round(GraftQuery.decSum(col("term").cast("decimal(20,8)") *
-            col("m").cast("decimal(12,0)"), 28, 8) / sum(col("m")), 6)
-          .as("avg_nll"))
+    if (occAgg) {
+      // Occurrence-AGGREGATED join shape (r9): a document repeats
+      // bigrams, so every join below runs on the DISTINCT
+      // (doc, bigram) keys with a multiplicity column instead of one
+      // row per occurrence — the smoothing term is keyed by the
+      // bigram alone, so per-doc sums are Σ m·term, exactly equal
+      // (DECIMAL × integer multiplicity) to the per-occurrence sum
+      // the oracle computes. The first shuffle combines map-side
+      // (partial agg), and the (h1,h2)/h1 joins move aggregated
+      // 8-byte-key rows, not occurrences.
+      val occ = pairs
+        .groupBy("doc_id", "h1", "h2").agg(count(lit(1)).as("m"))
+        .cache() // feeds the global bigram counts AND the per-doc sum
+      val big = occ.groupBy("h1", "h2").agg(sum(col("m")).as("c2"))
+      // per-bigram smoothed NLL term, computed once per DISTINCT bigram
+      val bterm = big
+        .join(uni, Seq("h1"))
+        .crossJoin(broadcast(vocab))
+        .select(col("h1"), col("h2"), term.as("term"))
+      occ
+        .join(bterm, Seq("h1", "h2"))
+        .groupBy("doc_id")
+        .agg(sum(col("m")).as("n_bigrams"),
+          // m·term with pinned decimal types: (20,8)x(12,0) -> (33,8),
+          // inside the 38-digit cap, so the product is EXACT — wider
+          // inputs would trip Spark's precision-loss rule and silently
+          // shrink the scale below the oracle's 8 dp
+          round(GraftQuery.decSum(col("term").cast("decimal(20,8)") *
+              col("m").cast("decimal(12,0)"), 28, 8) / sum(col("m")), 6)
+            .as("avg_nll"))
+    } else {
+      // Per-occurrence shape: the bigram stream joins the count
+      // frames directly — one fewer shuffle, the winner when docs are
+      // short (multiplicity ~1). Σ term over occurrences == Σ m·term
+      // exactly (both DECIMAL), so the branches are row-identical.
+      val bigrams = pairs.cache() // LM stream + bigram counts
+      val big = bigrams.groupBy("h1", "h2").agg(count(lit(1)).as("c2"))
+      bigrams
+        .join(big, Seq("h1", "h2"))
+        .join(uni, Seq("h1"))
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"), term.as("term"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(GraftQuery.decSum(col("term"), 28, 8) / count(lit(1)), 6)
+            .as("avg_nll"))
+    }
   }
 
-  /** The q_ngram_lm oracle's shared CTE chain (through `terms`) —
-    * reused verbatim by q_perplexity_filter so the two oracles can
-    * never drift apart. (A def, not a val: `queries` above initializes
-    * eagerly and a forward-referenced val would still be null.) */
-  private def LmCtes: String =
-    "WITH t AS (SELECT doc_id, str_split(text,' ') AS tk " +
-      "FROM documents), " +
-      "bg AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2 FROM t, " +
+  /** The q_ngram_lm oracle's shared CTE chain (through `terms`),
+    * parameterized on the source relation: reused verbatim by
+    * q_perplexity_filter (src=documents) and by the curation
+    * pipeline's composed oracle (src=the surviving-docs CTE) so the
+    * oracles can never drift apart. Returns the CTE BODY (no WITH);
+    * CTE names are prefixed so the composed oracle can embed several
+    * chains without collisions. (Defs, not vals: `queries` above
+    * initializes eagerly and a forward-referenced val would be null.) */
+  private[graft] def lmCteBody(src: String, px: String = ""): String =
+    s"${px}t AS (SELECT doc_id, str_split(text,' ') AS tk " +
+      s"FROM $src), " +
+      s"${px}bg AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2 FROM ${px}t, " +
       "UNNEST(generate_series(1, len(tk)-1)) AS g(i) " +
       "WHERE len(tk) >= 2), " +
-      "uni AS (SELECT w, count(*) AS c1 FROM " +
-      "(SELECT unnest(tk) AS w FROM t) GROUP BY w), " +
-      "vocab AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni), " +
-      "big AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2), " +
-      "terms AS (SELECT doc_id, round(-ln((c2+1)/(c1+v)), 8) AS term " +
-      "FROM bg JOIN big USING (w1, w2) " +
-      "JOIN uni ON uni.w = bg.w1, vocab) "
+      s"${px}uni AS (SELECT w, count(*) AS c1 FROM " +
+      s"(SELECT unnest(tk) AS w FROM ${px}t) GROUP BY w), " +
+      s"${px}vocab AS (SELECT CAST(count(*) AS BIGINT) AS v FROM ${px}uni), " +
+      s"${px}big AS (SELECT w1, w2, count(*) AS c2 FROM ${px}bg " +
+      "GROUP BY w1, w2), " +
+      s"${px}terms AS (SELECT doc_id, round(-ln((c2+1)/(c1+v)), 8) AS term " +
+      s"FROM ${px}bg JOIN ${px}big USING (w1, w2) " +
+      s"JOIN ${px}uni ON ${px}uni.w = ${px}bg.w1, ${px}vocab) "
+
+  private def LmCtes: String = "WITH " + lmCteBody("documents")
 }

@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.{Curation, Dedup, TextAnalysis}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The composed curation pipeline must equal running its stages one by
+  * one — same operators, same cutoff-over-survivors semantics — and the
+  * shared LM frame must carry exactly the stage-2 scores. The DuckDB
+  * oracle covers the full chain differentially; this spec pins the
+  * COMPOSITION law in-repo so a refactor of curate() cannot silently
+  * reorder or re-scope a stage. */
+class CurationSpec extends SparkSuite {
+
+  private def ids(df: DataFrame): Seq[Long] =
+    df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+
+  test("composed pipeline == stage-by-stage application") {
+    val sp = spark
+    val docs0 = Tables.documents(sp, sf)
+      .select(col("doc_id"), col("source"), col("text"))
+    val evalDocs = docs0.filter(col("doc_id") % 41 === 0)
+    val train0 = docs0.filter(col("doc_id") % 41 =!= 0)
+
+    // stage 1 by hand: quality >= exact 20th percentile of train0
+    val scored = train0.withColumn("q", TextAnalysis.qualityExpr)
+    val c1 = scored.agg(
+      expr("percentile_approx(q, 0.2, 2147483647)")).head.getDouble(0)
+    val s1 = scored.filter(col("q") >= c1)
+      .select(col("doc_id"), col("source"), col("text"))
+
+    // stage 2 by hand: NLL over s1, keep <= 90th percentile
+    val nll = TextAnalysis.lmNllOf(s1, occAgg = false)
+    val c2 = nll.agg(
+      expr("percentile_approx(avg_nll, 0.9, 2147483647)")).head.getDouble(0)
+    val s2 = s1.join(
+      nll.filter(col("avg_nll") <= c2).select("doc_id"), Seq("doc_id"))
+
+    // stage 3 by hand: exact-dedup keepers
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(lower(col("text")).cast("binary")))
+    val s3 = s2.withColumn("keeper", min("doc_id").over(w))
+      .filter(col("doc_id") === col("keeper"))
+      .select(col("doc_id"), col("source"), col("text"))
+
+    // stage 4 by hand: drop contaminated vs the UNFILTERED eval suite
+    val contam = Dedup.contamination(
+      Dedup.gramHashes(s3), Dedup.gramHashes(evalDocs))
+      .select(col("train_id").as("doc_id")).distinct()
+    val s4 = s3.join(contam, Seq("doc_id"), "left_anti")
+
+    val expectPacked = TextAnalysis.seqPack(s4)
+      .withColumn("bucket", TextAnalysis.splitBucket)
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("bin"),
+        col("bin_offset"),
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val")
+          .otherwise("test").as("split"))
+
+    val got = Curation.curate(spark, sf)
+    assert(ids(got.lmScores) == ids(nll))
+    val gotRows = got.packed.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val expRows = expectPacked.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(gotRows.nonEmpty)
+    assert(gotRows == expRows)
+  }
+
+  test("every stage strictly filters and survivors are a chain") {
+    val got = Curation.curate(spark, sf)
+    val all = Tables.documents(spark, sf).count()
+    val out = got.packed.count()
+    assert(out > 0 && out < all)
+    // packed survivors are a subset of the scored (stage-2 input) docs
+    val scoredIds = ids(got.lmScores).toSet
+    assert(ids(got.packed).forall(scoredIds.contains))
+  }
+}

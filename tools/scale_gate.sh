@@ -42,8 +42,12 @@ rm -rf "$OUT"
 # NTILE_PLAIN_MAX lowered so q_window_ntile takes its DECOMPOSITION
 # branch here (the replicated corpus is still under the production 5M
 # gate) — the branch that only ever runs at scale is exactly the one
-# that must be hash-checked at scale
-SPARK_GRAFT_NTILE_PLAIN_MAX=1 SPARK_GRAFT_ONLY="$QUERIES" \
+# that must be hash-checked at scale. Same rule for the lmNll shape:
+# LM_OCC_AGG=1 forces the occurrence-aggregated joins (the branch the
+# size gate picks for real KB-scale docs but never for the ~120 B/doc
+# synthetic corpus), so the scale branch is the hash-checked one.
+SPARK_GRAFT_NTILE_PLAIN_MAX=1 SPARK_GRAFT_LM_OCC_AGG=1 \
+  SPARK_GRAFT_ONLY="$QUERIES" \
   SPARK_GRAFT_STRICT=1 \
   sbt -batch "runMain graft.Verify $WORK $OUT"
 # capture WITHOUT dying under set -e (check_oracles exits 1 on any
@@ -58,4 +62,14 @@ GOT="$(echo "$RESULT" | tail -1 | sed -n 's/^== \([0-9]*\) ok, 0 fail$/\1/p')"
 if [ "$GOT" != "$WANT" ]; then
   echo "SCALE GATE FAILED: expected $WANT ok, got '${GOT:-parse-failure}'" >&2
   exit 1
+fi
+
+# ANN result-quality gate: q_ann_lsh / q_ann_ivf are oracle-exempt, so
+# the differential phase above never checks their OUTPUT. RecallGate
+# replays brute force + both ANN variants on the same replicated corpus
+# (the scale where lshBits(n)/sqrt(n)-nlist actually move off their
+# test-scale floors) and fails if mean top-5 recall drops below the
+# unit-law floors. Skippable for quick re-runs via SCALE_GATE_NO_RECALL=1.
+if [ "${SCALE_GATE_NO_RECALL:-0}" != "1" ]; then
+  sbt -batch "runMain graft.RecallGate $WORK 0.25 0.5"
 fi
