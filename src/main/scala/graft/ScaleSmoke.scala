@@ -34,7 +34,7 @@ object ScaleSmoke {
     "q_cluster_assign", "q_span_dup", "q_train_shuffle",
     "q_quality_calibrated", "q_ngram_lm", "q_kmeans_refine",
     "q_embed_outliers", "q_dedup_keep", "q_token_budget",
-    "q_perplexity_filter", "q_data_split")
+    "q_perplexity_filter", "q_data_split", "q_pipeline_curate")
 
   /** Event/sessionization family: user ids shift per replica, so
     * per-user session structure is identical while the partition key

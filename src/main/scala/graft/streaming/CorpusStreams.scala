@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.functions.ShingleHashes
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 /** Streaming twins of the corpus-hygiene batch operators
@@ -118,6 +119,149 @@ object CorpusStreams {
           state.update(cum)
           out.iterator
       }
+  }
+
+  /** Streaming calibrated quality filter — the ingest-time twin of
+    * q_quality_calibrated. The batch operator recalibrates its 20th-
+    * percentile cutoff over the WHOLE corpus every run; a stream
+    * cannot (a percentile over an unbounded stream is a moving,
+    * non-append-able aggregate), so the cutoff is FROZEN at
+    * calibration time ([[calibrateQuality]] over a batch snapshot)
+    * and rides into the stream as a literal — scoring stays map-only
+    * column arithmetic (zero state, zero shuffle, Append mode), and
+    * it is the SAME `qualityExpr` column the batch operator compiles,
+    * so scores are bit-identical by construction.
+    *
+    * Drift caveat: as the ingest distribution moves away from the
+    * calibration snapshot, the fixed cutoff's keep-rate drifts off
+    * the batch operator's exact 80% retention. That is inherent to
+    * any frozen-threshold online filter; production re-runs
+    * [[calibrateQuality]] on a cadence (or on a sliding sample) and
+    * restarts the query, and the batch operator remains the
+    * retrospective exact path. Stream == batch holds exactly when the
+    * cutoff equals the batch run's (same snapshot), which
+    * StreamingSpec pins across a micro-batch boundary. */
+  def qualityFilterStream(docs: DataFrame, cutoff: Double): DataFrame =
+    docs.select(col("doc_id"),
+        graft.operators.TextAnalysis.qualityExpr.as("q"))
+      .select(col("doc_id"), round(col("q"), 6).as("quality"),
+        round(lit(cutoff), 6).as("cutoff"),
+        (col("q") >= lit(cutoff)).as("keep"))
+
+  /** The batch side of [[qualityFilterStream]]'s contract: the exact
+    * rank-based `p`-quantile of the quality score over a calibration
+    * snapshot (percentile_approx at max accuracy = the actual row
+    * value q_quality_calibrated uses). */
+  def calibrateQuality(calibration: DataFrame, p: Double = 0.2): Double =
+    calibration
+      .select(graft.operators.TextAnalysis.qualityExpr.as("q"))
+      .agg(expr(s"percentile_approx(q, $p, 2147483647)"))
+      .head.getDouble(0)
+
+  /** A frozen bigram LM: unigram/bigram occurrence counts (by the
+    * same xxhash64 keys as the batch scorer) plus the observed vocab
+    * size. Driver-sized by the calibration corpus — production prunes
+    * singleton bigrams / caps the table before broadcast; the
+    * synthetic calibration corpora are far below any such bound. */
+  final case class BigramLm(uni: Map[Long, Long],
+                            big: Map[(Long, Long), Long], vocab: Long)
+
+  /** Train [[BigramLm]] on a calibration snapshot with the batch
+    * scorer's own column pipeline (bigram_hashes / xxhash64, seed 42),
+    * so hash keys and counts are bit-identical to q_ngram_lm's. */
+  def trainLm(calibration: DataFrame): BigramLm = {
+    graft.functions.GraftFunctions.register(calibration.sparkSession)
+    val tk = split(col("text"), " ")
+    val big = calibration
+      .select(explode(call_function("bigram_hashes", tk)).as("bg"))
+      .groupBy("bg.h1", "bg.h2").agg(count(lit(1)).as("c2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val uni = calibration.select(explode(tk).as("w"))
+      .select(xxhash64(col("w")).as("h1"))
+      .groupBy("h1").agg(count(lit(1)).as("c1"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    BigramLm(uni, big, uni.size.toLong)
+  }
+
+  /** The batch side of [[perplexityFilterStream]]'s contract: the
+    * exact rank-based `p`-quantile of avg_nll over the calibration
+    * snapshot, scored by the shared batch scorer. */
+  def calibratePerplexity(calibration: DataFrame,
+                          p: Double = 0.9): Double =
+    graft.operators.TextAnalysis.lmNllOf(calibration, occAgg = false)
+      .agg(expr(s"percentile_approx(avg_nll, $p, 2147483647)"))
+      .head.getDouble(0)
+
+  /** A doc's streaming LM verdict — the q_perplexity_filter output
+    * row plus the bigram count. */
+  final case class LmVerdict(doc_id: Long, n_bigrams: Long,
+                             avg_nll: Double, cutoff: Double,
+                             keep: Boolean)
+
+  /** Streaming perplexity filter — the ingest-time twin of
+    * q_perplexity_filter. The batch operator SELF-trains (counts over
+    * the corpus it scores); a stream cannot join every arriving doc
+    * against counts that the same doc updates, so the LM *and* the
+    * percentile cutoff are frozen at calibration time ([[trainLm]] /
+    * [[calibratePerplexity]]) and broadcast, and each doc is scored in
+    * a pure per-row flatMap — no state store, no shuffle, Append mode,
+    * a 100 TB/day firehose passes through map-only (the
+    * decontaminateStream shape, with the same drift caveat as
+    * [[qualityFilterStream]]: re-train on a cadence, batch op as the
+    * retrospective exact path).
+    *
+    * Per-doc arithmetic mirrors the batch scorer STEP FOR STEP — the
+    * same add-one smoothing term -ln((c2+1)/(c1+v)) rounded to 8 dp
+    * (Spark's Round: HALF_UP via Double.toString), summed EXACTLY as
+    * DECIMAL(28,8) (the decSum rule: cast, exact add, one cast back),
+    * divided by the bigram count in double, rounded to 6 — so a doc
+    * whose bigrams all appear in the LM scores bit-identically to
+    * q_ngram_lm, which is what lets StreamingSpec pin stream == batch
+    * exactly. Bigrams unseen at calibration fall back to the same
+    * smoothing formula with c=0 (that term exists in no batch run —
+    * the one semantic, not numeric, divergence of the frozen-LM
+    * shape). Docs with <2 tokens carry no bigrams and drop, the batch
+    * scope rule. */
+  def perplexityFilterStream(docs: Dataset[Doc], lm: BigramLm,
+                             cutoff: Double): Dataset[LmVerdict] = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val bc = sp.sparkContext.broadcast(lm)
+    def round8(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(8, java.math.RoundingMode.HALF_UP).doubleValue
+    def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    docs.flatMap { d =>
+      val t = toks(d.text)
+      if (t.length < 2) Iterator.empty
+      else {
+        val m = bc.value
+        val h = t.map(xx)
+        var sum = java.math.BigDecimal.ZERO
+        val n = t.length - 1
+        var i = 0
+        while (i < n) {
+          val c1 = m.uni.getOrElse(h(i), 0L)
+          val c2 = m.big.getOrElse((h(i), h(i + 1)), 0L)
+          val term = round8(-math.log((c2 + 1).toDouble / (c1 + m.vocab)))
+          sum = sum.add(java.math.BigDecimal.valueOf(term)
+            .setScale(8, java.math.RoundingMode.HALF_UP))
+          i += 1
+        }
+        val avg = round6(sum.doubleValue / n)
+        Iterator.single(
+          LmVerdict(d.doc_id, n, avg, round6(cutoff), avg <= cutoff))
+      }
+    }
+  }
+
+  /** xxhash64 of a string, seed 42 — bit-identical to Spark's
+    * `xxhash64(col)` (the batch scorer's key), same UTF8String bytes. */
+  private def xx(s: String): Long = {
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
   }
 
   /** A doc's online dedup verdict — the streaming twin of

@@ -369,6 +369,91 @@ class StreamingSpec extends SparkSuite {
     assert(opKeep.nonEmpty)
   }
 
+  test("streaming quality filter equals batch q_quality_calibrated " +
+      "under the calibration-snapshot cutoff") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    import graft.streaming.CorpusStreams
+    import graft.streaming.CorpusStreams.Doc
+
+    val docs = Tables.documents(sp, sf).select("doc_id", "text")
+      .as[Doc].collect().sortBy(_.doc_id)
+    // freeze the cutoff on the same snapshot the batch op calibrates
+    // over -> stream == batch exactly
+    val cutoff = CorpusStreams.calibrateQuality(
+      docs.toSeq.toDF("doc_id", "text"))
+
+    val input = MemoryStream[Doc]
+    val q = CorpusStreams.qualityFilterStream(input.toDF(), cutoff)
+      .writeStream.format("memory").queryName("qual")
+      .outputMode("append").start()
+    try {
+      // map-only and stateless: the boundary split just pins that
+      // verdicts don't depend on micro-batch grouping
+      val (a, b) = docs.splitAt(docs.length / 2)
+      input.addData(a.toSeq)
+      q.processAllAvailable()
+      input.addData(b.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "quality", "cutoff", "keep").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+          r.getBoolean(3))).toSet
+    val streamed = rows(sp.table("qual"))
+    val batch = rows(SparkEntry.queries("q_quality_calibrated")(sp, sf))
+    assert(batch.exists(!_._4) && batch.exists(_._4),
+      "calibrated filter should both keep and drop")
+    assert(streamed == batch)
+  }
+
+  test("streaming perplexity filter equals batch q_perplexity_filter " +
+      "under the frozen calibration LM") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    import graft.streaming.CorpusStreams
+    import graft.streaming.CorpusStreams.Doc
+
+    val docs = Tables.documents(sp, sf).select("doc_id", "text")
+      .as[Doc].collect().sortBy(_.doc_id)
+    // LM + cutoff frozen on the same corpus the batch op self-trains
+    // on -> every scored bigram hits the LM and stream == batch holds
+    // bit for bit
+    val snapshot = docs.toSeq.toDF("doc_id", "text")
+    val lm = CorpusStreams.trainLm(snapshot)
+    val cutoff = CorpusStreams.calibratePerplexity(snapshot)
+
+    val input = MemoryStream[Doc]
+    val q = CorpusStreams.perplexityFilterStream(input.toDS(), lm, cutoff)
+      .writeStream.format("memory").queryName("ppl")
+      .outputMode("append").start()
+    try {
+      val (a, b) = docs.splitAt(docs.length / 2)
+      input.addData(a.toSeq)
+      q.processAllAvailable()
+      input.addData(b.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "avg_nll", "cutoff", "keep").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+          r.getBoolean(3))).toSet
+    val streamed = rows(sp.table("ppl"))
+    val batch = rows(SparkEntry.queries("q_perplexity_filter")(sp, sf))
+    assert(batch.exists(!_._4) && batch.exists(_._4),
+      "perplexity filter should both keep and drop")
+    assert(streamed == batch)
+    // the streamed n_bigrams matches the batch scorer's too
+    val nb = sp.table("ppl").select("doc_id", "n_bigrams").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nbBatch = SparkEntry.queries("q_ngram_lm")(sp, sf)
+      .select("doc_id", "n_bigrams").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nb == nbBatch)
+  }
+
   test("continuous restore drains a stream of edges into the KV sink") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = sp.sqlContext
