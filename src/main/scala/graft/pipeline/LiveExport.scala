@@ -60,15 +60,33 @@ object LiveExport {
     * parseable as 32-bit integers sort FIRST, numerically; everything
     * else follows lexicographically. The go-deeper resume
     * (startAt = the child after the one descended into) walks pages in
-    * this order, so the client-side shallow-key sort MUST match it —
-    * a lexicographic sort puts "10" before "2", and resuming at "10"
-    * makes the server-side cursor silently skip key "2"'s subtree. */
+    * this order, so the client-side shallow-key sort MUST match the
+    * server's EXACTLY — a lexicographic sort puts "10" before "2", and
+    * resuming at "10" makes the server-side cursor silently skip key
+    * "2"'s subtree. Same failure mode for any parser disagreement,
+    * which is why [[parseIntKey]] mirrors the server's `nameCompare`
+    * integer rule (the SDKs' `^-?(0*)\d{1,10}$` + 32-bit bounds)
+    * rather than the JVM's: Scala's `toIntOption` accepts a leading
+    * '+' that Firebase treats as a string key — a client sorting "+5"
+    * first among integers while the server pages it among strings
+    * re-creates the resume-skip bug for that key's subtree. Equal
+    * integer values ("1" vs "01" vs "-0"/"0") tie-break by string
+    * LENGTH, the server's deterministic rule (distinct same-value
+    * same-length keys are impossible, so length settles every tie). */
   val KeyOrdering: Ordering[String] = Ordering.by { k: String =>
-    k.toIntOption match {
-      case Some(v) => (0, v.toLong, "")
-      case None => (1, 0L, k)
+    parseIntKey(k) match {
+      case Some(v) => (0, v.toLong, k.length, "")
+      case None => (1, 0L, 0, k)
     }
   }
+
+  /** Firebase's integer-key test: optional '-', digits only (leading
+    * zeros fine, leading '+' NOT an integer), value within 32-bit
+    * bounds. `toIntOption` supplies the digits-only + bounds checks
+    * once the '+' is excluded ("", "-", "1e3", 11-significant-digit
+    * overflows all come back None from parseInt). */
+  private[graft] def parseIntKey(k: String): Option[Int] =
+    if (k.isEmpty || k.charAt(0) == '+') None else k.toIntOption
 
   private sealed trait PageOut
   /** One fetched page: direct children in key order (leading startAt

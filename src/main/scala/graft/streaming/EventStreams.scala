@@ -111,31 +111,60 @@ object EventStreams {
             val sorted = evs.toSeq.sortBy(_.ts.getTime)
             var cur = state.getOption
             val closed = Seq.newBuilder[Session]
+            // late (within-watermark) events from BEFORE the open
+            // session, with a full gap between them and it, form their
+            // own already-closed sessions. ADJACENT late events — gaps
+            // under gapSec between each other — are one session in the
+            // batch twin, so they COALESCE into a fragment here instead
+            // of emitting one singleton per event; the fragment closes
+            // when a non-adjacent event arrives (events are sorted, so
+            // nothing later in this batch can extend it). Fragments
+            // split across micro-batch BOUNDARIES still emit separately
+            // (coalescing them would need a second state slot and
+            // retractions Append mode cannot express) — the documented
+            // residual stream-vs-batch divergence; the batch operator
+            // remains the retrospective exact path.
+            var pendingLate = Option.empty[SessionState]
+            def flushLate(): Unit = {
+              pendingLate.foreach { f =>
+                closed += Session(user, f.start / 1000, f.nEvents,
+                  (f.lastTs - f.start) / 1000)
+              }
+              pendingLate = None
+            }
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.lastTs >= gapSec * 1000 =>
+                  flushLate()
                   closed += Session(user, s.start / 1000, s.nEvents,
                     (s.lastTs - s.start) / 1000)
                   cur = Some(SessionState(t, t, 1))
                 case Some(s) if t < s.start - gapSec * 1000 =>
-                  // late (within-watermark) event from BEFORE this
-                  // session with a full gap between them: its own
-                  // already-closed session, emitted immediately — the
-                  // open session's state must not absorb it
-                  closed += Session(user, t / 1000, 1, 0)
+                  pendingLate match {
+                    case Some(f) if t - f.lastTs < gapSec * 1000 =>
+                      // lastTs never regresses (the cur-session rule):
+                      // sorted input makes t >= f.lastTs, but keep max
+                      pendingLate = Some(SessionState(f.start,
+                        math.max(f.lastTs, t), f.nEvents + 1))
+                    case _ =>
+                      flushLate()
+                      pendingLate = Some(SessionState(t, t, 1))
+                  }
                 case Some(s) =>
                   // in-order events extend lastTs; a late event inside
                   // the session (or within gap before its start) joins
                   // it — lastTs must NEVER move backwards (a regressed
                   // lastTs yields negative durations and bogus splits)
                   // and start extends back to cover an early joiner
+                  flushLate()
                   cur = Some(SessionState(math.min(s.start, t),
                     math.max(s.lastTs, t), s.nEvents + 1))
                 case None =>
                   cur = Some(SessionState(t, t, 1))
               }
             }
+            flushLate()
             cur.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(s.lastTs + gapSec * 1000)

@@ -101,15 +101,32 @@ class LiveSpec extends SparkSuite {
     } finally stub.stop()
   }
 
+  test("KeyOrdering mirrors Firebase's nameCompare integer rule") {
+    val ord = LiveExport.KeyOrdering
+    // integers first (numeric, '-' ok, leading zeros ok), then strings
+    // lexicographically. "+5" is a STRING key to Firebase — Scala's
+    // toIntOption alone would sort it among the integers and re-create
+    // the resume-skip bug for its subtree. Equal values tie-break by
+    // length ("1" before "01", "0" before "-0"), the server's rule.
+    assert(Seq("x", "10", "+5", "2", "-3", "01", "1").sorted(ord) ==
+      Seq("-3", "1", "01", "2", "10", "+5", "x"))
+    assert(Seq("-0", "0").sorted(ord) == Seq("0", "-0"))
+    // 32-bit bounds: 2^31 is a string key, -2^31 an integer key
+    assert(Seq("2147483648", "-2147483648", "5").sorted(ord) ==
+      Seq("-2147483648", "5", "2147483648"))
+    assert(Seq("007", "7", "07").sorted(ord) == Seq("7", "07", "007"))
+  }
+
   test("go-deeper resume respects Firebase integer-first key order") {
-    // keys "1","2","10","x" cursor-order as 1,2,10,x (32-bit-integer
-    // keys first, numerically). A lexicographic client sort (1,10,2,x)
+    // keys "1","2","10","+5","x" cursor-order as 1,2,10,+5,x (32-bit-
+    // integer keys first, numerically; "+5" is a STRING key). A
+    // lexicographic client sort (1,10,2,x)
     // resumes at "10" after descending "1" and the server cursor then
     // skips key "2"'s subtree entirely — silent data loss. Each child
     // is fat enough that /mix itself always go-deepers.
     val blob = (1 to 40).map(i => s""""k$i": "${"v" * 12}"""").mkString(",")
     val json = s"""{"mix": {"1": {$blob}, "2": {$blob}, "10": {$blob},
-                   "x": {$blob}}}"""
+                   "+5": {$blob}, "x": {$blob}}}"""
     val stub = new FirebaseStub(maxPayloadBytes = 400)
     try {
       stub.seed(json)

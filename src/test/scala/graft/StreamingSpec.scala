@@ -215,6 +215,39 @@ class StreamingSpec extends SparkSuite {
     assert(rows.forall(_._3 >= 0), s"negative duration: $rows")
   }
 
+  test("adjacent late session fragments coalesce within a micro-batch") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+
+    val input = MemoryStream[Ev]
+    val q = EventStreams.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("latecoal")
+      .outputMode("append").start()
+    try {
+      // batch 1: a session open at [200, 210]
+      input.addData(Ev(1, ts(200), 1, "click", 1.0),
+        Ev(2, ts(210), 1, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: four late in-watermark events from well before the
+      // open session — 95/100 adjacent (one batch-twin session), then
+      // a >= gap jump to 160/165 (a second one). Singleton-per-event
+      // emission would produce four sessions here; the batch twin
+      // produces exactly these two.
+      input.addData(Ev(3, ts(95), 1, "click", 1.0),
+        Ev(4, ts(100), 1, "click", 1.0),
+        Ev(5, ts(160), 1, "click", 1.0),
+        Ev(6, ts(165), 1, "click", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = sp.table("latecoal").filter(col("user_id") === 1)
+      .select("session_start_sec", "n_events", "duration_sec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set((base + 95 * 60, 2L, 300L),
+      (base + 160 * 60, 2L, 300L)),
+      s"late fragments should coalesce pairwise: $rows")
+  }
+
   test("streaming decontaminate equals the batch operator row for row") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = sp.sqlContext
