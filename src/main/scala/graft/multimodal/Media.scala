@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
   * deterministic testability — is real, and so is the decode for
   * images (javax.imageio) and PCM audio (javax.sound), both pure JDK.
   * Undecodable payloads fall back to a deterministic hash ladder
-  * instead of failing the task; video decode has no JDK codec and the
-  * ladder is its documented stub (see [[MediaCodec]]).
+  * instead of failing the task. Video: container metadata is real
+  * ([[Mp4]]), MJPEG frame decode is real via the pure-JDK default of
+  * the [[VideoFrameDecoder]] seam, and inter-frame codecs (H.264,
+  * HEVC) take the ladder until an external-codec plugin is passed in.
   */
 object Media {
 
@@ -117,6 +119,74 @@ object Media {
         xxhash64(col("media_id"), col("frame_idx")))
 }
 
+/** One decoded video frame's summary features. */
+final case class VideoFrame(frameIdx: Int, width: Int, height: Int,
+                            meanLuma: Float)
+
+/** The video frame-decode seam. The engine owns everything up to the
+  * compressed sample — container parsing (Mp4), sample offsets/sizes,
+  * the mapPartitions batch shape — and delegates sample-to-pixels to
+  * an implementation of this trait. [[MjpegFrameDecoder]] is the
+  * pure-JDK default (MJPEG samples ARE JPEG images); a deployment
+  * with an external codec library on the classpath (jcodec, ffmpeg
+  * bindings) plugs H.264/HEVC in by passing its own instance to
+  * [[MediaCodec]] — the seam is a constructor argument, not a global.
+  * Returning None means "codec not handled here": the caller keeps
+  * its container metadata and the hash ladder covers frame features,
+  * so a dirty or exotic corpus degrades, never fails. */
+trait VideoFrameDecoder extends Serializable {
+  def name: String
+  /** Up to `maxFrames` decoded frames, or None if the payload's codec
+    * is not handled by this decoder. */
+  def decode(bytes: Array[Byte], maxFrames: Int): Option[Vector[VideoFrame]]
+}
+
+/** Real MJPEG frame decode, pure JDK: each sample of a Motion-JPEG
+  * track ('jpeg'/'mjpa' fourcc — every frame independently coded) is a
+  * complete JPEG image, so the Mp4 sample table + ImageIO decode the
+  * actual pixels with no external codec. Inter-frame codecs (avc1,
+  * hvc1, vp09, av01) return None — that is the external-codec seam. */
+object MjpegFrameDecoder extends VideoFrameDecoder {
+  private val JpegCodecs = Set("jpeg", "mjpa", "AVDJ", "avdj")
+
+  override def name: String = "mjpeg-jdk"
+
+  override def decode(bytes: Array[Byte],
+                      maxFrames: Int): Option[Vector[VideoFrame]] =
+    Mp4.videoSamples(bytes)
+      .filter(t => JpegCodecs.contains(t.codec))
+      .map { t =>
+        val n = math.min(maxFrames, t.offsets.length)
+        (0 until n).flatMap { i =>
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes,
+                t.offsets(i).toInt, t.sizes(i).toInt))
+            if (img == null) None
+            else {
+              var lum = 0.0
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val rgb = img.getRGB(x, y)
+                  lum += (((rgb >> 16) & 0xFF) * 299 +
+                    ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000.0
+                  x += 1
+                }
+                y += 1
+              }
+              Some(VideoFrame(i, img.getWidth, img.getHeight,
+                (lum / (img.getWidth.toDouble * img.getHeight)).toFloat))
+            }
+          } catch { // a corrupt frame drops; its neighbors still decode
+            case scala.util.control.NonFatal(_) => None
+          }
+        }.toVector
+      }
+      .filter(_.nonEmpty)
+}
+
 /** The codec. Image and WAV-audio decode are REAL and pure-JDK —
   * `javax.imageio.ImageIO` (PNG/JPEG/BMP/GIF readers ship with the
   * JDK) and `javax.sound.sampled.AudioSystem` (WAV/AIFF PCM) — no
@@ -125,10 +195,12 @@ object Media {
   * back to the deterministic hash ladder instead of failing the task —
   * the production posture for dirty media corpora, and what keeps
   * `q_media_features` deterministic on the synthetic corpus (whose
-  * "image" bytes are text, hence all-fallback). Video decode has no
-  * JDK codec: the ladder is its documented stub, frame SAMPLING
-  * (Media.sampleFrames) being the engine-owned part. */
-final class MediaCodec extends Serializable {
+  * "image" bytes are text, hence all-fallback). Video: container
+  * metadata via [[Mp4]], frame decode via the [[VideoFrameDecoder]]
+  * seam (MJPEG real by default; inter-frame codecs need an external
+  * plugin and fall back to the ladder's frame features). */
+final class MediaCodec(frameDecoder: VideoFrameDecoder = MjpegFrameDecoder)
+    extends Serializable {
 
   import Media._
 
@@ -241,9 +313,11 @@ final class MediaCodec extends Serializable {
 
   /** Video CONTAINER metadata (ISO-BMFF boxes via [[Mp4]]): duration,
     * dimensions, track layout — the fields a pipeline filters on — are
-    * real for real MP4/MOV files; frame decode has no JDK codec, so
-    * payloads that are not valid containers (including the synthetic
-    * text-bytes corpus) still fall back to the ladder. */
+    * real for real MP4/MOV files. Frame features (slots 7-11) come
+    * from the [[VideoFrameDecoder]] seam when the codec is handled
+    * (MJPEG by default — real pixels, no external library) and stay
+    * zero otherwise; payloads that are not valid containers (including
+    * the synthetic text-bytes corpus) still fall back to the ladder. */
   private def decodeVideo(m: MediaRow, h: Long): Option[MediaFeatures] =
     Mp4.parse(m.bytes).map { meta =>
       val feats = new Array[Float](16)
@@ -254,6 +328,13 @@ final class MediaCodec extends Serializable {
       feats(4) = meta.nVideo.toFloat
       feats(5) = meta.nAudio.toFloat
       feats(6) = meta.timescale.toFloat
+      frameDecoder.decode(m.bytes, maxFrames = 8).foreach { frames =>
+        feats(7) = frames.size.toFloat
+        feats(8) = frames.head.meanLuma
+        feats(9) = frames.map(_.meanLuma).sum / frames.size
+        feats(10) = frames.head.width.toFloat
+        feats(11) = frames.head.height.toFloat
+      }
       MediaFeatures(m.media_id, m.kind, m.bytes.length.toLong, h, feats)
     }
 

@@ -1,13 +1,14 @@
 package graft.multimodal
 
-/** Minimal ISO-BMFF (MP4/MOV/M4A) container-metadata parser — pure JVM,
-  * no codec. The JDK has no video decoder, but the CONTAINER metadata a
-  * pipeline actually filters on (duration, dimensions, track layout) is
-  * plain big-endian box structure, readable without one. This closes
-  * most of the "video is a stub" gap honestly: frame DECODE remains out
-  * of scope (no JDK codec), frame-level features still come from the
-  * deterministic ladder, but duration/width/height/track-counts are
-  * real for real files.
+/** Minimal ISO-BMFF (MP4/MOV/M4A) container parser — pure JVM, no
+  * codec. The JDK has no inter-frame video decoder, but the CONTAINER
+  * structure a pipeline actually needs — duration, dimensions, track
+  * layout (metadata), and the sample table mapping frames to byte
+  * ranges ([[videoSamples]]) — is plain big-endian box structure,
+  * readable without one. The sample table is what makes MJPEG frame
+  * decode fully real (each sample is a JPEG; Media.MjpegFrameDecoder);
+  * inter-frame codecs still need an external decoder behind the
+  * VideoFrameDecoder seam.
   *
   * Box grammar (ISO/IEC 14496-12): `[size:u32][type:4cc]` with
   * `size==1` meaning a u64 largesize follows and `size==0` meaning
@@ -71,6 +72,122 @@ object Mp4 {
 
   private def find(bs: List[(String, Int, Int)], t: String) =
     bs.find(_._1 == t)
+
+  /** The first video track's sample table: codec fourcc (from stsd)
+    * plus each sample's absolute byte offset and size in the file
+    * (stsz sizes laid into stco/co64 chunks by the stsc mapping).
+    * This is what turns "container metadata" into FRAME ACCESS: a
+    * sample of an MJPEG track is a complete JPEG image, so offsets +
+    * sizes + a JDK ImageIO read = real frame decode with no external
+    * codec (see Media.MjpegFrameDecoder). None on any structural
+    * violation, absurd table size, or sample extent outside the
+    * buffer — malformed payloads fall back, never fail a task. */
+  final case class SampleTable(codec: String, offsets: Array[Long],
+                               sizes: Array[Long])
+
+  def videoSamples(bytes: Array[Byte]): Option[SampleTable] =
+    try videoSamplesImpl(bytes)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def videoSamplesImpl(b: Array[Byte]): Option[SampleTable] = {
+    val top = boxes(b, 0, b.length)
+    if (top.headOption.forall(_._1 != "ftyp")) return None
+    for {
+      (_, ms, me) <- find(top, "moov")
+      vtrak <- boxes(b, ms, me).filter(_._1 == "trak")
+        .find { case (_, ts, te) =>
+          (for {
+            (_, mds, mde) <- find(boxes(b, ts, te), "mdia")
+            (_, hds, hde) <- find(boxes(b, mds, mde), "hdlr")
+            if hde - hds >= 12
+          } yield fourcc(b, hds + 8)).contains("vide")
+        }
+      (_, mds, mde) <- find(boxes(b, vtrak._2, vtrak._3), "mdia")
+      (_, mis, mie) <- find(boxes(b, mds, mde), "minf")
+      (_, sbs, sbe) <- find(boxes(b, mis, mie), "stbl")
+      stbl = boxes(b, sbs, sbe)
+      (_, sds, sde) <- find(stbl, "stsd") if sde - sds >= 16
+      codec = fourcc(b, sds + 12)
+      sizes <- sampleSizes(b, stbl)
+      chunkOffs <- chunkOffsets(b, stbl)
+      spc <- samplesPerChunk(b, stbl)
+      offsets <- layOut(sizes, chunkOffs, spc, b.length)
+    } yield SampleTable(codec, offsets, sizes)
+  }
+
+  /** stsz -> per-sample byte sizes (fixed-size or per-sample list). */
+  private def sampleSizes(b: Array[Byte],
+      stbl: List[(String, Int, Int)]): Option[Array[Long]] =
+    find(stbl, "stsz").flatMap { case (_, s, e) =>
+      if (e - s < 12) None
+      else {
+        val fixed = u32(b, s + 4)
+        val n = u32(b, s + 8)
+        if (n <= 0 || n > 1000000) None // absurd count: malformed
+        else if (fixed != 0) Some(Array.fill(n.toInt)(fixed))
+        else if (e - s < 12 + 4 * n) None
+        else Some(Array.tabulate(n.toInt)(i => u32(b, s + 12 + 4 * i)))
+      }
+    }
+
+  /** stco (u32) or co64 (u64) -> chunk start offsets. */
+  private def chunkOffsets(b: Array[Byte],
+      stbl: List[(String, Int, Int)]): Option[Array[Long]] = {
+    def table(t: String, w: Int, rd: (Array[Byte], Int) => Long) =
+      find(stbl, t).flatMap { case (_, s, e) =>
+        if (e - s < 8) None
+        else {
+          val n = u32(b, s + 4)
+          if (n <= 0 || n > 1000000 || e - s < 8 + w * n) None
+          else Some(Array.tabulate(n.toInt)(i => rd(b, s + 8 + w * i)))
+        }
+      }
+    table("stco", 4, u32).orElse(table("co64", 8, u64))
+  }
+
+  /** stsc -> samples-per-chunk for each 1-based chunk index, as the
+    * (firstChunk, samplesPerChunk) run-length entries. */
+  private def samplesPerChunk(b: Array[Byte],
+      stbl: List[(String, Int, Int)]): Option[Array[(Long, Long)]] =
+    find(stbl, "stsc").flatMap { case (_, s, e) =>
+      if (e - s < 8) None
+      else {
+        val n = u32(b, s + 4)
+        if (n <= 0 || n > 1000000 || e - s < 8 + 12 * n) None
+        else Some(Array.tabulate(n.toInt)(i =>
+          (u32(b, s + 8 + 12 * i), u32(b, s + 12 + 12 * i))))
+      }
+    }
+
+  /** Walk chunks in order, filling each with its stsc-mapped sample
+    * count, accumulating sizes into absolute offsets. None if the
+    * tables disagree (samples left over after the last chunk) or any
+    * sample extent escapes the buffer. */
+  private def layOut(sizes: Array[Long], chunkOffs: Array[Long],
+      spcRuns: Array[(Long, Long)], fileLen: Long): Option[Array[Long]] = {
+    val offsets = new Array[Long](sizes.length)
+    var s = 0
+    var ci = 0
+    while (s < sizes.length && ci < chunkOffs.length) {
+      val chunk1 = ci + 1L
+      // last run whose firstChunk <= this chunk (runs are ascending)
+      var spc = 0L
+      var r = 0
+      while (r < spcRuns.length && spcRuns(r)._1 <= chunk1) {
+        spc = spcRuns(r)._2; r += 1
+      }
+      var off = chunkOffs(ci)
+      var j = 0L
+      while (j < spc && s < sizes.length) {
+        if (off < 0 || off + sizes(s) > fileLen) return None
+        offsets(s) = off
+        off += sizes(s)
+        s += 1; j += 1
+      }
+      ci += 1
+    }
+    if (s < sizes.length) None else Some(offsets)
+  }
 
   private def parseImpl(b: Array[Byte]): Option[Meta] = {
     if (b.length < 16) return None
