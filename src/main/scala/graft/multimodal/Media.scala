@@ -67,18 +67,27 @@ object Media {
     * KBs-to-MBs, so a row-count split makes partitions that differ by
     * orders of magnitude in memory. Sizing prefers the plan's
     * statistics (for a file scan, file sizes from the already-listed
-    * footer metadata — free) and only falls back to aggregating
-    * `length(bytes)` when the optimizer has no estimate (the default
-    * sentinel): summing lengths re-READS the heaviest column before
-    * any work starts, which at the 100 TB design point is an extra
-    * full pass. The target mirrors
+    * footer metadata — free) — but ONLY for scan-shaped plans: without
+    * CBO the estimate passes through Filter nodes un-reduced, so a
+    * selective filter ("videos only", "over 1 MB") would size the
+    * partition count from the UNFILTERED corpus — thousands of
+    * near-empty partitions whose scheduling overhead dwarfs the work.
+    * Filtered frames pay one exact `sum(length(bytes))` pass instead:
+    * at the 100 TB design point that extra read of the survivors is
+    * bounded by the selectivity that made the estimate wrong in the
+    * first place. Frames where even that has no estimate (the default
+    * sentinel) use the same exact path. The target mirrors
     * `spark.sql.files.maxPartitionBytes`'s 128 MB default. */
   def repartitionByBytes(media: Dataset[MediaRow],
                          targetBytes: Long = 128L << 20): Dataset[MediaRow] = {
-    val statBytes =
-      media.queryExecution.optimizedPlan.stats.sizeInBytes
+    val plan = media.queryExecution.optimizedPlan
+    val filtered = plan.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }.isDefined
+    val statBytes = plan.stats.sizeInBytes
     val total: Double =
-      if (statBytes < BigInt(Long.MaxValue) / 4) statBytes.toDouble
+      if (!filtered && statBytes < BigInt(Long.MaxValue) / 4)
+        statBytes.toDouble
       else Option(media.agg(sum(length(col("bytes"))))
         .head.getAs[java.lang.Long](0)).map(_.toDouble).getOrElse(0.0)
     val parts = math.max(1, math.ceil(total / targetBytes).toInt)
