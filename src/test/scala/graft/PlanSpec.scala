@@ -126,6 +126,21 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("curation pipeline packs by shard-partitioned windows, never global") {
+    // the composed DAG's final stage (seq-pack + split over the
+    // survivors) must keep q_seq_pack's scale shape: cumsum windows
+    // partitioned by shard, split map-only — nothing in the composed
+    // plan may collapse to one partition (the presentation sort is a
+    // range exchange, which is fine). Upstream stages sit behind the
+    // localCheckpoint pins; their shapes are pinned via the standalone
+    // twins (decontaminate broadcast above, CurationSpec value
+    // equality per stage).
+    val p = plan("q_pipeline_curate")
+    assert(p.contains("Window"), "pipeline lost its pack window")
+    assert(!p.contains("SinglePartition"),
+      "pipeline introduced a corpus-global single-partition stage")
+  }
+
   test("LSH bucketing is map-only: no aggregate before the bucket explode") {
     // the bucket computation must stay a projection (plane literals +
     // posexplode) — the retired shape aggregated sign bits with
