@@ -117,7 +117,12 @@ object Bench {
     // Persist the full record to a file Bench owns so every per-query
     // time stays machine-readable regardless of capture; path
     // overridable for side-worktree A/B runs.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_local.json")
+    // subset runs (SPARK_GRAFT_ONLY) keep stdout but must NOT clobber
+    // the full-set record the driver/judge read from bench_local.json —
+    // an iteration aid overwriting the round artifact with 2 queries
+    // would silently shrink every cross-round comparison
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isDefined) "bench_local_subset.json" else "bench_local.json")
     Try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
         (line + "\n").getBytes("UTF-8"))
