@@ -72,17 +72,24 @@ object Media {
     * selective filter ("videos only", "over 1 MB") would size the
     * partition count from the UNFILTERED corpus — thousands of
     * near-empty partitions whose scheduling overhead dwarfs the work.
-    * Filtered frames pay one exact `sum(length(bytes))` pass instead:
-    * at the 100 TB design point that extra read of the survivors is
-    * bounded by the selectivity that made the estimate wrong in the
-    * first place. Frames where even that has no estimate (the default
-    * sentinel) use the same exact path. The target mirrors
+    * Filtered frames (column Filter AND typed-lambda TypedFilter —
+    * both shapes pass the estimate through) pay one exact
+    * `sum(length(bytes))` pass over the survivors instead. That read
+    * scales with what SURVIVES: cheap exactly when the filter is
+    * selective (the case that needs the correction most); for a
+    * near-pass-through filter it approaches one full read of the
+    * payload column, the price of an exact answer — a caller who
+    * knows the filter keeps ~everything should repartition BEFORE
+    * filtering and ride the free estimate. Frames where the
+    * optimizer has no estimate at all (the default sentinel) use the
+    * same exact path. The target mirrors
     * `spark.sql.files.maxPartitionBytes`'s 128 MB default. */
   def repartitionByBytes(media: Dataset[MediaRow],
                          targetBytes: Long = 128L << 20): Dataset[MediaRow] = {
     val plan = media.queryExecution.optimizedPlan
     val filtered = plan.collectFirst {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+      case t: org.apache.spark.sql.catalyst.plans.logical.TypedFilter => t
     }.isDefined
     val statBytes = plan.stats.sizeInBytes
     val total: Double =

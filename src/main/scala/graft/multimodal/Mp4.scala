@@ -168,11 +168,15 @@ object Mp4 {
     val offsets = new Array[Long](sizes.length)
     var s = 0
     var ci = 0
+    // runs are ascending by firstChunk and chunks are visited in
+    // order, so the run pointer advances MONOTONICALLY — never rescan
+    // from 0 per chunk: a crafted file with ~1e6 chunks x ~1e6 runs
+    // (both inside the sanity caps) would otherwise spin ~1e12
+    // iterations in an executor task instead of falling back
+    var r = 0
+    var spc = 0L
     while (s < sizes.length && ci < chunkOffs.length) {
       val chunk1 = ci + 1L
-      // last run whose firstChunk <= this chunk (runs are ascending)
-      var spc = 0L
-      var r = 0
       while (r < spcRuns.length && spcRuns(r)._1 <= chunk1) {
         spc = spcRuns(r)._2; r += 1
       }

@@ -281,11 +281,13 @@ object Similarity {
         // bits, but not fast enough. The probe DEPTH must grow with
         // bits too: Hamming-2 masks (C(bits,2) more patterns) join in
         // once bits >= 12, capped at 256 masks total so probe fan-out
-        // stays bounded at any n (the cap binds at bits >= 22,
-        // n ≈ 10^8.1 — query-directed probing, picking the LIKELIEST
-        // masks from per-bit margins instead of all of them, is the
-        // published refinement if recall at that depth ever needs
-        // more). All of it is PROBE-side only: masks are plan-time
+        // stays bounded even if lshBits' own 16-bit ceiling is ever
+        // raised (at the current ceiling masks max out at 137, so the
+        // cap is a guard, not an active bound; query-directed probing
+        // — picking the LIKELIEST masks from per-bit margins instead
+        // of all of them — is the published refinement if recall at
+        // that depth ever needs more). All of it is PROBE-side only:
+        // masks are plan-time
         // literals, one explode + one XOR per (probe, table, mask)
         // row, the corpus bucket build untouched; candidates stay
         // L·masks·occupancy per probe, independent of n. Re-measured

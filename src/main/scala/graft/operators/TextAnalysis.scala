@@ -637,9 +637,10 @@ object TextAnalysis {
         // with sorted rank >= ceil(p·n) — and DuckDB's quantile_disc
         // implements the identical convention (Spark's side of the
         // rank law is pinned by PercentileRankLawSpec; the DuckDB
-        // side by tools/probe_rank_law.py, so an engine upgrade that
-        // changes either convention fails loudly in-repo, not just
-        // in the differential gate). The cutoff is therefore an
+        // side by tools/probe_rank_law.py, which scale_gate.sh runs
+        // as a preflight — an engine upgrade that changes either
+        // convention fails loudly in-repo, not as a mysterious hash
+        // mismatch in the differential gate). The cutoff is an
         // ACTUAL row value, bit-identical in both engines because
         // per-row scores fold identically — no interpolated
         // arithmetic to land an ULP apart, so the compare is exact
@@ -693,11 +694,8 @@ object TextAnalysis {
         "scan. The q_sample_hash bucket idiom (md5 hex prefix via " +
         "conv), bit-identical across engines.",
       (s, d) => {
-        val bucket = conv(substring(md5(
-          concat(col("doc_id").cast("string"), lit("#split42"))
-            .cast("binary")), 1, 8), 16, 10).cast("bigint") % 100
         Tables.documents(s, d)
-          .select(col("doc_id"), bucket.as("bucket"))
+          .select(col("doc_id"), splitBucket.as("bucket"))
           .select(col("doc_id"), col("bucket"),
             when(col("bucket") < 90, "train")
               .when(col("bucket") < 95, "val")

@@ -118,7 +118,10 @@ object EventStreams {
             // batch twin, so they COALESCE into a fragment here instead
             // of emitting one singleton per event; the fragment closes
             // when a non-adjacent event arrives (events are sorted, so
-            // nothing later in this batch can extend it). Fragments
+            // nothing later in this batch can extend it), or MERGES
+            // into the open session when the closing event bridges
+            // them (fragment → joiner → session, every hop under
+            // gapSec — one session in the batch twin). Fragments
             // split across micro-batch BOUNDARIES still emit separately
             // (coalescing them would need a second state slot and
             // retractions Append mode cannot express) — the documented
@@ -156,10 +159,23 @@ object EventStreams {
                   // the session (or within gap before its start) joins
                   // it — lastTs must NEVER move backwards (a regressed
                   // lastTs yields negative durations and bogus splits)
-                  // and start extends back to cover an early joiner
-                  flushLate()
-                  cur = Some(SessionState(math.min(s.start, t),
-                    math.max(s.lastTs, t), s.nEvents + 1))
+                  // and start extends back to cover an early joiner.
+                  // If this joiner BRIDGES the pending late fragment
+                  // to the session (fragment → joiner → session, every
+                  // hop under gap), the batch twin chains them all
+                  // into one session — merge the fragment in instead
+                  // of flushing it as its own
+                  pendingLate match {
+                    case Some(f) if t - f.lastTs < gapSec * 1000 =>
+                      pendingLate = None
+                      cur = Some(SessionState(
+                        math.min(math.min(s.start, t), f.start),
+                        math.max(s.lastTs, t), s.nEvents + 1 + f.nEvents))
+                    case _ =>
+                      flushLate()
+                      cur = Some(SessionState(math.min(s.start, t),
+                        math.max(s.lastTs, t), s.nEvents + 1))
+                  }
                 case None =>
                   cur = Some(SessionState(t, t, 1))
               }

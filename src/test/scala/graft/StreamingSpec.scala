@@ -248,6 +248,38 @@ class StreamingSpec extends SparkSuite {
       s"late fragments should coalesce pairwise: $rows")
   }
 
+  test("a bridging late event merges its fragment into the open session") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+
+    val input = MemoryStream[Ev]
+    val q = EventStreams.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("latebridge")
+      .outputMode("append").start()
+    try {
+      // batch 1: a session open at [720, 730]
+      input.addData(Ev(1, ts(720), 1, "click", 1.0),
+        Ev(2, ts(730), 1, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: late events at 670 and 695 — 670 starts a fragment
+      // (a full gap before the session), 695 is within gap of BOTH
+      // the fragment and the session start, chaining 670→695→720 with
+      // every hop under 30 min: the batch twin is ONE 4-event session
+      input.addData(Ev(3, ts(670), 1, "click", 1.0),
+        Ev(4, ts(695), 1, "click", 1.0))
+      q.processAllAvailable()
+      // close via gap so the merged session emits
+      input.addData(Ev(5, ts(800), 1, "click", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = sp.table("latebridge").filter(col("user_id") === 1)
+      .select("session_start_sec", "n_events", "duration_sec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set((base + 670 * 60, 4L, 3600L)),
+      s"bridged fragment must merge into one 4-event session: $rows")
+  }
+
   test("streaming decontaminate equals the batch operator row for row") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = sp.sqlContext

@@ -37,6 +37,12 @@ OUT="${4:-/tmp/graft_scale_gate_out}"
 # write ts as a real µs TIMESTAMP, not raw INT64 nanos)
 QUERIES="${SCALE_GATE_QUERIES:-q_agg_basic,q_agg_distinct,q_filter_range,q_topk,q_string_agg,q_window_ntile,q_window_cume,q_span_dup,q_tfidf,q_source_mix,q_backup_diff,q_train_shuffle,q_ngram_lm,q_kmeans_refine,q_events_window,q_events_session,q_dedup_keep,q_token_budget,q_perplexity_filter,q_data_split,q_pipeline_curate}"
 cd "$(dirname "$0")/.."
+# cross-engine rank-law preflight: the calibrated-filter oracles below
+# depend on DuckDB's quantile_disc picking the value at rank ceil(p*n)
+# (PercentileRankLawSpec pins the Spark half) — probe it HERE so a
+# DuckDB upgrade fails as "RANK LAW MISMATCH", not as a mysterious
+# hash mismatch in the differential phase
+python3 tools/probe_rank_law.py
 SPARK_GRAFT_SMOKE_REPLICATE_ONLY=1 sbt -batch "runMain graft.ScaleSmoke $K $SRC $WORK"
 rm -rf "$OUT"
 # NTILE_PLAIN_MAX lowered so q_window_ntile takes its DECOMPOSITION
