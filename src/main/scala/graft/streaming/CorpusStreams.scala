@@ -256,6 +256,101 @@ object CorpusStreams {
     }
   }
 
+  /** The ingest-time face of the composed curation pipeline
+    * (operators.Curation): quality filter -> perplexity filter ->
+    * online dedup-keep, as ONE streaming query. The two filters are
+    * STATELESS (frozen-calibration, the twins above), so the chain
+    * carries exactly one stateful operator (the dedup state store) —
+    * inside Structured Streaming's multiple-stateful-operator limits
+    * for arbitrary state (a second flatMapGroupsWithState in the same
+    * query is unsupported, which is why sequence packing stays a
+    * separate query fed from this one's sink: the standard
+    * multi-stage streaming topology, packing being shard-local state
+    * downstream of the keep decisions anyway).
+    *
+    * Semantics per doc, matching the batch pipeline's stage scoping
+    * caveat: the batch pipeline recalibrates each stage's cutoff over
+    * that stage's survivors and trains the LM on stage-1 survivors;
+    * a stream cannot, so BOTH cutoffs and the LM are calibration-
+    * snapshot artifacts ([[calibrateQuality]] / [[trainLm]] /
+    * [[calibratePerplexity]] — run them on the snapshot's stage
+    * survivors to mirror the batch scoping) and verdicts drift off
+    * the batch pipeline's exact retention as ingest moves (the same
+    * caveat as each twin alone). Emits one verdict row per SCORABLE
+    * doc (>= 2 tokens — unscorable docs drop, the batch scope rule)
+    * with the three stage verdicts and keep = all three. */
+  /** A curated doc's streaming verdict: the stage-1/2 scores plus the
+    * online dedup decision; keep == survived all three stages. */
+  final case class CurateVerdict(doc_id: Long, fingerprint: String,
+                                 quality: Double, avg_nll: Double,
+                                 keep: Boolean)
+
+  def curateStream(docs: Dataset[Doc], lm: BigramLm,
+                   qualityCutoff: Double,
+                   perplexityCutoff: Double): Dataset[CurateVerdict] = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val bc = sp.sparkContext.broadcast(lm)
+    def round8(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(8, java.math.RoundingMode.HALF_UP).doubleValue
+    def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    // stage 1+2 fused in one stateless flatMap: quality score (the
+    // qualityExpr arithmetic in scalar form — code-point counts, same
+    // double-op order) and LM NLL per doc. Docs failing EITHER cutoff
+    // stop HERE, so the state store only ever holds documents that
+    // would reach the dedup stage in batch — the filter-before-state
+    // ordering is what keeps state ~ surviving corpus, not ingest.
+    val scored = docs.flatMap { d =>
+      val t = toks(d.text)
+      if (t.length < 2) Iterator.empty
+      else {
+        val n = t.length.toDouble
+        val ttr = t.distinct.length.toDouble / n
+        val chars = t.map(s => s.codePointCount(0, s.length)).sum
+        val mwl = chars.toDouble / n
+        val q = math.min(1.0, n / 50.0) * 0.4 + ttr * 0.3 +
+          (if (mwl >= 3.0 && mwl <= 8.0) 1.0 else 0.0) * 0.3
+        val m = bc.value
+        val h = t.map(xx)
+        var sum = java.math.BigDecimal.ZERO
+        val nb = t.length - 1
+        var i = 0
+        while (i < nb) {
+          val c1 = m.uni.getOrElse(h(i), 0L)
+          val c2 = m.big.getOrElse((h(i), h(i + 1)), 0L)
+          sum = sum.add(java.math.BigDecimal.valueOf(
+            round8(-math.log((c2 + 1).toDouble / (c1 + m.vocab))))
+            .setScale(8, java.math.RoundingMode.HALF_UP))
+          i += 1
+        }
+        val nll = round6(sum.doubleValue / nb)
+        if (q >= qualityCutoff && nll <= perplexityCutoff)
+          Iterator.single((d.doc_id, fingerprintOf(d.text),
+            round6(q), nll))
+        else Iterator.empty
+      }
+    }
+    // stage 3: the ONE stateful operator — keep-first per fingerprint,
+    // scores carried through the group (no stream-stream rejoin, which
+    // Structured Streaming disallows downstream of arbitrary state)
+    scored
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, CurateVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (fp: String, rows: Iterator[(Long, String, Double, Double)],
+         state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          var kept = state.getOption
+          val out = rows.toSeq.sortBy(_._1).map { case (id, _, q, nll) =>
+            val keep = kept.isEmpty
+            if (keep) kept = Some(id)
+            CurateVerdict(id, fp, q, nll, keep)
+          }
+          kept.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** xxhash64 of a string, seed 42 — bit-identical to Spark's
     * `xxhash64(col)` (the batch scorer's key), same UTF8String bytes. */
   private def xx(s: String): Long = {
@@ -288,18 +383,22 @@ object CorpusStreams {
     * retroactive first-holder flag. Long-running production ingest:
     * RocksDB state store + TTL horizon, batch op as the
     * retrospective sweep. */
+  /** The batch q_dedup_keep fingerprint as a plain function:
+    * UTF8String lowercase + commons-codec md5Hex — the exact calls
+    * inside Spark's Lower/Md5 expressions, so the hex matches the
+    * batch column byte for byte. Shared by [[dedupKeepStream]] and
+    * [[curateStream]]. */
+  private[streaming] def fingerprintOf(text: String): String = {
+    val lowered = org.apache.spark.unsafe.types.UTF8String
+      .fromString(text).toLowerCase.getBytes
+    org.apache.commons.codec.digest.DigestUtils.md5Hex(lowered)
+  }
+
   def dedupKeepStream(docs: Dataset[Doc]): Dataset[KeepVerdict] = {
     val sp = docs.sparkSession
     import sp.implicits._
-    def fp(text: String): String = {
-      val lowered = org.apache.spark.unsafe.types.UTF8String
-        .fromString(text).toLowerCase.getBytes
-      // commons-codec md5Hex — the exact call inside Spark's Md5
-      // expression, so the hex matches the batch column byte for byte
-      org.apache.commons.codec.digest.DigestUtils.md5Hex(lowered)
-    }
     docs
-      .map(d => (d.doc_id, fp(d.text)))
+      .map(d => (d.doc_id, fingerprintOf(d.text)))
       .groupByKey(_._2)
       .flatMapGroupsWithState[Long, KeepVerdict](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {

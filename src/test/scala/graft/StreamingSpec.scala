@@ -519,6 +519,67 @@ class StreamingSpec extends SparkSuite {
     assert(nb == nbBatch)
   }
 
+  test("streaming curation chain equals the batch pipeline's first " +
+      "three stages under snapshot calibration") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    import graft.streaming.CorpusStreams
+    import graft.streaming.CorpusStreams.Doc
+    import graft.operators.TextAnalysis
+
+    // mirror the batch pipeline's stage scoping exactly: calibrate the
+    // quality cutoff on the pipeline INPUT (non-eval docs), the LM and
+    // perplexity cutoff on the stage-1 SURVIVORS
+    val train0 = Tables.documents(sp, sf)
+      .filter(col("doc_id") % 41 =!= 0).select("doc_id", "text")
+    val qCut = CorpusStreams.calibrateQuality(train0)
+    val s1 = train0.withColumn("q", TextAnalysis.qualityExpr)
+      .filter(col("q") >= qCut).select("doc_id", "text")
+    val lm = CorpusStreams.trainLm(s1)
+    val pCut = CorpusStreams.calibratePerplexity(s1)
+
+    val docs = train0.as[Doc].collect().sortBy(_.doc_id)
+    val input = MemoryStream[Doc]
+    val q = CorpusStreams.curateStream(input.toDS(), lm, qCut, pCut)
+      .writeStream.format("memory").queryName("curstream")
+      .outputMode("append").start()
+    try {
+      val (a, b) = docs.splitAt(docs.length / 2)
+      input.addData(a.toSeq)
+      q.processAllAvailable()
+      input.addData(b.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // batch truth: s2 = perplexity survivors of s1, s3 = dedup keepers
+    val nll = TextAnalysis.lmNllOf(s1, occAgg = false)
+    val s2 = s1.join(nll.filter(col("avg_nll") <= pCut)
+      .select("doc_id"), Seq("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(lower(col("text")).cast("binary")))
+    val s3 = s2.withColumn("keeper", min("doc_id").over(w))
+      .filter(col("doc_id") === col("keeper"))
+    val expectKept = s3.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val expectScored = s2.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+
+    val got = sp.table("curstream")
+    val gotKept = got.filter(col("keep"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(expectKept.nonEmpty && gotKept == expectKept,
+      s"stream kept ${gotKept.size}, batch ${expectKept.size}")
+    // every emitted verdict is a stage-2 survivor, and its scores
+    // match the batch scorer bit for bit
+    val gotAll = got.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotAll == expectScored)
+    val batchNll = nll.select("doc_id", "avg_nll").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val streamNll = got.select("doc_id", "avg_nll").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(streamNll.forall { case (id, v) => batchNll(id) == v })
+  }
+
   test("continuous restore drains a stream of edges into the KV sink") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = sp.sqlContext
