@@ -228,33 +228,52 @@ object CorpusStreams {
     val sp = docs.sparkSession
     import sp.implicits._
     val bc = sp.sparkContext.broadcast(lm)
-    def round8(x: Double): Double = java.math.BigDecimal.valueOf(x)
-      .setScale(8, java.math.RoundingMode.HALF_UP).doubleValue
-    def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
     docs.flatMap { d =>
       val t = toks(d.text)
       if (t.length < 2) Iterator.empty
       else {
-        val m = bc.value
-        val h = t.map(xx)
-        var sum = java.math.BigDecimal.ZERO
-        val n = t.length - 1
-        var i = 0
-        while (i < n) {
-          val c1 = m.uni.getOrElse(h(i), 0L)
-          val c2 = m.big.getOrElse((h(i), h(i + 1)), 0L)
-          val term = round8(-math.log((c2 + 1).toDouble / (c1 + m.vocab)))
-          sum = sum.add(java.math.BigDecimal.valueOf(term)
-            .setScale(8, java.math.RoundingMode.HALF_UP))
-          i += 1
-        }
-        val avg = round6(sum.doubleValue / n)
-        Iterator.single(
-          LmVerdict(d.doc_id, n, avg, round6(cutoff), avg <= cutoff))
+        val avg = nllOf(t, bc.value)
+        Iterator.single(LmVerdict(d.doc_id, t.length - 1L, avg,
+          round6(cutoff), avg <= cutoff))
       }
     }
   }
+
+  private def round8(x: Double): Double = java.math.BigDecimal.valueOf(x)
+    .setScale(8, java.math.RoundingMode.HALF_UP).doubleValue
+  private def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+    .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+
+  /** The bit-exactness-critical scalar NLL scorer shared by
+    * [[perplexityFilterStream]] and [[curateStream]] — ONE copy of
+    * the decimal discipline (8dp HALF_UP terms, exact DECIMAL sums,
+    * 6dp presentation) so the composed chain can never drift from
+    * the standalone twin. Caller guarantees t.length >= 2. */
+  private def nllOf(t: Array[String], m: BigramLm): Double = {
+    val h = t.map(xx)
+    var sum = java.math.BigDecimal.ZERO
+    val n = t.length - 1
+    var i = 0
+    while (i < n) {
+      val c1 = m.uni.getOrElse(h(i), 0L)
+      val c2 = m.big.getOrElse((h(i), h(i + 1)), 0L)
+      val term = round8(-math.log((c2 + 1).toDouble / (c1 + m.vocab)))
+      sum = sum.add(java.math.BigDecimal.valueOf(term)
+        .setScale(8, java.math.RoundingMode.HALF_UP))
+      i += 1
+    }
+    round6(sum.doubleValue / n)
+  }
+
+  /** A curated doc's streaming verdict: the stage-1/2 scores plus the
+    * online dedup decision. Only docs that PASS both cutoffs (and are
+    * scorable, >= 2 tokens) emit a row at all — cutoff-rejected docs
+    * produce nothing, so keep == false means exactly "a duplicate of
+    * an earlier kept doc"; rejection accounting for the filter stages
+    * belongs to the standalone twins, which emit every verdict. */
+  final case class CurateVerdict(doc_id: Long, fingerprint: String,
+                                 quality: Double, avg_nll: Double,
+                                 keep: Boolean)
 
   /** The ingest-time face of the composed curation pipeline
     * (operators.Curation): quality filter -> perplexity filter ->
@@ -276,31 +295,23 @@ object CorpusStreams {
     * [[calibratePerplexity]] — run them on the snapshot's stage
     * survivors to mirror the batch scoping) and verdicts drift off
     * the batch pipeline's exact retention as ingest moves (the same
-    * caveat as each twin alone). Emits one verdict row per SCORABLE
-    * doc (>= 2 tokens — unscorable docs drop, the batch scope rule)
-    * with the three stage verdicts and keep = all three. */
-  /** A curated doc's streaming verdict: the stage-1/2 scores plus the
-    * online dedup decision; keep == survived all three stages. */
-  final case class CurateVerdict(doc_id: Long, fingerprint: String,
-                                 quality: Double, avg_nll: Double,
-                                 keep: Boolean)
-
+    * caveat as each twin alone). See [[CurateVerdict]] for the
+    * emission contract: only cutoff-passing docs reach the output. */
   def curateStream(docs: Dataset[Doc], lm: BigramLm,
                    qualityCutoff: Double,
                    perplexityCutoff: Double): Dataset[CurateVerdict] = {
     val sp = docs.sparkSession
     import sp.implicits._
     val bc = sp.sparkContext.broadcast(lm)
-    def round8(x: Double): Double = java.math.BigDecimal.valueOf(x)
-      .setScale(8, java.math.RoundingMode.HALF_UP).doubleValue
-    def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
     // stage 1+2 fused in one stateless flatMap: quality score (the
     // qualityExpr arithmetic in scalar form — code-point counts, same
-    // double-op order) and LM NLL per doc. Docs failing EITHER cutoff
-    // stop HERE, so the state store only ever holds documents that
-    // would reach the dedup stage in batch — the filter-before-state
-    // ordering is what keeps state ~ surviving corpus, not ingest.
+    // double-op order), then the LM NLL ONLY for quality survivors
+    // (the stage-1 reject is decided before any bigram work, so a
+    // low-quality flood costs one scan of the token array each).
+    // Docs failing either cutoff stop HERE: the state store only ever
+    // holds documents that would reach the dedup stage in batch — the
+    // filter-before-state ordering keeps state ~ surviving corpus,
+    // not ingest.
     val scored = docs.flatMap { d =>
       val t = toks(d.text)
       if (t.length < 2) Iterator.empty
@@ -311,24 +322,14 @@ object CorpusStreams {
         val mwl = chars.toDouble / n
         val q = math.min(1.0, n / 50.0) * 0.4 + ttr * 0.3 +
           (if (mwl >= 3.0 && mwl <= 8.0) 1.0 else 0.0) * 0.3
-        val m = bc.value
-        val h = t.map(xx)
-        var sum = java.math.BigDecimal.ZERO
-        val nb = t.length - 1
-        var i = 0
-        while (i < nb) {
-          val c1 = m.uni.getOrElse(h(i), 0L)
-          val c2 = m.big.getOrElse((h(i), h(i + 1)), 0L)
-          sum = sum.add(java.math.BigDecimal.valueOf(
-            round8(-math.log((c2 + 1).toDouble / (c1 + m.vocab))))
-            .setScale(8, java.math.RoundingMode.HALF_UP))
-          i += 1
+        if (q < qualityCutoff) Iterator.empty
+        else {
+          val nll = nllOf(t, bc.value)
+          if (nll <= perplexityCutoff)
+            Iterator.single((d.doc_id, fingerprintOf(d.text),
+              round6(q), nll))
+          else Iterator.empty
         }
-        val nll = round6(sum.doubleValue / nb)
-        if (q >= qualityCutoff && nll <= perplexityCutoff)
-          Iterator.single((d.doc_id, fingerprintOf(d.text),
-            round6(q), nll))
-        else Iterator.empty
       }
     }
     // stage 3: the ONE stateful operator — keep-first per fingerprint,
@@ -364,6 +365,17 @@ object CorpusStreams {
   final case class KeepVerdict(doc_id: Long, fingerprint: String,
                                keep: Boolean)
 
+  /** The batch q_dedup_keep fingerprint as a plain function:
+    * UTF8String lowercase + commons-codec md5Hex — the exact calls
+    * inside Spark's Lower/Md5 expressions, so the hex matches the
+    * batch column byte for byte. Shared by [[dedupKeepStream]] and
+    * [[curateStream]]. */
+  private[streaming] def fingerprintOf(text: String): String = {
+    val lowered = org.apache.spark.unsafe.types.UTF8String
+      .fromString(text).toLowerCase.getBytes
+    org.apache.commons.codec.digest.DigestUtils.md5Hex(lowered)
+  }
+
   /** Streaming exact dedup: every arriving document gets an immediate
     * keep/drop verdict against all text seen so far — the ingest-time
     * face of the batch q_dedup_keep. Fingerprint is bit-identical to
@@ -383,17 +395,6 @@ object CorpusStreams {
     * retroactive first-holder flag. Long-running production ingest:
     * RocksDB state store + TTL horizon, batch op as the
     * retrospective sweep. */
-  /** The batch q_dedup_keep fingerprint as a plain function:
-    * UTF8String lowercase + commons-codec md5Hex — the exact calls
-    * inside Spark's Lower/Md5 expressions, so the hex matches the
-    * batch column byte for byte. Shared by [[dedupKeepStream]] and
-    * [[curateStream]]. */
-  private[streaming] def fingerprintOf(text: String): String = {
-    val lowered = org.apache.spark.unsafe.types.UTF8String
-      .fromString(text).toLowerCase.getBytes
-    org.apache.commons.codec.digest.DigestUtils.md5Hex(lowered)
-  }
-
   def dedupKeepStream(docs: Dataset[Doc]): Dataset[KeepVerdict] = {
     val sp = docs.sparkSession
     import sp.implicits._
