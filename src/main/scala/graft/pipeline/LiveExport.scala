@@ -82,11 +82,19 @@ object LiveExport {
 
   /** Firebase's integer-key test: optional '-', digits only (leading
     * zeros fine, leading '+' NOT an integer), value within 32-bit
-    * bounds. `toIntOption` supplies the digits-only + bounds checks
-    * once the '+' is excluded ("", "-", "1e3", 11-significant-digit
-    * overflows all come back None from parseInt). */
-  private[graft] def parseIntKey(k: String): Option[Int] =
-    if (k.isEmpty || k.charAt(0) == '+') None else k.toIntOption
+    * bounds. Every digit must be ASCII '0'..'9': `Integer.parseInt`
+    * (and so `toIntOption`) accepts non-ASCII Unicode digits
+    * (e.g. '٥' ARABIC-INDIC FIVE parses as 5), but Firebase's
+    * nameCompare matches only ASCII — a Unicode-digit key sorted
+    * among integers client-side but paged among strings server-side
+    * re-creates the resume-skip subtree loss for that key class.
+    * `toIntOption` then supplies only the 32-bit bounds check
+    * (11-significant-digit overflows come back None). */
+  private[graft] def parseIntKey(k: String): Option[Int] = {
+    val digits = if (k.startsWith("-")) k.substring(1) else k
+    if (digits.isEmpty || !digits.forall(c => c >= '0' && c <= '9')) None
+    else k.toIntOption
+  }
 
   private sealed trait PageOut
   /** One fetched page: direct children in key order (leading startAt

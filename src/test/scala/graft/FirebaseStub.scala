@@ -28,10 +28,12 @@ import scala.jdk.CollectionConverters._
   * `maxPatchKeys` rejects PATCH bodies with more keys (drives the
   * restore's shrink loop, RestoreProcessor.php:82).
   *
-  * Keys order in Firebase's `$key` cursor order
-  * (LiveExport.KeyOrdering: 32-bit-integer-parseable keys first,
-  * numerically, then the rest lexicographically) — the order the
-  * walker's go-deeper resume depends on.
+  * Keys order in Firebase's `$key` cursor order — but deliberately
+  * NOT via `LiveExport.KeyOrdering`: the stub hand-codes its own
+  * `nameCompare` (below) straight from the server rule, so LiveSpec
+  * tests client-vs-server FIDELITY rather than self-consistency. A
+  * rule both sides got wrong the same way (e.g. the Unicode-digit
+  * class) now disagrees in tests instead of passing silently.
   * All handlers synchronize on the tree (single test server).
   */
 final class FirebaseStub(maxPayloadBytes: Int = Int.MaxValue,
@@ -153,7 +155,7 @@ final class FirebaseStub(maxPayloadBytes: Int = Int.MaxValue,
         case (Some("\"$key\""), o: ObjectNode) =>
           val limit = q.get("limitToFirst").map(_.toInt).getOrElse(Int.MaxValue)
           val startAt = q.get("startAt").map(_.stripPrefix("\"").stripSuffix("\""))
-          val ord = graft.pipeline.LiveExport.KeyOrdering
+          val ord = FirebaseStub.NameCompare
           val keys = o.fieldNames().asScala.toVector.sorted(ord)
             .dropWhile(k => startAt.exists(s => ord.lt(k, s)))
             .take(limit)
@@ -196,5 +198,38 @@ final class FirebaseStub(maxPayloadBytes: Int = Int.MaxValue,
         try respond(ex, 500, s"""{"error":"${e.getMessage}"}""")
         catch { case _: Throwable => () }
     }
+  }
+}
+
+object FirebaseStub {
+  /** Independent re-implementation of Firebase's server-side
+    * `nameCompare`, written from the published rule (integer names
+    * first, numerically; then other names lexicographically; an
+    * integer name is `-?0*[0-9]{1,10}` in ASCII digits whose value
+    * fits in 32 bits; equal-value integer names tie-break shorter
+    * string first). Deliberately NOT `LiveExport.KeyOrdering` — the
+    * point is that client and "server" can disagree in tests. Java's
+    * `\d` matches only ASCII [0-9] without UNICODE_CHARACTER_CLASS,
+    * which is exactly Firebase's digit class. */
+  val NameCompare: Ordering[String] = new Ordering[String] {
+    private val IntShape = java.util.regex.Pattern.compile("^(-?)0*(\\d{1,10})$")
+    private def intName(k: String): Option[Long] = {
+      val m = IntShape.matcher(k)
+      if (!m.matches()) None
+      else {
+        val v = (if (m.group(1) == "-") -1L else 1L) * m.group(2).toLong
+        if (v >= Int.MinValue.toLong && v <= Int.MaxValue.toLong) Some(v)
+        else None
+      }
+    }
+    override def compare(a: String, b: String): Int =
+      (intName(a), intName(b)) match {
+        case (Some(x), Some(y)) =>
+          if (x != y) java.lang.Long.compare(x, y)
+          else Integer.compare(a.length, b.length)
+        case (Some(_), None) => -1
+        case (None, Some(_)) => 1
+        case (None, None)    => a.compareTo(b)
+      }
   }
 }
