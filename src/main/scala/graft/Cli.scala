@@ -148,7 +148,6 @@ object Cli {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
     // the reference's --temp_dir (ExportCommand.php:19-24): where
     // intermediate files live — for Spark that is local scratch/spill

@@ -109,17 +109,16 @@ object ScaleSmoke {
     // events: user_id/event_id shift per replica, ts untouched — the
     // same time range carries k times the users and k times the rows,
     // so sessionization scales by partition count and time-window aggs
-    // by per-group weight. ts is normalized to a µs TIMESTAMP before
-    // writing: the nanosAsLong session reads the source as INT64, and
-    // round-tripping that raw long would leave the replica's ts as
-    // BIGINT for DuckDB — every event-family oracle would binder-error
-    // on date_trunc/epoch at replicated scale. Spark-side Tables.events
-    // passes TimestampType through unchanged either way.
+    // by per-group weight. ts (source parquet is TIMESTAMP_NTZ) is
+    // normalized to TimestampType before writing so the replica and the
+    // Spark-side Tables.events read identically and DuckDB's oracle
+    // binds date_trunc/epoch the same way at replicated scale.
     val ev0 = spark.read.parquet(s"$src/events.parquet")
     val ev =
       if (ev0.schema("ts").dataType ==
-          org.apache.spark.sql.types.LongType)
-        ev0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          org.apache.spark.sql.types.TimestampNTZType)
+        ev0.withColumn("ts", col("ts").cast(
+          org.apache.spark.sql.types.TimestampType))
       else ev0
     val uidSpan = ev.agg(max(col("user_id"))).head.getLong(0) + 1
     val eidSpan = ev.agg(max(col("event_id"))).head.getLong(0) + 1
@@ -175,7 +174,6 @@ object ScaleSmoke {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

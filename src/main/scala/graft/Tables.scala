@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** Table loaders for the driver-generated TPC-H-ish test data
   * (TESTDATA.md / FIXTURES.md). Every query takes an `sfDir` so the
@@ -61,16 +61,17 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) in parquet, which Spark's vectorized
-    * reader rejects outright. With `spark.sql.legacy.parquet.nanosAsLong`
-    * set (Verify/Bench/test sessions do), the column arrives as nanos-
-    * since-epoch LongType; normalize to TimestampType (µs, truncating —
-    * same truncation DuckDB applies reading ns into its µs TIMESTAMP,
-    * so the oracle sees identical instants). */
+  /** events.ts is parquet TIMESTAMP_MICROS(isAdjustedToUTC=false), which
+    * Spark reads as TIMESTAMP_NTZ (external type `java.time.LocalDateTime`).
+    * Normalize to TimestampType so downstream window/session results
+    * collect as `java.sql.Timestamp` like every other timestamp in the
+    * engine. All sessions pin `spark.sql.session.timeZone=UTC`, so the
+    * cast preserves the wall-clock and the DuckDB oracle (which treats
+    * the column as a naive TIMESTAMP) sees identical instants. */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = table(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (raw.schema("ts").dataType == TimestampNTZType)
+      raw.withColumn("ts", col("ts").cast(TimestampType))
     else raw
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
