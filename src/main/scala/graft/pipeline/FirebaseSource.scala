@@ -5,8 +5,8 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, StringStartsWith}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -54,10 +54,20 @@ object FirebaseSource {
     StructField("value_json", StringType, nullable = false)))
 
   /** Plain-string config so every plan node serializes cleanly into
-    * executor tasks. */
+    * executor tasks.
+    *
+    * `startAt`/`endAt` are the reference's server-side keyset cursor
+    * (BackupProcessor.php:167-169) surfaced as reader options: they
+    * bound which TOP-LEVEL children of `root` are exported, in
+    * Firebase `$key` cursor order, and an in-range child's subtree is
+    * included WHOLE — the reference's resume-an-export semantics,
+    * which no DataFrame filter on the leaf-edge schema can express
+    * (a `key >= k` filter constrains leaf keys at every depth). */
   final case class Conf(url: String, token: Option[String],
                         root: String, maxIpp: Int,
-                        startIpp: Option[Int] = None) {
+                        startIpp: Option[Int] = None,
+                        startAt: Option[String] = None,
+                        endAt: Option[String] = None) {
     def client(): RestClient = new HttpRestClient(url, token)
     def walker(): LiveExport.Walker =
       new LiveExport.Walker(client(), maxIpp, startIpp = startIpp)
@@ -73,7 +83,100 @@ object FirebaseSource {
       Option(o.get("maxipp")).map(_.toInt)
         .getOrElse(LiveExport.DefaultMaxIpp),
       // the reference's root_start_ipp (ExportCommand.php:45)
-      Option(o.get("rootstartipp")).map(_.toInt))
+      Option(o.get("rootstartipp")).map(_.toInt),
+      Option(o.get("startat")).filter(_.nonEmpty),
+      Option(o.get("endat")).filter(_.nonEmpty))
+  }
+}
+
+/** Partition pruning for the firebase scan's filter pushdown (P1,
+  * SURVEY.md §2 — the reference's `startAt` predicate re-expressed as
+  * DSv2 `SupportsPushDownFilters`).
+  *
+  * A planned work item at subtree path `p` can emit two row shapes:
+  *
+  *  - `p`'s node is a SCALAR: exactly one row
+  *    `(parent(p), lastSegment(p), v)` — both path and key are known
+  *    at plan time, so every pushed conjunct can be tested.
+  *  - `p`'s node is a CONTAINER: rows `(q, k, v)` where `q` is `p` or
+  *    a descendant path of `p` and `k` is arbitrary — only path
+  *    predicates constrain these.
+  *
+  * `keep(p)` is true iff SOME emittable row could satisfy ALL pushed
+  * conjuncts (plan time cannot see which shape `p` is, so both are
+  * tried — a conservative, always-sound prune). Spark re-applies every
+  * filter on the rows that do come back (`pushFilters` returns all as
+  * residual), so pruning only ever removes fetches, never changes
+  * results. The payoff is the reference's: with `path = root` pinned,
+  * a key range prunes exactly the out-of-range direct children — the
+  * server never sees a request below the cursor.
+  *
+  * String comparison uses UTF8String binary order — the order Spark's
+  * own string comparisons use — NOT String's UTF-16 order, so pruning
+  * can never disagree with the residual filter on non-BMP keys. */
+private[pipeline] object FirebasePushdown {
+
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo("path", _: String)             => true
+    case StringStartsWith("path", _)            => true
+    case EqualTo("key", _: String)              => true
+    case GreaterThan("key", _: String)          => true
+    case GreaterThanOrEqual("key", _: String)   => true
+    case LessThan("key", _: String)             => true
+    case LessThanOrEqual("key", _: String)      => true
+    case _                                      => false
+  }
+
+  private def cmp(a: String, b: String): Int =
+    UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
+
+  private def keyInRange(k: String, fs: Seq[Filter]): Boolean = fs.forall {
+    case EqualTo("key", v: String)            => cmp(k, v) == 0
+    case GreaterThan("key", v: String)        => cmp(k, v) > 0
+    case GreaterThanOrEqual("key", v: String) => cmp(k, v) >= 0
+    case LessThan("key", v: String)           => cmp(k, v) < 0
+    case LessThanOrEqual("key", v: String)    => cmp(k, v) <= 0
+    case _                                    => true
+  }
+
+  private def parent(p: String): String = {
+    val i = p.lastIndexOf('/')
+    if (i <= 0) "/" else p.substring(0, i)
+  }
+  private def lastSegment(p: String): String =
+    p.substring(p.lastIndexOf('/') + 1)
+
+  def keep(p: String, fs: Seq[Filter]): Boolean = {
+    val pathEqs  = fs.collect { case EqualTo("path", v: String) => v }
+      .distinct.toList
+    val prefixes = fs.collect { case StringStartsWith("path", v) => v }
+    val par = parent(p)
+    // shape 1: p is a scalar leaf — row (parent(p), lastSegment(p), v)
+    val scalarOk =
+      pathEqs.forall(_ == par) &&
+        prefixes.forall(par.startsWith) &&
+        keyInRange(lastSegment(p), fs)
+    // shape 2: p is a container — rows at p or any descendant of p,
+    // keys unconstrained
+    val containerOk = pathEqs match {
+      case Nil =>
+        // some q ∈ {p} ∪ descendants(p) could start with every prefix
+        prefixes.forall(s =>
+          p.startsWith(s) || (p + "/").startsWith(s) || s.startsWith(p + "/"))
+      case q :: rest =>
+        rest.isEmpty && (q == p || q.startsWith(p + "/")) &&
+          prefixes.forall(q.startsWith)
+    }
+    scalarOk || containerOk
+  }
+
+  /** The reader-option cursor (reference startAt/endAt): bounds a
+    * TOP-LEVEL child key in Firebase `$key` cursor order, inclusive on
+    * both ends like the REST API's. */
+  def inCursor(k: String, startAt: Option[String],
+               endAt: Option[String]): Boolean = {
+    val ord = LiveExport.KeyOrdering
+    startAt.forall(s => !ord.lt(k, s)) && endAt.forall(e => !ord.gt(k, e))
   }
 }
 
@@ -88,24 +191,49 @@ final class FirebaseTable(conf: FirebaseSource.Conf)
 }
 
 final class FirebaseScan(conf: FirebaseSource.Conf)
-    extends ScanBuilder with Scan with Batch {
+    extends ScanBuilder with SupportsPushDownFilters with Scan with Batch {
+
+  private var pushed: Array[Filter] = Array.empty
+
+  /** Prune-only pushdown: the supported conjuncts drive partition
+    * pruning in [[planInputPartitions]] (subtrees that cannot contain
+    * a matching row are never probed or walked — the server-side
+    * `startAt` effect, BackupProcessor.php:167-169), but every filter
+    * is returned as residual so Spark re-applies exact row semantics
+    * to whatever the kept partitions emit. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(FirebasePushdown.supported)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
   override def build(): Scan = this
   override def readSchema(): StructType = FirebaseSource.Schema
   override def toBatch: Batch = this
+  override def description(): String =
+    s"firebase(${conf.url}${conf.root}) " +
+      s"PushedFilters: [${pushed.mkString(", ")}], " +
+      s"cursor: [${conf.startAt.getOrElse("")}..${conf.endAt.getOrElse("")}]"
 
   /** The [[LiveExport.plan]] loop, driver-side: probe each pending
     * subtree with one floor page; split the too-fat ones into their
-    * children until every work item is walkable whole. */
+    * children until every work item is walkable whole. The option
+    * cursor bounds the top-level children (reference resume
+    * semantics); pushed filters prune every round's candidates before
+    * their probe fetch. */
   override def planInputPartitions(): Array[InputPartition] = {
     val walker = conf.walker()
     def childPath(parent: String, key: String): String =
       TreeCodec.childPath(parent, key)
-    var pending: Seq[String] =
-      walker.shallowKeys(conf.root).map(childPath(conf.root, _))
+    var pending: Seq[String] = walker.shallowKeys(conf.root)
+      .filter(FirebasePushdown.inCursor(_, conf.startAt, conf.endAt))
+      .map(childPath(conf.root, _))
+      .filter(FirebasePushdown.keep(_, pushed.toSeq))
     val work = Array.newBuilder[InputPartition]
     while (pending.nonEmpty) {
       val verdicts = pending.map(p => p -> walker.probeSplit(p))
       pending = verdicts.flatMap(_._2)
+        .filter(FirebasePushdown.keep(_, pushed.toSeq))
       verdicts.foreach { case (p, splits) =>
         if (splits.isEmpty) work += FirebasePartition(p)
       }

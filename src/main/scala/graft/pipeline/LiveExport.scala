@@ -89,7 +89,15 @@ object LiveExport {
     * among integers client-side but paged among strings server-side
     * re-creates the resume-skip subtree loss for that key class.
     * `toIntOption` then supplies only the 32-bit bounds check
-    * (11-significant-digit overflows come back None). */
+    * (11-significant-digit overflows come back None).
+    *
+    * Adopted authority: the JS SDK's `^-?(0*)\d{1,10}$` — unlimited
+    * leading zeros, so '000000000001' is an integer key here. The
+    * Java/ObjC SDKs additionally cap key length at 11 chars and would
+    * classify it as a string; against a server following the capped
+    * rule this client diverges for zero-padded keys >11 chars (the
+    * stub's independent NameCompare encodes the same JS choice, so
+    * the suite documents rather than hides it). */
   private[graft] def parseIntKey(k: String): Option[Int] = {
     val digits = if (k.startsWith("-")) k.substring(1) else k
     if (digits.isEmpty || !digits.forall(c => c >= '0' && c <= '9')) None

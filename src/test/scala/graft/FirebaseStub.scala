@@ -44,6 +44,10 @@ final class FirebaseStub(maxPayloadBytes: Int = Int.MaxValue,
   private val shallowFailsLeft = new AtomicInteger(failShallow)
   val getCount = new AtomicInteger(0)
   val patchCount = new AtomicInteger(0)
+  /** Every GET's tree path (".json" stripped), in arrival order — lets
+    * pushdown tests assert which subtrees were never requested. */
+  private val getLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  def getPaths: Seq[String] = getLog.asScala.toVector
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   server.createContext("/", (ex: HttpExchange) => handle(ex))
@@ -127,6 +131,7 @@ final class FirebaseStub(maxPayloadBytes: Int = Int.MaxValue,
       }
       // GET
       getCount.incrementAndGet()
+      getLog.add(path)
       val node = nodeAt(path)
       if (q.get("shallow").contains("true")) {
         if (shallowFailsLeft.get() > 0) {
@@ -210,7 +215,10 @@ object FirebaseStub {
     * string first). Deliberately NOT `LiveExport.KeyOrdering` — the
     * point is that client and "server" can disagree in tests. Java's
     * `\d` matches only ASCII [0-9] without UNICODE_CHARACTER_CLASS,
-    * which is exactly Firebase's digit class. */
+    * which is exactly Firebase's digit class. Adopted authority: the
+    * JS SDK regex (unlimited leading zeros) — the Java/ObjC SDKs cap
+    * key length at 11 chars, a documented divergence for zero-padded
+    * keys like '000000000001' (see the KeyOrdering law in LiveSpec). */
   val NameCompare: Ordering[String] = new Ordering[String] {
     private val IntShape = java.util.regex.Pattern.compile("^(-?)0*(\\d{1,10})$")
     private def intName(k: String): Option[Long] = {

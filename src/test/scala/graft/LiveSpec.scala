@@ -1,6 +1,7 @@
 package graft
 
 import graft.pipeline.{Export, HttpRestClient, LiveExport, Restore, TreeCodec}
+import org.apache.spark.sql.functions.col
 
 import java.nio.file.Files
 
@@ -115,6 +116,17 @@ class LiveSpec extends SparkSuite {
     assert(Seq("2147483648", "-2147483648", "5").sorted(ord) ==
       Seq("-2147483648", "5", "2147483648"))
     assert(Seq("007", "7", "07").sorted(ord) == Seq("7", "07", "007"))
+    // non-ASCII Unicode digits are STRING keys: '٥' (ARABIC-INDIC
+    // FIVE) parses as 5 via Integer.parseInt, but Firebase's
+    // nameCompare digit class is ASCII-only — a client sorting it
+    // among the integers re-creates the resume-skip subtree loss
+    assert(Seq("٥", "5", "x").sorted(ord) == Seq("5", "x", "٥"))
+    // zero-padding: the adopted authority is the JS SDK's
+    // ^-?(0*)\d{1,10}$ (unlimited leading zeros); Firebase's Java/ObjC
+    // SDKs cap key length at 11 chars, so '000000000001' is an integer
+    // here but a string there — documented divergence, JS rule chosen
+    assert(Seq("000000000001", "0000000000012", "2").sorted(ord) ==
+      Seq("000000000001", "2", "0000000000012"))
   }
 
   test("go-deeper resume respects Firebase integer-first key order") {
@@ -124,9 +136,12 @@ class LiveSpec extends SparkSuite {
     // resumes at "10" after descending "1" and the server cursor then
     // skips key "2"'s subtree entirely — silent data loss. Each child
     // is fat enough that /mix itself always go-deepers.
+    // '٥' (ARABIC-INDIC FIVE) is a STRING key sorting after "x": a
+    // client using bare toIntOption would sort it among the integers
+    // (value 5) and the resume cursor would skip subtrees around it
     val blob = (1 to 40).map(i => s""""k$i": "${"v" * 12}"""").mkString(",")
     val json = s"""{"mix": {"1": {$blob}, "2": {$blob}, "10": {$blob},
-                   "+5": {$blob}, "x": {$blob}}}"""
+                   "+5": {$blob}, "x": {$blob}, "٥": {$blob}}}"""
     val stub = new FirebaseStub(maxPayloadBytes = 400)
     try {
       stub.seed(json)
@@ -394,6 +409,73 @@ class LiveSpec extends SparkSuite {
       val got = df.collect().map(r =>
         TreeCodec.Edge(r.getString(0), r.getString(1), r.getString(2))).toSet
       assert(got == edgesOf(json))
+    } finally stub.stop()
+  }
+
+  test("DSv2 pushdown: path-pinned key range never fetches below the cursor") {
+    // flat record tree: scalar top-level children (the reference's P1
+    // shape) plus one container BELOW the range — pruning it is sound
+    // because the path pin excludes its nested rows anyway
+    val flat = (1 to 20).map(i => s""""k${"%02d".format(i)}": $i""")
+      .mkString(",")
+    val json = s"""{$flat, "a_nested": {"zz": 1}}"""
+    val stub = new FirebaseStub()
+    try {
+      stub.seed(json)
+      val df = spark.read.format("firebase").option("url", stub.url).load()
+        .filter(col("path") === "/" && col("key") >= "k10")
+      val got = df.collect().map(r =>
+        TreeCodec.Edge(r.getString(0), r.getString(1), r.getString(2))).toSet
+      val want = edgesOf(json)
+        .filter(e => e.path == "/" && e.key >= "k10")
+      assert(got == want)
+      // the pruned children were never requested — the server-side
+      // startAt effect (BackupProcessor.php:167-169)
+      val below = stub.getPaths.filter(p =>
+        p.matches("/k0[1-9].*") || p.startsWith("/a_nested"))
+      assert(below.isEmpty, s"fetched below the cursor: $below")
+      // and the scan consumed the filters (visible in the plan)
+      val scans = df.queryExecution.executedPlan.collectLeaves().collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.asInstanceOf[graft.pipeline.FirebaseScan]
+      }
+      assert(scans.nonEmpty && scans.head.pushedFilters().length == 2,
+        s"pushed=${scans.map(_.pushedFilters().toSeq)}")
+    } finally stub.stop()
+  }
+
+  test("DSv2 pushdown: path prefix prunes sibling subtrees") {
+    val stub = new FirebaseStub()
+    try {
+      stub.seed(wideTree)
+      val df = spark.read.format("firebase").option("url", stub.url).load()
+        .filter(col("path").startsWith("/config"))
+      val got = df.collect().map(r =>
+        TreeCodec.Edge(r.getString(0), r.getString(1), r.getString(2))).toSet
+      assert(got == edgesOf(wideTree).filter(_.path.startsWith("/config")))
+      val strayed = stub.getPaths.filter(p =>
+        p.startsWith("/users") || p.startsWith("/version"))
+      assert(strayed.isEmpty, s"fetched outside the prefix: $strayed")
+    } finally stub.stop()
+  }
+
+  test("DSv2 startat option resumes in cursor order, subtrees whole") {
+    // integer keys cursor-order 1,2,10 then string "x"; startat=2 keeps
+    // 2,10,x (NOT lexicographic, which would drop "10") and each kept
+    // child's subtree exports WHOLE regardless of its leaf keys —
+    // the reference's resume semantics, inexpressible as a row filter
+    val json = """{"1": {"za": 1}, "2": {"ab": 2}, "10": {"mm": 3},
+                   "x": {"qq": 4}}"""
+    val stub = new FirebaseStub()
+    try {
+      stub.seed(json)
+      val df = spark.read.format("firebase").option("url", stub.url)
+        .option("startat", "2").load()
+      val got = df.collect().map(r =>
+        TreeCodec.Edge(r.getString(0), r.getString(1), r.getString(2))).toSet
+      assert(got == edgesOf(json).filter(_.path != "/1"))
+      assert(!stub.getPaths.exists(p => p == "/1" || p.startsWith("/1/")),
+        s"fetched below startat: ${stub.getPaths}")
     } finally stub.stop()
   }
 
