@@ -2,6 +2,8 @@ package graft.operators
 
 import graft.{GraftQuery, Tables}
 import graft.GraftQuery.decSum
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-time windowing over the `events` table (SURVEY.md §2.10).
@@ -14,12 +16,45 @@ import org.apache.spark.sql.functions._
   * watermarks); here they run in batch so the DuckDB oracle can check
   * them.
   *
-  * Timestamp discipline (FIXTURES.md): events.ts is nanosecond parquet;
-  * Spark sees µs (via Tables.events), DuckDB sees ns. All outputs are
-  * either hour/half-hour bucket starts (truncation-safe) or whole-second
-  * epochs, so the precision mismatch can't flip a bucket.
+  * Timestamp discipline: events.ts is µs parquet (TIMESTAMP_NTZ to
+  * Spark, normalized by Tables.events; naive TIMESTAMP to DuckDB). All
+  * outputs are either hour/half-hour bucket starts (truncation-safe)
+  * or whole-second epochs, so no precision edge can flip a bucket.
   */
 object Events {
+
+  /** Merge boundary-split session fragments back into whole sessions.
+    *
+    * Streaming sessionization in Append mode cannot retract an emitted
+    * row, so a session whose events straddle a micro-batch boundary
+    * (late fragment flushed in batch N, adjacent events in batch N+1)
+    * emits as SEPARATE fragments (EventStreams.sessionize's documented
+    * residual divergence). This batch operator compacts such fragments
+    * retrospectively: interval gaps-and-islands per user — fragments
+    * whose start is within `gap` of the running max end of their
+    * predecessors chain into one session, mirroring the event-level
+    * rule (new session iff gap >= threshold).
+    *
+    * Expects columns (user_id, start, end, n_events) with start/end in
+    * one numeric unit and `gap` in the same unit. Two window passes +
+    * one aggregate, all partitioned by user_id — the fragment table is
+    * tiny relative to the event log, and nothing here is a global
+    * window, so the shape survives any corpus size. */
+  def compactSessions(frags: DataFrame, gap: Long): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy("start", "end")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+    val prevEnd = max(col("end")).over(wRun)
+    frags
+      .withColumn("_new",
+        when(prevEnd.isNull || col("start") - prevEnd >= gap, 1L)
+          .otherwise(0L))
+      .withColumn("_sid", sum(col("_new")).over(wCum))
+      .groupBy(col("user_id"), col("_sid"))
+      .agg(min(col("start")).as("start"), max(col("end")).as("end"),
+           sum(col("n_events")).as("n_events"))
+      .drop("_sid")
+  }
 
   val queries: Seq[GraftQuery] = Seq(
 
@@ -160,6 +195,52 @@ object Events {
         "SELECT CAST(floor(epoch(spine.h)) AS BIGINT) AS hour_sec, " +
         "coalesce(n, 0) AS n, coalesce(total_value, 0.0) AS total_value " +
         "FROM spine LEFT JOIN hourly ON spine.h = hourly.h " +
-        "ORDER BY hour_sec"))
+        "ORDER BY hour_sec")),
+
+    GraftQuery(
+      "q_session_compact",
+      "Boundary-fragment compaction law, end to end: slice the event " +
+        "log into 2-hour \"micro-batches\", sessionize each slice " +
+        "independently (the fragments a streaming Append sink would " +
+        "emit), then compactSessions merges fragments across slice " +
+        "boundaries. The oracle sessionizes the unsliced log directly " +
+        "— compaction must reconstruct it exactly. Gap arithmetic in " +
+        "exact microseconds; whole-second epochs only at presentation.",
+      (s, d) => {
+        val gapUs = 1800L * 1000000L
+        val sliceUs = 7200L * 1000000L
+        val wB = Window.partitionBy(col("user_id"), col("batch_id"))
+          .orderBy("us")
+        val frags = Tables.events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"))
+          .withColumn("batch_id", floor(col("us") / lit(sliceUs)))
+          .withColumn("_new",
+            when(lag(col("us"), 1).over(wB).isNull ||
+              col("us") - lag(col("us"), 1).over(wB) >= gapUs, 1L)
+              .otherwise(0L))
+          .withColumn("_fid", sum(col("_new"))
+            .over(wB.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("batch_id"), col("_fid"))
+          .agg(min(col("us")).as("start"), max(col("us")).as("end"),
+               count(lit(1)).as("n_events"))
+          .select("user_id", "start", "end", "n_events")
+        compactSessions(frags, gapUs)
+          .select(col("user_id"),
+            expr("start div 1000000").as("session_start_sec"),
+            col("n_events"))
+          .orderBy("user_id", "session_start_sec")
+      },
+      Some("WITH flagged AS (" +
+        "SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL " +
+        "OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END " +
+        "AS new_sess FROM events WINDOW w AS " +
+        "(PARTITION BY user_id ORDER BY ts)), " +
+        "sess AS (SELECT user_id, ts, sum(new_sess) OVER " +
+        "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid " +
+        "FROM flagged) " +
+        "SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) " +
+        "AS session_start_sec, count(*) AS n_events " +
+        "FROM sess GROUP BY user_id, sid " +
+        "ORDER BY user_id, session_start_sec"))
   )
 }

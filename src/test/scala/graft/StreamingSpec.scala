@@ -1,5 +1,6 @@
 package graft
 
+import graft.operators.Events
 import graft.streaming.EventStreams
 import graft.streaming.EventStreams.Ev
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -47,6 +48,62 @@ class StreamingSpec extends SparkSuite {
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
       .toSet
     assert(streamed == batch)
+  }
+
+  test("compactSessions rejoins a session split across micro-batches") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+
+    // user 1's batch-twin sessions: {0,10,35} (gaps 10, 25 min) and
+    // {100}. The stream sees 100 first, then the late pair (0,10) —
+    // flushed as a fragment — then 35, which is ADJACENT to the
+    // flushed fragment but cannot merge (Append emitted it already):
+    // the boundary-split case compactSessions exists for.
+    val evs = Seq(
+      Ev(1, ts(100), 1, "click", 1.0),
+      Ev(2, ts(0), 1, "click", 1.0), Ev(3, ts(10), 1, "click", 1.0),
+      Ev(4, ts(35), 1, "click", 1.0))
+
+    val input = MemoryStream[Ev]
+    val q = EventStreams.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("frag_sessions")
+      .outputMode("append").start()
+    try {
+      input.addData(evs(0))
+      q.processAllAvailable()
+      input.addData(evs(1), evs(2))
+      q.processAllAvailable()
+      input.addData(evs(3))
+      q.processAllAvailable()
+      // watermark drivers: time out user 1's open session
+      input.addData(Ev(99, ts(40000), 2, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Ev(100, ts(80000), 2, "click", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val frags = sp.table("frag_sessions").filter(col("user_id") === 1)
+    // the premise: the stream really did fragment the {0,10,35} session
+    assert(frags.count() > 2, "expected boundary-split fragments")
+
+    val compacted = Events.compactSessions(
+      frags.select(col("user_id"),
+        col("session_start_sec").as("start"),
+        (col("session_start_sec") + col("duration_sec")).as("end"),
+        col("n_events")), gap = 1800L)
+      .select(col("user_id"), col("start").as("session_start_sec"),
+        col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val batch = evs.toDF()
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("session_start_sec"),
+        col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(compacted == batch,
+      s"compacted=$compacted batch=$batch")
   }
 
   test("streaming dedup drops replayed event_ids") {
