@@ -58,10 +58,19 @@ object ScaleSmoke {
     "q_group_collect", "q_string_agg", "q_pivot", "q_sample_hash",
     "q_backup_diff")
 
+  /** Optional comma-list limiting which tables [[replicate]] writes
+    * (SPARK_GRAFT_SMOKE_TABLES=embeddings,documents): the heavy recall
+    * rungs (512k vectors = 256x of sf0.1) only need the similarity
+    * tables, and replicating 150M lineitem rows alongside them would
+    * be pure waste. Empty/absent = all tables. */
+  private def wantedTables: Set[String] =
+    sys.env.get("SPARK_GRAFT_SMOKE_TABLES")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+
   def replicate(spark: SparkSession, src: String, out: String, k: Int): Unit = {
-    val li = spark.read.parquet(s"$src/lineitem.parquet")
-    val ord = spark.read.parquet(s"$src/orders.parquet")
-    val okSpan = ord.agg(max(col("o_orderkey"))).head.getLong(0) + 1
+    val only = wantedTables
+    def wanted(t: String): Boolean = only.isEmpty || only(t)
     def shifted(df: DataFrame, keys: Seq[String], span: Long): DataFrame =
       (0 until k).map { i =>
         keys.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * span)))
@@ -69,14 +78,20 @@ object ScaleSmoke {
     def write(df: DataFrame, name: String): Unit = df
       .repartition(spark.sparkContext.defaultParallelism)
       .write.mode(SaveMode.Overwrite).parquet(s"$out/$name.parquet")
-    write(shifted(li, Seq("l_orderkey"), okSpan), "lineitem")
-    write(shifted(ord, Seq("o_orderkey"), okSpan), "orders")
+    if (wanted("lineitem") || wanted("orders")) {
+      val li = spark.read.parquet(s"$src/lineitem.parquet")
+      val ord = spark.read.parquet(s"$src/orders.parquet")
+      val okSpan = ord.agg(max(col("o_orderkey"))).head.getLong(0) + 1
+      if (wanted("lineitem")) write(shifted(li, Seq("l_orderkey"), okSpan), "lineitem")
+      if (wanted("orders")) write(shifted(ord, Seq("o_orderkey"), okSpan), "orders")
+    }
 
     // dimension tables copy through UNSHIFTED: at 100 TB the facts
     // grow and the dims don't, so a k× ladder that also inflated dims
     // would rehearse the wrong workload (customer joins get k× heavier
     // per key here, exactly like production growth)
-    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+    Seq("region", "nation", "customer", "supplier", "part")
+      .filter(wanted).foreach { t =>
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode(SaveMode.Overwrite).parquet(s"$out/$t.parquet")
     }
@@ -89,14 +104,16 @@ object ScaleSmoke {
     // text copy would make every doc a 32-way duplicate group and the
     // pair list quadratic in k, which is a different workload, not a
     // bigger one).
-    val docs = spark.read.parquet(s"$src/documents.parquet")
-    val docSpan = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
-    write((0 until k).map { i =>
-      val d = docs.withColumn("doc_id", col("doc_id") + lit(i * docSpan))
-      if (i == 0) d
-      else d.withColumn("text",
-        regexp_replace(col("text"), "(\\S+)", "$1~" + i))
-    }.reduce(_ unionAll _), "documents")
+    if (wanted("documents")) {
+      val docs = spark.read.parquet(s"$src/documents.parquet")
+      val docSpan = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+      write((0 until k).map { i =>
+        val d = docs.withColumn("doc_id", col("doc_id") + lit(i * docSpan))
+        if (i == 0) d
+        else d.withColumn("text",
+          regexp_replace(col("text"), "(\\S+)", "$1~" + i))
+      }.reduce(_ unionAll _), "documents")
+    }
 
     // embeddings: ids shift; each replica's vectors are circularly
     // rotated by a replica-specific offset — rotation is an orthogonal
@@ -113,20 +130,23 @@ object ScaleSmoke {
     // normalized to TimestampType before writing so the replica and the
     // Spark-side Tables.events read identically and DuckDB's oracle
     // binds date_trunc/epoch the same way at replicated scale.
-    val ev0 = spark.read.parquet(s"$src/events.parquet")
-    val ev =
-      if (ev0.schema("ts").dataType ==
-          org.apache.spark.sql.types.TimestampNTZType)
-        ev0.withColumn("ts", col("ts").cast(
-          org.apache.spark.sql.types.TimestampType))
-      else ev0
-    val uidSpan = ev.agg(max(col("user_id"))).head.getLong(0) + 1
-    val eidSpan = ev.agg(max(col("event_id"))).head.getLong(0) + 1
-    write((0 until k).map { i =>
-      ev.withColumn("user_id", col("user_id") + lit(i * uidSpan))
-        .withColumn("event_id", col("event_id") + lit(i * eidSpan))
-    }.reduce(_ unionAll _), "events")
+    if (wanted("events")) {
+      val ev0 = spark.read.parquet(s"$src/events.parquet")
+      val ev =
+        if (ev0.schema("ts").dataType ==
+            org.apache.spark.sql.types.TimestampNTZType)
+          ev0.withColumn("ts", col("ts").cast(
+            org.apache.spark.sql.types.TimestampType))
+        else ev0
+      val uidSpan = ev.agg(max(col("user_id"))).head.getLong(0) + 1
+      val eidSpan = ev.agg(max(col("event_id"))).head.getLong(0) + 1
+      write((0 until k).map { i =>
+        ev.withColumn("user_id", col("user_id") + lit(i * uidSpan))
+          .withColumn("event_id", col("event_id") + lit(i * eidSpan))
+      }.reduce(_ unionAll _), "events")
+    }
 
+    if (!wanted("embeddings")) return
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val vecSpan = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
     val dim = emb.select(size(col("embedding"))).head.getInt(0)

@@ -153,8 +153,13 @@ final case class VideoFrame(frameIdx: Int, width: Int, height: Int,
 trait VideoFrameDecoder extends Serializable {
   def name: String
   /** Up to `maxFrames` decoded frames, or None if the payload's codec
-    * is not handled by this decoder. */
-  def decode(bytes: Array[Byte], maxFrames: Int): Option[Vector[VideoFrame]]
+    * is not handled by this decoder. `video` is the container's
+    * already-parsed sample table (one Mp4.parseAll per row — the
+    * caller must not force a second walk of the same moov/trak/stbl);
+    * a plugin that runs its own demuxer may ignore it and read
+    * `bytes` directly. */
+  def decode(bytes: Array[Byte], video: Option[Mp4.SampleTable],
+             maxFrames: Int): Option[Vector[VideoFrame]]
 }
 
 /** Real MJPEG frame decode, pure JDK: each sample of a Motion-JPEG
@@ -167,9 +172,9 @@ object MjpegFrameDecoder extends VideoFrameDecoder {
 
   override def name: String = "mjpeg-jdk"
 
-  override def decode(bytes: Array[Byte],
+  override def decode(bytes: Array[Byte], video: Option[Mp4.SampleTable],
                       maxFrames: Int): Option[Vector[VideoFrame]] =
-    Mp4.videoSamples(bytes)
+    video
       .filter(t => JpegCodecs.contains(t.codec))
       .map { t =>
         val n = math.min(maxFrames, t.offsets.length)
@@ -334,8 +339,11 @@ final class MediaCodec(frameDecoder: VideoFrameDecoder = MjpegFrameDecoder)
     * (MJPEG by default — real pixels, no external library) and stay
     * zero otherwise; payloads that are not valid containers (including
     * the synthetic text-bytes corpus) still fall back to the ladder. */
-  private def decodeVideo(m: MediaRow, h: Long): Option[MediaFeatures] =
-    Mp4.parse(m.bytes).map { meta =>
+  private def decodeVideo(m: MediaRow, h: Long): Option[MediaFeatures] = {
+    // ONE box-tree walk per row: metadata and the frame-decoder's
+    // sample table come from the same Mp4.parseAll
+    val parsed = Mp4.parseAll(m.bytes)
+    parsed.meta.map { meta =>
       val feats = new Array[Float](16)
       feats(0) = meta.width.toFloat
       feats(1) = meta.height.toFloat
@@ -344,15 +352,17 @@ final class MediaCodec(frameDecoder: VideoFrameDecoder = MjpegFrameDecoder)
       feats(4) = meta.nVideo.toFloat
       feats(5) = meta.nAudio.toFloat
       feats(6) = meta.timescale.toFloat
-      frameDecoder.decode(m.bytes, maxFrames = 8).foreach { frames =>
-        feats(7) = frames.size.toFloat
-        feats(8) = frames.head.meanLuma
-        feats(9) = frames.map(_.meanLuma).sum / frames.size
-        feats(10) = frames.head.width.toFloat
-        feats(11) = frames.head.height.toFloat
-      }
+      frameDecoder.decode(m.bytes, parsed.video, maxFrames = 8)
+        .foreach { frames =>
+          feats(7) = frames.size.toFloat
+          feats(8) = frames.head.meanLuma
+          feats(9) = frames.map(_.meanLuma).sum / frames.size
+          feats(10) = frames.head.width.toFloat
+          feats(11) = frames.head.height.toFloat
+        }
       MediaFeatures(m.media_id, m.kind, m.bytes.length.toLong, h, feats)
     }
+  }
 
   private def decodeOne(m: MediaRow): MediaFeatures = {
     val h = digestOf(m.bytes)

@@ -31,11 +31,23 @@ object Mp4 {
     "mp41", "mp42", "avc1", "qt  ", "M4A ", "M4V ", "3gp4", "3gp5",
     "dash", "heic", "mif1")
 
+  /** Both products of the single box-tree walk: container metadata
+    * (None unless structurally valid with ftyp brand + moov/mvhd) and
+    * the first video trak's sample table (None when absent/malformed —
+    * needs only the structural walk, not the brand check). */
+  final case class Parsed(meta: Option[Meta], video: Option[SampleTable])
+
+  /** ONE walk of the ISO-BMFF box tree yielding metadata AND the video
+    * sample table — callers that need both (Media.decodeVideo: mvhd
+    * fields for features, stbl for frame decode) must not pay two
+    * parses of the same moov/trak/stbl. */
+  def parseAll(bytes: Array[Byte]): Parsed =
+    try parseAllImpl(bytes)
+    catch { case scala.util.control.NonFatal(_) => Parsed(None, None) }
+
   /** Parse container metadata; None unless the bytes are a
     * structurally-valid ISO-BMFF file with an ftyp and a moov/mvhd. */
-  def parse(bytes: Array[Byte]): Option[Meta] =
-    try parseImpl(bytes)
-    catch { case scala.util.control.NonFatal(_) => None }
+  def parse(bytes: Array[Byte]): Option[Meta] = parseAll(bytes).meta
 
   private def u32(b: Array[Byte], o: Int): Long =
     ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
@@ -86,34 +98,7 @@ object Mp4 {
                                sizes: Array[Long])
 
   def videoSamples(bytes: Array[Byte]): Option[SampleTable] =
-    try videoSamplesImpl(bytes)
-    catch { case scala.util.control.NonFatal(_) => None }
-
-  private def videoSamplesImpl(b: Array[Byte]): Option[SampleTable] = {
-    val top = boxes(b, 0, b.length)
-    if (top.headOption.forall(_._1 != "ftyp")) return None
-    for {
-      (_, ms, me) <- find(top, "moov")
-      vtrak <- boxes(b, ms, me).filter(_._1 == "trak")
-        .find { case (_, ts, te) =>
-          (for {
-            (_, mds, mde) <- find(boxes(b, ts, te), "mdia")
-            (_, hds, hde) <- find(boxes(b, mds, mde), "hdlr")
-            if hde - hds >= 12
-          } yield fourcc(b, hds + 8)).contains("vide")
-        }
-      (_, mds, mde) <- find(boxes(b, vtrak._2, vtrak._3), "mdia")
-      (_, mis, mie) <- find(boxes(b, mds, mde), "minf")
-      (_, sbs, sbe) <- find(boxes(b, mis, mie), "stbl")
-      stbl = boxes(b, sbs, sbe)
-      (_, sds, sde) <- find(stbl, "stsd") if sde - sds >= 16
-      codec = fourcc(b, sds + 12)
-      sizes <- sampleSizes(b, stbl)
-      chunkOffs <- chunkOffsets(b, stbl)
-      spc <- samplesPerChunk(b, stbl)
-      offsets <- layOut(sizes, chunkOffs, spc, b.length)
-    } yield SampleTable(codec, offsets, sizes)
-  }
+    parseAll(bytes).video
 
   /** stsz -> per-sample byte sizes (fixed-size or per-sample list). */
   private def sampleSizes(b: Array[Byte],
@@ -193,42 +178,36 @@ object Mp4 {
     if (s < sizes.length) None else Some(offsets)
   }
 
-  private def parseImpl(b: Array[Byte]): Option[Meta] = {
-    if (b.length < 16) return None
+  private def parseAllImpl(b: Array[Byte]): Parsed = {
+    if (b.length < 8) return Parsed(None, None)
     val top = boxes(b, 0, b.length)
-    val ftyp = find(top, "ftyp").filter { case (_, s, e) => e - s >= 4 }
-    val brand = ftyp.map { case (_, s, _) => fourcc(b, s) }
     // require the signature box up front (offset 4 is "ftyp"): without
     // it any buffer whose first 8 bytes happen to look box-like would
     // "parse"
-    if (ftyp.isEmpty || top.head._1 != "ftyp") return None
-    if (!brand.exists(br => FtypBrands.contains(br) ||
-        br.forall(c => c.isLetterOrDigit || c == ' '))) return None
+    if (top.headOption.forall(_._1 != "ftyp")) return Parsed(None, None)
+    val ftyp = find(top, "ftyp").filter { case (_, s, e) => e - s >= 4 }
+    val brand = ftyp.map { case (_, s, _) => fourcc(b, s) }
+    // metadata additionally requires a sane major brand; the sample
+    // table needs only the structural walk (a file missing/odd on
+    // brand or mvhd can still carry a decodable video trak)
+    val brandOk = b.length >= 16 && brand.exists(br =>
+      FtypBrands.contains(br) || br.forall(c => c.isLetterOrDigit || c == ' '))
 
-    find(top, "moov").flatMap { case (_, ms, me) =>
-      val inMoov = boxes(b, ms, me)
-      find(inMoov, "mvhd").map { case (_, hs, he) =>
-        val ver = b(hs) & 0xFF
-        // the branches are exclusive ON VERSION: a truncated v1 box
-        // must NOT fall through to the v0 layout — offsets 12/16 sit
-        // inside v1's 64-bit creation/modification times, so the v0
-        // read would fabricate a garbage timescale/duration instead of
-        // the honest (0, 0)
-        val (timescale, duration) =
-          if (ver == 1)
-            if (he - hs >= 4 + 8 + 8 + 4 + 8) (u32(b, hs + 20), u64(b, hs + 24))
-            else (0L, 0L)
-          else if (he - hs >= 4 + 4 + 4 + 4 + 4)
-            (u32(b, hs + 12), u32(b, hs + 16))
-          else (0L, 0L)
+    find(top, "moov") match {
+      case None => Parsed(None, None)
+      case Some((_, ms, me)) =>
+        val inMoov = boxes(b, ms, me)
         val traks = inMoov.filter(_._1 == "trak")
         var (nV, nA) = (0, 0)
         var (w, h) = (0.0, 0.0)
+        var video: Option[SampleTable] = None
         traks.foreach { case (_, ts, te) =>
           val inTrak = boxes(b, ts, te)
+          val inMdia = find(inTrak, "mdia")
+            .map { case (_, mds, mde) => boxes(b, mds, mde) }
           val handler = for {
-            (_, mds, mde) <- find(inTrak, "mdia")
-            (_, hds, hde) <- find(boxes(b, mds, mde), "hdlr")
+            bs <- inMdia
+            (_, hds, hde) <- find(bs, "hdlr")
             if hde - hds >= 12
           } yield fourcc(b, hds + 8)
           handler match {
@@ -243,17 +222,46 @@ object Mp4 {
                   h = u32(b, ke - 4).toDouble / 65536.0
                 }
               }
+              // first video trak's sample table, from the SAME walk
+              if (video.isEmpty) video = for {
+                bs <- inMdia
+                (_, mis, mie) <- find(bs, "minf")
+                (_, sbs, sbe) <- find(boxes(b, mis, mie), "stbl")
+                stbl = boxes(b, sbs, sbe)
+                (_, sds, sde) <- find(stbl, "stsd") if sde - sds >= 16
+                sizes <- sampleSizes(b, stbl)
+                chunkOffs <- chunkOffsets(b, stbl)
+                spc <- samplesPerChunk(b, stbl)
+                offsets <- layOut(sizes, chunkOffs, spc, b.length)
+              } yield SampleTable(fourcc(b, sds + 12), offsets, sizes)
             case Some("soun") => nA += 1
             case _ => ()
           }
         }
-        Meta(
-          durationSec =
-            if (timescale > 0) duration.toDouble / timescale else 0.0,
-          timescale = timescale, nTracks = traks.size,
-          nVideo = nV, nAudio = nA, width = w, height = h,
-          majorBrand = brand.get)
-      }
+        val meta =
+          if (!brandOk) None
+          else find(inMoov, "mvhd").map { case (_, hs, he) =>
+            val ver = b(hs) & 0xFF
+            // the branches are exclusive ON VERSION: a truncated v1 box
+            // must NOT fall through to the v0 layout — offsets 12/16 sit
+            // inside v1's 64-bit creation/modification times, so the v0
+            // read would fabricate a garbage timescale/duration instead
+            // of the honest (0, 0)
+            val (timescale, duration) =
+              if (ver == 1)
+                if (he - hs >= 4 + 8 + 8 + 4 + 8) (u32(b, hs + 20), u64(b, hs + 24))
+                else (0L, 0L)
+              else if (he - hs >= 4 + 4 + 4 + 4 + 4)
+                (u32(b, hs + 12), u32(b, hs + 16))
+              else (0L, 0L)
+            Meta(
+              durationSec =
+                if (timescale > 0) duration.toDouble / timescale else 0.0,
+              timescale = timescale, nTracks = traks.size,
+              nVideo = nV, nAudio = nA, width = w, height = h,
+              majorBrand = brand.get)
+          }
+        Parsed(meta, video)
     }
   }
 }

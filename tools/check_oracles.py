@@ -38,6 +38,8 @@ def main(sf_dir, out_dir):
         # are directories of part files (the scale_gate path) -> glob
         p = f"{sf_dir}/{t}.parquet"
         src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        if not os.path.exists(p):
+            continue  # subset corpora (SPARK_GRAFT_SMOKE_TABLES) omit tables
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
