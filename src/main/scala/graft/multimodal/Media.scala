@@ -50,12 +50,19 @@ object Media {
     * production plumbing.
     */
   def extractFeatures(media: Dataset[MediaRow],
-                      batchSize: Int = 64): Dataset[MediaFeatures] = {
+                      batchSize: Int = 64,
+                      frameDecoder: VideoFrameDecoder = MjpegFrameDecoder)
+      : Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // per-partition "codec" initialization happens once, here —
-      // a real implementation would open the native decoder.
-      val codec = new MediaCodec
+      // a real implementation would open the native decoder. The
+      // frameDecoder parameter is the external-codec plug point:
+      // passing e.g. an H.264 decoder built on a native library
+      // upgrades video frame features cluster-wide with no other
+      // code change (the VideoFrameDecoder trait is Serializable so
+      // the plug ships in the task closure).
+      val codec = new MediaCodec(frameDecoder)
       it.grouped(batchSize).flatMap { batch =>
         // batch-shaped call, like an Arrow record batch
         codec.decodeBatch(batch)

@@ -141,6 +141,18 @@ class PlanSpec extends SparkSuite {
       "pipeline introduced a corpus-global single-partition stage")
   }
 
+  test("session compaction windows stay user-partitioned, never global") {
+    // both window passes (slice-local sessionize, cross-slice compact)
+    // and the final aggregate key on user_id — at k-times users the
+    // plan scales by partition count. The only tolerable
+    // SinglePartition would come from the presentation orderBy's range
+    // exchange, which is not a SinglePartition node.
+    val p = plan("q_session_compact")
+    assert(p.contains("Window"), "compaction lost its windows")
+    assert(!p.contains("SinglePartition"),
+      "session compaction introduced a corpus-global stage")
+  }
+
   test("LSH bucketing is map-only: no aggregate before the bucket explode") {
     // the bucket computation must stay a projection (plane literals +
     // posexplode) — the retired shape aggregated sign bits with

@@ -34,8 +34,10 @@ OUT="${4:-/tmp/graft_scale_gate_out}"
 # exact-decimal centroid update -> reassign, the collect+rebroadcast
 # path), and the events family (q_events_window hourly aggregate,
 # q_events_session per-user sessionization — gateable since replicas
-# write ts as a real µs TIMESTAMP, not raw INT64 nanos)
-QUERIES="${SCALE_GATE_QUERIES:-q_agg_basic,q_agg_distinct,q_filter_range,q_topk,q_string_agg,q_window_ntile,q_window_cume,q_span_dup,q_tfidf,q_source_mix,q_backup_diff,q_train_shuffle,q_ngram_lm,q_kmeans_refine,q_events_window,q_events_session,q_dedup_keep,q_token_budget,q_perplexity_filter,q_data_split,q_pipeline_curate}"
+# write ts as a real µs TIMESTAMP, not raw INT64 nanos; and
+# q_session_compact, whose slice-sessionize-compact law must also
+# reconstruct the direct sessions at k-times user count)
+QUERIES="${SCALE_GATE_QUERIES:-q_agg_basic,q_agg_distinct,q_filter_range,q_topk,q_string_agg,q_window_ntile,q_window_cume,q_span_dup,q_tfidf,q_source_mix,q_backup_diff,q_train_shuffle,q_ngram_lm,q_kmeans_refine,q_events_window,q_events_session,q_session_compact,q_dedup_keep,q_token_budget,q_perplexity_filter,q_data_split,q_pipeline_curate}"
 cd "$(dirname "$0")/.."
 # cross-engine rank-law preflight: the calibrated-filter oracles below
 # depend on DuckDB's quantile_disc picking the value at rank ceil(p*n)
