@@ -58,15 +58,34 @@ object ScaleSmoke {
     "q_group_collect", "q_string_agg", "q_pivot", "q_sample_hash",
     "q_backup_diff")
 
+  /** Write order of [[replicate]] — the completion marker must come
+    * from the LAST table a run writes, whatever subset it writes. */
+  private val TableOrder = Seq("lineitem", "orders", "region", "nation",
+    "customer", "supplier", "part", "documents", "events", "embeddings")
+
   /** Optional comma-list limiting which tables [[replicate]] writes
     * (SPARK_GRAFT_SMOKE_TABLES=embeddings,documents): the heavy recall
     * rungs (512k vectors = 256x of sf0.1) only need the similarity
     * tables, and replicating 150M lineitem rows alongside them would
-    * be pure waste. Empty/absent = all tables. */
-  private def wantedTables: Set[String] =
-    sys.env.get("SPARK_GRAFT_SMOKE_TABLES")
+    * be pure waste. Empty/absent = all tables. Unknown names fail fast
+    * (same rule as Verify's SPARK_GRAFT_ONLY: a typo must not make a
+    * replication — and every gate built on it — pass vacuously). */
+  private def wantedTables: Set[String] = {
+    val ts = sys.env.get("SPARK_GRAFT_SMOKE_TABLES")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty)
+    val unknown = ts -- TableOrder.toSet
+    require(unknown.isEmpty,
+      s"SPARK_GRAFT_SMOKE_TABLES names not in ${TableOrder.mkString(",")}: " +
+        unknown.mkString(","))
+    ts
+  }
+
+  /** The completion-marker table for the current table subset. */
+  private def markerTable: String = {
+    val only = wantedTables
+    TableOrder.filter(t => only.isEmpty || only(t)).last
+  }
 
   def replicate(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     val only = wantedTables
@@ -201,16 +220,22 @@ object ScaleSmoke {
     // SPARK_GRAFT_SMOKE_REUSE=1 skips replication when the work dir is
     // already populated (iterating on one query's ratio)
     val reuse = sys.env.get("SPARK_GRAFT_SMOKE_REUSE").contains("1") &&
-      // last table replicate() writes + its commit marker: a partial
-      // corpus from an interrupted run must not be reused
-      new java.io.File(s"$work/embeddings.parquet/_SUCCESS").exists()
+      // last table THIS RUN's subset writes + its commit marker: a
+      // partial corpus from an interrupted run must not be reused, and
+      // a full-run marker (embeddings) must not cover a different
+      // subset's missing tables
+      new java.io.File(s"$work/$markerTable.parquet/_SUCCESS").exists()
     if (!reuse) replicate(spark, src, work, k)
 
     // SPARK_GRAFT_SMOKE_REPLICATE_ONLY=1 stops after writing the k×
     // corpus: the 32× correctness spot-gate (tools/scale_gate.sh)
     // feeds it to Verify + tools/check_oracles.py, so results — not
     // just times — are checked against DuckDB at replicated scale.
-    if (sys.env.get("SPARK_GRAFT_SMOKE_REPLICATE_ONLY").contains("1")) {
+    // A table SUBSET implies replicate-only: the timing ladder's
+    // queries read the full corpus, so running it against a subset
+    // dir would only die on the first missing table.
+    if (sys.env.get("SPARK_GRAFT_SMOKE_REPLICATE_ONLY").contains("1") ||
+        wantedTables.nonEmpty) {
       spark.stop()
       return
     }

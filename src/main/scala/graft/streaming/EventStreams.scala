@@ -32,8 +32,16 @@ object EventStreams {
 
   final case class SessionState(start: Long, lastTs: Long, nEvents: Long)
 
+  /** `start_ms`/`end_ms` carry the session bounds EXACTLY: the
+    * presentation seconds are floor-truncated, so deriving an end from
+    * `session_start_sec + duration_sec` under-reports the true last
+    * event by up to ~1 s — enough to flip a gap comparison right at
+    * the threshold when Events.compactSessions re-merges
+    * boundary-split fragments (compact on the exact bounds, present
+    * in seconds). */
   final case class Session(user_id: Long, session_start_sec: Long,
-                           n_events: Long, duration_sec: Long)
+                           n_events: Long, duration_sec: Long,
+                           start_ms: Long, end_ms: Long)
 
   /** Tumbling 1-hour counts per event type; `delay` is the watermark
     * (late data beyond it is dropped and its windows finalized). */
@@ -96,6 +104,9 @@ object EventStreams {
     * batch, or event-time timeout fires after the watermark passes). */
   def sessionize(events: Dataset[Ev], gapSec: Long = 1800): Dataset[Session] = {
     import events.sparkSession.implicits._
+    def emit(user: Long, s: SessionState): Session =
+      Session(user, s.start / 1000, s.nEvents,
+        (s.lastTs - s.start) / 1000, s.start, s.lastTs)
     events
       .withWatermark("ts", "2 hours")
       .groupByKey(_.user_id)
@@ -105,8 +116,7 @@ object EventStreams {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator(Session(user, s.start / 1000, s.nEvents,
-              (s.lastTs - s.start) / 1000))
+            Iterator(emit(user, s))
           } else {
             val sorted = evs.toSeq.sortBy(_.ts.getTime)
             var cur = state.getOption
@@ -129,10 +139,7 @@ object EventStreams {
             // remains the retrospective exact path.
             var pendingLate = Option.empty[SessionState]
             def flushLate(): Unit = {
-              pendingLate.foreach { f =>
-                closed += Session(user, f.start / 1000, f.nEvents,
-                  (f.lastTs - f.start) / 1000)
-              }
+              pendingLate.foreach(f => closed += emit(user, f))
               pendingLate = None
             }
             sorted.foreach { e =>
@@ -140,8 +147,7 @@ object EventStreams {
               cur match {
                 case Some(s) if t - s.lastTs >= gapSec * 1000 =>
                   flushLate()
-                  closed += Session(user, s.start / 1000, s.nEvents,
-                    (s.lastTs - s.start) / 1000)
+                  closed += emit(user, s)
                   cur = Some(SessionState(t, t, 1))
                 case Some(s) if t < s.start - gapSec * 1000 =>
                   pendingLate match {

@@ -58,11 +58,18 @@ class StreamingSpec extends SparkSuite {
     // {100}. The stream sees 100 first, then the late pair (0,10) —
     // flushed as a fragment — then 35, which is ADJACENT to the
     // flushed fragment but cannot merge (Append emitted it already):
-    // the boundary-split case compactSessions exists for.
+    // the boundary-split case compactSessions exists for. Sub-second
+    // offsets on the fragment boundary pin the exact-bounds contract:
+    // compacting on floor-truncated seconds would misjudge gaps right
+    // at the threshold (the 29m59.2s hop below stays one session only
+    // if end_ms is exact).
+    def tsMs(min: Long, ms: Long): java.sql.Timestamp =
+      new java.sql.Timestamp((1440 + min) * 60000L + ms)
     val evs = Seq(
       Ev(1, ts(100), 1, "click", 1.0),
-      Ev(2, ts(0), 1, "click", 1.0), Ev(3, ts(10), 1, "click", 1.0),
-      Ev(4, ts(35), 1, "click", 1.0))
+      Ev(2, ts(0), 1, "click", 1.0),
+      Ev(3, tsMs(10, 800), 1, "click", 1.0),
+      Ev(4, tsMs(40, 0), 1, "click", 1.0)) // gap 29m59.2s < 30m
 
     val input = MemoryStream[Ev]
     val q = EventStreams.sessionize(input.toDS())
@@ -86,13 +93,14 @@ class StreamingSpec extends SparkSuite {
     // the premise: the stream really did fragment the {0,10,35} session
     assert(frags.count() > 2, "expected boundary-split fragments")
 
+    // compact on the EXACT ms bounds (gap in ms); truncate to seconds
+    // only at presentation — the same discipline as q_session_compact
     val compacted = Events.compactSessions(
       frags.select(col("user_id"),
-        col("session_start_sec").as("start"),
-        (col("session_start_sec") + col("duration_sec")).as("end"),
-        col("n_events")), gap = 1800L)
-      .select(col("user_id"), col("start").as("session_start_sec"),
-        col("n_events"))
+        col("start_ms").as("start"), col("end_ms").as("end"),
+        col("n_events")), gap = 1800L * 1000L)
+      .select(col("user_id"),
+        expr("start div 1000").as("session_start_sec"), col("n_events"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
 
     val batch = evs.toDF()
