@@ -5,7 +5,7 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, StringStartsWith}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -191,9 +191,23 @@ final class FirebaseTable(conf: FirebaseSource.Conf)
 }
 
 final class FirebaseScan(conf: FirebaseSource.Conf)
-    extends ScanBuilder with SupportsPushDownFilters with Scan with Batch {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with Scan with Batch {
 
   private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = FirebaseSource.Schema
+
+  /** Column pruning: a keys-only projection (`select("path","key")`)
+    * narrows the rows the scan EMITS to the requested fields — the
+    * HTTP walk still fetches values (leaf keys are only knowable from
+    * the paged fetch), but value_json strings never enter the Spark
+    * row, the reference's shallow=true data shape
+    * (BackupProcessor.php:82) on the output side. */
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // preserve canonical column ORDER (Spark may request any order;
+    // emitting in ours keeps the reader's ordinal logic trivial)
+    required = StructType(FirebaseSource.Schema.fields
+      .filter(f => requiredSchema.fieldNames.contains(f.name)))
 
   /** Prune-only pushdown: the supported conjuncts drive partition
     * pruning in [[planInputPartitions]] (subtrees that cannot contain
@@ -208,11 +222,12 @@ final class FirebaseScan(conf: FirebaseSource.Conf)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan = this
-  override def readSchema(): StructType = FirebaseSource.Schema
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"firebase(${conf.url}${conf.root}) " +
       s"PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: [${required.fieldNames.mkString(", ")}], " +
       s"cursor: [${conf.startAt.getOrElse("")}..${conf.endAt.getOrElse("")}]"
 
   /** The [[LiveExport.plan]] loop, driver-side: probe each pending
@@ -242,12 +257,13 @@ final class FirebaseScan(conf: FirebaseSource.Conf)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FirebaseReaderFactory(conf)
+    new FirebaseReaderFactory(conf, required.fieldNames)
 }
 
 final case class FirebasePartition(path: String) extends InputPartition
 
-final class FirebaseReaderFactory(conf: FirebaseSource.Conf)
+final class FirebaseReaderFactory(conf: FirebaseSource.Conf,
+                                  columns: Array[String])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
@@ -257,9 +273,11 @@ final class FirebaseReaderFactory(conf: FirebaseSource.Conf)
       override def next(): Boolean =
         if (it.hasNext) { cur = it.next(); true } else false
       override def get(): InternalRow = InternalRow(
-        UTF8String.fromString(cur.path),
-        UTF8String.fromString(cur.key),
-        UTF8String.fromString(cur.valueJson))
+        columns.map {
+          case "path" => UTF8String.fromString(cur.path)
+          case "key" => UTF8String.fromString(cur.key)
+          case "value_json" => UTF8String.fromString(cur.valueJson)
+        }.toIndexedSeq: _*)
       override def close(): Unit = ()
     }
 }

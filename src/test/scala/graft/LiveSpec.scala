@@ -459,6 +459,25 @@ class LiveSpec extends SparkSuite {
     } finally stub.stop()
   }
 
+  test("DSv2 column pruning narrows the scan's emitted schema") {
+    val stub = new FirebaseStub()
+    try {
+      stub.seed(wideTree)
+      val df = spark.read.format("firebase").option("url", stub.url).load()
+        .select("path", "key")
+      val scans = df.queryExecution.executedPlan.collectLeaves().collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.asInstanceOf[graft.pipeline.FirebaseScan]
+      }
+      assert(scans.nonEmpty &&
+        scans.head.readSchema().fieldNames.toSeq == Seq("path", "key"),
+        s"scan schema not pruned: ${scans.map(_.readSchema().fieldNames.toSeq)}")
+      // values never enter the rows; the walk itself still works
+      val got = df.collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got == edgesOf(wideTree).map(e => (e.path, e.key)))
+    } finally stub.stop()
+  }
+
   test("DSv2 startat option resumes in cursor order, subtrees whole") {
     // integer keys cursor-order 1,2,10 then string "x"; startat=2 keeps
     // 2,10,x (NOT lexicographic, which would drop "10") and each kept
