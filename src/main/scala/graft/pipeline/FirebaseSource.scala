@@ -5,7 +5,7 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, StringStartsWith}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -192,10 +192,23 @@ final class FirebaseTable(conf: FirebaseSource.Conf)
 
 final class FirebaseScan(conf: FirebaseSource.Conf)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with Scan with Batch {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with Scan with Batch {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = FirebaseSource.Schema
+  private var limit: Option[Int] = None
+
+  /** Limit pushdown — the reference's `limitToFirst`
+    * (BackupProcessor.php:165) lifted to the distributed walk: each
+    * partition's walker STOPS FETCHING once it has `limit` edges
+    * (Walker.fetchTreeLimited), so pages past the limit are never
+    * requested. Returns false (partial push): partitions emit up to
+    * `limit` rows each, and Spark's own Limit still trims the union. */
+  override def pushLimit(l: Int): Boolean = {
+    limit = Some(l)
+    false
+  }
 
   /** Column pruning: a keys-only projection (`select("path","key")`)
     * narrows the rows the scan EMITS to the requested fields — the
@@ -228,6 +241,7 @@ final class FirebaseScan(conf: FirebaseSource.Conf)
     s"firebase(${conf.url}${conf.root}) " +
       s"PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: [${required.fieldNames.mkString(", ")}], " +
+      s"limit: ${limit.getOrElse(-1)}, " +
       s"cursor: [${conf.startAt.getOrElse("")}..${conf.endAt.getOrElse("")}]"
 
   /** The [[LiveExport.plan]] loop, driver-side: probe each pending
@@ -257,18 +271,22 @@ final class FirebaseScan(conf: FirebaseSource.Conf)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FirebaseReaderFactory(conf, required.fieldNames)
+    new FirebaseReaderFactory(conf, required.fieldNames, limit)
 }
 
 final case class FirebasePartition(path: String) extends InputPartition
 
 final class FirebaseReaderFactory(conf: FirebaseSource.Conf,
-                                  columns: Array[String])
+                                  columns: Array[String],
+                                  limit: Option[Int] = None)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private val it = conf.walker()
-        .fetchTree(p.asInstanceOf[FirebasePartition].path).iterator
+      private val walker = conf.walker()
+      private val path = p.asInstanceOf[FirebasePartition].path
+      private val it = limit
+        .map(walker.fetchTreeLimited(path, _))
+        .getOrElse(walker.fetchTree(path)).iterator
       private var cur: TreeCodec.Edge = _
       override def next(): Boolean =
         if (it.hasNext) { cur = it.next(); true } else false

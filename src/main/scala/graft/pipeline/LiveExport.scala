@@ -56,6 +56,12 @@ object LiveExport {
     * BackupFailureException.php): shallow listing failed 10x. */
   final class BackupFailure(msg: String) extends RuntimeException(msg)
 
+  /** Control-flow sentinel for [[Walker.fetchTreeLimited]]'s early
+    * stop; never escapes it (stackless — thrown once per limited
+    * walk, not worth a fill-in). */
+  private[pipeline] final class StopWalk
+      extends RuntimeException(null, null, false, false)
+
   /** Firebase `$key` cursor order (REST API "Ordering of data"): keys
     * parseable as 32-bit integers sort FIRST, numerically; everything
     * else follows lexicographically. The go-deeper resume
@@ -339,6 +345,24 @@ object LiveExport {
     def fetchTree(path: String): Seq[TreeCodec.Edge] = {
       val buf = Vector.newBuilder[TreeCodec.Edge]
       fetchSubtree(path, buf += _)
+      buf.result()
+    }
+
+    /** [[fetchTree]] that STOPS WALKING once `limit` edges are
+      * collected — the reference's `limitToFirst` effect
+      * (BackupProcessor.php:165) lifted to the whole-subtree walk:
+      * pages past the limit are never requested, not fetched-then-
+      * dropped. Mid-walk pagination state is simply abandoned (the
+      * walker is per-task and the caller discards it). */
+    def fetchTreeLimited(path: String, limit: Int): Seq[TreeCodec.Edge] = {
+      if (limit <= 0) return Vector.empty
+      val buf = Vector.newBuilder[TreeCodec.Edge]
+      var n = 0
+      try fetchSubtree(path, { e =>
+        buf += e; n += 1
+        if (n >= limit) throw new LiveExport.StopWalk
+      })
+      catch { case _: LiveExport.StopWalk => () }
       buf.result()
     }
 

@@ -478,6 +478,26 @@ class LiveSpec extends SparkSuite {
     } finally stub.stop()
   }
 
+  test("DSv2 limit pushdown stops the walk, not just the rows") {
+    val stub = new FirebaseStub()
+    try {
+      stub.seed(wideTree)
+      // ipp 16 -> /users alone needs ~8 pages for a full walk; with
+      // limit(5) pushed, each partition's walker stops after its first
+      // page, so /users sees the planning probe + ONE data page
+      val df = spark.read.format("firebase").option("url", stub.url)
+        .option("maxipp", "16").load().limit(5)
+      val rows = df.collect()
+      assert(rows.length == 5)
+      val all = edgesOf(wideTree)
+      assert(rows.forall(r => all.contains(
+        TreeCodec.Edge(r.getString(0), r.getString(1), r.getString(2)))))
+      val userFetches = stub.getPaths.count(_ == "/users")
+      assert(userFetches <= 3,
+        s"limit did not stop the walk: $userFetches /users fetches")
+    } finally stub.stop()
+  }
+
   test("DSv2 startat option resumes in cursor order, subtrees whole") {
     // integer keys cursor-order 1,2,10 then string "x"; startat=2 keeps
     // 2,10,x (NOT lexicographic, which would drop "10") and each kept
