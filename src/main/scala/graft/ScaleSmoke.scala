@@ -42,7 +42,7 @@ object ScaleSmoke {
     * count with k-fold heavier groups, the other interesting shape. */
   private val EventQueries = Seq(
     "q_events_session", "q_events_window", "q_events_sliding",
-    "q_events_gapfill")
+    "q_events_gapfill", "q_session_compact")
 
   /** The multi-join / specialty-join / wide-window surface, previously
     * never rehearsed (the round-6 ladder covered scans, basic joins,

@@ -114,6 +114,40 @@ class StreamingSpec extends SparkSuite {
       s"compacted=$compacted batch=$batch")
   }
 
+  test("compactSessions reconstructs sessions under arbitrary slicings") {
+    // the oracled q_session_compact proves ONE slicing (2-hour
+    // epoch-aligned); the operator's law is stronger — fragments from
+    // ANY partition of the timeline compact back to the direct
+    // sessionization. Randomized slicings against a fold reference.
+    val sp = spark; import sp.implicits._
+    val gap = 100L
+    val rnd = new scala.util.Random(42)
+    def sessions(ts: Seq[Long]): Vector[(Long, Long, Long)] =
+      ts.sorted.foldLeft(Vector.empty[(Long, Long, Long)]) {
+        case (acc, t) => acc.lastOption match {
+          case Some((s, e, n)) if t - e < gap => acc.init :+ ((s, t, n + 1))
+          case _ => acc :+ ((t, t, 1L))
+        }
+      }
+    (0 until 5).foreach { trial =>
+      val evs = Seq.fill(120)(
+        (rnd.nextInt(3).toLong, rnd.nextInt(5000).toLong)).distinct
+      val want = evs.groupBy(_._1).flatMap { case (u, es) =>
+        sessions(es.map(_._2)).map { case (s, _, n) => (u, s, n) }
+      }.toSet
+      val cuts = Seq.fill(6)(rnd.nextInt(5000).toLong).sorted
+      def sliceOf(t: Long) = cuts.count(_ <= t)
+      val frags = evs.groupBy(e => (e._1, sliceOf(e._2))).toSeq.flatMap {
+        case ((u, _), es) =>
+          sessions(es.map(_._2)).map { case (s, e, n) => (u, s, e, n) }
+      }
+      val got = Events.compactSessions(
+        frags.toDF("user_id", "start", "end", "n_events"), gap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      assert(got == want, s"slicing trial $trial diverged")
+    }
+  }
+
   test("streaming dedup drops replayed event_ids") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = sp.sqlContext
