@@ -58,8 +58,8 @@ object ScaleSmoke {
     "q_group_collect", "q_string_agg", "q_pivot", "q_sample_hash",
     "q_backup_diff")
 
-  /** Write order of [[replicate]] — the completion marker must come
-    * from the LAST table a run writes, whatever subset it writes. */
+  /** Write order of [[replicate]] — also the known-table set for
+    * SPARK_GRAFT_SMOKE_TABLES validation and the replica manifest. */
   private val TableOrder = Seq("lineitem", "orders", "region", "nation",
     "customer", "supplier", "part", "documents", "events", "embeddings")
 
@@ -81,11 +81,6 @@ object ScaleSmoke {
     ts
   }
 
-  /** The completion-marker table for the current table subset. */
-  private def markerTable: String = {
-    val only = wantedTables
-    TableOrder.filter(t => only.isEmpty || only(t)).last
-  }
 
   def replicate(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     val only = wantedTables
@@ -217,25 +212,52 @@ object ScaleSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // SPARK_GRAFT_SMOKE_REUSE=1 skips replication when the work dir is
-    // already populated (iterating on one query's ratio)
+    // SPARK_GRAFT_SMOKE_REUSE=1 skips replication when the work dir
+    // already holds THIS run's corpus: the manifest written after a
+    // complete replicate() records (k, src, tables), so a dir from a
+    // different k, source, or a subset missing any of this run's
+    // tables is re-replicated instead of silently reused (a bare
+    // last-table _SUCCESS marker validated exactly those mismatches —
+    // and check_oracles skips absent tables, so a stale reuse would
+    // pass its gate vacuously)
+    val manifest = new java.io.File(s"$work/_GRAFT_REPLICA.json")
+    def manifestCovers(): Boolean = manifest.exists() && {
+      val txt = new String(java.nio.file.Files.readAllBytes(manifest.toPath))
+      val wantTables =
+        TableOrder.filter(t => wantedTables.isEmpty || wantedTables(t))
+      txt.contains(s""""k":$k,""") && txt.contains(s""""src":"$src"""") &&
+        wantTables.forall(t => txt.contains("\"" + t + "\""))
+    }
     val reuse = sys.env.get("SPARK_GRAFT_SMOKE_REUSE").contains("1") &&
-      // last table THIS RUN's subset writes + its commit marker: a
-      // partial corpus from an interrupted run must not be reused, and
-      // a full-run marker (embeddings) must not cover a different
-      // subset's missing tables
-      new java.io.File(s"$work/$markerTable.parquet/_SUCCESS").exists()
-    if (!reuse) replicate(spark, src, work, k)
+      manifestCovers()
+    if (!reuse) {
+      if (manifest.exists()) manifest.delete() // no stale manifest if we die
+      replicate(spark, src, work, k)
+      val written =
+        TableOrder.filter(t => wantedTables.isEmpty || wantedTables(t))
+      java.nio.file.Files.write(manifest.toPath,
+        s"""{"k":$k,"src":"$src","tables":[${
+          written.map("\"" + _ + "\"").mkString(",")}]}"""
+          .getBytes("UTF-8"))
+    }
 
     // SPARK_GRAFT_SMOKE_REPLICATE_ONLY=1 stops after writing the k×
     // corpus: the 32× correctness spot-gate (tools/scale_gate.sh)
     // feeds it to Verify + tools/check_oracles.py, so results — not
     // just times — are checked against DuckDB at replicated scale.
-    // A table SUBSET implies replicate-only: the timing ladder's
-    // queries read the full corpus, so running it against a subset
-    // dir would only die on the first missing table.
+    // A table SUBSET also implies replicate-only — UNLESS the caller
+    // named a query subset too (SPARK_GRAFT_SMOKE_ONLY): a query that
+    // reads only the replicated tables can still be timed. The full
+    // ladder over a subset dir would just die on its first missing
+    // table, so that combination stops here, and says so.
+    val smokeOnly = sys.env.get("SPARK_GRAFT_SMOKE_ONLY").exists(_.nonEmpty)
     if (sys.env.get("SPARK_GRAFT_SMOKE_REPLICATE_ONLY").contains("1") ||
-        wantedTables.nonEmpty) {
+        (wantedTables.nonEmpty && !smokeOnly)) {
+      if (wantedTables.nonEmpty && !smokeOnly &&
+          !sys.env.get("SPARK_GRAFT_SMOKE_REPLICATE_ONLY").contains("1"))
+        println(s"""{"metric":"scale_smoke","note":"table subset implies """ +
+          """replicate-only; set SPARK_GRAFT_SMOKE_ONLY to time queries """ +
+          """over the subset"}""")
       spark.stop()
       return
     }

@@ -258,13 +258,26 @@ final class FirebaseScan(conf: FirebaseSource.Conf)
       .filter(FirebasePushdown.inCursor(_, conf.startAt, conf.endAt))
       .map(childPath(conf.root, _))
       .filter(FirebasePushdown.keep(_, pushed.toSeq))
+    // a pushed limit also caps PLANNING: every walkable subtree came
+    // from a shallow listing, so it exists and emits >= 1 edge —
+    // `limit` planned partitions emit >= limit rows, and probing the
+    // rest (one floor-page GET each) would be pure waste. (A subtree
+    // deleted between listing and walk can under-deliver, but a
+    // concurrent delete loses those rows on ANY live scan — the
+    // reference has the same read-skew, BackupProcessor.php:71-136.)
+    val cap = limit.getOrElse(Int.MaxValue)
+    var planned = 0
     val work = Array.newBuilder[InputPartition]
-    while (pending.nonEmpty) {
-      val verdicts = pending.map(p => p -> walker.probeSplit(p))
-      pending = verdicts.flatMap(_._2)
+    while (pending.nonEmpty && planned < cap) {
+      val verdicts = pending.take(cap - planned)
+        .map(p => p -> walker.probeSplit(p))
+      pending = (verdicts.flatMap(_._2) ++ pending.drop(verdicts.size))
         .filter(FirebasePushdown.keep(_, pushed.toSeq))
       verdicts.foreach { case (p, splits) =>
-        if (splits.isEmpty) work += FirebasePartition(p)
+        if (splits.isEmpty && planned < cap) {
+          work += FirebasePartition(p)
+          planned += 1
+        }
       }
     }
     work.result()
@@ -287,15 +300,23 @@ final class FirebaseReaderFactory(conf: FirebaseSource.Conf,
       private val it = limit
         .map(walker.fetchTreeLimited(path, _))
         .getOrElse(walker.fetchTree(path)).iterator
+      // column extractors resolved ONCE per reader, not per row — the
+      // emit loop is the scan's only hot path
+      private val extractors: Array[TreeCodec.Edge => UTF8String] =
+        columns.map[TreeCodec.Edge => UTF8String] {
+          case "path"       => e => UTF8String.fromString(e.path)
+          case "key"        => e => UTF8String.fromString(e.key)
+          case "value_json" => e => UTF8String.fromString(e.valueJson)
+        }
       private var cur: TreeCodec.Edge = _
       override def next(): Boolean =
         if (it.hasNext) { cur = it.next(); true } else false
-      override def get(): InternalRow = InternalRow(
-        columns.map {
-          case "path" => UTF8String.fromString(cur.path)
-          case "key" => UTF8String.fromString(cur.key)
-          case "value_json" => UTF8String.fromString(cur.valueJson)
-        }.toIndexedSeq: _*)
+      override def get(): InternalRow = {
+        val vals = new Array[Any](extractors.length)
+        var i = 0
+        while (i < extractors.length) { vals(i) = extractors(i)(cur); i += 1 }
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+      }
       override def close(): Unit = ()
     }
 }

@@ -498,6 +498,23 @@ class LiveSpec extends SparkSuite {
     } finally stub.stop()
   }
 
+  test("DSv2 limit pushdown caps planning probes, not just the walk") {
+    val stub = new FirebaseStub()
+    try {
+      stub.seed(wideTree)
+      // limit(1): ONE partition suffices (every walkable subtree from
+      // the shallow listing emits >= 1 edge), so of the three
+      // top-level children only the cursor-first one may be probed
+      val rows = spark.read.format("firebase").option("url", stub.url)
+        .load().limit(1).collect()
+      assert(rows.length == 1)
+      val children = stub.getPaths.filter(p =>
+        Seq("/users", "/config", "/version").contains(p)).distinct
+      assert(children.size <= 1,
+        s"planning probed beyond the limit: $children")
+    } finally stub.stop()
+  }
+
   test("DSv2 startat option resumes in cursor order, subtrees whole") {
     // integer keys cursor-order 1,2,10 then string "x"; startat=2 keeps
     // 2,10,x (NOT lexicographic, which would drop "10") and each kept
