@@ -515,6 +515,26 @@ class LiveSpec extends SparkSuite {
     } finally stub.stop()
   }
 
+  test("DSv2 limit planning still splits fat subtrees it must enter") {
+    // the planning cap interacts with go-deeper splits: a fat first
+    // child is probed (and split) without counting toward the cap;
+    // the cap then takes the first WALKABLE work item — one row out,
+    // and the sibling subtree is never probed
+    val kids = (0 until 30).map(i =>
+      s""""c$i": {"k1": "${"x" * 180}", "k2": "${"y" * 180}"}""")
+      .mkString(",")
+    val json = s"""{"fat": {$kids}, "tiny": 1}"""
+    val stub = new FirebaseStub(maxPayloadBytes = 600)
+    try {
+      stub.seed(json)
+      val rows = spark.read.format("firebase").option("url", stub.url)
+        .load().limit(1).collect()
+      assert(rows.length == 1)
+      assert(!stub.getPaths.contains("/tiny"),
+        s"probed past the planning cap: ${stub.getPaths.distinct}")
+    } finally stub.stop()
+  }
+
   test("DSv2 startat option resumes in cursor order, subtrees whole") {
     // integer keys cursor-order 1,2,10 then string "x"; startat=2 keeps
     // 2,10,x (NOT lexicographic, which would drop "10") and each kept
