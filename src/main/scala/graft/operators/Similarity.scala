@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
   *    ~sqrt(n) vectors (modulus floors at 53, today's behavior at test
   *    scale); every vector is assigned to its nearest centroid
   *    (broadcast centroids, one corpus scan); probes search
-  *    nprobe ≈ nlist/10 nearest cells (floor 4). The inverted-file
+  *    nprobe ≈ nlist/8 nearest cells (floor 4). The inverted-file
   *    shape: cell assignment is the partition key at scale.
   *
   * All dot products go through the native codegen'd VectorDot
@@ -330,7 +330,7 @@ object Similarity {
       "IVF ANN: deterministic ~sqrt(n) centroid sample, nearest-" +
         "centroid cell assignment (one map-only scan; the whole argmax " +
         "loop is a single native expression per row — NearestCentroid), " +
-        "probes search nprobe≈nlist/10 cells (floor 4). Oracle-exempt; " +
+        "probes search nprobe≈nlist/8 cells (floor 4). Oracle-exempt; " +
         "recall in SimilaritySpec.",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
@@ -340,13 +340,18 @@ object Similarity {
         // crossJoin costs n x |centroids| = O(n²) — the 32x ScaleSmoke
         // measured q_ann_ivf at 7.7x for 32x data under mod 53. With
         // nlist ≈ sqrt(n) assignment is O(n^1.5) (the standard IVF
-        // sizing); nprobe tracks nlist/10 so the searched fraction —
+        // sizing); nprobe tracks nlist/8 so the searched fraction —
         // and so recall — holds steady instead of collapsing as cells
         // multiply. Floors pin today's behavior at the test scale
         // factors (n<=2809 -> mod 53, nprobe 4, unchanged).
         val n = math.max(1L, emb.count())
         val mod = centroidMod(n)
-        val nprobe = math.max(4, math.ceil(n / (10.0 * mod)).toInt)
+        // /8 (12.5% of cells), raised from /10 in r12: the 64x gate
+        // measured recall 0.480 at n=32k — below the 0.5 floor — with
+        // the 10% fraction (16k: 0.540, 512k: 0.600, 1M: 0.640 were
+        // above it); the wider probe set lifts every rung at +25%
+        // probe-side candidate cost, which assignment dominates anyway
+        val nprobe = math.max(4, math.ceil(n / (8.0 * mod)).toInt)
         // the centroid frame is ~sqrt(n) rows read out of a full
         // corpus scan (modulo filters cannot range-prune); it feeds
         // the probe crossJoin AND the driver collect below, so
