@@ -478,6 +478,19 @@ class LiveSpec extends SparkSuite {
     } finally stub.stop()
   }
 
+  test("fetchTreeLimited edge cases: oversize limit walks whole, zero walks none") {
+    val stub = new FirebaseStub()
+    try {
+      stub.seed(wideTree)
+      val walker = new LiveExport.Walker(new HttpRestClient(stub.url))
+      assert(walker.fetchTreeLimited("/", 1000000).toSet == edgesOf(wideTree))
+      val before = stub.getCount.get()
+      assert(walker.fetchTreeLimited("/", 0).isEmpty)
+      assert(stub.getCount.get() == before, "limit 0 still fetched")
+      assert(walker.fetchTreeLimited("/users", 7).size == 7)
+    } finally stub.stop()
+  }
+
   test("DSv2 limit pushdown stops the walk, not just the rows") {
     val stub = new FirebaseStub()
     try {
