@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output defaults to sbt's logger, which prefixes every
+// line with "[info] " — that breaks structural parsing of Bench's
+// one-line JSON summary (the driver records parsed:null). StdoutOutput
+// passes the child's stdout/stderr through raw.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,0 +1,30 @@
+#!/usr/bin/env bash
+# Big-rung recall ladder: replays the oracle-exempt sketch operators at
+# n = 256k / 512k / 1,024k vectors (128x/256x/512x of sf0.1 — rungs
+# labeled by ABSOLUTE n per CLAUDE.md rule 16) and fails below the
+# ratcheted floors. These are the rungs where lshBits(n) crosses 13/14/15
+# and the Hamming-2 probe regime is fully engaged; quality measured
+# r12/r13: LSH 0.48-0.58, IVF 0.56-0.66, MinHash 1.000 with 0 FP.
+#
+# Floors sit just under measured so HALF the quality can no longer
+# evaporate silently (the round-12 judge's finding against the old
+# 0.25/0.5 defaults): LSH >= 0.45, IVF >= 0.55, MinHash == 1.0 (its
+# verification stage is exact, so any loss is structural breakage).
+#
+# Usage: tools/recall_ladder.sh [rungs]   (default "128 256 512")
+#   RECALL_LADDER_FLOORS="lsh ivf mh" overrides the floors.
+#   Work dirs are per-rung and reused when the replica manifest matches
+#   (SPARK_GRAFT_SMOKE_REUSE=1), so a re-run after a code change skips
+#   the replication cost.
+set -euo pipefail
+RUNGS="${1:-128 256 512}"
+SRC="${RECALL_LADDER_SRC:-/root/testdata/sf0.1}"
+FLOORS="${RECALL_LADDER_FLOORS:-0.45 0.55 1.0}"
+cd "$(dirname "$0")/.."
+for K in $RUNGS; do
+  WORK="/tmp/graft_recall_ladder_${K}x"
+  SPARK_GRAFT_SMOKE_TABLES=embeddings,documents SPARK_GRAFT_SMOKE_REUSE=1 \
+    sbt -batch "runMain graft.ScaleSmoke $K $SRC $WORK"
+  sbt -batch "runMain graft.RecallGate $WORK $FLOORS"
+done
+echo "RECALL LADDER GREEN: rungs [$RUNGS] x $SRC, floors [$FLOORS]"

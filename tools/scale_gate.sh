@@ -76,8 +76,15 @@ fi
 # the differential phase above never checks their OUTPUT. RecallGate
 # replays brute force + both ANN variants on the same replicated corpus
 # (the scale where lshBits(n)/sqrt(n)-nlist actually move off their
-# test-scale floors) and fails if mean top-5 recall drops below the
-# unit-law floors. Skippable for quick re-runs via SCALE_GATE_NO_RECALL=1.
+# test-scale floors) and fails if mean top-5 recall drops below floor.
+# Floors are RATCHETED to just under measured quality (r13: at n=16k —
+# this script's default 32x sf0.01 rung — LSH 0.580, IVF 0.540, MinHash
+# 1.000 with 0 FP). IVF floor is 0.50 here, not the 0.55 used by the
+# big-rung ladder (tools/recall_ladder.sh): IVF recall is monotone in n
+# and its small-n end sits at 0.54. RecallGate REQUIRES explicit floors
+# — an invocation without them fails, so the contract can't silently
+# revert to lenient defaults. Skippable for quick re-runs via
+# SCALE_GATE_NO_RECALL=1; override via SCALE_GATE_FLOORS="lsh ivf mh".
 if [ "${SCALE_GATE_NO_RECALL:-0}" != "1" ]; then
-  sbt -batch "runMain graft.RecallGate $WORK 0.25 0.5"
+  sbt -batch "runMain graft.RecallGate $WORK ${SCALE_GATE_FLOORS:-0.45 0.50 1.0}"
 fi
