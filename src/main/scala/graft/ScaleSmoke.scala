@@ -221,24 +221,29 @@ object ScaleSmoke {
     // and check_oracles skips absent tables, so a stale reuse would
     // pass its gate vacuously)
     val manifest = new java.io.File(s"$work/_GRAFT_REPLICA.json")
+    // ONE canonical manifest string per (k, src, tables): the writer
+    // emits it and the reuse check compares for EXACT equality, so
+    // token collisions (a src path containing a quoted table name, a
+    // future field echoing "k":N) can never produce a false-positive
+    // reuse of a mismatched corpus. The cost is that a full-corpus dir
+    // is no longer reused for a subset run (its table list differs) —
+    // re-replicating is cheap; a vacuously-passing gate is not.
+    def canonicalManifest(): String = {
+      val tables = TableOrder.filter(t => wantedTables.isEmpty || wantedTables(t))
+      s"""{"k":$k,"src":"$src","tables":[${
+        tables.map("\"" + _ + "\"").mkString(",")}]}"""
+    }
     def manifestCovers(): Boolean = manifest.exists() && {
       val txt = new String(java.nio.file.Files.readAllBytes(manifest.toPath))
-      val wantTables =
-        TableOrder.filter(t => wantedTables.isEmpty || wantedTables(t))
-      txt.contains(s""""k":$k,""") && txt.contains(s""""src":"$src"""") &&
-        wantTables.forall(t => txt.contains("\"" + t + "\""))
+      txt.trim == canonicalManifest()
     }
     val reuse = sys.env.get("SPARK_GRAFT_SMOKE_REUSE").contains("1") &&
       manifestCovers()
     if (!reuse) {
       if (manifest.exists()) manifest.delete() // no stale manifest if we die
       replicate(spark, src, work, k)
-      val written =
-        TableOrder.filter(t => wantedTables.isEmpty || wantedTables(t))
       java.nio.file.Files.write(manifest.toPath,
-        s"""{"k":$k,"src":"$src","tables":[${
-          written.map("\"" + _ + "\"").mkString(",")}]}"""
-          .getBytes("UTF-8"))
+        canonicalManifest().getBytes("UTF-8"))
     }
 
     // SPARK_GRAFT_SMOKE_REPLICATE_ONLY=1 stops after writing the k×

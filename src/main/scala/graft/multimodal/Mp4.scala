@@ -222,7 +222,15 @@ object Mp4 {
                   h = u32(b, ke - 4).toDouble / 65536.0
                 }
               }
-              // first video trak's sample table, from the SAME walk
+              // FIRST video trak whose sample table BUILDS, from the
+              // SAME walk: a vide trak with a malformed/truncated stbl
+              // yields None here and a later video trak's valid table
+              // is taken instead (deliberate fall-through — a playable
+              // track beats faithfully reporting the broken first one;
+              // pinned by "malformed first video trak falls through"
+              // in MultimodalSpec). Dimensions still come from the
+              // first vide tkhd (w == 0 guard above), matching how
+              // players report presentation size.
               if (video.isEmpty) video = for {
                 bs <- inMdia
                 (_, mis, mie) <- find(bs, "minf")

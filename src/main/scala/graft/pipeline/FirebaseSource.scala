@@ -234,6 +234,24 @@ final class FirebaseScan(conf: FirebaseSource.Conf)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
+  /** The limit actually applied to planning and per-partition walks.
+    *
+    * The cap logic reasons "each planned partition emits >= 1 row, so
+    * `limit` partitions suffice" — that only holds when NO filters are
+    * in play, because a kept partition may emit zero rows that survive
+    * the residual filters while a cap-pruned one held matches (and the
+    * per-partition early-stop counts raw edges, not matching ones).
+    * Today Spark never delivers both: it only pushes a limit that sits
+    * directly on the scan, and pushFilters returns every filter as
+    * residual, so a Filter node always sits between Limit and this
+    * scan. Guard explicitly instead of relying on that planner
+    * invariant — with pushed filters present the limit is ignored
+    * (partitions walk whole; Spark's own Limit trims), so a future
+    * Spark that pushes both degrades to correct-but-unpruned rather
+    * than silently returning fewer than `limit` matching rows. */
+  private def effectiveLimit: Option[Int] =
+    if (pushed.nonEmpty) None else limit
+
   override def build(): Scan = this
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -265,7 +283,7 @@ final class FirebaseScan(conf: FirebaseSource.Conf)
     // deleted between listing and walk can under-deliver, but a
     // concurrent delete loses those rows on ANY live scan — the
     // reference has the same read-skew, BackupProcessor.php:71-136.)
-    val cap = limit.getOrElse(Int.MaxValue)
+    val cap = effectiveLimit.getOrElse(Int.MaxValue)
     var planned = 0
     val work = Array.newBuilder[InputPartition]
     while (pending.nonEmpty && planned < cap) {
@@ -284,7 +302,7 @@ final class FirebaseScan(conf: FirebaseSource.Conf)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FirebaseReaderFactory(conf, required.fieldNames, limit)
+    new FirebaseReaderFactory(conf, required.fieldNames, effectiveLimit)
 }
 
 final case class FirebasePartition(path: String) extends InputPartition

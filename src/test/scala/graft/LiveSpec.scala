@@ -548,6 +548,43 @@ class LiveSpec extends SparkSuite {
     } finally stub.stop()
   }
 
+  test("pushed filters disable the limit cap (guarded planner invariant)") {
+    // The planning cap and per-partition early-stop assume every
+    // planned partition contributes >= 1 SURVIVING row — false once
+    // residual filters are in play (a kept partition can emit zero
+    // matching rows while a cap-pruned one held the matches). Spark
+    // today never pushes a limit past a Filter so the pair can't
+    // co-occur via the DataFrame API; drive the ScanBuilder directly
+    // to pin the explicit guard for a future Spark that does.
+    import org.apache.spark.sql.sources.GreaterThanOrEqual
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val stub = new FirebaseStub()
+    try {
+      stub.seed("""{"a": {"x1": 1, "x2": 2, "x3": 3},
+                    "b": {"y1": 4}, "c": {"z1": 5}}""")
+      val opts = new java.util.HashMap[String, String]()
+      opts.put("url", stub.url)
+      val scan = new graft.pipeline.FirebaseScan(
+        graft.pipeline.FirebaseSource.conf(new CaseInsensitiveStringMap(opts)))
+      scan.pushFilters(Array(GreaterThanOrEqual("key", "x")))
+      assert(scan.pushLimit(1) == false)
+      // all three containers MIGHT hold matching keys: with a filter
+      // pushed the cap must not stop planning at 1 partition
+      val parts = scan.planInputPartitions()
+        .map(_.asInstanceOf[graft.pipeline.FirebasePartition].path).toSet
+      assert(parts == Set("/a", "/b", "/c"),
+        s"limit cap pruned planning despite pushed filters: $parts")
+      // and the per-partition walk must not early-stop at 1 edge:
+      // /a holds all 3 matches, which Spark's residual filter needs
+      val factory = scan.createReaderFactory()
+      val reader = factory.createReader(graft.pipeline.FirebasePartition("/a"))
+      var n = 0
+      while (reader.next()) n += 1
+      reader.close()
+      assert(n == 3, s"walk early-stopped under a pushed filter: $n rows")
+    } finally stub.stop()
+  }
+
   test("DSv2 startat option resumes in cursor order, subtrees whole") {
     // integer keys cursor-order 1,2,10 then string "x"; startat=2 keeps
     // 2,10,x (NOT lexicographic, which would drop "10") and each kept
