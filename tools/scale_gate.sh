@@ -45,6 +45,9 @@ cd "$(dirname "$0")/.."
 # DuckDB upgrade fails as "RANK LAW MISMATCH", not as a mysterious
 # hash mismatch in the differential phase
 python3 tools/probe_rank_law.py
+# negative control: prove the checker itself still goes RED on wrong
+# results before trusting its green (the vacuous-pass class, r7/r8)
+python3 tools/selftest_check_oracles.py
 SPARK_GRAFT_SMOKE_REPLICATE_ONLY=1 sbt -batch "runMain graft.ScaleSmoke $K $SRC $WORK"
 rm -rf "$OUT"
 # NTILE_PLAIN_MAX lowered so q_window_ntile takes its DECOMPOSITION
