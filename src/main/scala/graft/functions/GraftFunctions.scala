@@ -76,6 +76,14 @@ object GraftFunctions {
       es0 => { val es = arity(es0, 3, "lsh_bucket_ids(vec, tables, bits)")
         LshBucketIds(es.head, intLit(es(1), "lsh_bucket_ids: tables"),
           intLit(es(2), "lsh_bucket_ids: bits")) }),
+    ("lsh_probe_ids", info("lsh_probe_ids",
+      "lsh_probe_ids(vec, tables, bits, max_probes) - query-directed " +
+        "multi-probe LSH bucket sequence, max_probes per table"),
+      es0 => { val es = arity(es0, 4,
+        "lsh_probe_ids(vec, tables, bits, max_probes)")
+        LshProbeIds(es.head, intLit(es(1), "lsh_probe_ids: tables"),
+          intLit(es(2), "lsh_probe_ids: bits"),
+          intLit(es(3), "lsh_probe_ids: max_probes")) }),
     ("nearest_centroid", info("nearest_centroid",
       "nearest_centroid(vec, cids, cents_flat, norms) - id of the " +
         "centroid maximizing dot(vec, c)/|c|, ties to the smallest id"),
@@ -388,6 +396,154 @@ case class LshBucketIds(child: Expression, tables: Int, bits: Int)
 
   override protected def withNewChildInternal(c: Expression): LshBucketIds =
     copy(child = c)
+}
+
+/** Query-directed multi-probe LSH (Lv et al., VLDB'07): the probe
+  * buckets of a vector in every table, ordered by how likely each
+  * perturbed bucket is to hold the vector's true neighbors. Returns
+  * array<long> of length `tables * maxProbes`; element
+  * `t * maxProbes + i` is the i-th bucket to probe in table t
+  * (element 0 of each block is always the exact-signature bucket).
+  *
+  * Direction comes from the per-bit margins: bit p of table t flips
+  * for a near neighbor with probability decreasing in
+  * |<vec, plane(t*bits+p)>| (the vector's distance from the
+  * hyperplane), so a flip-set's likelihood score is the sum of its
+  * squared margins — smaller is likelier. Selection per table:
+  *
+  *  - the base bucket, then ALL Hamming-1 flips (when the budget
+  *    allows): probing can never do worse than the undirected
+  *    depth-1 ball, the ⊇-depth-1 law SimilaritySpec pins;
+  *  - remaining budget filled with the LOWEST-SCORE flips from the
+  *    weight-2 ∪ weight-3 ball, ties to the smaller mask. This is
+  *    where direction pays: the undirected depth-2 ball spends
+  *    budget flipping the two LARGEST margins, while three small
+  *    margins are often likelier than two big ones — those weight-3
+  *    sets are reachable here at identical probe count.
+  *
+  * Same [[LshPlanes]] weights and CodegenFallback-with-primitive-
+  * loops shape as [[LshBucketIds]] (one native call per row). Probe-
+  * side only (<= tens of rows) — the corpus bucket build never pays
+  * the enumeration; per row it is O(tables * bits^3) on a few-row
+  * frame. */
+case class LshProbeIds(child: Expression, tables: Int, bits: Int,
+                       maxProbes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(tables >= 1,
+    s"lsh_probe_ids: tables must be >= 1, got $tables")
+  require(bits >= 1 && bits <= 63,
+    s"lsh_probe_ids: bits must be in [1, 63], got $bits")
+  require(maxProbes >= 1 && maxProbes <= LshProbeIds.ballSize(bits),
+    s"lsh_probe_ids: maxProbes must be in [1, ${LshProbeIds.ballSize(bits)}]" +
+      s" (the weight<=3 ball at $bits bits), got $maxProbes")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"lsh_probe_ids expects array<float|double>, got " +
+        child.dataType.simpleString)
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def elemFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @transient private lazy val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Array[Double]]]()
+  private def planesFor(dim: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent(dim,
+      _ => Array.tabulate(tables * bits, dim)((p, j) => LshPlanes.weight(p, j)))
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val v = new Array[Double](n)
+    var j = 0
+    if (elemFloat) while (j < n) { v(j) = arr.getFloat(j).toDouble; j += 1 }
+    else while (j < n) { v(j) = arr.getDouble(j); j += 1 }
+    val planes = planesFor(n)
+    val out = new Array[Long](tables * maxProbes)
+    var t = 0
+    while (t < tables) {
+      val m2 = new Array[Double](bits) // squared margin per bit
+      var bucket = 0L
+      var p = 0
+      while (p < bits) {
+        val w = planes(t * bits + p)
+        var dot = 0.0
+        var i = 0
+        while (i < n) { dot += v(i) * w(i); i += 1 }
+        if (dot >= 0) bucket |= (1L << p)
+        m2(p) = dot * dot
+        p += 1
+      }
+      val masks = LshProbeIds.selectMasks(bits, maxProbes, m2)
+      var i = 0
+      while (i < maxProbes) {
+        out(t * maxProbes + i) = bucket ^ masks(i)
+        i += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): LshProbeIds =
+    copy(child = c)
+}
+
+object LshProbeIds {
+  /** Size of the Hamming weight<=3 perturbation ball. */
+  def ballSize(bits: Int): Int =
+    1 + bits + bits * (bits - 1) / 2 + bits * (bits - 1) * (bits - 2) / 6
+
+  /** The directed mask sequence for one table, shared with the spec
+    * reimplementation in SimilaritySpec: base, all singles in bit
+    * order (or the lowest-margin singles if the budget is smaller),
+    * then the best-scoring weight-2/3 masks by (score, mask). */
+  private[graft] def selectMasks(bits: Int, maxProbes: Int,
+                                 m2: Array[Double]): Array[Long] = {
+    val masks = new Array[Long](maxProbes)
+    var idx = 0
+    masks(idx) = 0L; idx += 1
+    if (maxProbes <= bits) {
+      // sub-depth-1 budget: lowest-margin singles first (directed
+      // within weight 1), ties to the lower bit
+      (0 until bits).sortBy(p => (m2(p), p)).take(maxProbes - 1)
+        .foreach { p => masks(idx) = 1L << p; idx += 1 }
+    } else {
+      var p = 0
+      while (p < bits) { masks(idx) = 1L << p; idx += 1; p += 1 }
+      val rest = maxProbes - idx
+      if (rest > 0) {
+        val cand = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+        var i = 0
+        while (i < bits) {
+          var j = i + 1
+          while (j < bits) {
+            cand += ((m2(i) + m2(j), (1L << i) | (1L << j)))
+            var k = j + 1
+            while (k < bits) {
+              cand += ((m2(i) + m2(j) + m2(k),
+                (1L << i) | (1L << j) | (1L << k)))
+              k += 1
+            }
+            j += 1
+          }
+          i += 1
+        }
+        cand.sortInPlaceBy { case (s, m) => (s, m) }
+        var r = 0
+        while (r < rest) {
+          masks(idx) = cand(r)._2; idx += 1; r += 1
+        }
+      }
+    }
+    masks
+  }
 }
 
 /** How [[NearestCentroid]] receives its centroid matrix. Both forms

@@ -97,6 +97,112 @@ class SimilaritySpec extends SparkSuite {
     assert(native == spec, s"dim=$dim bucket mismatch")
   }
 
+  test("directed probe sequence: base first, superset of depth-1, " +
+      "distinct, within the weight-3 ball") {
+    // the structural guarantees q_ann_lsh's comment claims: element 0
+    // of every table block is the exact-signature bucket; with budget
+    // >= bits+1 the ENTIRE Hamming-1 ball is probed (directed can
+    // never do worse than undirected depth-1); no bucket is probed
+    // twice; no perturbation flips more than 3 bits. Checked both in
+    // the depth-1 regime (unit-scale bits) and the directed regime.
+    val emb = Tables.embeddings(spark, sf).limit(16)
+    for (bits <- Seq(Similarity.BitsPerTable, 13)) {
+      val perTable = Similarity.probesPerTable(bits)
+      val base = Similarity.lshBuckets(spark, emb, bits, spreadInput = false)
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val probes = emb.select(col("vec_id"),
+          posexplode(call_function("lsh_probe_ids", col("embedding"),
+            lit(Similarity.LshTables), lit(bits), lit(perTable))))
+        .toDF("vec_id", "pos", "bucket").collect()
+        .groupBy(r => (r.getLong(0), r.getInt(1) / perTable))
+        .map { case (k, rs) =>
+          k -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+        }
+      probes.foreach { case ((vid, t), seq) =>
+        assert(seq.size == perTable)
+        val b = base((vid, t))
+        assert(seq.head == b, s"vec $vid table $t: base bucket not first")
+        assert(seq.distinct.size == seq.size,
+          s"vec $vid table $t: duplicate probe buckets")
+        val weights = seq.map(x => java.lang.Long.bitCount(x ^ b))
+        assert(weights.forall(_ <= 3),
+          s"vec $vid table $t: probe outside the weight-3 ball")
+        val depth1 = (0 until bits).map(p => b ^ (1L << p)).toSet + b
+        assert(depth1.subsetOf(seq.toSet),
+          s"vec $vid table $t: directed probing dropped a depth-1 bucket")
+      }
+    }
+  }
+
+  test("directed mask selection matches an independent spec") {
+    // re-derive the selection functionally: margins from the shared
+    // LshPlanes table, all weight-2/3 masks scored by summed squared
+    // margin, (score, mask)-sorted, filling the budget after base +
+    // all singles — must equal the native expression's output exactly
+    val sp = spark; import sp.implicits._
+    val dim = 16
+    val vecs = (0L until 8L).map(i =>
+      (i, Array.tabulate(dim)(j =>
+        (functions.LshPlanes.splitmix64(i * 977 + j) >>> 40).toFloat / 1e6f - 8f)))
+      .toDF("vec_id", "embedding")
+    val bits = 13
+    val perTable = Similarity.probesPerTable(bits)
+    val rows = vecs.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val got = vecs.select(col("vec_id"),
+        posexplode(call_function("lsh_probe_ids", col("embedding"),
+          lit(Similarity.LshTables), lit(bits), lit(perTable))))
+      .toDF("vec_id", "pos", "bucket").collect()
+      .groupBy(r => (r.getLong(0), r.getInt(1) / perTable))
+      .map { case (k, rs) =>
+        k -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+      }
+    for (vid <- rows.keys; t <- 0 until Similarity.LshTables) {
+      val v = rows(vid)
+      val dots = Array.tabulate(bits) { p =>
+        (0 until dim).map(j =>
+          v(j) * functions.LshPlanes.weight(t * bits + p, j)).sum
+      }
+      val bucket = dots.zipWithIndex
+        .map { case (d, p) => if (d >= 0) 1L << p else 0L }.sum
+      val m2 = dots.map(d => d * d)
+      def score(mask: Long): Double =
+        (0 until bits).filter(p => (mask >> p & 1L) == 1L).map(m2).sum
+      val ball23 = (for {
+        i <- 0 until bits; j <- (i + 1) until bits
+        m <- ((1L << i) | (1L << j)) +:
+          ((j + 1) until bits).map(k => (1L << i) | (1L << j) | (1L << k))
+      } yield m).sortBy(m => (score(m), m))
+      val spec = (Seq(0L) ++ (0 until bits).map(1L << _) ++
+        ball23.take(perTable - 1 - bits)).map(bucket ^ _)
+      assert(got((vid, t)) == spec, s"vec $vid table $t selection diverged")
+    }
+  }
+
+  test("persisted-index probe equals the self-contained ivf query, " +
+      "reuses the index, and prunes buckets") {
+    // same centroids, same assignment, same probe policy -> identical
+    // rows (both totally ordered by qid, rn). This is also the law
+    // that transfers q_ann_ivf_probe's DuckDB oracle coverage onto
+    // q_ann_ivf's shared pipeline.
+    val ivf = SparkEntry.queries("q_ann_ivf")(spark, sf).collect().toSeq
+    val prb = SparkEntry.queries("q_ann_ivf_probe")(spark, sf).collect().toSeq
+    assert(ivf == prb, "probe-over-stored-index diverged from q_ann_ivf")
+    // build-once: a second ensure must not rewrite the artifact
+    val (at, _) = Similarity.ensureIvfIndex(spark, sf)
+    def mtimes() = spark.table(at).inputFiles.map(f =>
+      new java.io.File(new java.net.URI(f)).lastModified()).toSeq.sorted
+    val before = mtimes()
+    Similarity.ensureIvfIndex(spark, sf)
+    assert(mtimes() == before, "fresh index was rebuilt on re-ensure")
+    // scan-level bucket pruning: the probed-cells isin() must reach
+    // the bucketed scan (probe cost ~ nprobe x occupancy, not n)
+    val plan = SparkEntry.queries("q_ann_ivf_probe")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount"),
+      "assign-table scan did not plan bucket pruning")
+  }
+
   test("registered functions reject wrong arity with a clear error") {
     graft.functions.GraftFunctions.register(spark)
     val e = intercept[Exception] {
