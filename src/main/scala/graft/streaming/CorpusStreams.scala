@@ -239,6 +239,65 @@ object CorpusStreams {
     }
   }
 
+  /** Cadenced re-calibration for the frozen-threshold stream filters
+    * — the operator the [[qualityFilterStream]] /
+    * [[perplexityFilterStream]] drift caveats defer to ("production
+    * re-calibrates on a cadence"): every `every`-th micro-batch, the
+    * calibration closure re-runs over the caller's snapshot (the
+    * ingested-so-far table, a sliding sample — the caller owns the
+    * window policy) and every LATER batch scores under the new frozen
+    * state. Between boundaries the state is immutable, so each
+    * micro-batch is still scored by pure map-only arithmetic — the
+    * cadence lives entirely at the foreachBatch boundary, which is
+    * driver-side code between jobs, exactly where Structured
+    * Streaming allows side-effecting control flow.
+    *
+    * `onBatch` is idempotent per batch id: foreachBatch REPLAYS a
+    * batch id on recovery, and a replayed boundary must score under
+    * the same state it originally did, not advance the cadence. */
+  final class Recalibrator[S](calibrate: () => S, every: Int) {
+    require(every >= 1, s"recalibration cadence must be >= 1, got $every")
+    @volatile private var current: S = calibrate()
+    private var applied = -1L
+    def state: S = current
+    def onBatch(id: Long): S = synchronized {
+      if (id > applied) {
+        applied = id
+        if (id > 0 && id % every == 0) current = calibrate()
+      }
+      current
+    }
+  }
+
+  /** [[qualityFilterStream]] under a [[Recalibrator]]: identical
+    * map-only scoring per micro-batch, cutoff re-frozen on the
+    * cadence. `sink` receives each scored batch (StreamingSpec pins
+    * post-recalibration batches == the batch operator's scoring under
+    * the new snapshot). */
+  def qualityFilterStreamCadenced(docs: DataFrame,
+      recal: Recalibrator[Double])(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink(qualityFilterStream(b.toDF(), recal.onBatch(id)), id)
+    }
+
+  /** [[perplexityFilterStream]] under a [[Recalibrator]] carrying
+    * (LM, cutoff) — re-training and re-thresholding happen together,
+    * at the same boundary, so a batch can never score against a new
+    * LM with a stale cutoff. */
+  def perplexityFilterStreamCadenced(docs: Dataset[Doc],
+      recal: Recalibrator[(BigramLm, Double)])(
+      sink: (Dataset[LmVerdict], Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Doc] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (b: Dataset[Doc], id: Long) =>
+        val (lm, cutoff) = recal.onBatch(id)
+        sink(perplexityFilterStream(b, lm, cutoff), id)
+    }
+
   private def round8(x: Double): Double = java.math.BigDecimal.valueOf(x)
     .setScale(8, java.math.RoundingMode.HALF_UP).doubleValue
   private def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)

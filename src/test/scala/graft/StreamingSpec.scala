@@ -572,6 +572,148 @@ class StreamingSpec extends SparkSuite {
     assert(streamed == batch)
   }
 
+  test("recalibration cadence: drift visible, then post-recalibration " +
+      "batches equal the batch scoring under the new snapshot") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    import graft.streaming.CorpusStreams
+    import graft.streaming.CorpusStreams.Doc
+
+    // two synthetic quality regimes (qualityExpr = 0.4*min(1,n/50) +
+    // 0.3*ttr + 0.3*[3<=mwl<=8]): family A is short docs (scores
+    // ~0.62-0.77), family B is 50-token docs with varying distinctness
+    // (~0.71-1.0) — every B doc clears A's 20th-percentile cutoff, so
+    // a frozen-on-A filter drifts to keep-rate 1.0 on a B batch
+    def lowDoc(id: Long, i: Int): Doc =
+      Doc(id, (1 to (2 + i % 20)).map(k => f"aaa$k%02d").mkString(" "))
+    def highDoc(id: Long, i: Int): Doc = {
+      val j = 1 + (i % 50)
+      Doc(id, (0 until 50).map(k => f"bbb${k % j}%02d").mkString(" "))
+    }
+    val a  = (0 until 50).map(i => lowDoc(i.toLong, i))
+    val b1 = (0 until 50).map(i => highDoc(1000L + i, i))
+    // same TEXTS as b1, fresh ids: scoring b2 under a snapshot of b1
+    // is then bit-identical to the batch operator SELF-calibrating on
+    // b2 — the law below compares against that independent batch path
+    val b2 = (0 until 50).map(i => highDoc(2000L + i, i))
+    val byId = (a ++ b1 ++ b2).map(d => d.doc_id -> d).toMap
+
+    // sliding-window snapshot policy: the last completed batch
+    var window: Seq[Doc] = a
+    val recal = new CorpusStreams.Recalibrator[Double](
+      () => CorpusStreams.calibrateQuality(
+        window.toDF("doc_id", "text")), 2)
+    val got = scala.collection.mutable.Map
+      .empty[Long, Set[(Long, Double, Double, Boolean)]]
+    val input = MemoryStream[Doc]
+    val q = CorpusStreams.qualityFilterStreamCadenced(input.toDF(), recal) {
+      (df, id) =>
+        val rows = df.select("doc_id", "quality", "cutoff", "keep")
+          .collect().map(r => (r.getLong(0), r.getDouble(1),
+            r.getDouble(2), r.getBoolean(3))).toSet
+        got(id) = rows
+        window = rows.toSeq.map(t => byId(t._1))
+    }.start()
+    try {
+      input.addData(a); q.processAllAvailable()     // batch 0: A under cutoff(A)
+      input.addData(b1); q.processAllAvailable()    // batch 1: drifted, stale cutoff
+      input.addData(b2); q.processAllAvailable()    // batch 2: recalibrated on b1
+    } finally q.stop()
+
+    // batch 0 keeps ~80% of its own calibration family
+    val keep0 = got(0).count(_._4).toDouble / got(0).size
+    assert(keep0 >= 0.7 && keep0 <= 0.9, s"batch0 keep-rate $keep0")
+    // batch 1: the drift the cadence exists to correct — all kept
+    assert(got(1).forall(_._4), "family-B batch under the stale " +
+      "family-A cutoff should keep everything (visible drift)")
+    // batch 2 equals the BATCH operator formula under the new
+    // snapshot: qualityExpr + the independently re-derived cutoff
+    val c2 = CorpusStreams.calibrateQuality(b1.toDF("doc_id", "text"))
+    val expected = b2.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.qualityExpr.as("q"))
+      .select(col("doc_id"), round(col("q"), 6).as("quality"),
+        round(lit(c2), 6).as("cutoff"), (col("q") >= lit(c2)).as("keep"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        r.getDouble(2), r.getBoolean(3))).toSet
+    assert(got(2) == expected,
+      "post-recalibration batch diverged from batch scoring under the new snapshot")
+    val keep2 = got(2).count(_._4).toDouble / got(2).size
+    assert(keep2 >= 0.7 && keep2 <= 0.9,
+      s"recalibrated keep-rate $keep2 still drifted")
+    // replay idempotence: re-announcing a seen batch id must not
+    // advance the cadence even if the snapshot has changed since
+    val frozen = recal.state
+    window = a
+    assert(recal.onBatch(2) == frozen, "replayed batch id recalibrated")
+  }
+
+  test("perplexity recalibration: post-recalibration batch equals the " +
+      "self-calibrated batch operator on the new snapshot") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    import graft.streaming.CorpusStreams
+    import graft.streaming.CorpusStreams.{BigramLm, Doc}
+
+    // family A: repetitive bigrams; family B: different vocabulary —
+    // an LM frozen on A treats every B bigram as unseen
+    def aDoc(id: Long, i: Int): Doc =
+      Doc(id, (0 until 12).map(k => s"w${(k + i) % 5}").mkString(" "))
+    def bDoc(id: Long, i: Int): Doc =
+      Doc(id, (0 until 12).map(k => s"z${(k * (1 + i % 7)) % 9}").mkString(" "))
+    val a  = (0 until 40).map(i => aDoc(i.toLong, i))
+    val b1 = (0 until 40).map(i => bDoc(1000L + i, i))
+    val b2 = (0 until 40).map(i => bDoc(2000L + i, i)) // same texts as b1
+    val byId = (a ++ b1 ++ b2).map(d => d.doc_id -> d).toMap
+
+    var window: Seq[Doc] = a
+    def cal(): (BigramLm, Double) = {
+      val snap = window.toDF("doc_id", "text")
+      (CorpusStreams.trainLm(snap), CorpusStreams.calibratePerplexity(snap))
+    }
+    val recal = new CorpusStreams.Recalibrator[(BigramLm, Double)](cal _, 2)
+    val got = scala.collection.mutable.Map
+      .empty[Long, Set[(Long, Long, Double, Double, Boolean)]]
+    val input = MemoryStream[Doc]
+    val q = CorpusStreams.perplexityFilterStreamCadenced(input.toDS(), recal) {
+      (ds, id) =>
+        val rows = ds.collect().map(v => (v.doc_id, v.n_bigrams,
+          v.avg_nll, v.cutoff, v.keep)).toSet
+        got(id) = rows
+        window = rows.toSeq.map(t => byId(t._1))
+    }.start()
+    try {
+      input.addData(a); q.processAllAvailable()
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+
+    // batch 2 scored under LM(b1) == the batch operator self-training
+    // on b2 (identical texts): avg_nll from lmNllOf, cutoff from the
+    // independent percentile — the fully batch-side derivation
+    val b2df = b2.toDF("doc_id", "text")
+    val nll = graft.operators.TextAnalysis.lmNllOf(b2df, occAgg = false)
+      .select("doc_id", "n_bigrams", "avg_nll").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val c2 = CorpusStreams.calibratePerplexity(b2df)
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val expected = nll.map { case (id, nb, v) =>
+      (id, nb, v, r6(c2), v <= c2) }.toSet
+    assert(got(2) == expected,
+      "post-recalibration batch diverged from the self-calibrated batch operator")
+    // and the stale batch 1 really was mis-scored: every b1 bigram is
+    // unseen by LM(a), so its nll differs from the self-trained value
+    val selfB1 = graft.operators.TextAnalysis
+      .lmNllOf(b1.toDF("doc_id", "text"), occAgg = false)
+      .select("doc_id", "avg_nll").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val stale1 = got(1).map(t => t._1 -> t._3).toMap
+    assert(stale1.keySet == selfB1.keySet)
+    assert(stale1.exists { case (id, v) => v != selfB1(id) },
+      "stale-LM scoring should differ from self-trained scoring (drift)")
+  }
+
   test("streaming perplexity filter equals batch q_perplexity_filter " +
       "under the frozen calibration LM") {
     val sp = spark; import sp.implicits._
