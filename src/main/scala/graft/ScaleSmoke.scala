@@ -28,7 +28,7 @@ object ScaleSmoke {
     * (prefix-filtered candidates, bucketed LSH, map-side IVF combine):
     * this ladder is the measurement behind those arguments. */
   private val LlmQueries = Seq(
-    "q_ngram_jaccard", "q_dedup_groups", "q_dedup_minhash",
+    "q_ngram_jaccard", "q_dedup_groups", "q_dedup_minhash", "q_dedup_delta",
     "q_ann_lsh", "q_ann_ivf", "q_tfidf", "q_decontaminate",
     "q_text_repetition", "q_pii_redact", "q_seq_pack", "q_source_mix",
     "q_cluster_assign", "q_span_dup", "q_train_shuffle",

@@ -605,8 +605,14 @@ object Relational {
         "rank-the-aggregate: per-(flag, quantity) counts (<=150 rows), " +
         "rank that tiny frame, broadcast it back — assignment becomes " +
         "map-only and the oracle's window rank() proves equivalence. " +
-        "ntile stays a true window (position depends on the global " +
-        "order): the documented global-sort family with q_window_ntile.",
+        "ntile's quartile is ALSO cell-local for most rows: a cell " +
+        "spans rank positions [cum_before+1, cum_before+cnt], and when " +
+        "both ends fall in the same ntile bucket every row of the cell " +
+        "shares that bucket — a broadcast-join column. Only rows of " +
+        "boundary-straddling cells (<= k-1 = 3 cells per flag, ~6% of " +
+        "rows here, vanishing as cells grow) need their within-cell " +
+        "position, so the row_number window shuffles just that slice " +
+        "instead of the corpus (was the query's dominant exchange).",
       (s, d) => {
         val li = Tables.lineitem(s, d)
         // rank = 1 + rows with strictly higher qty; dense_rank = 1 +
@@ -615,29 +621,42 @@ object Relational {
           .orderBy(desc("l_quantity"))
         val cells = li.groupBy("l_returnflag", "l_quantity")
           .agg(count(lit(1)).as("cnt"))
-          .select(col("l_returnflag"), col("l_quantity"),
+          .select(col("l_returnflag"), col("l_quantity"), col("cnt"),
             coalesce(sum(col("cnt")).over(
               wAgg.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
               .as("cum_before"),
             row_number().over(wAgg).cast("bigint").as("drnk"),
             sum(col("cnt")).over(Window.partitionBy("l_returnflag"))
               .as("n_flag"))
-        // positional ntile decomposed the same way: global position =
-        // the cell's offset (from the tiny aggregate) + position WITHIN
-        // the (flag, qty) cell — a window over 150 distinct keys, so
-        // parallelism is |cells|, never |flags|. Bucket from position
-        // by ntile's big/small-bucket arithmetic (first n%4 buckets get
-        // one extra row); when n < buckets the ELSE is unreachable.
+          // ntile bucket of the cell's first and last position
+          // (ntileExpr is monotone in rn, so lo==hi <=> whole cell in
+          // one bucket); big/small-bucket arithmetic: first n%4
+          // buckets get one extra row, ELSE unreachable when n < 4
+          .withColumn("rn_lo", col("cum_before") + 1L)
+          .withColumn("rn_hi", col("cum_before") + col("cnt"))
+          .withColumn("q_lo", expr(ntileExpr("rn_lo", "n_flag", 4)))
+          .withColumn("q_hi", expr(ntileExpr("rn_hi", "n_flag", 4)))
+        val joined = li.join(broadcast(cells),
+          Seq("l_returnflag", "l_quantity"))
+        val present = Seq(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"), (col("cum_before") + 1L).as("rnk"),
+          col("drnk"), col("quartile"))
+        // uniform cells: quartile is the (broadcast) cell's bucket —
+        // map-only, no exchange for ~94% of rows
+        val uniform = joined.filter(col("q_lo") === col("q_hi"))
+          .withColumn("quartile", col("q_lo").cast("bigint"))
+          .select(present: _*)
+        // straddling cells: within-cell position decides the bucket;
+        // the window shuffles ONLY these rows (|flags|*(k-1) cells)
         val wCell = Window.partitionBy("l_returnflag", "l_quantity")
           .orderBy(asc("l_orderkey"), asc("l_linenumber"))
-        li.join(broadcast(cells), Seq("l_returnflag", "l_quantity"))
+        val straddle = joined.filter(col("q_lo") =!= col("q_hi"))
           .withColumn("rn", col("cum_before") + row_number().over(wCell))
           .withColumn("quartile",
             expr(ntileExpr("rn", "n_flag", 4)).cast("bigint"))
-          .select(
-            col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-            col("l_quantity"), (col("cum_before") + 1L).as("rnk"),
-            col("drnk"), col("quartile"))
+          .select(present: _*)
+        uniform.unionByName(straddle)
           .orderBy("l_orderkey", "l_linenumber", "l_returnflag",
             "l_quantity", "rnk", "drnk", "quartile")
       },

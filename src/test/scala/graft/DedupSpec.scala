@@ -211,4 +211,42 @@ class DedupSpec extends SparkSuite {
     val docs = spark.read.parquet(s"$sf/documents.parquet").count()
     assert(total == docs, "every document accounted for exactly once")
   }
+
+  test("delta dedup equals full jaccard restricted to batch-touching pairs") {
+    def triples(name: String): Set[(Long, Long, Double)] =
+      SparkEntry.queries(name)(spark, sf)
+        .select("da", "db", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = triples("q_ngram_jaccard")
+    val expected = full.filter { case (a, b, _) => a % 5 == 4 || b % 5 == 4 }
+    // the synthetic corpus must actually plant batch-touching dups, or
+    // the law below is vacuous (11 such pairs at sf0.001 today)
+    assert(expected.nonEmpty, "no batch-touching pairs in test corpus")
+    assert(expected != full,
+      "batch restriction is a no-op — the split predicate is broken")
+    assert(triples("q_dedup_delta") == expected)
+  }
+
+  test("shingle index is built once and reused while fresh") {
+    val names = Dedup.ensureShingleIndex(spark, sf)
+    def stamp(): Seq[(String, Long)] = {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
+      names.productIterator.toSeq.map(_.toString).flatMap { t =>
+        val dir = new java.io.File(wh, t)
+        assert(dir.isDirectory, s"missing index table dir $dir")
+        dir.listFiles().toSeq.map(f => (s"$t/${f.getName}", f.lastModified))
+      }
+    }
+    val first = stamp()
+    // a fresh index (same corpus, same count) must be REUSED — the
+    // whole point of persisting it; a rebuild rewrites every file.
+    // Clear the session memo first so the REAL freshness check runs,
+    // then once more memoized (both paths must reuse).
+    Dedup.forgetFreshIndexMemo()
+    assert(Dedup.ensureShingleIndex(spark, sf) == names)
+    assert(stamp() == first, "fresh index was rebuilt by the check path")
+    assert(Dedup.ensureShingleIndex(spark, sf) == names)
+    assert(stamp() == first, "fresh index was rebuilt by the memo path")
+  }
 }

@@ -62,8 +62,32 @@ class PlanSpec extends SparkSuite {
     // q_window_rank: rnk/drnk come from the ranked (flag, qty)
     // aggregate broadcast back to the fact — a window would funnel the
     // corpus through |returnflag| = 3 sort tasks
-    assert(plan("q_window_rank").contains("BroadcastHashJoin"),
+    val p = plan("q_window_rank")
+    assert(p.contains("BroadcastHashJoin"),
       "q_window_rank lost its rank-the-aggregate broadcast shape")
+    // the ntile leg: the q_lo/q_hi straddle gate is inlined by the
+    // optimizer as a CASE-vs-CASE (in)equality filter, and — better
+    // still — pushed onto the 150-row CELLS side of each broadcast:
+    // the uniform branch's cells keep bucket-equal cells (`CASE … =
+    // CASE …`), the straddle branch's keep the complement (`NOT
+    // (CASE …`), so only straddling cells' rows ever reach the
+    // row_number window — the corpus-wide window shuffle is the
+    // exchange this decomposition removed
+    assert(p.contains(" = CASE WHEN ") && p.contains("NOT (CASE WHEN "),
+      "q_window_rank lost its straddle-gated ntile decomposition")
+  }
+
+  test("delta dedup probes the stored shingle index tables") {
+    // the whole point of q_dedup_delta: corpus postings, df stats and
+    // sorted sets come from the persisted index, never re-shingled per
+    // batch. The query entry materializes eagerly (only an RDD scan
+    // remains to explain), so the unmaterialized builder is asserted.
+    val (frame, sh) = graft.operators.Dedup.deltaDedup(spark, sf)
+    val p = frame.queryExecution.explainString(FormattedMode)
+    sh.unpersist(blocking = true)
+    assert(p.contains("graft_shidx_post_") &&
+      p.contains("graft_shidx_sets_") && p.contains("graft_shidx_df_"),
+      "q_dedup_delta no longer reads the persisted shingle index")
   }
 
   test("ntile large branch is bucket arithmetic, not a global window") {
