@@ -189,23 +189,16 @@ object Dedup {
         .filter(col("jaccard") >= tau)
         .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
     } else {
-      val card = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
-      val survivors = cands
-        .join(card.select(col("doc_id").as("da"), col("c").as("ca")), "da")
-        .join(card.select(col("doc_id").as("db"), col("c").as("cb")), "db")
-        .filter(least(col("ca"), col("cb")) >=
-          greatest(col("ca"), col("cb")) * tau)
-      val sets = sh.groupBy("doc_id")
-        .agg(sort_array(collect_list(col("s"))).as("ss"))
-      survivors
-        .join(sets.select(col("doc_id").as("da"), col("ss").as("ssa")), "da")
-        .join(sets.select(col("doc_id").as("db"), col("ss").as("ssb")), "db")
-        .withColumn("i",
-          call_function("sorted_intersect_count", col("ssa"), col("ssb")))
-        .withColumn("jaccard",
-          col("i").cast("double") / (col("ca") + col("cb") - col("i")))
-        .filter(col("jaccard") >= tau)
-        .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
+      // one definition with the sets-table path: Catalyst's aggregate
+      // pruning rewrites the two cardinality branches to count-only
+      // aggregates (verified: the optimized plan carries exactly 2
+      // collect_list aggregates, the ssa/ssb branches), so this IS
+      // the hand-split card-frame plan without the duplicate code
+      verifyWithSets(cands,
+        sh.groupBy("doc_id")
+          .agg(sort_array(collect_list(col("s"))).as("ss"),
+            count(lit(1)).as("c")),
+        tau)
     }
   }
 
@@ -477,12 +470,16 @@ object Dedup {
   def ensureShingleIndex(s: SparkSession, d: String)
       : (String, String, String) = {
     val names @ (postT, setsT, dfT) = shingleIndexNames(d)
-    // per-(session, dir) memo: a probe-heavy caller (Bench reps, a
+    // per-(context, dir) memo: a probe-heavy caller (Bench reps, a
     // real ingest loop) pays the two freshness counts once, not per
-    // batch. Only ever set AFTER the check/build below succeeds;
-    // dropping the tables mid-session while keeping the session
-    // object is outside the contract (nothing in the repo does).
-    val memoKey = System.identityHashCode(s) + ":" + d
+    // batch. Keyed by applicationId — unique per SparkContext, and
+    // sessions of one context share the SharedState catalog the
+    // tables live in, so sharing the memo across them is correct
+    // (an identity-hash key could collide with a dead context's and
+    // skip the existence check against a fresh empty catalog). Only
+    // ever set AFTER the check/build below succeeds; dropping the
+    // tables mid-session is outside the contract (nothing does).
+    val memoKey = s.sparkContext.applicationId + ":" + d
     if (freshIndexMemo.contains(memoKey)) return names
     val corpus = Tables.documents(s, d)
       .filter(!isDeltaBatch(col("doc_id")))
@@ -555,19 +552,24 @@ object Dedup {
       .join(card, "doc_id")
       .filter(col("rn") <= col("c") - ceil(col("c") * tau) + 1)
       .select("doc_id", "s")
-    // candidates in ONE join: the b side is stored corpus postings
-    // (bucketed on s — never shuffles) ∪ the batch's own shingles,
-    // so batch-corpus and batch-batch pairs fall out together.
-    // Batch-batch pairs surface in both orientations (prefix(A)⋈B
-    // and prefix(B)⋈A); least/greatest + distinct collapses them —
-    // cheaper than a second join + union of candidate frames.
-    val bside = s.table(postT).unionByName(sh)
-      .withColumnRenamed("doc_id", "cid")
-    val cands = pref.join(bside, "s")
-      .filter(col("doc_id") =!= col("cid"))
+    // candidates: batch prefixes against (a) the STORED postings and
+    // (b) the batch's own shingles, as TWO joins whose candidate
+    // frames union. A single join against postings ∪ batch-shingles
+    // would be one stage fewer, but a Union reports
+    // UnknownPartitioning — the corpus side would re-shuffle its
+    // entire (s, doc_id) postings on EVERY probe, forfeiting the
+    // bucketBy(32, "s") layout the index was written with (round-13
+    // review catch). Split, the postings scan joins exchange-free on
+    // its bucket key; only the (small) prefix side moves.
+    val candsCorpus = pref
+      .join(s.table(postT).withColumnRenamed("doc_id", "cid"), "s")
       .select(least(col("doc_id"), col("cid")).as("da"),
         greatest(col("doc_id"), col("cid")).as("db"))
-      .distinct()
+    // batch-batch: one-sided prefix join, lower id carries the prefix
+    val candsBatch = pref.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+    val cands = candsCorpus.unionByName(candsBatch).distinct()
     val bsets = sh.groupBy("doc_id")
       .agg(sort_array(collect_list(col("s"))).as("ss"),
         count(lit(1)).as("c"))

@@ -227,15 +227,37 @@ class DedupSpec extends SparkSuite {
     assert(triples("q_dedup_delta") == expected)
   }
 
+  test("verifyJaccard prefilter branch equals the fused branch") {
+    // the prefilter=true form is size-gated at PrefilterMinDocs, so
+    // no sf0.001/sf0.01 gate ever takes it — this law is its ONLY
+    // automated differential cover (round-13 review catch). Both
+    // branches must agree pair-for-pair on real candidates.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sh = Dedup.explodedShingles(docs).cache()
+    val cands = Dedup.minhashCandidates(docs)
+    def rows(prefilter: Boolean) =
+      Dedup.verifyJaccard(cands, sh, 0.8, prefilter)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    val fused = rows(prefilter = false)
+    val pre = rows(prefilter = true)
+    sh.unpersist(blocking = true)
+    assert(fused.nonEmpty, "no verified pairs — the law would be vacuous")
+    assert(pre == fused)
+  }
+
   test("shingle index is built once and reused while fresh") {
     val names = Dedup.ensureShingleIndex(spark, sf)
-    def stamp(): Seq[(String, Long)] = {
+    def stamp(): Seq[(String, Long, Long)] = {
       val wh = spark.conf.get("spark.sql.warehouse.dir")
         .stripPrefix("file:")
       names.productIterator.toSeq.map(_.toString).flatMap { t =>
         val dir = new java.io.File(wh, t)
         assert(dir.isDirectory, s"missing index table dir $dir")
-        dir.listFiles().toSeq.map(f => (s"$t/${f.getName}", f.lastModified))
+        // name + length + mtime: mtime alone can false-pass a rebuild
+        // that lands in the same coarse-granularity tick
+        dir.listFiles().toSeq.map(f =>
+          (s"$t/${f.getName}", f.length, f.lastModified))
       }
     }
     val first = stamp()
