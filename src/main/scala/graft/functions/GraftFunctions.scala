@@ -92,7 +92,10 @@ object GraftFunctions {
         NearestCentroid(es.head, validCentroids(LiteralCentroids(
           longArrayLit(es(1), "cids"),
           doubleArrayLit(es(2), "cents_flat"),
-          doubleArrayLit(es(3), "norms")))) })
+          doubleArrayLit(es(3), "norms")))) }),
+    ("nfc_normalize", info("nfc_normalize",
+      "nfc_normalize(str) - Unicode NFC canonical composition"),
+      es0 => NfcNormalize(arity(es0, 1, "nfc_normalize(str)").head))
   )
 
   private def intLit(e: Expression, name: String): Int = e match {
@@ -956,4 +959,47 @@ case class ShingleHashes(child: Expression, width: Int = 3)
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
+}
+
+/** Unicode NFC canonical composition of a string column — the
+  * normalization pass a corpus pipeline runs before any
+  * tokenize/shingle step so that "é" and "é" hash identically.
+  * Codegen'd as one static call per row ([[NfcNormalize.normalize]]),
+  * which fast-paths already-normalized text (all-ASCII in the
+  * synthetic corpus) without allocating a new string. Differential
+  * cover: DuckDB's nfc_normalize in the q_text_normalize oracle;
+  * planted combining-mark fixtures in DedupSpec pin the non-ASCII
+  * path the corpus cannot. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize expects string, got ${child.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(a: Any): Any =
+    NfcNormalize.normalize(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NfcNormalize.normalize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  /** Static so generated code calls it monomorphically. Returns the
+    * INPUT object unchanged when already NFC (the overwhelmingly
+    * common case) — no allocation on the fast path. */
+  def normalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
 }

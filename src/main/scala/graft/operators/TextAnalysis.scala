@@ -745,7 +745,38 @@ object TextAnalysis {
         "FROM perdoc) " +
         "SELECT doc_id, avg_nll, round(cutoff, 6) AS cutoff, " +
         "avg_nll <= cutoff AS keep " +
-        "FROM perdoc, cut ORDER BY doc_id"))
+        "FROM perdoc, cut ORDER BY doc_id")),
+
+    GraftQuery(
+      "q_text_normalize",
+      "Canonical text normalization — the pass every corpus pipeline " +
+        "runs before tokenize/shingle so surface-variant duplicates " +
+        "hash identically: Unicode NFC composition (native " +
+        "NfcNormalize, one codegen'd static call per row with an " +
+        "allocation-free already-normalized fast path), lowercase, " +
+        "whitespace-run collapse, trim; plus a changed flag so " +
+        "downstream can measure touch rate. Map-only until the " +
+        "presentation sort — runs at any corpus size as a pure scan. " +
+        "The regex stays in the RE2 ∩ Java common dialect " +
+        "(q_regexp_extract rule); DuckDB's nfc_normalize is the " +
+        "differential cover for the NFC step, and DedupSpec plants " +
+        "combining-mark fixtures for the non-ASCII path the " +
+        "synthetic corpus cannot exercise.",
+      (s, d) => {
+        val norm = trim(regexp_replace(
+          lower(call_function("nfc_normalize", col("text"))),
+          "\\s+", " "))
+        Tables.documents(s, d)
+          .select(col("doc_id"), norm.as("norm_text"),
+            (norm =!= col("text")).as("changed"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, " +
+        "trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', " +
+        "'g')) AS norm_text, " +
+        "trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', " +
+        "'g')) <> text AS changed " +
+        "FROM documents ORDER BY doc_id"))
   )
 
   /** Concat-and-chunk sequence packing over an arbitrary docs frame

@@ -227,6 +227,31 @@ class DedupSpec extends SparkSuite {
     assert(triples("q_dedup_delta") == expected)
   }
 
+  test("nfc_normalize composes combining marks; identity on normalized") {
+    // the synthetic corpus is ASCII, so the oracle's nfc_normalize
+    // differential can never exercise the composition path — plant it:
+    // 'e' + COMBINING ACUTE must become precomposed U+00E9, and an
+    // already-NFC string must round-trip unchanged (including the
+    // changed=false flag q_text_normalize derives)
+    val sp = spark; import sp.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rows = Seq(
+      (1L, "café au lait"),          // already NFC
+      (2L, "café  au\tlait "),      // decomposed + messy ws
+      (3L, "ASCII Only Text")
+    ).toDF("doc_id", "text")
+    val norm = trim(regexp_replace(
+      lower(call_function("nfc_normalize", col("text"))), "\\s+", " "))
+    val out = rows.select(col("doc_id"), norm.as("n"),
+        (norm =!= col("text")).as("changed"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+      .toSet
+    assert(out == Set(
+      (1L, "café au lait", false),
+      (2L, "café au lait", true),    // composed to U+00E9
+      (3L, "ascii only text", true)))
+  }
+
   test("verifyJaccard prefilter branch equals the fused branch") {
     // the prefilter=true form is size-gated at PrefilterMinDocs, so
     // no sf0.001/sf0.01 gate ever takes it — this law is its ONLY
