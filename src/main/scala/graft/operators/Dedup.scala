@@ -532,12 +532,23 @@ object Dedup {
     * explain). Returns (result frame, the cached batch-shingle frame
     * the caller must unpersist after consuming the result). */
   private[graft] def deltaDedup(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) =
+    deltaDedupOf(s, d,
+      Tables.documents(s, d).filter(isDeltaBatch(col("doc_id"))))
+
+  /** [[deltaDedup]]'s core over an ARBITRARY arriving-docs frame
+    * (doc_id, text): the q_dedup_delta entry passes the deterministic
+    * batch slice; the streaming twin
+    * ([[graft.streaming.CorpusStreams.deltaDedupStream]]) passes each
+    * micro-batch. Caller contract: doc_ids in `batch` must be
+    * disjoint from the indexed corpus slice (join multiplicities and
+    * the da<db orientation rely on it). */
+  private[graft] def deltaDedupOf(s: SparkSession, d: String,
+                                  batch: DataFrame)
       : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val tau = 0.8
     val (postT, setsT, dfT) = ensureShingleIndex(s, d)
-    val batch = Tables.documents(s, d)
-      .filter(isDeltaBatch(col("doc_id")))
     // referenced by prefix selection, the candidate b side and the
     // batch sets — cache for this call only (jaccardPairsM rule)
     val sh = explodedShingles(batch).cache()

@@ -298,6 +298,37 @@ object CorpusStreams {
         sink(perplexityFilterStream(b, lm, cutoff), id)
     }
 
+  /** Streaming twin of q_dedup_delta — the ingest-time dedup a 100 TB
+    * pipeline actually runs: documents ARRIVE continuously and each
+    * micro-batch probes the PERSISTED shingle index
+    * (operators.Dedup.ensureShingleIndex over `dir`'s corpus slice),
+    * emitting every exact tau>=0.8 pair touching the arrivals —
+    * arrival-vs-corpus and within-micro-batch, identical to the batch
+    * operator on the same documents (StreamingSpec pins it per batch).
+    *
+    * Runs at the foreachBatch boundary: the prefix selection needs a
+    * row_number window, unsupported on an unbounded streaming frame
+    * but plain batch code on a micro-batch (the Recalibrator rule).
+    * The index freshness check is memoized per context, so steady-
+    * state per-batch overhead is nil. Pairs BETWEEN different
+    * micro-batches are deliberately out of this operator's contract:
+    * arrivals join the corpus side at the next index refresh — the
+    * same cadence policy the calibrated filters document — so a
+    * cross-batch duplicate is caught then, not never. `sink` must
+    * consume its frame before returning (the batch's shingle cache is
+    * released after; evaluation later still yields correct rows,
+    * uncached). */
+  def deltaDedupStream(docs: Dataset[Doc], dir: String)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Doc] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (b: Dataset[Doc], id: Long) =>
+        val (frame, sh) =
+          graft.operators.Dedup.deltaDedupOf(b.sparkSession, dir, b.toDF())
+        try sink(frame.orderBy("da", "db"), id)
+        finally sh.unpersist(blocking = false)
+    }
+
   private def round8(x: Double): Double = java.math.BigDecimal.valueOf(x)
     .setScale(8, java.math.RoundingMode.HALF_UP).doubleValue
   private def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)

@@ -854,4 +854,57 @@ class StreamingSpec extends SparkSuite {
       assert(store.size == 4 && store.get(("/a", "k2")) == "22")
     } finally q.stop()
   }
+
+  test("delta dedup stream equals the batch operator per micro-batch") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    import graft.streaming.CorpusStreams
+    val batch = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(graft.operators.Dedup.isDeltaBatch(col("doc_id")))
+      .select("doc_id", "text").as[CorpusStreams.Doc]
+      .collect().sortBy(_.doc_id)
+    val mid = batch(batch.length / 2).doc_id
+    val (h1, h2) = batch.partition(_.doc_id < mid)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def expected(half: Array[CorpusStreams.Doc]) = {
+      val (frame, cached) = graft.operators.Dedup.deltaDedupOf(
+        spark, sf, half.toSeq.toDS().toDF())
+      val rows = rowsOf(frame)
+      cached.unpersist(blocking = true)
+      rows
+    }
+    val e1 = expected(h1)
+    val e2 = expected(h2)
+    assert((e1 ++ e2).nonEmpty, "planted dups must touch the halves")
+
+    val got = scala.collection.mutable.Map.empty[Long, Set[(Long, Long, Double)]]
+    val input = MemoryStream[CorpusStreams.Doc]
+    val q = CorpusStreams.deltaDedupStream(input.toDS(), sf) { (df, id) =>
+      got(id) = rowsOf(df)
+    }.start()
+    try {
+      input.addData(h1.toSeq); q.processAllAvailable()
+      input.addData(h2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    // per micro-batch the stream IS the batch operator on those docs
+    assert(got(0L) == e1, "micro-batch 0 != batch operator on its docs")
+    assert(got(1L) == e2, "micro-batch 1 != batch operator on its docs")
+
+    // contract: relative to one big batch, the stream misses EXACTLY
+    // the pairs straddling two micro-batches (caught at the next index
+    // refresh, per the documented cadence) — nothing else
+    val (fullFrame, fullCached) =
+      graft.operators.Dedup.deltaDedup(spark, sf)
+    val full = rowsOf(fullFrame)
+    fullCached.unpersist(blocking = true)
+    assert((e1 ++ e2).subsetOf(full), "stream emitted a pair the batch lacks")
+    val ids1 = h1.map(_.doc_id).toSet
+    val ids2 = h2.map(_.doc_id).toSet
+    val missed = full -- e1 -- e2
+    assert(missed.forall { case (a, b, _) =>
+      (ids1(a) && ids2(b)) || (ids2(a) && ids1(b))
+    }, s"non-cross-batch pair missing from the stream: ${missed.take(3)}")
+  }
 }
