@@ -84,10 +84,39 @@ class PlanSpec extends SparkSuite {
     // remains to explain), so the unmaterialized builder is asserted.
     val (frame, sh) = graft.operators.Dedup.deltaDedup(spark, sf)
     val p = frame.queryExecution.explainString(FormattedMode)
-    sh.unpersist(blocking = true)
     assert(p.contains("graft_shidx_post_") &&
       p.contains("graft_shidx_sets_") && p.contains("graft_shidx_df_"),
       "q_dedup_delta no longer reads the persisted shingle index")
+
+    // and the postings side of the candidate join must join on its
+    // BUCKET layout, exchange-free: a Union (or any wrapper reporting
+    // unknown partitioning) above the scan re-shuffles the whole
+    // corpus postings per probe — the round-13 review catch. Find the
+    // lowest join whose child subtree holds the postings scan; that
+    // child must contain no shuffle exchange.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def hasPostings(pl: SparkPlan): Boolean = pl.collectLeaves().exists {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.exists(
+          _.toString.contains("graft_shidx_post_"))
+      case _ => false
+    }
+    def isJoin(pl: SparkPlan): Boolean = pl match {
+      case _: org.apache.spark.sql.execution.joins.BaseJoinExec => true
+      case _ => false
+    }
+    val sp = frame.queryExecution.sparkPlan
+    sh.unpersist(blocking = true)
+    val postingSides = sp.collect {
+      case j if isJoin(j) => j.children.filter(c =>
+        hasPostings(c) && !c.exists(n => (n ne c) && isJoin(n)))
+    }.flatten
+    assert(postingSides.nonEmpty, "no join reads the postings scan")
+    postingSides.foreach { side =>
+      assert(side.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        "postings side re-shuffles — bucket layout forfeited:\n" + side)
+    }
   }
 
   test("ntile large branch is bucket arithmetic, not a global window") {
