@@ -54,6 +54,25 @@ object Tables {
     else df
   }
 
+  /** Bucket count for the persisted index tables (shingle index, IVF
+    * index) over an `n`-row corpus slice: 32 — the local[32]
+    * parallelism — through 1M rows, then doubling per doubling of n,
+    * capped at 4096. A fixed 32 would cap probe-join parallelism at
+    * cluster scale (buckets are the unit of exchange-free join
+    * parallelism for a bucketed table); scaling with n keeps
+    * rows-per-bucket bounded so a 1000-executor probe still fans out.
+    * Power-of-two steps keep counts stable under small corpus drift
+    * (a rebuild at n±1% lands on the same count). The local analog of
+    * "size to your executor count" (CLAUDE.md rule 3 pattern): at the
+    * test scales (≤ 1M rows) this IS 32, so default plans are
+    * unchanged; the 2.56M-doc rehearsal rung exercises 128. */
+  def indexBuckets(n: Long): Int = {
+    var b = 32
+    var cap = 1000000L
+    while (n > cap && b < 4096) { b *= 2; cap *= 2 }
+    b
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")

@@ -448,6 +448,85 @@ object Dedup {
       s"graft_shidx_df_$tag")
   }
 
+  /** Durable description of a persisted shingle index: which corpus
+    * slice it was built from (`src` verbatim + row count + content
+    * fingerprint — a row-count-preserving corpus regen or an
+    * equal-count cross-dir tag collision must NOT silently serve a
+    * stale index), the bucket count its tables were written with
+    * (appends must reuse it bit-for-bit), and every batch folded in
+    * since the build ([[appendToShingleIndex]], idempotent per id).
+    * Serialization follows ScaleSmoke's `_GRAFT_REPLICA.json` rule:
+    * the writer emits ONE canonical string and the freshness check
+    * compares the base prefix for EXACT equality, so no token-level
+    * parse can false-positive; only the append list — whose ids are
+    * restricted to `[A-Za-z0-9_.-]` at append time — is parsed back. */
+  private[graft] final case class ShingleIndexManifest(
+      src: String, baseRows: Long, fp: Long, buckets: Int,
+      batches: Seq[(String, Long)]) {
+    def basePrefix: String = {
+      val esc = src.replace("\\", "\\\\").replace("\"", "\\\"")
+      s"""{"v":1,"src":"$esc","baseRows":$baseRows,""" +
+        s""""fp":$fp,"buckets":$buckets,"batches":"""
+    }
+    def render: String = basePrefix + batches.map { case (id, r) =>
+      s"""{"id":"$id","rows":$r}""" }.mkString("[", ",", "]") + "}"
+    def appendedRows: Long = batches.map(_._2).sum
+  }
+
+  private val ManifestBatchRe =
+    """\{"id":"([A-Za-z0-9_.\-]+)","rows":(\d+)\}""".r
+  private val ManifestBucketsRe = """"buckets":(\d+)""".r
+
+  private def shingleManifestPath(s: SparkSession, d: String)
+      : org.apache.hadoop.fs.Path = {
+    val tag = (scala.util.hashing.MurmurHash3.stringHash(d).toLong
+      & 0xffffffffL).toHexString
+    new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"),
+      s"graft_shidx_manifest_$tag.json")
+  }
+
+  /** Read the stored manifest, reconstructing the batch list; the
+    * base fields are NOT parsed — freshness compares the stored text's
+    * prefix against the expected canonical prefix (exact equality). */
+  private[graft] def readShingleManifest(s: SparkSession, d: String)
+      : Option[(String, Seq[(String, Long)])] = {
+    val p = shingleManifestPath(s, d)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 65536, false)
+        bytes.toString("UTF-8").trim
+      } finally in.close()
+      val batches = ManifestBatchRe.findAllMatchIn(txt)
+        .map(m => (m.group(1), m.group(2).toLong)).toSeq
+      Some((txt, batches))
+    }
+  }
+
+  private def writeShingleManifest(s: SparkSession, d: String,
+                                   m: ShingleIndexManifest): Unit = {
+    val p = shingleManifestPath(s, d)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(m.render.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Order-independent content fingerprint of a (doc_id, text) slice:
+    * XOR of per-row xxhash64. Catches what a bare row count cannot —
+    * a corpus regen that preserves the slice size but changes content
+    * (the 2026-08-12 regen did exactly this to table SIZES), and an
+    * equal-count collision between two dirs sharing a 32-bit name
+    * tag. One (doc_id, text) scan per check; memoized per app like
+    * the rest of the freshness protocol. */
+  private[graft] def corpusFingerprint(docs: DataFrame): Long =
+    docs.select(xxhash64(col("doc_id"), col("text")).as("h"))
+      .agg(coalesce(expr("bit_xor(h)"), lit(0L)).as("fp"))
+      .head.getLong(0)
+
   /** Persisted shingle index over the NON-batch corpus slice, the
     * amortization point of [[q_dedup_delta]]: three catalog tables —
     *
@@ -464,28 +543,48 @@ object Dedup {
     *    minimizes join fan-out, so drift degrades cost, never results
     *    (same frozen-snapshot posture as the streaming calibration).
     *
-    * Rebuilt when absent or when the corpus-slice row count changes
-    * (same freshness rule as the IVF index). Bucket count 32 matches
-    * local parallelism; a cluster deployment sizes it to executors. */
+    * Rebuilt when absent or when the corpus slice DIFFERS from the
+    * manifest the index was written with — src dir verbatim, row
+    * count, AND an xxhash64 content fingerprint, so an equal-count
+    * content change (a corpus regen) or a cross-dir 32-bit tag
+    * collision forces a rebuild instead of silently serving stale
+    * pairs. [[appendToShingleIndex]] folds later batches in; the
+    * manifest tracks them, and the sets-row reconciliation
+    * (baseRows + appended) doubles as the crash guard — an append
+    * that died between table writes and the manifest update shows up
+    * as a count mismatch and triggers a clean rebuild.
+    *
+    * Bucket count scales with the slice ([[Tables.indexBuckets]]):
+    * 32 (= local parallelism) through 1M rows, doubling per doubling
+    * after — a cluster deployment gets probe-join parallelism that
+    * tracks corpus size instead of capping at 32. */
   def ensureShingleIndex(s: SparkSession, d: String)
       : (String, String, String) = {
     val names @ (postT, setsT, dfT) = shingleIndexNames(d)
     // per-(context, dir) memo: a probe-heavy caller (Bench reps, a
-    // real ingest loop) pays the two freshness counts once, not per
-    // batch. Keyed by applicationId — unique per SparkContext, and
-    // sessions of one context share the SharedState catalog the
-    // tables live in, so sharing the memo across them is correct
-    // (an identity-hash key could collide with a dead context's and
-    // skip the existence check against a fresh empty catalog). Only
-    // ever set AFTER the check/build below succeeds; dropping the
-    // tables mid-session is outside the contract (nothing does).
+    // real ingest loop) pays the freshness counts + fingerprint scan
+    // once, not per batch. Keyed by applicationId — unique per
+    // SparkContext, and sessions of one context share the SharedState
+    // catalog the tables live in, so sharing the memo across them is
+    // correct (an identity-hash key could collide with a dead
+    // context's and skip the existence check against a fresh empty
+    // catalog). Only ever set AFTER the check/build below succeeds;
+    // dropping the tables mid-session is outside the contract
+    // (nothing does), and appends keep the manifest invariant.
     val memoKey = s.sparkContext.applicationId + ":" + d
     if (freshIndexMemo.contains(memoKey)) return names
     val corpus = Tables.documents(s, d)
       .filter(!isDeltaBatch(col("doc_id")))
     val nCorpus = corpus.count()
+    val buckets = Tables.indexBuckets(nCorpus)
+    val expect = ShingleIndexManifest(d, nCorpus,
+      corpusFingerprint(corpus), buckets, Nil)
+    val stored = readShingleManifest(s, d)
     val fresh = Seq(postT, setsT, dfT).forall(s.catalog.tableExists) &&
-      s.table(setsT).count() == nCorpus
+      stored.exists { case (txt, batches) =>
+        txt.startsWith(expect.basePrefix) &&
+          s.table(setsT).count() == nCorpus + batches.map(_._2).sum
+      }
     if (!fresh) {
       Seq(postT, setsT, dfT).foreach { t =>
         // the default catalog is per-session but the warehouse DIR
@@ -499,22 +598,112 @@ object Dedup {
       }
       val sh = explodedShingles(corpus).cache()
       sh.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .bucketBy(32, "s").sortBy("s")
+        .bucketBy(buckets, "s").sortBy("s")
         .format("parquet").saveAsTable(postT)
       sh.groupBy("doc_id")
         .agg(sort_array(collect_list(col("s"))).as("ss"),
           count(lit(1)).as("c"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .bucketBy(32, "doc_id").sortBy("doc_id")
+        .bucketBy(buckets, "doc_id").sortBy("doc_id")
         .format("parquet").saveAsTable(setsT)
       sh.groupBy("s").agg(count(lit(1)).as("gdf"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .bucketBy(32, "s").sortBy("s")
+        .bucketBy(buckets, "s").sortBy("s")
         .format("parquet").saveAsTable(dfT)
       sh.unpersist(blocking = false)
+      // manifest LAST: its presence asserts the tables are complete
+      writeShingleManifest(s, d, expect)
     }
     freshIndexMemo.add(memoKey)
     names
+  }
+
+  /** Fold an already-probed batch into the persisted shingle index —
+    * the maintenance path a daily-ingest user runs so [[deltaDedupOf]]
+    * probes see yesterday's arrivals without a corpus-wide rebuild
+    * (the reference's only refresh is a full re-export from '/',
+    * BackupProcessor.php:43; this is the engine's signature
+    * divergence). Appends the batch's postings, sorted sets, and
+    * PARTIAL df counts to the three bucketed tables with the
+    * manifest's bucket spec, so the probe joins stay exchange-free on
+    * the bucket key; df is reconciled at read time by an
+    * exchange-free partial-sum over the bucket key ([[deltaDedupOf]]),
+    * because parquet tables append, they don't merge.
+    *
+    * Idempotent per `batchId` (the Recalibrator rule): a replayed
+    * foreachBatch or a re-run driver finds the id in the manifest and
+    * no-ops. Batch doc_ids must be disjoint from everything already
+    * indexed — checked here (loudly) via the same 8-byte-key lookup
+    * [[deltaDedupOf]] uses. Cost tracks the BATCH size, never the
+    * corpus: the three writes scan only the batch's shingles.
+    *
+    * Returns true if the batch was appended, false if it was already
+    * in the manifest. Crash between a table append and the manifest
+    * write leaves sets.count != baseRows + appended, which the next
+    * [[ensureShingleIndex]] freshness check turns into a rebuild. */
+  def appendToShingleIndex(s: SparkSession, d: String, batch: DataFrame,
+                           batchId: String): Boolean = {
+    require(batchId.matches("[A-Za-z0-9_.\\-]+"),
+      s"batchId must match [A-Za-z0-9_.-]+ (manifest round-trip): $batchId")
+    val (postT, setsT, dfT) = ensureShingleIndex(s, d)
+    val stored = readShingleManifest(s, d).getOrElse(
+      throw new IllegalStateException(
+        s"shingle index for $d has no manifest after ensure"))
+    if (stored._2.exists(_._1 == batchId)) return false
+    requireDisjointFromIndex(s, setsT, batch,
+      s"appendToShingleIndex($batchId)")
+    val sh = explodedShingles(batch).cache()
+    // the bucket spec the tables were written with — appends must
+    // match it bit-for-bit; stored in the manifest so no corpus count
+    // is needed here (append cost must track the batch, not the corpus)
+    val buckets = ManifestBucketsRe.findFirstMatchIn(stored._1)
+      .map(_.group(1).toInt).getOrElse(throw new IllegalStateException(
+        s"no buckets field in shingle-index manifest for $d"))
+    val app = org.apache.spark.sql.SaveMode.Append
+    sh.write.mode(app).bucketBy(buckets, "s").sortBy("s")
+      .format("parquet").saveAsTable(postT)
+    val bsets = sh.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("s"))).as("ss"),
+        count(lit(1)).as("c"))
+    bsets.write.mode(app).bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .format("parquet").saveAsTable(setsT)
+    sh.groupBy("s").agg(count(lit(1)).as("gdf"))
+      .write.mode(app).bucketBy(buckets, "s").sortBy("s")
+      .format("parquet").saveAsTable(dfT)
+    sh.unpersist(blocking = false)
+    val nNew = batch.select("doc_id").distinct().count()
+    // stored text's base prefix was validated by ensure this app; keep
+    // it verbatim and extend only the batch list
+    val prefix = stored._1.substring(0, stored._1.indexOf("\"batches\":")
+      + "\"batches\":".length)
+    val all = stored._2 :+ (batchId, nNew)
+    val txt = prefix + all.map { case (id, r) =>
+      s"""{"id":"$id","rows":$r}""" }.mkString("[", ",", "]") + "}"
+    val p = shingleManifestPath(s, d)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(txt.getBytes("UTF-8")) finally out.close()
+    true
+  }
+
+  /** The runtime face of the disjointness contract: batch doc_ids
+    * must not already be in the indexed sets table — a violation
+    * corrupts pair orientation and join multiplicities SILENTLY, so
+    * it must fail loudly instead. Cost: one doc_id-column scan of the
+    * bucketed sets table against the broadcast batch ids, early-stopped
+    * at the first clash. */
+  private def requireDisjointFromIndex(s: SparkSession, setsT: String,
+                                       batch: DataFrame,
+                                       who: String): Unit = {
+    val clash = s.table(setsT).select(col("doc_id"))
+      .join(broadcast(batch.select(col("doc_id")).distinct()), "doc_id")
+      .limit(1).collect()
+    if (clash.nonEmpty)
+      throw new IllegalArgumentException(
+        s"$who: batch doc_id ${clash(0).getLong(0)} is already in the " +
+          "indexed corpus — batch ids must be disjoint from the index " +
+          "(re-probing an indexed doc corrupts pair orientation and " +
+          "multiplicities); rebuild the index or re-key the batch")
   }
 
   private val freshIndexMemo =
@@ -540,24 +729,33 @@ object Dedup {
     * (doc_id, text): the q_dedup_delta entry passes the deterministic
     * batch slice; the streaming twin
     * ([[graft.streaming.CorpusStreams.deltaDedupStream]]) passes each
-    * micro-batch. Caller contract: doc_ids in `batch` must be
-    * disjoint from the indexed corpus slice (join multiplicities and
-    * the da<db orientation rely on it). */
+    * micro-batch. Contract: doc_ids in `batch` must be disjoint from
+    * everything indexed (join multiplicities and the da<db
+    * orientation rely on it) — ENFORCED at runtime: a violation
+    * throws before any probe work instead of silently corrupting the
+    * pair list (the guard is one early-stopped doc_id-column lookup
+    * against the bucketed sets table). */
   private[graft] def deltaDedupOf(s: SparkSession, d: String,
                                   batch: DataFrame)
       : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val tau = 0.8
     val (postT, setsT, dfT) = ensureShingleIndex(s, d)
+    requireDisjointFromIndex(s, setsT, batch, "deltaDedupOf")
     // referenced by prefix selection, the candidate b side and the
     // batch sets — cache for this call only (jaccardPairsM rule)
     val sh = explodedShingles(batch).cache()
     val card = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    // df counts may be split across the base build and appended
+    // batches ([[appendToShingleIndex]] appends partial counts —
+    // parquet doesn't merge); reconcile with a partial-sum over the
+    // bucket key, exchange-free on the bucketed scan
+    val gdfTbl = s.table(dfT).groupBy("s").agg(sum(col("gdf")).as("gdf"))
     // prefix = the doc's |A| - ceil(tau|A|) + 1 rarest shingles by
     // CORPUS df; left join because batch-only shingles have no df
     // row — coalesce(0) ranks them rarest, which is also true
     val w = Window.partitionBy("doc_id").orderBy(asc("gdf"), asc("s"))
-    val pref = sh.join(s.table(dfT), Seq("s"), "left")
+    val pref = sh.join(gdfTbl, Seq("s"), "left")
       .withColumn("gdf", coalesce(col("gdf"), lit(0L)))
       .withColumn("rn", row_number().over(w))
       .join(card, "doc_id")

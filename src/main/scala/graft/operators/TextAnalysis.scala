@@ -757,25 +757,28 @@ object TextAnalysis {
         "whitespace-run collapse, trim; plus a changed flag so " +
         "downstream can measure touch rate. Map-only until the " +
         "presentation sort — runs at any corpus size as a pure scan. " +
-        "The regex stays in the RE2 ∩ Java common dialect " +
-        "(q_regexp_extract rule); DuckDB's nfc_normalize is the " +
+        "The whitespace run is an EXPLICIT class [ \\t\\n\\r\\f\\x0B]+ " +
+        "— Java's \\s includes \\x0B but RE2/DuckDB's is only " +
+        "[\\t\\n\\f\\r ], so the shorthand is NOT in the common " +
+        "dialect (q_regexp_extract rule, sharpened: vertical tab is " +
+        "the one divergent member). DuckDB's nfc_normalize is the " +
         "differential cover for the NFC step, and DedupSpec plants " +
         "combining-mark fixtures for the non-ASCII path the " +
         "synthetic corpus cannot exercise.",
       (s, d) => {
         val norm = trim(regexp_replace(
           lower(call_function("nfc_normalize", col("text"))),
-          "\\s+", " "))
+          "[ \\t\\n\\r\\f\\x0B]+", " "))
         Tables.documents(s, d)
           .select(col("doc_id"), norm.as("norm_text"),
             (norm =!= col("text")).as("changed"))
           .orderBy("doc_id")
       },
       Some("SELECT doc_id, " +
-        "trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', " +
-        "'g')) AS norm_text, " +
-        "trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', " +
-        "'g')) <> text AS changed " +
+        "trim(regexp_replace(lower(nfc_normalize(text)), " +
+        "'[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')) AS norm_text, " +
+        "trim(regexp_replace(lower(nfc_normalize(text)), " +
+        "'[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')) <> text AS changed " +
         "FROM documents ORDER BY doc_id"))
   )
 

@@ -310,23 +310,49 @@ object CorpusStreams {
     * row_number window, unsupported on an unbounded streaming frame
     * but plain batch code on a micro-batch (the Recalibrator rule).
     * The index freshness check is memoized per context, so steady-
-    * state per-batch overhead is nil. Pairs BETWEEN different
-    * micro-batches are deliberately out of this operator's contract:
-    * arrivals join the corpus side at the next index refresh — the
-    * same cadence policy the calibrated filters document — so a
-    * cross-batch duplicate is caught then, not never. `sink` must
-    * consume its frame before returning (the batch's shingle cache is
-    * released after; evaluation later still yields correct rows,
-    * uncached). */
-  def deltaDedupStream(docs: Dataset[Doc], dir: String)(
+    * state per-batch overhead is nil.
+    *
+    * Cross-micro-batch pairs — `maintainIndex` decides:
+    *
+    *  - `maintainIndex = true` (the ingest deployment): after `sink`
+    *    returns, the micro-batch is FOLDED INTO the persisted index
+    *    ([[graft.operators.Dedup.appendToShingleIndex]], idempotent
+    *    per "streamId_batchId" so a replayed batch neither re-appends
+    *    nor double-counts). Batch k+1 then probes an index containing
+    *    batches 1..k, so the streamed union of emissions equals the
+    *    one-big-batch result EXACTLY — no blind spot, no cadence
+    *    caveat (StreamingSpec pins the equality). Append cost tracks
+    *    the batch, not the corpus.
+    *  - `maintainIndex = false`: pairs between different micro-batches
+    *    are out of the contract, and — precisely — stay out until an
+    *    EXPLICIT index rebuild or appendToShingleIndex call, or an
+    *    application restart whose freshness check sees a changed
+    *    corpus slice; no in-process cadence exists that would
+    *    retroactively surface them. Use only when batches are known
+    *    disjoint in content (e.g. partitioned by source).
+    *
+    * `sink` must consume its frame before returning (the batch's
+    * shingle cache is released after; evaluation later still yields
+    * correct rows, uncached). With maintainIndex the sink runs BEFORE
+    * the append — the emitted frame must be computed against the
+    * pre-append index (its own docs must not be in it: disjointness). */
+  def deltaDedupStream(docs: Dataset[Doc], dir: String,
+                       maintainIndex: Boolean = false,
+                       streamId: String = "stream")(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[Doc] =
     docs.writeStream.outputMode("append").foreachBatch {
       (b: Dataset[Doc], id: Long) =>
+        val bdf = b.toDF().localCheckpoint()
         val (frame, sh) =
-          graft.operators.Dedup.deltaDedupOf(b.sparkSession, dir, b.toDF())
+          graft.operators.Dedup.deltaDedupOf(b.sparkSession, dir, bdf)
         try sink(frame.orderBy("da", "db"), id)
         finally sh.unpersist(blocking = false)
+        if (maintainIndex) {
+          graft.operators.Dedup.appendToShingleIndex(
+            b.sparkSession, dir, bdf, s"${streamId}_$id")
+          ()
+        }
     }
 
   private def round8(x: Double): Double = java.math.BigDecimal.valueOf(x)

@@ -296,4 +296,131 @@ class DedupSpec extends SparkSuite {
     assert(Dedup.ensureShingleIndex(spark, sf) == names)
     assert(stamp() == first, "fresh index was rebuilt by the memo path")
   }
+
+  // ---- incremental index maintenance (appendToShingleIndex) ----
+
+  /** 30 distinct tokens in vocabulary group g; near-dup variant flips
+    * the last token, leaving 3-gram Jaccard 27/29 ≈ 0.93 >= tau=0.8.
+    * Distinct per-group vocabularies prevent accidental cross-pairs. */
+  private def txt(g: Int, variant: Int = 0): String = {
+    val toks = (1 to 30).map(i => s"g${g}w$i").toArray
+    if (variant != 0) toks(29) = s"g${g}v$variant"
+    toks.mkString(" ")
+  }
+
+  private def writeCorpus(dir: java.io.File,
+                          docs: Seq[(Long, String)]): String = {
+    val sp = spark; import sp.implicits._
+    docs.toDF("doc_id", "text").coalesce(1).write
+      .mode("overwrite")
+      .parquet(new java.io.File(dir, "documents.parquet").toString)
+    dir.toString
+  }
+
+  private def docsDf(docs: Seq[(Long, String)]) = {
+    val sp = spark; import sp.implicits._
+    docs.toDF("doc_id", "text")
+  }
+
+  private def probe(d: String, batch: Seq[(Long, String)])
+      : Set[(Long, Long, Double)] = {
+    val (frame, sh) = Dedup.deltaDedupOf(spark, d, docsDf(batch))
+    val out = frame.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    sh.unpersist(blocking = true)
+    out
+  }
+
+  // all ids chosen with id % 5 != 4 so the indexed slice is the whole
+  // corpus file (isDeltaBatch filters % 5 == 4 out of the index)
+  private lazy val idxCorpus = Seq(
+    0L -> txt(0), 1L -> txt(1), 2L -> txt(2), 3L -> txt(3),
+    5L -> txt(5), 6L -> txt(6))
+  private lazy val idxB1 = Seq(
+    100L -> txt(7),          // unique appended doc
+    101L -> txt(0, 1))       // near-dup of corpus doc 0
+  private lazy val idxB2 = Seq(
+    200L -> txt(1, 1),       // near-dup of corpus doc 1
+    201L -> txt(7, 1),       // near-dup of APPENDED doc 100
+    202L -> txt(8),          // unique
+    203L -> txt(8, 1))       // within-probe-batch near-dup of 202
+
+  test("appendToShingleIndex: appended probe == rebuilt probe, " +
+    "idempotent per batch id, and composition-invariant") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_appidx")
+      .toFile
+    val d1 = writeCorpus(new java.io.File(tmp, "d1"), idxCorpus)
+    val d2 = writeCorpus(new java.io.File(tmp, "d2"), idxCorpus ++ idxB1)
+    val d3 = writeCorpus(new java.io.File(tmp, "d3"), idxCorpus)
+    Dedup.ensureShingleIndex(spark, d1)
+    assert(Dedup.appendToShingleIndex(spark, d1, docsDf(idxB1), "day1"),
+      "first append of day1 must apply")
+    // replay (the Recalibrator idempotency rule): same id no-ops and
+    // the probe result is unchanged by the attempt
+    assert(!Dedup.appendToShingleIndex(spark, d1, docsDf(idxB1), "day1"),
+      "replayed append of day1 must no-op")
+    val rAppend = probe(d1, idxB2)
+    // the comparator index is built in ONE pass over corpus ∪ B1
+    val rRebuild = probe(d2, idxB2)
+    assert(rAppend.nonEmpty, "no pairs — the law would be vacuous")
+    assert(rAppend.exists { case (a, b, _) => a == 100L && b == 201L },
+      "probe must find the pair against the APPENDED doc")
+    assert(rAppend.exists { case (a, b, _) => a == 202L && b == 203L },
+      "probe must find the within-batch pair")
+    assert(rAppend == rRebuild,
+      "appended-index probe diverges from rebuilt-index probe")
+    // composition: appending B1 as two singleton batches == one batch
+    Dedup.ensureShingleIndex(spark, d3)
+    assert(Dedup.appendToShingleIndex(spark, d3,
+      docsDf(idxB1.take(1)), "h1"))
+    assert(Dedup.appendToShingleIndex(spark, d3,
+      docsDf(idxB1.drop(1)), "h2"))
+    assert(probe(d3, idxB2) == rAppend,
+      "split append diverges from one-batch append")
+  }
+
+  test("disjointness contract fails loudly on probe and append") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_disj")
+      .toFile
+    val d = writeCorpus(new java.io.File(tmp, "d"), idxCorpus)
+    Dedup.ensureShingleIndex(spark, d)
+    assert(Dedup.appendToShingleIndex(spark, d, docsDf(idxB1), "day1"))
+    // probing a doc already in the BASE index throws before any work
+    val e1 = intercept[IllegalArgumentException] {
+      probe(d, Seq(0L -> txt(0), 900L -> txt(9)))
+    }
+    assert(e1.getMessage.contains("doc_id 0"))
+    // an APPENDED doc is equally protected (it is in the sets table)
+    val e2 = intercept[IllegalArgumentException] {
+      probe(d, Seq(100L -> txt(7)))
+    }
+    assert(e2.getMessage.contains("doc_id 100"))
+    // and append itself refuses an already-indexed id under a NEW
+    // batch id (a replayed id no-ops instead — tested above)
+    intercept[IllegalArgumentException] {
+      Dedup.appendToShingleIndex(spark, d, docsDf(idxB1), "day2")
+    }
+  }
+
+  test("shingle index rebuilds on content change with equal row count") {
+    // the ADVICE hole: a corpus regen that preserves the slice row
+    // count must NOT silently serve the stale index — the manifest
+    // fingerprint forces a rebuild
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fp").toFile
+    val dir = new java.io.File(tmp, "d")
+    val d = writeCorpus(dir, idxCorpus)
+    Dedup.ensureShingleIndex(spark, d)
+    // probe finds the dup of doc 1 planted in the ORIGINAL corpus
+    assert(probe(d, Seq(500L -> txt(1, 2))).nonEmpty)
+    // regen: same ids, same count, doc 1's text replaced
+    writeCorpus(dir, idxCorpus.map { case (id, t) =>
+      if (id == 1L) id -> txt(40) else id -> t })
+    Dedup.forgetFreshIndexMemo()
+    // stale index would still claim 500 ~ old doc 1; the rebuilt one
+    // must not (and must find a dup of the NEW text instead)
+    assert(probe(d, Seq(500L -> txt(1, 2))).isEmpty,
+      "stale index served after an equal-count content change")
+    assert(probe(d, Seq(501L -> txt(40, 1))).nonEmpty,
+      "rebuilt index must cover the regenerated content")
+  }
 }

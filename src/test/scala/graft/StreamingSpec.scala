@@ -907,4 +907,57 @@ class StreamingSpec extends SparkSuite {
       (ids1(a) && ids2(b)) || (ids2(a) && ids1(b))
     }, s"non-cross-batch pair missing from the stream: ${missed.take(3)}")
   }
+
+  test("delta dedup stream with maintainIndex catches cross-batch " +
+    "pairs — streamed union == one big batch exactly") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    import graft.streaming.CorpusStreams
+    def txt(g: Int, variant: Int = 0): String = {
+      val toks = (1 to 30).map(i => s"g${g}w$i").toArray
+      if (variant != 0) toks(29) = s"g${g}v$variant"
+      toks.mkString(" ")
+    }
+    // own corpus dir: index maintenance APPENDS, which must never
+    // touch the shared sf fixture's index (ids % 5 != 4 so the whole
+    // file is the indexed slice)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sdidx")
+    val dir = new java.io.File(tmp.toFile, "d").toString
+    Seq(0L -> txt(0), 1L -> txt(1), 2L -> txt(2))
+      .toDF("doc_id", "text").coalesce(1).write
+      .parquet(s"$dir/documents.parquet")
+    // h1 carries a near-dup of corpus doc 0; h2 carries a near-dup of
+    // h1's OTHER doc — the cross-micro-batch pair the unmaintained
+    // stream documents as out of contract
+    val h1 = Seq(CorpusStreams.Doc(300L, txt(0, 1)),
+      CorpusStreams.Doc(301L, txt(9)))
+    val h2 = Seq(CorpusStreams.Doc(400L, txt(9, 1)),
+      CorpusStreams.Doc(401L, txt(10)))
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // comparator FIRST (the one-big-batch probe must see the
+    // pre-append index; ensure is memoized so build happens here)
+    val (fullFrame, fullSh) = graft.operators.Dedup.deltaDedupOf(
+      spark, dir, (h1 ++ h2).toDS().toDF())
+    val full = rowsOf(fullFrame)
+    fullSh.unpersist(blocking = true)
+    assert(full.exists { case (a, b, _) => a == 301L && b == 400L },
+      "cross-batch pair must be planted or the law is vacuous")
+
+    val got = scala.collection.mutable.Map.empty[Long, Set[(Long, Long, Double)]]
+    val input = MemoryStream[CorpusStreams.Doc]
+    val q = CorpusStreams.deltaDedupStream(input.toDS(), dir,
+      maintainIndex = true, streamId = "t1") { (df, id) =>
+      got(id) = rowsOf(df)
+    }.start()
+    try {
+      input.addData(h1); q.processAllAvailable()
+      input.addData(h2); q.processAllAvailable()
+    } finally q.stop()
+    assert(got(1L).exists { case (a, b, _) => a == 301L && b == 400L },
+      "batch 1 must catch the cross-batch pair via the appended index")
+    assert((got(0L) ++ got(1L)) == full,
+      "streamed union with index maintenance != one-big-batch result")
+  }
 }
