@@ -448,72 +448,16 @@ object Dedup {
       s"graft_shidx_df_$tag")
   }
 
-  /** Durable description of a persisted shingle index: which corpus
-    * slice it was built from (`src` verbatim + row count + content
-    * fingerprint — a row-count-preserving corpus regen or an
-    * equal-count cross-dir tag collision must NOT silently serve a
-    * stale index), the bucket count its tables were written with
-    * (appends must reuse it bit-for-bit), and every batch folded in
-    * since the build ([[appendToShingleIndex]], idempotent per id).
-    * Serialization follows ScaleSmoke's `_GRAFT_REPLICA.json` rule:
-    * the writer emits ONE canonical string and the freshness check
-    * compares the base prefix for EXACT equality, so no token-level
-    * parse can false-positive; only the append list — whose ids are
-    * restricted to `[A-Za-z0-9_.-]` at append time — is parsed back. */
-  private[graft] final case class ShingleIndexManifest(
-      src: String, baseRows: Long, fp: Long, buckets: Int,
-      batches: Seq[(String, Long)]) {
-    def basePrefix: String = {
-      val esc = src.replace("\\", "\\\\").replace("\"", "\\\"")
-      s"""{"v":1,"src":"$esc","baseRows":$baseRows,""" +
-        s""""fp":$fp,"buckets":$buckets,"batches":"""
-    }
-    def render: String = basePrefix + batches.map { case (id, r) =>
-      s"""{"id":"$id","rows":$r}""" }.mkString("[", ",", "]") + "}"
-    def appendedRows: Long = batches.map(_._2).sum
-  }
-
-  private val ManifestBatchRe =
-    """\{"id":"([A-Za-z0-9_.\-]+)","rows":(\d+)\}""".r
-  private val ManifestBucketsRe = """"buckets":(\d+)""".r
-
   private def shingleManifestPath(s: SparkSession, d: String)
       : org.apache.hadoop.fs.Path = {
     val tag = (scala.util.hashing.MurmurHash3.stringHash(d).toLong
       & 0xffffffffL).toHexString
-    new org.apache.hadoop.fs.Path(
-      s.conf.get("spark.sql.warehouse.dir"),
-      s"graft_shidx_manifest_$tag.json")
+    IndexManifest.path(s, "graft_shidx", tag)
   }
 
-  /** Read the stored manifest, reconstructing the batch list; the
-    * base fields are NOT parsed — freshness compares the stored text's
-    * prefix against the expected canonical prefix (exact equality). */
   private[graft] def readShingleManifest(s: SparkSession, d: String)
-      : Option[(String, Seq[(String, Long)])] = {
-    val p = shingleManifestPath(s, d)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val txt = try {
-        val bytes = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 65536, false)
-        bytes.toString("UTF-8").trim
-      } finally in.close()
-      val batches = ManifestBatchRe.findAllMatchIn(txt)
-        .map(m => (m.group(1), m.group(2).toLong)).toSeq
-      Some((txt, batches))
-    }
-  }
-
-  private def writeShingleManifest(s: SparkSession, d: String,
-                                   m: ShingleIndexManifest): Unit = {
-    val p = shingleManifestPath(s, d)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(m.render.getBytes("UTF-8")) finally out.close()
-  }
+      : Option[(String, Seq[(String, Long)])] =
+    IndexManifest.read(s, shingleManifestPath(s, d))
 
   /** Order-independent content fingerprint of a (doc_id, text) slice:
     * XOR of per-row xxhash64. Catches what a bare row count cannot —
@@ -577,7 +521,7 @@ object Dedup {
       .filter(!isDeltaBatch(col("doc_id")))
     val nCorpus = corpus.count()
     val buckets = Tables.indexBuckets(nCorpus)
-    val expect = ShingleIndexManifest(d, nCorpus,
+    val expect = IndexManifest.Manifest(d, nCorpus,
       corpusFingerprint(corpus), buckets, Nil)
     val stored = readShingleManifest(s, d)
     val fresh = Seq(postT, setsT, dfT).forall(s.catalog.tableExists) &&
@@ -612,7 +556,7 @@ object Dedup {
         .format("parquet").saveAsTable(dfT)
       sh.unpersist(blocking = false)
       // manifest LAST: its presence asserts the tables are complete
-      writeShingleManifest(s, d, expect)
+      IndexManifest.write(s, shingleManifestPath(s, d), expect)
     }
     freshIndexMemo.add(memoKey)
     names
@@ -653,12 +597,7 @@ object Dedup {
     requireDisjointFromIndex(s, setsT, batch,
       s"appendToShingleIndex($batchId)")
     val sh = explodedShingles(batch).cache()
-    // the bucket spec the tables were written with — appends must
-    // match it bit-for-bit; stored in the manifest so no corpus count
-    // is needed here (append cost must track the batch, not the corpus)
-    val buckets = ManifestBucketsRe.findFirstMatchIn(stored._1)
-      .map(_.group(1).toInt).getOrElse(throw new IllegalStateException(
-        s"no buckets field in shingle-index manifest for $d"))
+    val buckets = IndexManifest.bucketsOf(stored._1, s"shingle index $d")
     val app = org.apache.spark.sql.SaveMode.Append
     sh.write.mode(app).bucketBy(buckets, "s").sortBy("s")
       .format("parquet").saveAsTable(postT)
@@ -672,39 +611,19 @@ object Dedup {
       .format("parquet").saveAsTable(dfT)
     sh.unpersist(blocking = false)
     val nNew = batch.select("doc_id").distinct().count()
-    // stored text's base prefix was validated by ensure this app; keep
-    // it verbatim and extend only the batch list
-    val prefix = stored._1.substring(0, stored._1.indexOf("\"batches\":")
-      + "\"batches\":".length)
-    val all = stored._2 :+ (batchId, nNew)
-    val txt = prefix + all.map { case (id, r) =>
-      s"""{"id":"$id","rows":$r}""" }.mkString("[", ",", "]") + "}"
-    val p = shingleManifestPath(s, d)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(txt.getBytes("UTF-8")) finally out.close()
+    IndexManifest.appendBatch(s, shingleManifestPath(s, d),
+      stored._1, stored._2, batchId, nNew)
     true
   }
 
   /** The runtime face of the disjointness contract: batch doc_ids
     * must not already be in the indexed sets table — a violation
     * corrupts pair orientation and join multiplicities SILENTLY, so
-    * it must fail loudly instead. Cost: one doc_id-column scan of the
-    * bucketed sets table against the broadcast batch ids, early-stopped
-    * at the first clash. */
+    * it must fail loudly instead ([[IndexManifest.requireDisjoint]]). */
   private def requireDisjointFromIndex(s: SparkSession, setsT: String,
                                        batch: DataFrame,
-                                       who: String): Unit = {
-    val clash = s.table(setsT).select(col("doc_id"))
-      .join(broadcast(batch.select(col("doc_id")).distinct()), "doc_id")
-      .limit(1).collect()
-    if (clash.nonEmpty)
-      throw new IllegalArgumentException(
-        s"$who: batch doc_id ${clash(0).getLong(0)} is already in the " +
-          "indexed corpus — batch ids must be disjoint from the index " +
-          "(re-probing an indexed doc corrupts pair orientation and " +
-          "multiplicities); rebuild the index or re-key the batch")
-  }
+                                       who: String): Unit =
+    IndexManifest.requireDisjoint(s, setsT, "doc_id", batch, who)
 
   private val freshIndexMemo =
     java.util.Collections.newSetFromMap(

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** Durable description of a persisted index artifact (shingle index,
+  * IVF index): which corpus slice it was built from — `src` dir
+  * verbatim + row count + content fingerprint, so a row-count-
+  * preserving corpus regen or an equal-count cross-dir 32-bit tag
+  * collision can never silently serve a stale index — plus the bucket
+  * count its tables were written with (appends must reuse it
+  * bit-for-bit) and every batch folded in since the build (idempotent
+  * per id — the Recalibrator replay rule).
+  *
+  * Serialization follows ScaleSmoke's `_GRAFT_REPLICA.json` rule: the
+  * writer emits ONE canonical string and the freshness check compares
+  * the base prefix for EXACT equality, so no token-level parse can
+  * false-positive; only the append list — whose ids are restricted to
+  * `[A-Za-z0-9_.-]` at append time — is parsed back, plus the bucket
+  * count appends must match. */
+private[graft] object IndexManifest {
+
+  final case class Manifest(src: String, baseRows: Long, fp: Long,
+                            buckets: Int, batches: Seq[(String, Long)]) {
+    def basePrefix: String = {
+      val esc = src.replace("\\", "\\\\").replace("\"", "\\\"")
+      s"""{"v":1,"src":"$esc","baseRows":$baseRows,""" +
+        s""""fp":$fp,"buckets":$buckets,"batches":"""
+    }
+    def render: String = basePrefix + batches.map { case (id, r) =>
+      s"""{"id":"$id","rows":$r}""" }.mkString("[", ",", "]") + "}"
+  }
+
+  val BatchRe = """\{"id":"([A-Za-z0-9_.\-]+)","rows":(\d+)\}""".r
+  val BucketsRe = """"buckets":(\d+)""".r
+
+  def path(s: SparkSession, prefix: String, tag: String)
+      : org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"),
+      s"${prefix}_manifest_$tag.json")
+
+  /** Stored manifest text + its reconstructed batch list; the base
+    * fields are NOT parsed — freshness compares the stored text's
+    * prefix against the expected canonical prefix (exact equality). */
+  def read(s: SparkSession, p: org.apache.hadoop.fs.Path)
+      : Option[(String, Seq[(String, Long)])] = {
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 65536, false)
+        bytes.toString("UTF-8").trim
+      } finally in.close()
+      val batches = BatchRe.findAllMatchIn(txt)
+        .map(m => (m.group(1), m.group(2).toLong)).toSeq
+      Some((txt, batches))
+    }
+  }
+
+  def writeText(s: SparkSession, p: org.apache.hadoop.fs.Path,
+                txt: String): Unit = {
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(txt.getBytes("UTF-8")) finally out.close()
+  }
+
+  def write(s: SparkSession, p: org.apache.hadoop.fs.Path,
+            m: Manifest): Unit = writeText(s, p, m.render)
+
+  /** The bucket spec recorded at build time — appends must match it
+    * without re-counting the corpus (append cost tracks the batch). */
+  def bucketsOf(storedTxt: String, what: String): Int =
+    BucketsRe.findFirstMatchIn(storedTxt).map(_.group(1).toInt)
+      .getOrElse(throw new IllegalStateException(
+        s"no buckets field in $what manifest"))
+
+  /** Runtime disjointness guard shared by the incremental indexes:
+    * batch keys must not already be in the indexed table — a
+    * violation corrupts join multiplicities (and, for pair output,
+    * orientation) SILENTLY, so it fails loudly instead. Cost: one
+    * key-column scan of the bucketed table against the broadcast
+    * batch keys, early-stopped at the first clash. */
+  def requireDisjoint(s: SparkSession, table: String, keyCol: String,
+                      batch: org.apache.spark.sql.DataFrame,
+                      who: String): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val clash = s.table(table).select(col(keyCol))
+      .join(broadcast(batch.select(col(keyCol)).distinct()), keyCol)
+      .limit(1).collect()
+    if (clash.nonEmpty)
+      throw new IllegalArgumentException(
+        s"$who: batch $keyCol ${clash(0).getLong(0)} is already in " +
+          "the indexed corpus — batch keys must be disjoint from the " +
+          "index (re-indexing or re-probing an indexed row corrupts " +
+          "multiplicities); rebuild the index or re-key the batch")
+  }
+
+  /** Rewrite the stored manifest with one more applied batch; the
+    * validated stored text is kept verbatim and only the batch list
+    * extended (base fields were checked by the ensure that preceded
+    * the append, this app). */
+  def appendBatch(s: SparkSession, p: org.apache.hadoop.fs.Path,
+                  storedTxt: String, batches: Seq[(String, Long)],
+                  id: String, rows: Long): Unit = {
+    val prefix = storedTxt.substring(0,
+      storedTxt.indexOf("\"batches\":") + "\"batches\":".length)
+    val all = batches :+ (id, rows)
+    writeText(s, p, prefix + all.map { case (bid, r) =>
+      s"""{"id":"$bid","rows":$r}""" }.mkString("[", ",", "]") + "}")
+  }
+}

@@ -223,16 +223,32 @@ object Similarity {
     * builds once and probes many: the assignment table is BUCKETED by
     * cell id, so a probe query that filters to its nprobe cells prunes
     * buckets at the scan — probe cost tracks nprobe x occupancy, not
-    * n. Freshness = "row count matches the corpus" (the corpus tables
-    * are immutable snapshots; a replicated work dir that changes size
-    * re-keys the count and forces a rebuild — _GRAFT_REPLICA reuse
-    * keys the same way). */
+    * n.
+    *
+    * Freshness follows the shingle-index manifest protocol
+    * ([[IndexManifest]]): src dir verbatim + row count + an xxhash64
+    * content fingerprint + the bucket spec, plus the batches
+    * [[appendToIvfIndex]] has folded in — so an equal-count corpus
+    * regen or a cross-dir tag collision forces a rebuild instead of
+    * silently serving stale cells, and an append that died before its
+    * manifest update shows up as a row-count mismatch (clean rebuild).
+    * Bucket count scales with n ([[Tables.indexBuckets]]: 32 at test
+    * scales, doubling past 1M rows). */
   def ensureIvfIndex(s: SparkSession, d: String): (String, String) = {
+    val (at, ct) = ivfTableNames(d)
+    val memoKey = s.sparkContext.applicationId + ":ivf:" + d
+    if (freshIvfMemo.contains(memoKey)) return (at, ct)
     val emb = Tables.embeddings(s, d)
     val n = math.max(1L, emb.count())
-    val (at, ct) = ivfTableNames(d)
+    val buckets = Tables.indexBuckets(n)
+    val expect = IndexManifest.Manifest(d, n, ivfFingerprint(emb),
+      buckets, Nil)
+    val stored = IndexManifest.read(s, ivfManifestPath(s, d))
     val fresh = s.catalog.tableExists(at) && s.catalog.tableExists(ct) &&
-      s.table(at).count() == n
+      stored.exists { case (txt, batches) =>
+        txt.startsWith(expect.basePrefix) &&
+          s.table(at).count() == n + batches.map(_._2).sum
+      }
     if (!fresh) {
       // the default (non-Hive) catalog is per-session but the
       // warehouse DIRECTORY persists: a table written by an earlier
@@ -257,16 +273,87 @@ object Similarity {
         .withColumn("cid",
           graft.functions.GraftFunctions.nearestCentroid(col("ce"), handle))
         .select(col("cid"), col("vec_id"), col("ce"), col("cn"))
-      // 32 buckets locally (cluster deployments size this to their
-      // executor count); sortBy co-sorts within buckets so a cell's
-      // rows are contiguous pages
+      // bucket count scales with n (Tables.indexBuckets — 32 at test
+      // scales, the local parallelism; a cluster gets counts that
+      // track corpus size); sortBy co-sorts within buckets so a
+      // cell's rows are contiguous pages
       assigned.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .bucketBy(32, "cid").sortBy("cid")
+        .bucketBy(buckets, "cid").sortBy("cid")
         .format("parquet").saveAsTable(at)
       centroids.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .format("parquet").saveAsTable(ct)
+      // manifest LAST: its presence asserts the tables are complete
+      IndexManifest.write(s, ivfManifestPath(s, d), expect)
     }
+    freshIvfMemo.add(memoKey)
     (at, ct)
+  }
+
+  private val freshIvfMemo =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+
+  /** Test hook: forget memoized freshness so the next
+    * [[ensureIvfIndex]] re-runs the real check. */
+  private[graft] def forgetFreshIvfMemo(): Unit = freshIvfMemo.clear()
+
+  private def ivfManifestPath(s: SparkSession, d: String)
+      : org.apache.hadoop.fs.Path = {
+    val tag = (scala.util.hashing.MurmurHash3.stringHash(d).toLong
+      & 0xffffffffL).toHexString
+    IndexManifest.path(s, "graft_ivf", tag)
+  }
+
+  /** Content fingerprint of the embeddings slice (xxhash64 over
+    * vec_id + vector, XOR-combined — order-independent); the
+    * [[Dedup.corpusFingerprint]] rule applied to the vector table. */
+  private def ivfFingerprint(emb: DataFrame): Long =
+    emb.select(xxhash64(col("vec_id"), col("embedding")).as("h"))
+      .agg(coalesce(expr("bit_xor(h)"), lit(0L)).as("fp"))
+      .head.getLong(0)
+
+  /** Fold newly ingested vectors into the persisted IVF index — the
+    * [[Dedup.appendToShingleIndex]] analog for ANN: assign ONLY the
+    * batch against the STORED centroid table and append the rows to
+    * the bucketed assignment table, so a daily ingest keeps the index
+    * probeable without re-running the O(n^1.5) corpus assignment.
+    * Centroids are frozen at build time — the same frozen-snapshot
+    * posture as the shingle index's df stats and the streaming
+    * calibration: probe RESULTS over appended vectors are exactly
+    * what a one-pass assignment against the same centroids would
+    * give (SimilaritySpec law); drift in the centroid fit degrades
+    * recall, never correctness, and the re-calibration cadence is a
+    * periodic full rebuild (q_kmeans_refine gives the refreshed
+    * centroids).
+    *
+    * Idempotent per `batchId` (manifest-recorded, the Recalibrator
+    * rule); batch vec_ids must be disjoint from everything indexed
+    * (checked loudly). Append cost tracks the BATCH: one
+    * nearestCentroid scan of the batch + a bucketed write. */
+  def appendToIvfIndex(s: SparkSession, d: String, batch: DataFrame,
+                       batchId: String): Boolean = {
+    require(batchId.matches("[A-Za-z0-9_.\\-]+"),
+      s"batchId must match [A-Za-z0-9_.-]+ (manifest round-trip): $batchId")
+    val (at, ct) = ensureIvfIndex(s, d)
+    val stored = IndexManifest.read(s, ivfManifestPath(s, d)).getOrElse(
+      throw new IllegalStateException(
+        s"IVF index for $d has no manifest after ensure"))
+    if (stored._2.exists(_._1 == batchId)) return false
+    IndexManifest.requireDisjoint(s, at, "vec_id", batch,
+      s"appendToIvfIndex($batchId)")
+    val buckets = IndexManifest.bucketsOf(stored._1, s"IVF index $d")
+    val handle = centroidHandle(s, s.table(ct))
+    val assigned = scorable(batch)
+      .withColumn("cid",
+        graft.functions.GraftFunctions.nearestCentroid(col("ce"), handle))
+      .select(col("cid"), col("vec_id"), col("ce"), col("cn"))
+    assigned.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(buckets, "cid").sortBy("cid")
+      .format("parquet").saveAsTable(at)
+    val nNew = batch.select("vec_id").distinct().count()
+    IndexManifest.appendBatch(s, ivfManifestPath(s, d),
+      stored._1, stored._2, batchId, nNew)
+    true
   }
 
   val queries: Seq[GraftQuery] = Seq(

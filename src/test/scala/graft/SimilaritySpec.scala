@@ -203,6 +203,83 @@ class SimilaritySpec extends SparkSuite {
       "assign-table scan did not plan bucket pruning")
   }
 
+  test("appendToIvfIndex: assigns against stored centroids, is " +
+    "probe-visible, idempotent, and guards disjointness") {
+    val sp = spark; import sp.implicits._
+    def vec(seed: Long): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(64)(r.nextFloat() * 2 - 1)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfapp")
+    val dir = new java.io.File(tmp.toFile, "d").toString
+    val base = (0L until 150L).map(i => (i, vec(i)))
+    base.toDF("vec_id", "embedding").coalesce(1).write
+      .parquet(s"$dir/embeddings.parquet")
+    val (at, ct) = Similarity.ensureIvfIndex(spark, dir)
+    val nBase = spark.table(at).count()
+    // batch: 1000 is an EXACT copy of probe 3's vector (must surface
+    // at rank 1 score 1.0 once indexed), 1001 is novel
+    val batch = Seq((1000L, vec(3L)), (1001L, vec(9999L)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.appendToIvfIndex(spark, dir, batch, "day1"))
+    assert(!Similarity.appendToIvfIndex(spark, dir, batch, "day1"),
+      "replayed append must no-op")
+    assert(spark.table(at).count() == nBase + 2,
+      "append must add exactly the batch rows once")
+    // law: the appended rows carry exactly the cells a one-pass
+    // assignment against the SAME (stored) centroids gives —
+    // recomputed here as an independent Scala mirror of
+    // NearestCentroid's contract (s = dot/||k||, argmax, ties to the
+    // lowest cid)
+    val gotCells = spark.table(at)
+      .filter(col("vec_id") >= 1000L).select("vec_id", "cid")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cents = spark.table(ct).orderBy("cid").collect().map { r =>
+      (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray,
+        r.getDouble(2))
+    }
+    def cellOf(v: Array[Float]): Long = {
+      var best = Double.NegativeInfinity; var bc = Long.MaxValue
+      for ((cid, ke, kn) <- cents) {
+        var dp = 0.0; var i = 0
+        while (i < 64) { dp += v(i).toDouble * ke(i); i += 1 }
+        val s = dp / kn
+        if (s > best || (s == best && cid < bc)) { best = s; bc = cid }
+      }
+      bc
+    }
+    val expCells = Map(1000L -> cellOf(vec(3L)), 1001L -> cellOf(vec(9999L)))
+    assert(gotCells == expCells,
+      s"appended cells $gotCells != direct assignment $expCells")
+    // probe-visibility: the probe query over the persisted index must
+    // rank the planted copy first for qid 3 with cosine 1.0
+    val got = SparkEntry.queries("q_ann_ivf_probe")(spark, dir)
+      .filter(col("qid") === 3L && col("rn") === 1L)
+      .collect()
+    assert(got.length == 1 && got(0).getLong(1) == 1000L &&
+      got(0).getDouble(2) == 1.0,
+      s"planted copy not at rank 1: ${got.mkString(",")}")
+    // disjointness: an already-indexed vec_id (base or appended) is
+    // rejected loudly under a new batch id
+    intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(spark, dir,
+        Seq((0L, vec(0L))).toDF("vec_id", "embedding"), "day2")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(spark, dir,
+        Seq((1001L, vec(9999L))).toDF("vec_id", "embedding"), "day2")
+    }
+    // equal-count content regen must force a rebuild (manifest
+    // fingerprint), dropping the appended rows with the stale base
+    (0L until 150L).map(i => (i, vec(i + 7000L)))
+      .toDF("vec_id", "embedding").coalesce(1).write
+      .mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Similarity.forgetFreshIvfMemo()
+    Similarity.ensureIvfIndex(spark, dir)
+    assert(spark.table(at).count() == 150L,
+      "equal-count regen did not rebuild the IVF index")
+  }
+
   test("registered functions reject wrong arity with a clear error") {
     graft.functions.GraftFunctions.register(spark)
     val e = intercept[Exception] {
