@@ -76,6 +76,29 @@ object RecallGate {
     val lsh = meanRecall("q_ann_lsh")
     val ivf = meanRecall("q_ann_ivf")
 
+    // NEGATIVE CONTROL (the check_oracles selftest rule: a gate that
+    // cannot fail on a wrong answer is vacuous — this class of hole
+    // has bitten three times). A deliberately DEGRADED probe — exact
+    // signature only, perTable=1, the policy the r10 ladder measured
+    // collapsing at scale — must land BELOW the LSH floor; if it
+    // does not, the floor is too lenient to catch a probe-policy
+    // regression and the gate fails itself. Enabled by
+    // RECALL_GATE_CONTROL=1 (the 16k scale_gate rung carries it; the
+    // big-rung ladder skips the extra corpus pass).
+    val control: Option[Double] =
+      if (sys.env.get("RECALL_GATE_CONTROL").contains("1")) {
+        val degraded = graft.operators.Similarity
+          .lshTopK(spark, dir, perTableOverride = Some(1))
+          .select("qid", "nid").collect()
+          .groupBy(_.getLong(0)).map { case (q, rs) =>
+            q -> rs.map(_.getLong(1)).toSet
+          }
+        val rs = brute.map { case (q, bf) =>
+          (bf & degraded.getOrElse(q, Set.empty)).size.toDouble / bf.size
+        }
+        Some(rs.sum / rs.size)
+      } else None
+
     // dedup sketches vs the exact truth on the same corpus
     import org.apache.spark.sql.functions._
     def pairSet(name: String): Set[(Long, Long)] =
@@ -92,8 +115,18 @@ object RecallGate {
       .select("hamming").collect().map(_.getLong(0))
     val shBad = shRows.count(_ > 3)
 
-    println(f"""{"metric":"recall_gate","dir":"$dir","n":$n,"lsh_recall":$lsh%.3f,"ivf_recall":$ivf%.3f,"lsh_floor":$lshFloor,"ivf_floor":$ivfFloor,"minhash_recall":$mhRecall%.3f,"minhash_false":$mhFalse,"minhash_floor":$mhFloor,"exact_pairs":${exact.size},"simhash_pairs":${shRows.length},"simhash_over_bound":$shBad}""")
+    val controlJson = control
+      .map(c => f""","control_recall":$c%.3f""").getOrElse("")
+    println(f"""{"metric":"recall_gate","dir":"$dir","n":$n,"lsh_recall":$lsh%.3f,"ivf_recall":$ivf%.3f,"lsh_floor":$lshFloor,"ivf_floor":$ivfFloor,"minhash_recall":$mhRecall%.3f,"minhash_false":$mhFalse,"minhash_floor":$mhFloor,"exact_pairs":${exact.size},"simhash_pairs":${shRows.length},"simhash_over_bound":$shBad$controlJson}""")
     spark.stop()
+    if (control.exists(_ >= lshFloor)) {
+      System.err.println(
+        f"RECALL GATE NEGATIVE CONTROL FAILED: the degraded " +
+          f"(perTable=1) probe scored ${control.get}%.3f, ABOVE the " +
+          f"lsh floor $lshFloor — the floor cannot catch a " +
+          "probe-policy regression at this n; ratchet it")
+      sys.exit(1)
+    }
     if (lsh < lshFloor || ivf < ivfFloor || mhRecall < mhFloor ||
         mhFalse > 0 || shRows.isEmpty || shBad > 0) {
       System.err.println(

@@ -95,7 +95,24 @@ object Dedup {
   def jaccardPairsM(docs: DataFrame, tau: Double)
       : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
     import org.apache.spark.sql.expressions.Window
-    val sh = explodedShingles(docs).cache()
+    val nDocs = docs.count()
+    // the 512x rehearsal regime (2.56M docs, single JVM): the shingle
+    // cache (~50 longs/doc) plus the verify intermediates exceed the
+    // storage pool. Above the gate the cache goes DISK_ONLY — every
+    // consumer is a full sequential scan (five subplans, no random
+    // access), so disk-backed blocks cost one streamed read while the
+    // unified pool stays free for the exchanges. MEASURED at the
+    // 2.56M rung (r14, same-window A/B): parity with MEMORY_AND_DISK
+    // (186/162 s vs 182/154 s, inside window noise) — the super-
+    // linear step there is the single-JVM memory boundary itself, not
+    // eviction churn, and is irreducible locally (a cluster's
+    // aggregate memory scales with executors; the local rehearsal's
+    // does not). The gate is kept because it bounds cache memory at
+    // zero measured cost; below it the in-memory form wins outright.
+    val sh = explodedShingles(docs).persist(
+      if (nDocs >= DiskShinglesMinDocs)
+        org.apache.spark.storage.StorageLevel.DISK_ONLY
+      else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val card = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
     // global rarity order; ties broken by the hash for determinism
     val gdf = sh.groupBy("s").agg(count(lit(1)).as("gdf"))
@@ -110,13 +127,24 @@ object Dedup {
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    // metadata-count size gate for the verification form (rule: the
-    // prefilter's extra stages only amortize at large corpus size)
+    // size gate for the verification form (rule: the prefilter's
+    // extra stages only amortize at large corpus size)
     val out = materialized(verifyJaccard(cands, sh, tau,
-      prefilter = docs.count() >= PrefilterMinDocs))
+      prefilter = nDocs >= PrefilterMinDocs))
     sh.unpersist(blocking = false)
     out
   }
+
+  /** Doc count above which [[jaccardPairsM]] persists the shingle
+    * frame DISK_ONLY instead of in-memory (see the comment at the
+    * persist site). 2M sits between the measured-healthy 1.28M rung
+    * and the 2.56M rung where the r13 ladder hit the storage-pool
+    * boundary (119.6 s, a 2.85x step for 2x data). Env-overridable
+    * (GRAFT_DISK_SHINGLES_MIN_DOCS) so rung A/Bs can pin either
+    * branch in the same host window. */
+  val DiskShinglesMinDocs: Long =
+    sys.env.get("GRAFT_DISK_SHINGLES_MIN_DOCS").map(_.toLong)
+      .getOrElse(2000000L)
 
   /** Eagerly materialize `df` with truncated lineage (the
     * localCheckpoint contract), returning the frame plus the persisted
@@ -665,11 +693,21 @@ object Dedup {
     // batch sets — cache for this call only (jaccardPairsM rule)
     val sh = explodedShingles(batch).cache()
     val card = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
-    // df counts may be split across the base build and appended
-    // batches ([[appendToShingleIndex]] appends partial counts —
-    // parquet doesn't merge); reconcile with a partial-sum over the
-    // bucket key, exchange-free on the bucketed scan
-    val gdfTbl = s.table(dfT).groupBy("s").agg(sum(col("gdf")).as("gdf"))
+    // df counts are split across the base build and appended batches
+    // ([[appendToShingleIndex]] appends partial counts — parquet
+    // doesn't merge), so WITH appends the scan is reconciled by a
+    // partial-sum over the bucket key (exchange-free on the bucketed
+    // scan). Without appends every shingle has exactly one row and
+    // the re-aggregation is pure waste — at the 2.56M-doc rung the
+    // df table is ~10^8 rows and the unconditional agg nearly doubled
+    // the probe (30 -> 57 s, r14 rung A/B) — so it is gated on the
+    // manifest actually listing appended batches (one small file
+    // read; the expensive freshness work stays memoized in ensure).
+    val hasAppends = readShingleManifest(s, d).exists(_._2.nonEmpty)
+    val gdfTbl =
+      if (hasAppends)
+        s.table(dfT).groupBy("s").agg(sum(col("gdf")).as("gdf"))
+      else s.table(dfT)
     // prefix = the doc's |A| - ceil(tau|A|) + 1 rarest shingles by
     // CORPUS df; left join because batch-only shingles have no df
     // row — coalesce(0) ranks them rarest, which is also true

@@ -77,13 +77,30 @@ object Similarity {
     math.max(BitsPerTable, math.min(16,
       math.ceil(math.log(math.max(1L, n) / 32.0) / math.log(2.0)).toInt))
 
-  /** Probe-sequence length per table for q_ann_lsh — IDENTICAL to the
-    * pre-directed policy's undirected mask count (base + Hamming-1,
-    * plus the full Hamming-2 ball once bits >= 12, capped at 256):
-    * query-directed probing re-spends the same candidate budget on
-    * likelier buckets, it does not grow the budget. */
+  /** The pre-directed policy's undirected mask count (base +
+    * Hamming-1, plus the full Hamming-2 ball once bits >= 12, capped
+    * at 256) — the historical unit the probe BUDGET is expressed in. */
   def probesPerTable(bits: Int): Int =
     math.min(256, 1 + bits + (if (bits >= 12) bits * (bits - 1) / 2 else 0))
+
+  /** Probe-budget multiplier T for q_ann_lsh: the per-table probe
+    * sequence is T x [[probesPerTable]] masks (capped at the
+    * weight<=3 ball and 512), filled in directed order — lowest
+    * summed-squared-margin first. Widening is PROBE-SIDE only: the
+    * corpus bucket build is untouched and the exact-dot rescoring
+    * join grows linearly in T x occupancy per probe (tens of KB of
+    * candidate rows per probe at any n), while recall climbs because
+    * the directed sequence admits more of the likeliest-neighbor
+    * buckets. Per-rung recall at T=2 vs the T=1 history is recorded
+    * in SURVEY §18 / the RecallGate floors. */
+  val ProbeBudget = 2
+
+  /** The per-table probe-sequence length q_ann_lsh actually uses:
+    * [[ProbeBudget]] x [[probesPerTable]], clamped to the enumerable
+    * weight<=3 ball. */
+  def probeCount(bits: Int): Int =
+    math.min(graft.functions.LshProbeIds.ballSize(bits),
+      math.min(512, ProbeBudget * probesPerTable(bits)))
 
   /** The bucket of `e` in LSH table `t`: `bits` sign bits packed into
     * a long — the SPEC form, kept as documentation and as the law
@@ -356,6 +373,85 @@ object Similarity {
     true
   }
 
+  /** The q_ann_lsh pipeline, parameterized on the per-table probe
+    * count so [[graft.RecallGate]] can run a deliberately DEGRADED
+    * probe (its negative control: a broken probe must fail the gate
+    * red, or the gate is vacuous). `perTableOverride = None` is the
+    * production policy: [[probeCount]](bits) directed masks.
+    *
+    * QUERY-DIRECTED MULTI-PROBE (Lv et al., VLDB'07): each probe
+    * also searches the buckets its vector is LIKELIEST to have
+    * landed near, ranked by per-bit margin. History of this probe
+    * policy, each step forced by the RecallGate ladder:
+    *  - exact-signature probing decayed ~p^bits with the n-scaled
+    *    bits (0.28/0.18 at 16k/64k, r10);
+    *  - undirected Hamming-1 still decayed (0.58/0.44/0.26 at
+    *    16k/64k/256k);
+    *  - undirected Hamming-2 for bits >= 12 arrested the decay
+    *    (0.48-0.58 flat through 1M, r12) but spends budget
+    *    flipping the two largest-margin bits while likelier
+    *    three-small-margin flips go unprobed;
+    *  - directed probing with the SAME budget lifted the big rungs
+    *    to 0.62/0.56/0.64 (r13);
+    *  - the budget is now an explicit knob ([[ProbeBudget]], r14) —
+    *    directed ordering means extra budget lands on the next
+    *    likeliest buckets, recall per rung in SURVEY §18.
+    * All of it is PROBE-side only: one native LshProbeIds eval
+    * per probe row (margins + enumeration inside, the LshBucketIds
+    * pattern), the corpus bucket build untouched; candidates stay
+    * L·probes·occupancy per probe, independent of n. The base
+    * bucket and the full Hamming-1 ball are always included
+    * (budget permitting), so directed probing is structurally
+    * never worse than depth-1 — SimilaritySpec pins that law and
+    * the spec==native mask selection. */
+  private[graft] def lshTopK(s: SparkSession, d: String,
+                             perTableOverride: Option[Int] = None)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, d)
+    // parquet metadata count; sizes the bucket granularity so
+    // occupancy (and so candidate cost) stays ~constant at scale
+    val bits = lshBits(emb.count())
+    val buckets = lshBuckets(s, emb, bits)
+    // probe extraction scans the corpus (a modulo/id filter cannot
+    // range-prune row groups once files interleave ids), so the
+    // <=10-row probe frame is materialized ONCE and every probe
+    // derivative reads the checkpoint — the 32x smoke showed the
+    // duplicated probe scans dominating at scale (embedding decode
+    // is the expensive column).
+    val probe0 = emb.filter(col("vec_id") < 10).localCheckpoint()
+    val perTable = perTableOverride.getOrElse(probeCount(bits))
+    val probeB = probe0
+      .select(col("vec_id").as("qid"),
+        posexplode(call_function("lsh_probe_ids", col("embedding"),
+          lit(LshTables), lit(bits), lit(perTable))))
+      .toDF("qid", "pos", "qbucket")
+      .select(col("qid"),
+        floor(col("pos") / perTable).cast("int").as("qtable"),
+        col("qbucket"))
+    val probeQ = probe0
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        norm(col("embedding")).as("qn"))
+    // candidates: union of the probe's bucket across tables
+    val cands = buckets.join(broadcast(probeB),
+        col("table_id") === col("qtable") &&
+          col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid")).distinct()
+    // rank UNROUNDED (round presentation only — ranking rounded
+    // values manufactures quantized ties, CLAUDE.md rule 14)
+    val scored = cands
+      .join(scorable(emb).withColumnRenamed("vec_id", "nid"), "nid")
+      .join(broadcast(probeQ), "qid")
+      .select(col("qid"), col("nid"),
+        (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("raw"))
+    val w = Window.partitionBy("qid").orderBy(desc("raw"), asc("nid"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("nid"),
+        round(col("raw"), 6).as("score"), col("rn"))
+      .orderBy("qid", "rn")
+  }
+
   val queries: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -407,81 +503,11 @@ object Similarity {
         "corpus (bits scale with n so bucket occupancy stays ~32); " +
         "candidates = union of each probe's QUERY-DIRECTED multi-probe " +
         "bucket sequence (lowest-margin perturbations of the weight<=3 " +
-        "ball, probe count unchanged from the undirected policy) " +
+        "ball, ProbeBudget x the undirected mask count) " +
         "across tables, then exact top-5 by cosine. Oracle-exempt; " +
         "SimilaritySpec measures recall vs q_knn_cosine at unit " +
         "scale, RecallGate + recall_ladder.sh at 16k..1M vectors.",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val emb = Tables.embeddings(s, d)
-        // parquet metadata count; sizes the bucket granularity so
-        // occupancy (and so candidate cost) stays ~constant at scale
-        val bits = lshBits(emb.count())
-        val buckets = lshBuckets(s, emb, bits)
-        // probe extraction scans the corpus (a modulo/id filter cannot
-        // range-prune row groups once files interleave ids), so the
-        // <=10-row probe frame is materialized ONCE and every probe
-        // derivative reads the checkpoint — the 32x smoke showed the
-        // duplicated probe scans dominating at scale (embedding decode
-        // is the expensive column).
-        val probe0 = emb.filter(col("vec_id") < 10).localCheckpoint()
-        // QUERY-DIRECTED MULTI-PROBE (Lv et al., VLDB'07): each probe
-        // also searches the buckets its vector is LIKELIEST to have
-        // landed near, ranked by per-bit margin. History of this probe
-        // policy, each step forced by the RecallGate ladder:
-        //  - exact-signature probing decayed ~p^bits with the n-scaled
-        //    bits (0.28/0.18 at 16k/64k, r10);
-        //  - undirected Hamming-1 still decayed (0.58/0.44/0.26 at
-        //    16k/64k/256k);
-        //  - undirected Hamming-2 for bits >= 12 arrested the decay
-        //    (0.48-0.58 flat through 1M, r12) but spends budget
-        //    flipping the two largest-margin bits while likelier
-        //    three-small-margin flips go unprobed;
-        //  - directed probing (this form) keeps the EXACT SAME probe
-        //    count per table — probesPerTable(bits) equals the old
-        //    undirected mask count — but fills the post-depth-1 budget
-        //    with the lowest-score masks of the weight<=3 ball
-        //    (score = sum of squared margins, LshProbeIds); recall
-        //    per rung recorded in SURVEY §17 / RecallGate floors.
-        // All of it is PROBE-side only: one native LshProbeIds eval
-        // per probe row (margins + enumeration inside, the LshBucketIds
-        // pattern), the corpus bucket build untouched; candidates stay
-        // L·probes·occupancy per probe, independent of n. The base
-        // bucket and the full Hamming-1 ball are always included
-        // (budget permitting), so directed probing is structurally
-        // never worse than depth-1 — SimilaritySpec pins that law and
-        // the spec==native mask selection.
-        val perTable = probesPerTable(bits)
-        val probeB = probe0
-          .select(col("vec_id").as("qid"),
-            posexplode(call_function("lsh_probe_ids", col("embedding"),
-              lit(LshTables), lit(bits), lit(perTable))))
-          .toDF("qid", "pos", "qbucket")
-          .select(col("qid"),
-            floor(col("pos") / perTable).cast("int").as("qtable"),
-            col("qbucket"))
-        val probeQ = probe0
-          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-            norm(col("embedding")).as("qn"))
-        // candidates: union of the probe's bucket across tables
-        val cands = buckets.join(broadcast(probeB),
-            col("table_id") === col("qtable") &&
-              col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id").as("nid")).distinct()
-        // rank UNROUNDED (round presentation only — ranking rounded
-        // values manufactures quantized ties, CLAUDE.md rule 14)
-        val scored = cands
-          .join(scorable(emb).withColumnRenamed("vec_id", "nid"), "nid")
-          .join(broadcast(probeQ), "qid")
-          .select(col("qid"), col("nid"),
-            (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("raw"))
-        val w = Window.partitionBy("qid").orderBy(desc("raw"), asc("nid"))
-        scored.withColumn("rn", row_number().over(w).cast("long"))
-          .filter(col("rn") <= 5)
-          .select(col("qid"), col("nid"),
-            round(col("raw"), 6).as("score"), col("rn"))
-          .orderBy("qid", "rn")
-      },
+      (s, d) => lshTopK(s, d),
       None),
 
     GraftQuery(

@@ -92,5 +92,9 @@ fi
 # revert to lenient defaults. Skippable for quick re-runs via
 # SCALE_GATE_NO_RECALL=1; override via SCALE_GATE_FLOORS="lsh ivf mh".
 if [ "${SCALE_GATE_NO_RECALL:-0}" != "1" ]; then
-  sbt -batch "runMain graft.RecallGate $WORK ${SCALE_GATE_FLOORS:-0.45 0.50 1.0}"
+  # RECALL_GATE_CONTROL=1: the negative control — a deliberately
+  # degraded probe (perTable=1) must score BELOW the lsh floor or the
+  # gate fails itself (red-on-wrong, like check_oracles' selftest)
+  RECALL_GATE_CONTROL=1 \
+    sbt -batch "runMain graft.RecallGate $WORK ${SCALE_GATE_FLOORS:-0.45 0.50 1.0}"
 fi
