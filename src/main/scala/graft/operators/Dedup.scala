@@ -644,6 +644,51 @@ object Dedup {
     true
   }
 
+  /** Fold the df table's append-accumulated partial rows back into
+    * one row per shingle — the periodic maintenance step that
+    * restores the fast no-reaggregation probe path after a run of
+    * [[appendToShingleIndex]] calls. Probes are EXACTLY unchanged by
+    * compaction (the gated re-agg computes the same sums the compact
+    * layout stores; DedupSpec pins probe-before == probe-after), so
+    * the cadence is pure cost tuning: run it when the per-probe
+    * re-agg tax outgrows one df rewrite — e.g. nightly against a day
+    * of streamed micro-batches. Postings/sets appends need no
+    * folding (extra files per bucket keep the bucketed distribution;
+    * only df has mergeable rows).
+    *
+    * The rewrite goes through a staging table + catalog RENAME so the
+    * df table is never read and overwritten in one plan; a crash
+    * mid-swap leaves the df table missing, which the next
+    * [[ensureShingleIndex]] turns into a clean rebuild. Returns true
+    * if a compaction ran, false when every applied batch was already
+    * folded (idempotent, the append-path convention). */
+  def compactShingleIndex(s: SparkSession, d: String): Boolean = {
+    val (_, _, dfT) = ensureShingleIndex(s, d)
+    val stored = readShingleManifest(s, d).getOrElse(
+      throw new IllegalStateException(
+        s"shingle index for $d has no manifest after ensure"))
+    if (stored._2.size <= IndexManifest.compactedOf(stored._1))
+      return false
+    val buckets = IndexManifest.bucketsOf(stored._1, s"shingle index $d")
+    val tmpT = dfT + "_c"
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    def dropWithLocation(t: String): Unit = {
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(wh, t)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    dropWithLocation(tmpT)
+    s.table(dfT).groupBy("s").agg(sum(col("gdf")).as("gdf"))
+      .write.bucketBy(buckets, "s").sortBy("s")
+      .format("parquet").saveAsTable(tmpT)
+    dropWithLocation(dfT)
+    s.sql(s"ALTER TABLE $tmpT RENAME TO $dfT")
+    IndexManifest.setCompacted(s, shingleManifestPath(s, d),
+      stored._1, stored._2, stored._2.size)
+    true
+  }
+
   /** The runtime face of the disjointness contract: batch doc_ids
     * must not already be in the indexed sets table — a violation
     * corrupts pair orientation and join multiplicities SILENTLY, so
@@ -701,9 +746,12 @@ object Dedup {
     // the re-aggregation is pure waste — at the 2.56M-doc rung the
     // df table is ~10^8 rows and the unconditional agg nearly doubled
     // the probe (30 -> 57 s, r14 rung A/B) — so it is gated on the
-    // manifest actually listing appended batches (one small file
-    // read; the expensive freshness work stays memoized in ensure).
-    val hasAppends = readShingleManifest(s, d).exists(_._2.nonEmpty)
+    // manifest listing appended batches NOT yet folded by
+    // [[compactShingleIndex]] (one small file read; the expensive
+    // freshness work stays memoized in ensure).
+    val hasAppends = readShingleManifest(s, d).exists { case (txt, bs) =>
+      bs.size > IndexManifest.compactedOf(txt)
+    }
     val gdfTbl =
       if (hasAppends)
         s.table(dfT).groupBy("s").agg(sum(col("gdf")).as("gdf"))

@@ -32,6 +32,14 @@ private[graft] object IndexManifest {
 
   val BatchRe = """\{"id":"([A-Za-z0-9_.\-]+)","rows":(\d+)\}""".r
   val BucketsRe = """"buckets":(\d+)""".r
+  val CompactedRe = """"dfCompacted":(\d+)""".r
+
+  /** How many of the applied batches have had their partial stat rows
+    * folded back into one-row-per-key form (compaction); 0 if the
+    * field is absent (pre-compaction manifests). */
+  def compactedOf(storedTxt: String): Int =
+    CompactedRe.findFirstMatchIn(storedTxt).map(_.group(1).toInt)
+      .getOrElse(0)
 
   def path(s: SparkSession, prefix: String, tag: String)
       : org.apache.hadoop.fs.Path =
@@ -103,11 +111,26 @@ private[graft] object IndexManifest {
     * the append, this app). */
   def appendBatch(s: SparkSession, p: org.apache.hadoop.fs.Path,
                   storedTxt: String, batches: Seq[(String, Long)],
-                  id: String, rows: Long): Unit = {
+                  id: String, rows: Long): Unit =
+    rewriteBatches(s, p, storedTxt, batches :+ (id, rows),
+      compactedOf(storedTxt))
+
+  /** Record that the first `compacted` applied batches' partial stat
+    * rows have been folded into one-row-per-key form. */
+  def setCompacted(s: SparkSession, p: org.apache.hadoop.fs.Path,
+                   storedTxt: String, batches: Seq[(String, Long)],
+                   compacted: Int): Unit =
+    rewriteBatches(s, p, storedTxt, batches, compacted)
+
+  private def rewriteBatches(s: SparkSession, p: org.apache.hadoop.fs.Path,
+                             storedTxt: String,
+                             batches: Seq[(String, Long)],
+                             compacted: Int): Unit = {
     val prefix = storedTxt.substring(0,
       storedTxt.indexOf("\"batches\":") + "\"batches\":".length)
-    val all = batches :+ (id, rows)
-    writeText(s, p, prefix + all.map { case (bid, r) =>
-      s"""{"id":"$bid","rows":$r}""" }.mkString("[", ",", "]") + "}")
+    val tail = if (compacted > 0) s""","dfCompacted":$compacted}"""
+      else "}"
+    writeText(s, p, prefix + batches.map { case (bid, r) =>
+      s"""{"id":"$bid","rows":$r}""" }.mkString("[", ",", "]") + tail)
   }
 }

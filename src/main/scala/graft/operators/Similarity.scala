@@ -91,8 +91,9 @@ object Similarity {
     * join grows linearly in T x occupancy per probe (tens of KB of
     * candidate rows per probe at any n), while recall climbs because
     * the directed sequence admits more of the likeliest-neighbor
-    * buckets. Per-rung recall at T=2 vs the T=1 history is recorded
-    * in SURVEY §18 / the RecallGate floors. */
+    * buckets. T=2 measured (r14 ladder): recall 256k/512k/1M =
+    * 0.780/0.640/0.700, from 0.620/0.560/0.640 at T=1 — the 1M rung
+    * crosses 0.7 for the first time. */
   val ProbeBudget = 2
 
   /** The per-table probe-sequence length q_ann_lsh actually uses:
@@ -393,9 +394,10 @@ object Similarity {
     *    three-small-margin flips go unprobed;
     *  - directed probing with the SAME budget lifted the big rungs
     *    to 0.62/0.56/0.64 (r13);
-    *  - the budget is now an explicit knob ([[ProbeBudget]], r14) —
-    *    directed ordering means extra budget lands on the next
-    *    likeliest buckets, recall per rung in SURVEY §18.
+    *  - the budget is now an explicit knob ([[ProbeBudget]], r14):
+    *    T=2 directed — the extra budget lands on the next likeliest
+    *    buckets — measured 0.780/0.640/0.700 at 256k/512k/1M
+    *    (recall_ladder floors ratcheted to 0.60).
     * All of it is PROBE-side only: one native LshProbeIds eval
     * per probe row (margins + enumeration inside, the LshBucketIds
     * pattern), the corpus bucket build untouched; candidates stay

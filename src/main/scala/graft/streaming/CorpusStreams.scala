@@ -338,7 +338,8 @@ object CorpusStreams {
     * pre-append index (its own docs must not be in it: disjointness). */
   def deltaDedupStream(docs: Dataset[Doc], dir: String,
                        maintainIndex: Boolean = false,
-                       streamId: String = "stream")(
+                       streamId: String = "stream",
+                       compactEvery: Int = 0)(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[Doc] =
     docs.writeStream.outputMode("append").foreachBatch {
@@ -351,6 +352,12 @@ object CorpusStreams {
         if (maintainIndex) {
           graft.operators.Dedup.appendToShingleIndex(
             b.sparkSession, dir, bdf, s"${streamId}_$id")
+          // cadenced df compaction (compactShingleIndex is a pure
+          // layout fold — probes are exactly unchanged — so the
+          // cadence only tunes the per-probe re-agg tax against the
+          // df rewrite cost; 0 = leave it to an external nightly)
+          if (compactEvery > 0 && (id + 1) % compactEvery == 0)
+            graft.operators.Dedup.compactShingleIndex(b.sparkSession, dir)
           ()
         }
     }

@@ -379,6 +379,35 @@ class DedupSpec extends SparkSuite {
       "split append diverges from one-batch append")
   }
 
+  test("compactShingleIndex folds df partials without changing probes") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cmp").toFile
+    val d = writeCorpus(new java.io.File(tmp, "d"), idxCorpus)
+    Dedup.ensureShingleIndex(spark, d)
+    // nothing to fold on a fresh index
+    assert(!Dedup.compactShingleIndex(spark, d))
+    assert(Dedup.appendToShingleIndex(spark, d, docsDf(idxB1), "day1"))
+    val dfT = Dedup.ensureShingleIndex(spark, d)._3
+    val rowsBefore = spark.table(dfT).count()
+    val distinctS = spark.table(dfT).select("s").distinct().count()
+    assert(rowsBefore > distinctS,
+      "append must leave partial df rows or the test is vacuous")
+    val before = probe(d, idxB2)
+    assert(Dedup.compactShingleIndex(spark, d))
+    assert(spark.table(dfT).count() == distinctS,
+      "compaction must leave one row per shingle")
+    assert(probe(d, idxB2) == before,
+      "compaction changed probe results")
+    // idempotent until the next append introduces new partials
+    assert(!Dedup.compactShingleIndex(spark, d))
+    assert(Dedup.appendToShingleIndex(spark, d,
+      docsDf(Seq(300L -> txt(30))), "day2"))
+    assert(probe(d, idxB2) == before,
+      "post-compaction append broke the re-aggregation path")
+    assert(Dedup.compactShingleIndex(spark, d),
+      "new partials after compaction must be compactable")
+    assert(probe(d, idxB2) == before)
+  }
+
   test("disjointness contract fails loudly on probe and append") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_disj")
       .toFile

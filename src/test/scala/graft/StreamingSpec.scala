@@ -947,8 +947,12 @@ class StreamingSpec extends SparkSuite {
 
     val got = scala.collection.mutable.Map.empty[Long, Set[(Long, Long, Double)]]
     val input = MemoryStream[CorpusStreams.Doc]
+    // compactEvery = 1: every batch folds df right after its append,
+    // so the stream ALSO exercises probe-after-compaction (a pure
+    // layout fold — the equality assertions below would catch any
+    // result drift it introduced)
     val q = CorpusStreams.deltaDedupStream(input.toDS(), dir,
-      maintainIndex = true, streamId = "t1") { (df, id) =>
+      maintainIndex = true, streamId = "t1", compactEvery = 1) { (df, id) =>
       got(id) = rowsOf(df)
     }.start()
     try {

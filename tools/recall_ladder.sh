@@ -3,15 +3,17 @@
 # n = 256k / 512k / 1,024k vectors (128x/256x/512x of sf0.1 — rungs
 # labeled by ABSOLUTE n per CLAUDE.md rule 16) and fails below the
 # ratcheted floors. These are the rungs where lshBits(n) crosses 13/14/15
-# and the Hamming-2 probe regime is fully engaged; quality measured
-# r12/r13: LSH 0.48-0.58, IVF 0.56-0.66, MinHash 1.000 with 0 FP.
+# and the directed multi-probe regime is fully engaged; quality measured
+# r14 (ProbeBudget=2 directed probing): LSH 0.780/0.640/0.700 across
+# 256k/512k/1M, IVF 0.740/0.620/0.660, MinHash 1.000 with 0 FP.
 #
 # Floors sit just under measured so HALF the quality can no longer
 # evaporate silently (the round-12 judge's finding against the old
-# 0.25/0.5 defaults): LSH >= 0.50 (query-directed probing, r13:
-# 0.62/0.56/0.64 across the rungs), IVF >= 0.55 (0.74/0.62/0.66),
-# MinHash == 1.0 (its verification stage is exact, so any loss is
-# structural breakage).
+# 0.25/0.5 defaults): LSH >= 0.60 (weakest rung 0.640 at 512k),
+# IVF >= 0.58 (weakest 0.620 at 512k), MinHash == 1.0 (its
+# verification stage is exact, so any loss is structural breakage).
+# Recall here is DETERMINISTIC per (corpus, code) — the margin covers
+# corpus regens, not run-to-run noise.
 #
 # Usage: tools/recall_ladder.sh [rungs]   (default "128 256 512")
 #   RECALL_LADDER_FLOORS="lsh ivf mh" overrides the floors.
@@ -21,7 +23,7 @@
 set -euo pipefail
 RUNGS="${1:-128 256 512}"
 SRC="${RECALL_LADDER_SRC:-/root/testdata/sf0.1}"
-FLOORS="${RECALL_LADDER_FLOORS:-0.50 0.55 1.0}"
+FLOORS="${RECALL_LADDER_FLOORS:-0.60 0.58 1.0}"
 cd "$(dirname "$0")/.."
 for K in $RUNGS; do
   WORK="/tmp/graft_recall_ladder_${K}x"
