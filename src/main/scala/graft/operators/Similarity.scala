@@ -454,6 +454,54 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** Probe the PERSISTED IVF index with an ARBITRARY (vec_id,
+    * embedding) probe frame — the q_ann_ivf_probe body,
+    * frame-parameterized for the streaming twin
+    * ([[graft.streaming.CorpusStreams.annStream]]), which hands it
+    * each arriving micro-batch of query vectors. Top-k per probe by
+    * exact cosine over the nprobe nearest cells; probe rows whose
+    * vec_id collides with a corpus vector exclude that vector (the
+    * self-match rule of the corpus-probe queries). */
+  private[graft] def ivfProbe(s: SparkSession, d: String,
+                              probeVecs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (at, ct) = ensureIvfIndex(s, d)
+    val centroids = s.table(ct) // (cid, ke, kn)
+    val n = math.max(1L, s.table(at).count())
+    val nprobe = math.max(4, math.ceil(n / (8.0 * centroidMod(n))).toInt)
+    val wProbe = Window.partitionBy("qid").orderBy(desc("ccos"), asc("cid"))
+    // checkpointed: this <= |probes| x nprobe row frame is evaluated
+    // for the cellIds collect AND the broadcast below —
+    // uncheckpointed, each evaluation re-scans the probe source (the
+    // q_ann_lsh probe-extraction lesson; measured 1.69x-vs-t1 instead
+    // of flat at the 256k rung before this)
+    val probeCells = probeVecs
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        norm(col("embedding")).as("qn"))
+      .crossJoin(broadcast(centroids))
+      .select(col("qid"), col("qe"), col("qn"), col("cid"),
+        (dot(col("qe"), col("ke")) / (col("qn") * col("kn"))).as("ccos"))
+      .withColumn("crn", row_number().over(wProbe))
+      .filter(col("crn") <= nprobe)
+      .select(col("qid"), col("qe"), col("qn"), col("cid"))
+      .localCheckpoint()
+    // the probed cell ids, collected (<= |probes| x nprobe rows): an
+    // isin() on the bucket column is what lets the scan prune whole
+    // buckets — a join alone reads every file
+    val cellIds = probeCells.select("cid").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val scored = s.table(at).filter(col("cid").isin(cellIds: _*))
+      .join(broadcast(probeCells), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("raw"))
+    val w = Window.partitionBy("qid").orderBy(desc("raw"), asc("nid"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nid"),
+        round(col("raw"), 6).as("score"), col("rn"))
+  }
+
   val queries: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -604,42 +652,9 @@ object Similarity {
         "recomputes the whole pipeline relationally — differential " +
         "cover for NearestCentroid, the bucketed artifact, and the " +
         "probe policy in one query.",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val (at, ct) = ensureIvfIndex(s, d)
-        val centroids = s.table(ct) // (cid, ke, kn)
-        val n = math.max(1L, s.table(at).count())
-        val nprobe = math.max(4, math.ceil(n / (8.0 * centroidMod(n))).toInt)
-        val wProbe = Window.partitionBy("qid").orderBy(desc("ccos"), asc("cid"))
-        // checkpointed: this <= 10 x nprobe row frame is evaluated for
-        // the cellIds collect AND the broadcast below — uncheckpointed,
-        // each evaluation re-scans the full corpus for the probe rows
-        // (the q_ann_lsh probe-extraction lesson; measured 1.69x-vs-t1
-        // instead of flat at the 256k rung before this)
-        val probeCells = probes(s, d).crossJoin(broadcast(centroids))
-          .select(col("qid"), col("qe"), col("qn"), col("cid"),
-            (dot(col("qe"), col("ke")) / (col("qn") * col("kn"))).as("ccos"))
-          .withColumn("crn", row_number().over(wProbe))
-          .filter(col("crn") <= nprobe)
-          .select(col("qid"), col("qe"), col("qn"), col("cid"))
-          .localCheckpoint()
-        // the probed cell ids, collected (<= 10 probes x nprobe rows):
-        // an isin() on the bucket column is what lets the scan prune
-        // whole buckets — a join alone reads every file
-        val cellIds = probeCells.select("cid").distinct()
-          .collect().map(_.getLong(0)).sorted
-        val scored = s.table(at).filter(col("cid").isin(cellIds: _*))
-          .join(broadcast(probeCells), Seq("cid"))
-          .filter(col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id").as("nid"),
-            (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("raw"))
-        val w = Window.partitionBy("qid").orderBy(desc("raw"), asc("nid"))
-        scored.withColumn("rn", row_number().over(w).cast("long"))
-          .filter(col("rn") <= 5)
-          .select(col("qid"), col("nid"),
-            round(col("raw"), 6).as("score"), col("rn"))
-          .orderBy("qid", "rn")
-      },
+      (s, d) => ivfProbe(s, d,
+        Tables.embeddings(s, d).filter(col("vec_id") < 10), 5)
+        .orderBy("qid", "rn"),
       Some("WITH n AS (SELECT count(*) AS cnt FROM embeddings), " +
         "m AS (SELECT greatest(53, cnt // CAST(ceil(sqrt(cnt)) AS " +
         "BIGINT)) AS md, " +

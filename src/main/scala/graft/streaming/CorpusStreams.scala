@@ -362,6 +362,56 @@ object CorpusStreams {
         }
     }
 
+  /** An arriving embedding row for [[annStream]]. */
+  final case class Vec(vec_id: Long, embedding: Array[Float])
+
+  /** Streaming twin of q_ann_ivf_probe — similarity search as an
+    * ingest-time service: each micro-batch of QUERY vectors probes
+    * the PERSISTED IVF index over `dir`'s embeddings
+    * (operators.Similarity.ensureIvfIndex) and `sink` receives the
+    * exact-cosine top-k per probe, identical to the batch probe on
+    * the same vectors (StreamingSpec pins it per batch). Runs at the
+    * foreachBatch boundary (cell ranking needs a row_number window —
+    * the Recalibrator rule), and the index freshness check is
+    * memoized per context, so steady-state per-batch overhead is one
+    * bucket-pruned scan of the probed cells.
+    *
+    * With `maintainIndex = true` the micro-batch is ALSO folded into
+    * the index after `sink` returns
+    * ([[graft.operators.Similarity.appendToIvfIndex]], idempotent per
+    * "streamId_batchId"): arrivals become findable by every later
+    * batch's probes — the same closed-loop ingest shape as
+    * [[deltaDedupStream]]'s maintenance mode, with the same
+    * disjointness contract (arriving vec_ids must be new; violations
+    * throw). Centroids stay frozen between rebuilds, so appended
+    * vectors join existing cells; recall drift is re-centered by the
+    * periodic rebuild cadence (q_kmeans_refine), never correctness.
+    *
+    * `sink` must consume its frame before returning (the probe-cell
+    * checkpoint is per-batch state). Appends are visible to LATER
+    * BATCHES of this stream automatically (one micro-batch session
+    * runs them all, and its relation cache refreshes on write); any
+    * OTHER session that already read the assignment table sees them
+    * after `spark.catalog.refreshTable` — standard Spark
+    * relation-cache semantics, same as any external writer. */
+  def annStream(vecs: Dataset[Vec], dir: String, k: Int = 5,
+                maintainIndex: Boolean = false,
+                streamId: String = "ann")(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Vec] =
+    vecs.writeStream.outputMode("append").foreachBatch {
+      (b: Dataset[Vec], id: Long) =>
+        val bdf = b.toDF().localCheckpoint()
+        sink(graft.operators.Similarity
+          .ivfProbe(b.sparkSession, dir, bdf, k)
+          .orderBy("qid", "rn"), id)
+        if (maintainIndex) {
+          graft.operators.Similarity.appendToIvfIndex(
+            b.sparkSession, dir, bdf, s"${streamId}_$id")
+          ()
+        }
+    }
+
   private def round8(x: Double): Double = java.math.BigDecimal.valueOf(x)
     .setScale(8, java.math.RoundingMode.HALF_UP).doubleValue
   private def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)

@@ -908,6 +908,67 @@ class StreamingSpec extends SparkSuite {
     }, s"non-cross-batch pair missing from the stream: ${missed.take(3)}")
   }
 
+  test("ann stream probes the persisted IVF index; maintainIndex " +
+    "makes arrivals findable by later batches") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    import graft.streaming.CorpusStreams
+    def vec(seed: Long): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(64)(r.nextFloat() * 2 - 1)
+    }
+    // own corpus dir — maintenance appends must never touch the
+    // shared sf fixture's index
+    val tmp = java.nio.file.Files.createTempDirectory("graft_annstr")
+    val dir = new java.io.File(tmp.toFile, "d").toString
+    (0L until 150L).map(i => (i, vec(i)))
+      .toDF("vec_id", "embedding").coalesce(1).write
+      .parquet(s"$dir/embeddings.parquet")
+    // batch 0 delivers an arrival vector 2000; batch 1 queries with
+    // an exact copy (3000) — findable only if batch 0 was appended
+    val h1 = Seq(CorpusStreams.Vec(2000L, vec(777L)))
+    val h2 = Seq(CorpusStreams.Vec(3000L, vec(777L)),
+      CorpusStreams.Vec(3001L, vec(5L)))
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    // batch-operator comparator for batch 0 BEFORE the stream runs
+    // (the stream appends after probing, so the comparable state is
+    // the pre-append index)
+    val exp1 = rowsOf(graft.operators.Similarity
+      .ivfProbe(spark, dir, h1.toDS().toDF(), 5))
+    val got = scala.collection.mutable.Map.empty[Long, Set[(Long, Long, Double, Long)]]
+    val input = MemoryStream[CorpusStreams.Vec]
+    val q = CorpusStreams.annStream(input.toDS(), dir,
+      maintainIndex = true, streamId = "a1") { (df, id) =>
+      got(id) = rowsOf(df)
+    }.start()
+    try {
+      input.addData(h1); q.processAllAvailable()
+      input.addData(h2); q.processAllAvailable()
+    } finally q.stop()
+    assert(got(0L) == exp1,
+      "streamed probe != batch probe on the same vectors")
+    // the copy of 2000's vector must rank it first with cosine 1.0
+    val top3000 = got(1L).find { case (qid, _, _, rn) =>
+      qid == 3000L && rn == 1L }
+    assert(top3000.exists(t => t._2 == 2000L && t._3 == 1.0),
+      s"appended arrival not found by the later batch: $top3000")
+    // and the maintained index equals a batch probe on the SAME
+    // post-append state. The appends ran in the stream's CLONED
+    // micro-batch session; this root session cached the assignment
+    // table's file listing at the exp1 probe, so it must refresh
+    // first (standard Spark relation-cache semantics, documented on
+    // annStream — without this the comparator sees the pre-append
+    // index and the law is tested against the wrong state)
+    val (at2, _) = graft.operators.Similarity.ensureIvfIndex(spark, dir)
+    spark.catalog.refreshTable(at2)
+    assert(got(1L) == rowsOf(graft.operators.Similarity
+      .ivfProbe(spark, dir, h2.toDS().toDF(), 5)),
+      "batch-1 streamed probe != batch probe over the appended index")
+  }
+
   test("delta dedup stream with maintainIndex catches cross-batch " +
     "pairs — streamed union == one big batch exactly") {
     val sp = spark; import sp.implicits._

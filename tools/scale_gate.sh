@@ -83,11 +83,14 @@ fi
 # replays brute force + both ANN variants on the same replicated corpus
 # (the scale where lshBits(n)/sqrt(n)-nlist actually move off their
 # test-scale floors) and fails if mean top-5 recall drops below floor.
-# Floors are RATCHETED to just under measured quality (r13: at n=16k —
-# this script's default 32x sf0.01 rung — LSH 0.580, IVF 0.540, MinHash
-# 1.000 with 0 FP). IVF floor is 0.50 here, not the 0.55 used by the
-# big-rung ladder (tools/recall_ladder.sh): IVF recall is monotone in n
-# and its small-n end sits at 0.54. RecallGate REQUIRES explicit floors
+# Floors are RATCHETED to just under measured quality (r14: at n=16k —
+# this script's default 32x sf0.01 rung — LSH 0.760 with the
+# ProbeBudget=2 directed policy, IVF 0.540, MinHash 1.000 with 0 FP;
+# the r14 negative control measured 0.280 for the degraded probe, so
+# the 0.70 floor has a wide red band under it). IVF floor is 0.50
+# here, not the 0.58 used by the big-rung ladder
+# (tools/recall_ladder.sh): IVF recall is monotone in n and its
+# small-n end sits at 0.54. RecallGate REQUIRES explicit floors
 # — an invocation without them fails, so the contract can't silently
 # revert to lenient defaults. Skippable for quick re-runs via
 # SCALE_GATE_NO_RECALL=1; override via SCALE_GATE_FLOORS="lsh ivf mh".
@@ -96,5 +99,5 @@ if [ "${SCALE_GATE_NO_RECALL:-0}" != "1" ]; then
   # degraded probe (perTable=1) must score BELOW the lsh floor or the
   # gate fails itself (red-on-wrong, like check_oracles' selftest)
   RECALL_GATE_CONTROL=1 \
-    sbt -batch "runMain graft.RecallGate $WORK ${SCALE_GATE_FLOORS:-0.45 0.50 1.0}"
+    sbt -batch "runMain graft.RecallGate $WORK ${SCALE_GATE_FLOORS:-0.70 0.50 1.0}"
 fi
