@@ -362,6 +362,73 @@ object CorpusStreams {
         }
     }
 
+  /** An arriving near-dup pair for [[ccStream]] (da < db by the
+    * dedup-pair convention; order is normalized defensively). */
+  final case class Pair(da: Long, db: Long)
+
+  /** A component-label assignment emitted by [[ccStream]]: `node` now
+    * belongs to the component labeled `lbl` (= the component's min
+    * node id). A node re-emits whenever a merge changes its label. */
+  final case class CcUpdate(node: Long, lbl: Long)
+
+  /** Incremental connected components over a STREAM of near-dup pairs
+    * — the groups-side ingest twin ([[deltaDedupStream]] emits the
+    * pairs; this maintains `q_dedup_groups`' (node, lbl) view of them
+    * without ever recomputing the graph). Each micro-batch's pairs
+    * fold into a driver-side union-find with path compression
+    * (microseconds per edge); `sink` receives the CHANGED label rows
+    * — every node whose component label differs from what was last
+    * emitted, including ripple relabels when a bridge pair merges two
+    * existing components. Labels are lbl = min node id, so they are
+    * deterministic and NEVER depend on arrival order: after any
+    * prefix of batches the cumulative emitted state equals
+    * `Dedup.connectedComponents` over the union of pairs so far
+    * (StreamingSpec law).
+    *
+    * Scale posture: the state is the DUP-PAIR graph, which is small
+    * relative to its corpus by construction (it IS the duplicate
+    * list) — the same LocalCcMaxEdges argument that sizes the batch
+    * operator's driver branch; a corpus whose dup graph outgrows
+    * driver memory re-shards the stream by component-connected key
+    * ranges or falls back to the batch operator's distributed
+    * pointer-jumping on a cadence. Replays re-apply the same unions
+    * (idempotent merges): an at-least-once replay emits nothing new
+    * and converges to the same state. */
+  def ccStream(pairs: Dataset[Pair])(
+      sink: (Seq[CcUpdate], Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Pair] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    val emitted = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.writeStream.outputMode("append").foreachBatch {
+      (b: Dataset[Pair], id: Long) =>
+        // the batch IS the duplicate list for these arrivals — small
+        // by the same argument as the driver-CC gate; normalize
+        // orientation so malformed input cannot corrupt min-labels
+        b.collect().foreach { p =>
+          val (a, bb) = if (p.da <= p.db) (p.da, p.db) else (p.db, p.da)
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(bb, bb)
+          val (ra, rb) = (find(a), find(bb))
+          if (ra != rb) {
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        val changed = parent.keys.toSeq.sorted.flatMap { n =>
+          val l = find(n)
+          if (emitted.get(n).contains(l)) None
+          else { emitted(n) = l; Some(CcUpdate(n, l)) }
+        }
+        sink(changed, id)
+    }
+  }
+
   /** An arriving embedding row for [[annStream]]. */
   final case class Vec(vec_id: Long, embedding: Array[Float])
 

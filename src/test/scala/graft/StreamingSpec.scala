@@ -908,6 +908,42 @@ class StreamingSpec extends SparkSuite {
     }, s"non-cross-batch pair missing from the stream: ${missed.take(3)}")
   }
 
+  test("cc stream labels equal the batch operator after every prefix, " +
+    "and bridge merges ripple-relabel") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    import graft.streaming.CorpusStreams
+    val b1 = Seq(CorpusStreams.Pair(1L, 2L), CorpusStreams.Pair(3L, 4L),
+      CorpusStreams.Pair(9L, 8L)) // reversed orientation on purpose
+    val b2 = Seq(CorpusStreams.Pair(2L, 3L)) // bridge: merges {1,2},{3,4}
+    val got = scala.collection.mutable.Map.empty[Long, Seq[CorpusStreams.CcUpdate]]
+    val input = MemoryStream[CorpusStreams.Pair]
+    val q = CorpusStreams.ccStream(input.toDS()) { (changed, id) =>
+      got(id) = changed
+    }.start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    def cumulative(upTo: Long): Map[Long, Long] =
+      (0L to upTo).flatMap(i => got(i)).map(u => u.node -> u.lbl).toMap
+    def batchCc(pairs: Seq[CorpusStreams.Pair]): Map[Long, Long] =
+      graft.operators.Dedup.connectedComponents(
+        pairs.map(p => (math.min(p.da, p.db), math.max(p.da, p.db)))
+          .toDF("da", "db"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // law: after each prefix the cumulative emitted state == the
+    // batch operator over the union of pairs so far
+    assert(cumulative(0L) == batchCc(b1))
+    assert(cumulative(1L) == batchCc(b1 ++ b2))
+    // the bridge relabeled node 4 even though no batch-2 pair names it
+    assert(got(1L).exists(u => u.node == 4L && u.lbl == 1L),
+      s"ripple relabel missing: ${got(1L)}")
+    // and only genuinely changed labels were re-emitted
+    assert(!got(1L).exists(u => u.node == 8L || u.node == 9L),
+      "untouched component re-emitted")
+  }
+
   test("ann stream probes the persisted IVF index; maintainIndex " +
     "makes arrivals findable by later batches") {
     val sp = spark; import sp.implicits._
