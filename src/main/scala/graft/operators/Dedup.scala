@@ -568,17 +568,29 @@ object Dedup {
         val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (fs.exists(p)) fs.delete(p, true)
       }
+      // every write repartitions by ITS bucket column first: a
+      // bucketed write emits one file per (task x present-bucket), so
+      // an unaligned upstream layout sprays tasks x buckets tiny
+      // files — the r14 AppendSmoke measured appends growing with
+      // corpus size from exactly this. repartition(buckets, key) uses
+      // the same murmur3 HashPartitioning as the bucket spec, so each
+      // task holds exactly one bucket -> one file; for the aggregated
+      // frames whose shuffle already hash-partitions on the key, the
+      // explicit node collapses when counts match.
       val sh = explodedShingles(corpus).cache()
-      sh.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      sh.repartition(buckets, col("s"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .bucketBy(buckets, "s").sortBy("s")
         .format("parquet").saveAsTable(postT)
       sh.groupBy("doc_id")
         .agg(sort_array(collect_list(col("s"))).as("ss"),
           count(lit(1)).as("c"))
+        .repartition(buckets, col("doc_id"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .bucketBy(buckets, "doc_id").sortBy("doc_id")
         .format("parquet").saveAsTable(setsT)
       sh.groupBy("s").agg(count(lit(1)).as("gdf"))
+        .repartition(buckets, col("s"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .bucketBy(buckets, "s").sortBy("s")
         .format("parquet").saveAsTable(dfT)
@@ -627,14 +639,21 @@ object Dedup {
     val sh = explodedShingles(batch).cache()
     val buckets = IndexManifest.bucketsOf(stored._1, s"shingle index $d")
     val app = org.apache.spark.sql.SaveMode.Append
-    sh.write.mode(app).bucketBy(buckets, "s").sortBy("s")
+    // repartition by the bucket column before every bucketed write
+    // (the ensureShingleIndex rule): without it each append sprays
+    // tasks x buckets tiny files and append cost grows with the
+    // INDEX's bucket count instead of the batch
+    sh.repartition(buckets, col("s"))
+      .write.mode(app).bucketBy(buckets, "s").sortBy("s")
       .format("parquet").saveAsTable(postT)
-    val bsets = sh.groupBy("doc_id")
+    sh.groupBy("doc_id")
       .agg(sort_array(collect_list(col("s"))).as("ss"),
         count(lit(1)).as("c"))
-    bsets.write.mode(app).bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .repartition(buckets, col("doc_id"))
+      .write.mode(app).bucketBy(buckets, "doc_id").sortBy("doc_id")
       .format("parquet").saveAsTable(setsT)
     sh.groupBy("s").agg(count(lit(1)).as("gdf"))
+      .repartition(buckets, col("s"))
       .write.mode(app).bucketBy(buckets, "s").sortBy("s")
       .format("parquet").saveAsTable(dfT)
     sh.unpersist(blocking = false)
@@ -680,6 +699,7 @@ object Dedup {
     }
     dropWithLocation(tmpT)
     s.table(dfT).groupBy("s").agg(sum(col("gdf")).as("gdf"))
+      .repartition(buckets, col("s"))
       .write.bucketBy(buckets, "s").sortBy("s")
       .format("parquet").saveAsTable(tmpT)
     dropWithLocation(dfT)
@@ -706,6 +726,25 @@ object Dedup {
     * [[ensureShingleIndex]] re-runs the real check (DedupSpec's
     * reuse law must exercise the check, not the memo). */
   private[graft] def forgetFreshIndexMemo(): Unit = freshIndexMemo.clear()
+
+  /** Drop the persisted shingle index (tables + manifest + memo) so
+    * the next ensure rebuilds from scratch — the measurement hook
+    * [[graft.AppendSmoke]] uses to time a cold build against an
+    * append on the same corpus. */
+  private[graft] def dropShingleIndex(s: SparkSession, d: String): Unit = {
+    val (postT, setsT, dfT) = shingleIndexNames(d)
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    Seq(postT, setsT, dfT).foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(wh, t)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val mp = shingleManifestPath(s, d)
+    val fs = mp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(mp)) fs.delete(mp, false)
+    freshIndexMemo.remove(s.sparkContext.applicationId + ":" + d)
+  }
 
   /** The UNmaterialized q_dedup_delta pipeline — exposed so PlanSpec
     * can assert the index-probe plan shape (the query entry

@@ -294,8 +294,12 @@ object Similarity {
       // bucket count scales with n (Tables.indexBuckets — 32 at test
       // scales, the local parallelism; a cluster gets counts that
       // track corpus size); sortBy co-sorts within buckets so a
-      // cell's rows are contiguous pages
-      assigned.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      // cell's rows are contiguous pages. repartition by the bucket
+      // column first (the ensureShingleIndex rule): a bucketed write
+      // emits one file per (task x present-bucket), so the unaligned
+      // map-only assignment layout would spray tasks x buckets files
+      assigned.repartition(buckets, col("cid"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .bucketBy(buckets, "cid").sortBy("cid")
         .format("parquet").saveAsTable(at)
       centroids.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -314,6 +318,23 @@ object Similarity {
   /** Test hook: forget memoized freshness so the next
     * [[ensureIvfIndex]] re-runs the real check. */
   private[graft] def forgetFreshIvfMemo(): Unit = freshIvfMemo.clear()
+
+  /** Drop the persisted IVF index (tables + manifest + memo) — the
+    * [[graft.AppendSmoke]] cold-build measurement hook. */
+  private[graft] def dropIvfIndex(s: SparkSession, d: String): Unit = {
+    val (at, ct) = ivfTableNames(d)
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    Seq(at, ct).foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(wh, t)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val mp = ivfManifestPath(s, d)
+    val fs = mp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(mp)) fs.delete(mp, false)
+    freshIvfMemo.remove(s.sparkContext.applicationId + ":ivf:" + d)
+  }
 
   private def ivfManifestPath(s: SparkSession, d: String)
       : org.apache.hadoop.fs.Path = {
@@ -365,7 +386,8 @@ object Similarity {
       .withColumn("cid",
         graft.functions.GraftFunctions.nearestCentroid(col("ce"), handle))
       .select(col("cid"), col("vec_id"), col("ce"), col("cn"))
-    assigned.write.mode(org.apache.spark.sql.SaveMode.Append)
+    assigned.repartition(buckets, col("cid"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
       .bucketBy(buckets, "cid").sortBy("cid")
       .format("parquet").saveAsTable(at)
     val nNew = batch.select("vec_id").distinct().count()

@@ -10,6 +10,17 @@ import org.apache.spark.sql.functions._
   *    back to the same set — SURVEY.md §5). */
 class BucketingSpec extends SparkSuite {
 
+  test("indexBuckets: 32 at test scales, doubles per doubling, caps") {
+    // the persisted-index bucket rule: plans at every sf fixture stay
+    // on 32 (the local[32] analog), counts track corpus size after 1M
+    // rows, and the cap bounds small-file explosion
+    assert(Tables.indexBuckets(0) == 32)
+    assert(Tables.indexBuckets(1000000) == 32)
+    assert(Tables.indexBuckets(1000001) == 64)
+    assert(Tables.indexBuckets(2048000) == 128) // the 512x doc rung
+    assert(Tables.indexBuckets(1L << 40) == 4096)
+  }
+
   test("bucketed join plans without a shuffle exchange") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
       .select("l_orderkey", "l_quantity")
