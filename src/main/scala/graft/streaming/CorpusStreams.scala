@@ -394,38 +394,96 @@ object CorpusStreams {
     * pointer-jumping on a cadence. Replays re-apply the same unions
     * (idempotent merges): an at-least-once replay emits nothing new
     * and converges to the same state. */
-  def ccStream(pairs: Dataset[Pair])(
-      sink: (Seq[CcUpdate], Long) => Unit)
-      : org.apache.spark.sql.streaming.DataStreamWriter[Pair] = {
-    val parent = scala.collection.mutable.Map.empty[Long, Long]
-    val emitted = scala.collection.mutable.Map.empty[Long, Long]
-    def find(x: Long): Long = {
+  /** The driver-side incremental union-find behind [[ccStream]] and
+    * [[dedupIngestStream]]: path compression, union-by-min-id (so
+    * labels are deterministic and arrival-order-independent), and
+    * changed-label draining against the last emission. State size is
+    * the dup-pair GRAPH (the LocalCcMaxEdges driver-branch argument). */
+  private final class UnionFindState {
+    private val parent = scala.collection.mutable.Map.empty[Long, Long]
+    private val emitted = scala.collection.mutable.Map.empty[Long, Long]
+    private def find(x: Long): Long = {
       var r = x
       while (parent(r) != r) r = parent(r)
       var c = x
       while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
       r
     }
+    /** Fold one undirected edge in (orientation normalized, so
+      * malformed input cannot corrupt min-labels). */
+    def union(a0: Long, b0: Long): Unit = {
+      val (a, b) = if (a0 <= b0) (a0, b0) else (b0, a0)
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    /** Every node whose component label differs from what was last
+      * drained — including ripple relabels from bridge merges. */
+    def drainChanged(): Seq[CcUpdate] =
+      parent.keys.toSeq.sorted.flatMap { n =>
+        val l = find(n)
+        if (emitted.get(n).contains(l)) None
+        else { emitted(n) = l; Some(CcUpdate(n, l)) }
+      }
+  }
+
+  def ccStream(pairs: Dataset[Pair])(
+      sink: (Seq[CcUpdate], Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Pair] = {
+    val state = new UnionFindState
     pairs.writeStream.outputMode("append").foreachBatch {
       (b: Dataset[Pair], id: Long) =>
         // the batch IS the duplicate list for these arrivals — small
-        // by the same argument as the driver-CC gate; normalize
-        // orientation so malformed input cannot corrupt min-labels
-        b.collect().foreach { p =>
-          val (a, bb) = if (p.da <= p.db) (p.da, p.db) else (p.db, p.da)
-          parent.getOrElseUpdate(a, a)
-          parent.getOrElseUpdate(bb, bb)
-          val (ra, rb) = (find(a), find(bb))
-          if (ra != rb) {
-            if (ra < rb) parent(rb) = ra else parent(ra) = rb
-          }
+        // by the same argument as the driver-CC gate
+        b.collect().foreach(p => state.union(p.da, p.db))
+        sink(state.drainChanged(), id)
+    }
+  }
+
+  /** The FULL ingest-dedup loop as one streaming query — what a
+    * 100 TB pipeline actually deploys: each arriving micro-batch is
+    * probed against the maintained shingle index (exact tau>=0.8
+    * pairs vs corpus, vs every earlier batch, and within-batch — the
+    * [[deltaDedupStream]] maintenance contract), the verified pairs
+    * fold straight into the incremental component state (the
+    * [[ccStream]] union-find, no intermediate topic needed), and the
+    * batch is appended to the index before the next one probes.
+    * `sink` receives (verified pairs of this batch, changed component
+    * labels, batch id) — the pair list is handed as collected rows
+    * because it feeds the driver-side union-find anyway and is
+    * dup-list-sized by construction.
+    *
+    * Laws (StreamingSpec): cumulative pairs == the one-big-batch
+    * delta operator on the same docs; cumulative labels ==
+    * `Dedup.connectedComponents` over those pairs — i.e. the stream
+    * converges to exactly q_dedup_delta + q_dedup_groups semantics,
+    * arrival-split-independent. Replays re-probe (emitting the same
+    * pairs), no-op the append (manifest id), and change no labels. */
+  def dedupIngestStream(docs: Dataset[Doc], dir: String,
+                        streamId: String = "ingest",
+                        compactEvery: Int = 0)(
+      sink: (Seq[(Long, Long, Double)], Seq[CcUpdate], Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Doc] = {
+    val state = new UnionFindState
+    docs.writeStream.outputMode("append").foreachBatch {
+      (b: Dataset[Doc], id: Long) =>
+        val bdf = b.toDF().localCheckpoint()
+        val (frame, sh) =
+          graft.operators.Dedup.deltaDedupOf(b.sparkSession, dir, bdf)
+        val pairs = try frame.orderBy("da", "db").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+        finally sh.unpersist(blocking = false)
+        pairs.foreach { case (da, db, _) => state.union(da, db) }
+        sink(pairs, state.drainChanged(), id)
+        graft.operators.Dedup.appendToShingleIndex(
+          b.sparkSession, dir, bdf, s"${streamId}_$id")
+        if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
+          graft.operators.Dedup.compactShingleIndex(b.sparkSession, dir)
+          ()
         }
-        val changed = parent.keys.toSeq.sorted.flatMap { n =>
-          val l = find(n)
-          if (emitted.get(n).contains(l)) None
-          else { emitted(n) = l; Some(CcUpdate(n, l)) }
-        }
-        sink(changed, id)
     }
   }
 

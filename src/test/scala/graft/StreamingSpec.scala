@@ -908,6 +908,65 @@ class StreamingSpec extends SparkSuite {
     }, s"non-cross-batch pair missing from the stream: ${missed.take(3)}")
   }
 
+  test("ingest stream converges to delta-dedup + components semantics " +
+    "regardless of the arrival split") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    import graft.streaming.CorpusStreams
+    def txt(g: Int, variant: Int = 0): String = {
+      val toks = (1 to 30).map(i => s"g${g}w$i").toArray
+      if (variant != 0) toks(29) = s"g${g}v$variant"
+      toks.mkString(" ")
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ingest")
+    val dir = new java.io.File(tmp.toFile, "d").toString
+    Seq(0L -> txt(0), 1L -> txt(1), 2L -> txt(2))
+      .toDF("doc_id", "text").coalesce(1).write
+      .parquet(s"$dir/documents.parquet")
+    // a 3-doc duplicate CHAIN split across batches: 300 ~ corpus doc
+    // 0, 400 ~ 300 (cross-batch), plus an isolated pair in batch 2 —
+    // the component {0, 300, 400} only exists if pairs from different
+    // batches fold into one union-find
+    val h1 = Seq(CorpusStreams.Doc(300L, txt(0, 1)),
+      CorpusStreams.Doc(301L, txt(9)))
+    val h2 = Seq(CorpusStreams.Doc(400L, txt(0, 2)),
+      CorpusStreams.Doc(401L, txt(9, 1)))
+    val allPairs = scala.collection.mutable.ListBuffer.empty[(Long, Long, Double)]
+    val labels = scala.collection.mutable.Map.empty[Long, Long]
+    val input = MemoryStream[CorpusStreams.Doc]
+    val q = CorpusStreams.dedupIngestStream(input.toDS(), dir,
+      streamId = "ing1", compactEvery = 2) { (pairs, changed, _) =>
+      allPairs ++= pairs
+      changed.foreach(u => labels(u.node) = u.lbl)
+    }.start()
+    try {
+      input.addData(h1); q.processAllAvailable()
+      input.addData(h2); q.processAllAvailable()
+    } finally q.stop()
+    // comparator: one-big-batch delta on a FRESH index state (the
+    // stream appended its batches, so compare against a rebuilt-from-
+    // dir index with the same docs as one batch)
+    graft.operators.Dedup.dropShingleIndex(spark, dir)
+    graft.operators.Dedup.forgetFreshIndexMemo()
+    val (fullFrame, fullSh) = graft.operators.Dedup.deltaDedupOf(
+      spark, dir, (h1 ++ h2).toDS().toDF())
+    val full = fullFrame.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    fullSh.unpersist(blocking = true)
+    assert(allPairs.toSet == full,
+      "streamed ingest pairs != one-big-batch delta operator")
+    // the cross-batch chain must collapse into ONE component rooted
+    // at the corpus doc
+    assert(labels.get(300L).contains(0L) && labels.get(400L).contains(0L),
+      s"chain component not merged: $labels")
+    val expLabels = graft.operators.Dedup.connectedComponents(
+      full.toSeq.map(p => (p._1, p._2)).toDF("da", "db"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.toMap == expLabels,
+      "streamed labels != batch connected components over all pairs")
+  }
+
   test("cc stream labels equal the batch operator after every prefix, " +
     "and bridge merges ripple-relabel") {
     val sp = spark; import sp.implicits._
