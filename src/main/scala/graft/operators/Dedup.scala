@@ -487,6 +487,32 @@ object Dedup {
       : Option[(String, Seq[(String, Long)])] =
     IndexManifest.read(s, shingleManifestPath(s, d))
 
+  /** Has `batchId` already been folded into `d`'s shingle index?
+    * The replay detector for maintaining streams: a manifest-listed
+    * batch arriving again is a foreachBatch replay whose append
+    * committed before the crash — probe it in [[deltaDedupOf]]'s
+    * excludeBatch mode and let the append no-op, instead of wedging
+    * the stream on the disjointness guard. One small file read. */
+  def isShingleBatchApplied(s: SparkSession, d: String,
+                            batchId: String): Boolean =
+    readShingleManifest(s, d).exists(_._2.exists(_._1 == batchId))
+
+  /** Durable store of every appended batch's (doc_id, text) rows —
+    * batch-sized, written BEFORE the table appends so a crash that
+    * leaves the index in a partial-append state (row counts short of
+    * baseRows + manifest batches) can be repaired by rebuilding the
+    * base and refolding the manifest-listed batches, instead of
+    * silently rebuilding from the corpus dir alone and LOSING
+    * stream-only arrivals whose checkpoints already committed (they
+    * would never replay). */
+  private def shingleBatchStore(s: SparkSession, d: String)
+      : org.apache.hadoop.fs.Path = {
+    val tag = (scala.util.hashing.MurmurHash3.stringHash(d).toLong
+      & 0xffffffffL).toHexString
+    new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), s"graft_shidx_batches_$tag")
+  }
+
   /** Order-independent content fingerprint of a (doc_id, text) slice:
     * XOR of per-row xxhash64. Catches what a bare row count cannot —
     * a corpus regen that preserves the slice size but changes content
@@ -552,12 +578,40 @@ object Dedup {
     val expect = IndexManifest.Manifest(d, nCorpus,
       corpusFingerprint(corpus), buckets, Nil)
     val stored = readShingleManifest(s, d)
+    val sameBase = stored.exists(_._1.startsWith(expect.basePrefix))
     val fresh = Seq(postT, setsT, dfT).forall(s.catalog.tableExists) &&
-      stored.exists { case (txt, batches) =>
-        txt.startsWith(expect.basePrefix) &&
-          s.table(setsT).count() == nCorpus + batches.map(_._2).sum
+      sameBase && stored.exists { case (_, batches) =>
+        s.table(setsT).count() == nCorpus + batches.map(_._2).sum
       }
     if (!fresh) {
+      // Two distinct not-fresh states, and they must NOT be conflated
+      // (the r14 advice): a manifest whose base prefix matches but
+      // whose sets count disagrees with baseRows + batches is a
+      // PARTIAL APPEND (a crash between an append's table writes and
+      // its manifest update) — the manifest-listed batches are
+      // stream-only arrivals whose checkpoints committed, so a plain
+      // rebuild-from-corpus would lose them FOREVER (they never
+      // replay). Those batches are refolded from the durable batch
+      // store after the base rebuild. Only a base-prefix mismatch (a
+      // real corpus change) discards the store: appends were folded
+      // against the old generation and their pair/probe semantics
+      // died with it.
+      val refold: Seq[(String, Long)] =
+        if (sameBase) stored.map(_._2).getOrElse(Nil) else Nil
+      val store = shingleBatchStore(s, d)
+      val storeFs = store.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!sameBase && storeFs.exists(store)) storeFs.delete(store, true)
+      refold.foreach { case (bid, _) =>
+        val p = new org.apache.hadoop.fs.Path(store, bid)
+        if (!storeFs.exists(p)) throw new IllegalStateException(
+          s"shingle index for $d is in a partial-append state (sets " +
+            s"rows != baseRows + manifest batches) and appended batch " +
+            s"'$bid' has no persisted rows at $p — refusing to rebuild " +
+            "from the corpus dir alone because that silently drops " +
+            "stream-only arrivals whose checkpoints committed. " +
+            "Restore the batch store, or drop the index explicitly " +
+            "(dropShingleIndex) to accept the loss.")
+      }
       Seq(postT, setsT, dfT).foreach { t =>
         // the default catalog is per-session but the warehouse DIR
         // persists; clear both entry and orphan location (the
@@ -568,38 +622,60 @@ object Dedup {
         val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (fs.exists(p)) fs.delete(p, true)
       }
-      // every write repartitions by ITS bucket column first: a
-      // bucketed write emits one file per (task x present-bucket), so
-      // an unaligned upstream layout sprays tasks x buckets tiny
-      // files — the r14 AppendSmoke measured appends growing with
-      // corpus size from exactly this. repartition(buckets, key) uses
-      // the same murmur3 HashPartitioning as the bucket spec, so each
-      // task holds exactly one bucket -> one file; for the aggregated
-      // frames whose shuffle already hash-partitions on the key, the
-      // explicit node collapses when counts match.
       val sh = explodedShingles(corpus).cache()
-      sh.repartition(buckets, col("s"))
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .bucketBy(buckets, "s").sortBy("s")
-        .format("parquet").saveAsTable(postT)
-      sh.groupBy("doc_id")
-        .agg(sort_array(collect_list(col("s"))).as("ss"),
-          count(lit(1)).as("c"))
-        .repartition(buckets, col("doc_id"))
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .bucketBy(buckets, "doc_id").sortBy("doc_id")
-        .format("parquet").saveAsTable(setsT)
-      sh.groupBy("s").agg(count(lit(1)).as("gdf"))
-        .repartition(buckets, col("s"))
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .bucketBy(buckets, "s").sortBy("s")
-        .format("parquet").saveAsTable(dfT)
+      writeShingleTables(s, names, sh,
+        buckets, org.apache.spark.sql.SaveMode.Overwrite)
       sh.unpersist(blocking = false)
-      // manifest LAST: its presence asserts the tables are complete
-      IndexManifest.write(s, shingleManifestPath(s, d), expect)
+      refold.foreach { case (bid, _) =>
+        val bdf = s.read.parquet(
+          new org.apache.hadoop.fs.Path(store, bid).toString)
+        val bsh = explodedShingles(bdf).cache()
+        writeShingleTables(s, names, bsh,
+          buckets, org.apache.spark.sql.SaveMode.Append)
+        bsh.unpersist(blocking = false)
+      }
+      // manifest LAST: its presence (with the full refolded batch
+      // list) asserts the tables are complete. A crash anywhere above
+      // leaves the OLD manifest in place — the next ensure re-detects
+      // the partial state and re-runs this recovery from the top
+      // (idempotent: every step is a rebuild or an Overwrite-less
+      // append onto freshly rebuilt tables).
+      IndexManifest.write(s, shingleManifestPath(s, d),
+        expect.copy(batches = refold))
     }
     freshIndexMemo.add(memoKey)
     names
+  }
+
+  /** The three bucketed table writes shared by the base build, the
+    * append path, and partial-append refolds — ONE copy of the
+    * repartition-before-bucketed-write rule: a bucketed write emits
+    * one file per (task x present-bucket), so an unaligned upstream
+    * layout sprays tasks x buckets tiny files (the r14 AppendSmoke
+    * measured appends growing with corpus size from exactly this).
+    * repartition(buckets, key) uses the same murmur3 HashPartitioning
+    * as the bucket spec, so each task holds exactly one bucket -> one
+    * file; for aggregated frames whose shuffle already
+    * hash-partitions on the key, the explicit node collapses. */
+  private def writeShingleTables(s: SparkSession,
+                                 names: (String, String, String),
+                                 sh: DataFrame, buckets: Int,
+                                 mode: org.apache.spark.sql.SaveMode)
+      : Unit = {
+    val (postT, setsT, dfT) = names
+    sh.repartition(buckets, col("s"))
+      .write.mode(mode).bucketBy(buckets, "s").sortBy("s")
+      .format("parquet").saveAsTable(postT)
+    sh.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("s"))).as("ss"),
+        count(lit(1)).as("c"))
+      .repartition(buckets, col("doc_id"))
+      .write.mode(mode).bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .format("parquet").saveAsTable(setsT)
+    sh.groupBy("s").agg(count(lit(1)).as("gdf"))
+      .repartition(buckets, col("s"))
+      .write.mode(mode).bucketBy(buckets, "s").sortBy("s")
+      .format("parquet").saveAsTable(dfT)
   }
 
   /** Fold an already-probed batch into the persisted shingle index —
@@ -636,26 +712,20 @@ object Dedup {
     if (stored._2.exists(_._1 == batchId)) return false
     requireDisjointFromIndex(s, setsT, batch,
       s"appendToShingleIndex($batchId)")
+    // persist the batch rows FIRST (batch-sized, idempotent per id):
+    // a crash between the table appends below and the manifest update
+    // leaves the index partial-append, and ensureShingleIndex repairs
+    // that by refolding manifest-listed batches from this store —
+    // without it the repair could only rebuild from the corpus dir,
+    // silently dropping stream-only arrivals that never replay
+    batch.select(col("doc_id"), col("text"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(new org.apache.hadoop.fs.Path(
+        shingleBatchStore(s, d), batchId).toString)
     val sh = explodedShingles(batch).cache()
     val buckets = IndexManifest.bucketsOf(stored._1, s"shingle index $d")
-    val app = org.apache.spark.sql.SaveMode.Append
-    // repartition by the bucket column before every bucketed write
-    // (the ensureShingleIndex rule): without it each append sprays
-    // tasks x buckets tiny files and append cost grows with the
-    // INDEX's bucket count instead of the batch
-    sh.repartition(buckets, col("s"))
-      .write.mode(app).bucketBy(buckets, "s").sortBy("s")
-      .format("parquet").saveAsTable(postT)
-    sh.groupBy("doc_id")
-      .agg(sort_array(collect_list(col("s"))).as("ss"),
-        count(lit(1)).as("c"))
-      .repartition(buckets, col("doc_id"))
-      .write.mode(app).bucketBy(buckets, "doc_id").sortBy("doc_id")
-      .format("parquet").saveAsTable(setsT)
-    sh.groupBy("s").agg(count(lit(1)).as("gdf"))
-      .repartition(buckets, col("s"))
-      .write.mode(app).bucketBy(buckets, "s").sortBy("s")
-      .format("parquet").saveAsTable(dfT)
+    writeShingleTables(s, (postT, setsT, dfT), sh,
+      buckets, org.apache.spark.sql.SaveMode.Append)
     sh.unpersist(blocking = false)
     val nNew = batch.select("doc_id").distinct().count()
     IndexManifest.appendBatch(s, shingleManifestPath(s, d),
@@ -682,14 +752,13 @@ object Dedup {
     * if a compaction ran, false when every applied batch was already
     * folded (idempotent, the append-path convention). */
   def compactShingleIndex(s: SparkSession, d: String): Boolean = {
-    val (_, _, dfT) = ensureShingleIndex(s, d)
+    val (postT, setsT, dfT) = ensureShingleIndex(s, d)
     val stored = readShingleManifest(s, d).getOrElse(
       throw new IllegalStateException(
         s"shingle index for $d has no manifest after ensure"))
     if (stored._2.size <= IndexManifest.compactedOf(stored._1))
       return false
     val buckets = IndexManifest.bucketsOf(stored._1, s"shingle index $d")
-    val tmpT = dfT + "_c"
     val wh = s.conf.get("spark.sql.warehouse.dir")
     def dropWithLocation(t: String): Unit = {
       s.sql(s"DROP TABLE IF EXISTS $t")
@@ -697,13 +766,49 @@ object Dedup {
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
     }
-    dropWithLocation(tmpT)
-    s.table(dfT).groupBy("s").agg(sum(col("gdf")).as("gdf"))
-      .repartition(buckets, col("s"))
-      .write.bucketBy(buckets, "s").sortBy("s")
-      .format("parquet").saveAsTable(tmpT)
-    dropWithLocation(dfT)
-    s.sql(s"ALTER TABLE $tmpT RENAME TO $dfT")
+    // each table rewrite goes through a staging table + catalog RENAME
+    // so a table is never read and overwritten in one plan; a crash
+    // mid-swap leaves that table missing, which the next
+    // ensureShingleIndex turns into a rebuild + batch refold. The
+    // rewrites are independent — a crash between them leaves some
+    // tables compacted and some not, which is correct in every
+    // combination (row CONTENT is unchanged for postings/sets, and a
+    // merged-but-unrecorded df just re-aggregates already-merged rows
+    // to the same sums).
+    def rewrite(t: String, key: String,
+                fold: DataFrame => DataFrame): Unit = {
+      val tmpT = t + "_c"
+      dropWithLocation(tmpT)
+      // read the table's FILES, not the catalog table: the bucketed
+      // scan advertises HashPartitioning(key, buckets), which makes
+      // the explicit repartition below "redundant" and elided — while
+      // AQE's DisableUnnecessaryBucketedScan (no join/agg downstream
+      // for the identity folds) simultaneously degrades the actual
+      // scan to arbitrary coalesced file splits. Net effect: tasks
+      // hold many buckets each and the bucketed write sprays
+      // tasks x buckets files — the exact layout this compaction
+      // exists to fold (caught by the DedupSpec layout test). A plain
+      // parquet read reports unknown partitioning, so the shuffle
+      // really runs and each task lands exactly one bucket.
+      val files = s.read.parquet(
+        new org.apache.hadoop.fs.Path(wh, t).toString)
+      fold(files).repartition(buckets, col(key))
+        .write.bucketBy(buckets, key).sortBy(key)
+        .format("parquet").saveAsTable(tmpT)
+      dropWithLocation(t)
+      s.sql(s"ALTER TABLE $tmpT RENAME TO $t")
+    }
+    // df: fold append-accumulated partial counts back to one row per
+    // shingle (the original compaction — restores the no-reagg probe)
+    rewrite(dfT, "s", _.groupBy("s").agg(sum(col("gdf")).as("gdf")))
+    // postings/sets: pure FILE-LAYOUT folds — every append added one
+    // file per bucket, so after N daily batches each probe's bucketed
+    // scan reads N+1 files per bucket (open/seek overhead, broken
+    // within-bucket sort runs). Rows are untouched; the rewrite
+    // collapses each bucket back to one file (probes exactly
+    // unchanged — DedupSpec pins probe-before == probe-after).
+    rewrite(postT, "s", identity)
+    rewrite(setsT, "doc_id", identity)
     IndexManifest.setCompacted(s, shingleManifestPath(s, d),
       stored._1, stored._2, stored._2.size)
     true
@@ -743,6 +848,8 @@ object Dedup {
     val mp = shingleManifestPath(s, d)
     val fs = mp.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(mp)) fs.delete(mp, false)
+    val bs = shingleBatchStore(s, d)
+    if (fs.exists(bs)) fs.delete(bs, true)
     freshIndexMemo.remove(s.sparkContext.applicationId + ":" + d)
   }
 
@@ -752,16 +859,24 @@ object Dedup {
     * explain). Returns (result frame, the cached batch-shingle frame
     * the caller must unpersist after consuming the result). */
   private[graft] def deltaDedup(s: SparkSession, d: String)
-      : (DataFrame, DataFrame) =
-    // checkDisjoint = false: the index is DEFINED as the !isDeltaBatch
-    // slice and this batch as the isDeltaBatch slice of the same
-    // table — disjoint by the split predicate itself, so the guard's
-    // extra per-probe job (measured ~0.4-1 s of q_dedup_delta's
-    // sf0.1 bench min) buys nothing here. Every path taking CALLER
-    // data keeps the guard on.
+      : (DataFrame, DataFrame) = {
+    // checkDisjoint = false only while the index is EXACTLY the base
+    // build: the index is DEFINED as the !isDeltaBatch slice and this
+    // batch as the isDeltaBatch slice of the same table — disjoint by
+    // the split predicate itself, so the guard's extra per-probe job
+    // (measured ~0.4-1 s of q_dedup_delta's sf0.1 bench min) buys
+    // nothing. But the split predicate says nothing about APPENDED
+    // batches (a caller may have folded arbitrary doc_ids in —
+    // including the delta slice itself), so with any batch in the
+    // manifest the guard goes back on (one small file read, the
+    // hasAppends gate deltaDedupOf already pays). Every path taking
+    // CALLER data keeps the guard on unconditionally.
+    ensureShingleIndex(s, d)
+    val appended = readShingleManifest(s, d).exists(_._2.nonEmpty)
     deltaDedupOf(s, d,
       Tables.documents(s, d).filter(isDeltaBatch(col("doc_id"))),
-      checkDisjoint = false)
+      checkDisjoint = appended)
+  }
 
   /** [[deltaDedup]]'s core over an ARBITRARY arriving-docs frame
     * (doc_id, text): the q_dedup_delta entry passes the deterministic
@@ -775,16 +890,37 @@ object Dedup {
     * early-stopped doc_id-column lookup against the bucketed sets
     * table). `checkDisjoint = false` is reserved for callers whose
     * batch is disjoint BY CONSTRUCTION ([[deltaDedup]]'s split
-    * predicate). */
+    * predicate).
+    *
+    * `excludeBatch = true` is the REPLAY mode for maintaining streams
+    * ([[graft.streaming.CorpusStreams.dedupIngestStream]]): when a
+    * driver crashed between [[appendToShingleIndex]] (manifest
+    * committed) and the streaming checkpoint commit, the replayed
+    * micro-batch is already IN the index — the disjointness guard
+    * would wedge the stream on it forever, and a naive probe would
+    * see the batch's own rows on the corpus side. Instead the batch's
+    * doc_ids are anti-joined out of the postings and sets scans
+    * (broadcast left-anti on the bucketed scans — no exchange added),
+    * which restores exactly the pre-append index view, so the
+    * replayed emission equals the original. The df stats DO include
+    * the batch's own partial counts on replay, but df only orders
+    * prefix selection — any (|A| - ceil(tau|A|) + 1)-subset satisfies
+    * the prefix theorem and verification is exact Jaccard, so the
+    * pair SET is unchanged (StreamingSpec pins replay equality). */
   private[graft] def deltaDedupOf(s: SparkSession, d: String,
                                   batch: DataFrame,
-                                  checkDisjoint: Boolean = true)
+                                  checkDisjoint: Boolean = true,
+                                  excludeBatch: Boolean = false)
       : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val tau = 0.8
     val (postT, setsT, dfT) = ensureShingleIndex(s, d)
     if (checkDisjoint)
       requireDisjointFromIndex(s, setsT, batch, "deltaDedupOf")
+    val bids =
+      if (excludeBatch) Some(batch.select("doc_id").distinct()) else None
+    def minusBatch(t: DataFrame): DataFrame =
+      bids.fold(t)(b => t.join(broadcast(b), Seq("doc_id"), "left_anti"))
     // referenced by prefix selection, the candidate b side and the
     // batch sets — cache for this call only (jaccardPairsM rule)
     val sh = explodedShingles(batch).cache()
@@ -827,7 +963,8 @@ object Dedup {
     // review catch). Split, the postings scan joins exchange-free on
     // its bucket key; only the (small) prefix side moves.
     val candsCorpus = pref
-      .join(s.table(postT).withColumnRenamed("doc_id", "cid"), "s")
+      .join(minusBatch(s.table(postT)).withColumnRenamed("doc_id", "cid"),
+        "s")
       .select(least(col("doc_id"), col("cid")).as("da"),
         greatest(col("doc_id"), col("cid")).as("db"))
     // batch-batch: one-sided prefix join, lower id carries the prefix
@@ -838,7 +975,7 @@ object Dedup {
     val bsets = sh.groupBy("doc_id")
       .agg(sort_array(collect_list(col("s"))).as("ss"),
         count(lit(1)).as("c"))
-    val allSets = s.table(setsT).unionByName(bsets)
+    val allSets = minusBatch(s.table(setsT)).unionByName(bsets)
     (verifyWithSets(cands, allSets, tau), sh)
   }
 

@@ -262,12 +262,32 @@ object Similarity {
     val expect = IndexManifest.Manifest(d, n, ivfFingerprint(emb),
       buckets, Nil)
     val stored = IndexManifest.read(s, ivfManifestPath(s, d))
+    val sameBase = stored.exists(_._1.startsWith(expect.basePrefix))
     val fresh = s.catalog.tableExists(at) && s.catalog.tableExists(ct) &&
-      stored.exists { case (txt, batches) =>
-        txt.startsWith(expect.basePrefix) &&
-          s.table(at).count() == n + batches.map(_._2).sum
+      sameBase && stored.exists { case (_, batches) =>
+        s.table(at).count() == n + batches.map(_._2).sum
       }
     if (!fresh) {
+      // partial-append vs stale-index distinction (the shingle-index
+      // rule, Dedup.ensureShingleIndex): same base prefix + count
+      // mismatch = a crashed append whose manifest-listed batches are
+      // stream-only arrivals that never replay — refold them from the
+      // batch store after the rebuild instead of silently dropping
+      // them. Only a real corpus change discards the store.
+      val refold: Seq[(String, Long)] =
+        if (sameBase) stored.map(_._2).getOrElse(Nil) else Nil
+      val store = ivfBatchStore(s, d)
+      val storeFs = store.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!sameBase && storeFs.exists(store)) storeFs.delete(store, true)
+      refold.foreach { case (bid, _) =>
+        val p = new org.apache.hadoop.fs.Path(store, bid)
+        if (!storeFs.exists(p)) throw new IllegalStateException(
+          s"IVF index for $d is in a partial-append state and appended " +
+            s"batch '$bid' has no persisted rows at $p — refusing to " +
+            "rebuild from the corpus dir alone (that drops stream-only " +
+            "arrivals whose checkpoints committed). Restore the batch " +
+            "store, or dropIvfIndex to accept the loss.")
+      }
       // the default (non-Hive) catalog is per-session but the
       // warehouse DIRECTORY persists: a table written by an earlier
       // JVM is an orphan location this session's saveAsTable refuses
@@ -304,8 +324,17 @@ object Similarity {
         .format("parquet").saveAsTable(at)
       centroids.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .format("parquet").saveAsTable(ct)
-      // manifest LAST: its presence asserts the tables are complete
-      IndexManifest.write(s, ivfManifestPath(s, d), expect)
+      refold.foreach { case (bid, _) =>
+        appendIvfAssignments(s, at, ct,
+          s.read.parquet(
+            new org.apache.hadoop.fs.Path(store, bid).toString),
+          buckets)
+      }
+      // manifest LAST (with the refolded batch list): its presence
+      // asserts the tables are complete; a crash above leaves the OLD
+      // manifest, so the next ensure re-runs this recovery
+      IndexManifest.write(s, ivfManifestPath(s, d),
+        expect.copy(batches = refold))
     }
     freshIvfMemo.add(memoKey)
     (at, ct)
@@ -333,6 +362,8 @@ object Similarity {
     val mp = ivfManifestPath(s, d)
     val fs = mp.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(mp)) fs.delete(mp, false)
+    val bs = ivfBatchStore(s, d)
+    if (fs.exists(bs)) fs.delete(bs, true)
     freshIvfMemo.remove(s.sparkContext.applicationId + ":ivf:" + d)
   }
 
@@ -341,6 +372,47 @@ object Similarity {
     val tag = (scala.util.hashing.MurmurHash3.stringHash(d).toLong
       & 0xffffffffL).toHexString
     IndexManifest.path(s, "graft_ivf", tag)
+  }
+
+  /** Has `batchId` already been folded into `d`'s IVF index? The
+    * replay detector for [[graft.streaming.CorpusStreams.annStream]]:
+    * a manifest-listed batch arriving again is a foreachBatch replay
+    * whose append committed before the crash — probe it with the
+    * batch's own vec_ids excluded ([[ivfProbe]]'s excludeProbes mode)
+    * and let the append no-op. One small file read. */
+  def isIvfBatchApplied(s: SparkSession, d: String,
+                        batchId: String): Boolean =
+    IndexManifest.read(s, ivfManifestPath(s, d))
+      .exists(_._2.exists(_._1 == batchId))
+
+  /** Durable store of appended batches' (vec_id, embedding) rows —
+    * the [[Dedup.shingleBatchStore]] analog: written before the
+    * assignment-table append so a partial-append crash can be
+    * repaired by refolding, never by silently dropping stream-only
+    * arrivals. */
+  private def ivfBatchStore(s: SparkSession, d: String)
+      : org.apache.hadoop.fs.Path = {
+    val tag = (scala.util.hashing.MurmurHash3.stringHash(d).toLong
+      & 0xffffffffL).toHexString
+    new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), s"graft_ivf_batches_$tag")
+  }
+
+  /** Assign `batch` against the STORED centroid table and append to
+    * the bucketed assignment table — the shared body of
+    * [[appendToIvfIndex]] and the partial-append refold. */
+  private def appendIvfAssignments(s: SparkSession, at: String,
+                                   ct: String, batch: DataFrame,
+                                   buckets: Int): Unit = {
+    val handle = centroidHandle(s, s.table(ct))
+    val assigned = scorable(batch)
+      .withColumn("cid",
+        graft.functions.GraftFunctions.nearestCentroid(col("ce"), handle))
+      .select(col("cid"), col("vec_id"), col("ce"), col("cn"))
+    assigned.repartition(buckets, col("cid"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(buckets, "cid").sortBy("cid")
+      .format("parquet").saveAsTable(at)
   }
 
   /** Content fingerprint of the embeddings slice (xxhash64 over
@@ -381,18 +453,56 @@ object Similarity {
     IndexManifest.requireDisjoint(s, at, "vec_id", batch,
       s"appendToIvfIndex($batchId)")
     val buckets = IndexManifest.bucketsOf(stored._1, s"IVF index $d")
-    val handle = centroidHandle(s, s.table(ct))
-    val assigned = scorable(batch)
-      .withColumn("cid",
-        graft.functions.GraftFunctions.nearestCentroid(col("ce"), handle))
-      .select(col("cid"), col("vec_id"), col("ce"), col("cn"))
-    assigned.repartition(buckets, col("cid"))
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .bucketBy(buckets, "cid").sortBy("cid")
-      .format("parquet").saveAsTable(at)
+    // persist the batch FIRST (the appendToShingleIndex rule): the
+    // partial-append repair refolds from this store
+    batch.select(col("vec_id"), col("embedding"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(new org.apache.hadoop.fs.Path(
+        ivfBatchStore(s, d), batchId).toString)
+    appendIvfAssignments(s, at, ct, batch, buckets)
     val nNew = batch.select("vec_id").distinct().count()
     IndexManifest.appendBatch(s, ivfManifestPath(s, d),
       stored._1, stored._2, batchId, nNew)
+    true
+  }
+
+  /** Fold the assignment table's append-accumulated files back to one
+    * per bucket — the [[Dedup.compactShingleIndex]] analog for ANN:
+    * every [[appendToIvfIndex]] adds one file per present bucket, so
+    * after N daily batches each probe's bucket-pruned scan reads up
+    * to N+1 files per probed cell. Rows are untouched (pure layout;
+    * probes exactly unchanged); staging table + catalog RENAME, crash
+    * mid-swap leaves the table missing -> rebuild + refold. Returns
+    * true if a fold ran, false when already compact (idempotent). */
+  def compactIvfIndex(s: SparkSession, d: String): Boolean = {
+    val (at, _) = ensureIvfIndex(s, d)
+    val stored = IndexManifest.read(s, ivfManifestPath(s, d)).getOrElse(
+      throw new IllegalStateException(
+        s"IVF index for $d has no manifest after ensure"))
+    if (stored._2.size <= IndexManifest.compactedOf(stored._1))
+      return false
+    val buckets = IndexManifest.bucketsOf(stored._1, s"IVF index $d")
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    def dropWithLocation(t: String): Unit = {
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(wh, t)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val tmpT = at + "_c"
+    dropWithLocation(tmpT)
+    // plain file read, not s.table: the bucketed scan's advertised
+    // partitioning elides the repartition while the actual scan
+    // degrades to coalesced splits (the compactShingleIndex rule) —
+    // the write would spray tasks x buckets files
+    s.read.parquet(new org.apache.hadoop.fs.Path(wh, at).toString)
+      .repartition(buckets, col("cid"))
+      .write.bucketBy(buckets, "cid").sortBy("cid")
+      .format("parquet").saveAsTable(tmpT)
+    dropWithLocation(at)
+    s.sql(s"ALTER TABLE $tmpT RENAME TO $at")
+    IndexManifest.setCompacted(s, ivfManifestPath(s, d),
+      stored._1, stored._2, stored._2.size)
     true
   }
 
@@ -483,13 +593,22 @@ object Similarity {
     * each arriving micro-batch of query vectors. Top-k per probe by
     * exact cosine over the nprobe nearest cells; probe rows whose
     * vec_id collides with a corpus vector exclude that vector (the
-    * self-match rule of the corpus-probe queries). */
+    * self-match rule of the corpus-probe queries).
+    *
+    * `excludeProbes = true` is the REPLAY mode ([[Dedup.deltaDedupOf]]
+    * excludeBatch rule): a replayed annStream micro-batch whose
+    * append already committed is IN the assignment table — its
+    * vec_ids are anti-joined out of the scan and n adjusted back to
+    * the pre-append count, so the replayed emission equals the
+    * original (centroids are frozen, so cell geometry is unchanged). */
   private[graft] def ivfProbe(s: SparkSession, d: String,
-                              probeVecs: DataFrame, k: Int): DataFrame = {
+                              probeVecs: DataFrame, k: Int,
+                              excludeProbes: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (at, ct) = ensureIvfIndex(s, d)
     val centroids = s.table(ct) // (cid, ke, kn)
-    val n = math.max(1L, s.table(at).count())
+    val nExcluded = if (excludeProbes) probeVecs.count() else 0L
+    val n = math.max(1L, s.table(at).count() - nExcluded)
     val nprobe = math.max(4, math.ceil(n / (8.0 * centroidMod(n))).toInt)
     val wProbe = Window.partitionBy("qid").orderBy(desc("ccos"), asc("cid"))
     // checkpointed: this <= |probes| x nprobe row frame is evaluated
@@ -512,7 +631,13 @@ object Similarity {
     // buckets — a join alone reads every file
     val cellIds = probeCells.select("cid").distinct()
       .collect().map(_.getLong(0)).sorted
-    val scored = s.table(at).filter(col("cid").isin(cellIds: _*))
+    val corpusSide =
+      if (excludeProbes)
+        s.table(at).join(
+          broadcast(probeVecs.select(col("vec_id")).distinct()),
+          Seq("vec_id"), "left_anti")
+      else s.table(at)
+    val scored = corpusSide.filter(col("cid").isin(cellIds: _*))
       .join(broadcast(probeCells), Seq("cid"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),

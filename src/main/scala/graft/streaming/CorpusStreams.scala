@@ -335,7 +335,12 @@ object CorpusStreams {
     * shingle cache is released after; evaluation later still yields
     * correct rows, uncached). With maintainIndex the sink runs BEFORE
     * the append — the emitted frame must be computed against the
-    * pre-append index (its own docs must not be in it: disjointness). */
+    * pre-append index (its own docs must not be in it: disjointness).
+    * A replayed batch whose append already committed (crash between
+    * append and checkpoint commit) is detected via the index manifest
+    * and probed in excludeBatch mode, which restores exactly that
+    * pre-append view — the replay emits the original frame and the
+    * append no-ops, instead of wedging on the disjointness guard. */
   def deltaDedupStream(docs: Dataset[Doc], dir: String,
                        maintainIndex: Boolean = false,
                        streamId: String = "stream",
@@ -345,8 +350,15 @@ object CorpusStreams {
     docs.writeStream.outputMode("append").foreachBatch {
       (b: Dataset[Doc], id: Long) =>
         val bdf = b.toDF().localCheckpoint()
-        val (frame, sh) =
-          graft.operators.Dedup.deltaDedupOf(b.sparkSession, dir, bdf)
+        // replay detection (the dedupIngestStream rule): only a
+        // maintaining stream can find its own batch in the index, but
+        // the manifest check is one small file read, so it is not
+        // gated on maintainIndex
+        val replay = graft.operators.Dedup.isShingleBatchApplied(
+          b.sparkSession, dir, s"${streamId}_$id")
+        val (frame, sh) = graft.operators.Dedup.deltaDedupOf(
+          b.sparkSession, dir, bdf,
+          checkDisjoint = !replay, excludeBatch = replay)
         try sink(frame.orderBy("da", "db"), id)
         finally sh.unpersist(blocking = false)
         if (maintainIndex) {
@@ -428,18 +440,78 @@ object CorpusStreams {
         if (emitted.get(n).contains(l)) None
         else { emitted(n) = l; Some(CcUpdate(n, l)) }
       }
+    /** Restart seeding: mark every node's CURRENT label as already
+      * emitted, so the next drain emits only post-seed changes. Used
+      * when the state is rebuilt from the durable edge log — those
+      * edges' labels were emitted (and consumed) before the restart. */
+    def markAllEmitted(): Unit =
+      parent.keys.foreach(n => emitted(n) = find(n))
   }
 
-  def ccStream(pairs: Dataset[Pair])(
+  /** Rebuild a [[UnionFindState]] from the durable per-batch edge log
+    * under `stateDir/pairs` — the restart-recovery path for
+    * [[ccStream]]/[[dedupIngestStream]]. Every batch whose streaming
+    * checkpoint committed also committed its edge-log dir (the log is
+    * written BEFORE the checkpoint commit, inside foreachBatch), so
+    * after a driver restart the seeded state contains at least every
+    * committed batch's edges; the one possibly-uncommitted batch
+    * replays and re-unions idempotently. Seeded labels are marked
+    * already-emitted: their CcUpdates were delivered before the
+    * restart (the log write happens AFTER `sink` returns, so a batch
+    * logged means a batch emitted). Edge-log size is the dup-pair
+    * graph — the LocalCcMaxEdges driver-branch argument. */
+  private def seededUnionFind(s: org.apache.spark.sql.SparkSession,
+                              stateDir: String): UnionFindState = {
+    val state = new UnionFindState
+    val p = new org.apache.hadoop.fs.Path(stateDir, "pairs")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      s.read.schema("da LONG, db LONG")
+        .option("recursiveFileLookup", "true").parquet(p.toString)
+        .collect().foreach(r => state.union(r.getLong(0), r.getLong(1)))
+      state.markAllEmitted()
+    }
+    state
+  }
+
+  /** Durably log one batch's pairs under `stateDir/pairs/b_<id>` —
+    * overwrite per batch id, so an at-least-once replay rewrites the
+    * same rows (idempotent). */
+  private def logPairs(s: org.apache.spark.sql.SparkSession,
+                       stateDir: String, id: Long,
+                       pairs: Seq[(Long, Long)]): Unit = {
+    import s.implicits._
+    pairs.toDF("da", "db").coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(stateDir, "pairs"),
+        s"b_$id").toString)
+  }
+
+  /** With `stateDir` set, the union-find survives a DRIVER RESTART:
+    * each batch's pairs are logged durably (after `sink` returns,
+    * before the checkpoint commits), and a new ccStream call over the
+    * same stateDir seeds its state from the log — so the documented
+    * cumulative-labels law holds across a stop + restart with the
+    * same checkpointLocation, not just within one process lifetime
+    * (StreamingSpec pins it). Without stateDir the state is process-
+    * local, as before. */
+  def ccStream(pairs: Dataset[Pair], stateDir: Option[String] = None)(
       sink: (Seq[CcUpdate], Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[Pair] = {
-    val state = new UnionFindState
+    val state = stateDir.fold(new UnionFindState)(
+      sd => seededUnionFind(pairs.sparkSession, sd))
     pairs.writeStream.outputMode("append").foreachBatch {
       (b: Dataset[Pair], id: Long) =>
         // the batch IS the duplicate list for these arrivals — small
         // by the same argument as the driver-CC gate
-        b.collect().foreach(p => state.union(p.da, p.db))
+        val rows = b.collect()
+        rows.foreach(p => state.union(p.da, p.db))
         sink(state.drainChanged(), id)
+        // log AFTER sink: a logged batch is an emitted batch (the
+        // restart seed marks logged labels already-delivered)
+        stateDir.foreach(sd => logPairs(b.sparkSession, sd, id,
+          rows.toSeq.map(p => (p.da, p.db))))
     }
   }
 
@@ -464,20 +536,35 @@ object CorpusStreams {
     * pairs), no-op the append (manifest id), and change no labels. */
   def dedupIngestStream(docs: Dataset[Doc], dir: String,
                         streamId: String = "ingest",
-                        compactEvery: Int = 0)(
+                        compactEvery: Int = 0,
+                        stateDir: Option[String] = None)(
       sink: (Seq[(Long, Long, Double)], Seq[CcUpdate], Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[Doc] = {
-    val state = new UnionFindState
+    val state = stateDir.fold(new UnionFindState)(
+      sd => seededUnionFind(docs.sparkSession, sd))
     docs.writeStream.outputMode("append").foreachBatch {
       (b: Dataset[Doc], id: Long) =>
         val bdf = b.toDF().localCheckpoint()
-        val (frame, sh) =
-          graft.operators.Dedup.deltaDedupOf(b.sparkSession, dir, bdf)
+        // replay detection (the r14 advice): a manifest-listed batch
+        // arriving again means the driver crashed AFTER its append
+        // committed but BEFORE the streaming checkpoint did. The
+        // disjointness guard would wedge the stream on it forever;
+        // instead probe with the batch's own doc_ids anti-joined out
+        // of the index (excludeBatch — restores the pre-append view,
+        // so the replayed emission equals the original) and let the
+        // append below no-op on the manifest id.
+        val replay = graft.operators.Dedup.isShingleBatchApplied(
+          b.sparkSession, dir, s"${streamId}_$id")
+        val (frame, sh) = graft.operators.Dedup.deltaDedupOf(
+          b.sparkSession, dir, bdf,
+          checkDisjoint = !replay, excludeBatch = replay)
         val pairs = try frame.orderBy("da", "db").collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
         finally sh.unpersist(blocking = false)
         pairs.foreach { case (da, db, _) => state.union(da, db) }
         sink(pairs, state.drainChanged(), id)
+        stateDir.foreach(sd => logPairs(b.sparkSession, sd, id,
+          pairs.map(p => (p._1, p._2))))
         graft.operators.Dedup.appendToShingleIndex(
           b.sparkSession, dir, bdf, s"${streamId}_$id")
         if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
@@ -527,8 +614,14 @@ object CorpusStreams {
     vecs.writeStream.outputMode("append").foreachBatch {
       (b: Dataset[Vec], id: Long) =>
         val bdf = b.toDF().localCheckpoint()
+        // replay detection (the dedupIngestStream rule): an already-
+        // appended batch probes with its own vec_ids excluded, so the
+        // replayed emission equals the original instead of silently
+        // including the batch's own vectors as neighbors
+        val replay = graft.operators.Similarity.isIvfBatchApplied(
+          b.sparkSession, dir, s"${streamId}_$id")
         sink(graft.operators.Similarity
-          .ivfProbe(b.sparkSession, dir, bdf, k)
+          .ivfProbe(b.sparkSession, dir, bdf, k, excludeProbes = replay)
           .orderBy("qid", "rn"), id)
         if (maintainIndex) {
           graft.operators.Similarity.appendToIvfIndex(

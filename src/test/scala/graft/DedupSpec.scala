@@ -452,4 +452,144 @@ class DedupSpec extends SparkSuite {
     assert(probe(d, Seq(501L -> txt(40, 1))).nonEmpty,
       "rebuilt index must cover the regenerated content")
   }
+
+  private def shManifestPath(d: String): org.apache.hadoop.fs.Path = {
+    val tag = (scala.util.hashing.MurmurHash3.stringHash(d).toLong
+      & 0xffffffffL).toHexString
+    graft.operators.IndexManifest.path(spark, "graft_shidx", tag)
+  }
+
+  test("partial-append crash repairs by refolding appended batches, " +
+    "and refuses loudly when the batch store is gone") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_par").toFile
+    val d = writeCorpus(new java.io.File(tmp, "d"), idxCorpus)
+    val d2 = writeCorpus(new java.io.File(tmp, "d2"), idxCorpus ++ idxB1)
+    Dedup.ensureShingleIndex(spark, d)
+    assert(Dedup.appendToShingleIndex(spark, d, docsDf(idxB1), "day1"))
+    val mp = shManifestPath(d)
+    val withDay1 = graft.operators.IndexManifest.read(spark, mp).get._1
+    val day2 = Seq(300L -> txt(31), 301L -> txt(0, 2))
+    assert(Dedup.appendToShingleIndex(spark, d, docsDf(day2), "day2"))
+    // simulate the crash window: day2's table rows landed but its
+    // manifest update did not
+    graft.operators.IndexManifest.writeText(spark, mp, withDay1)
+    Dedup.forgetFreshIndexMemo()
+    // the repair must rebuild the base AND refold day1 from the batch
+    // store — NOT silently rebuild from the corpus dir alone (day1 is
+    // a stream-only arrival whose checkpoint committed; it would be
+    // lost forever). day2's partial rows are wiped; its checkpoint
+    // never committed, so it replays.
+    val repaired = probe(d, idxB2)
+    assert(repaired == probe(d2, idxB2),
+      "repaired index diverges from a one-pass corpus ∪ day1 build")
+    assert(repaired.exists { case (a, b, _) => a == 100L && b == 201L },
+      "refolded day1 doc 100 must be probe-visible after the repair")
+    // the replayed day2 applies cleanly onto the repaired index
+    assert(Dedup.appendToShingleIndex(spark, d, docsDf(day2), "day2"),
+      "day2 replay must re-apply after the repair wiped its rows")
+    assert(probe(d, Seq(600L -> txt(31, 1))).exists(_._1 == 300L),
+      "re-applied day2 must be probe-visible")
+    // second crash window, but with the batch store destroyed: the
+    // repair must refuse loudly instead of dropping arrivals
+    val withDay12 = graft.operators.IndexManifest.read(spark, mp).get._1
+    assert(Dedup.appendToShingleIndex(spark, d,
+      docsDf(Seq(400L -> txt(32))), "day3"))
+    graft.operators.IndexManifest.writeText(spark, mp, withDay12)
+    val store = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      "graft_shidx_batches_" +
+        (scala.util.hashing.MurmurHash3.stringHash(d).toLong
+          & 0xffffffffL).toHexString)
+    store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(store, true)
+    Dedup.forgetFreshIndexMemo()
+    val e = intercept[IllegalStateException] { probe(d, idxB2) }
+    assert(e.getMessage.contains("partial-append"),
+      s"wrong failure mode: ${e.getMessage}")
+  }
+
+  test("replayed batch probes in excludeBatch mode and emits exactly " +
+    "the original pairs") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rep").toFile
+    val d = writeCorpus(new java.io.File(tmp, "d"), idxCorpus)
+    Dedup.ensureShingleIndex(spark, d)
+    assert(!Dedup.isShingleBatchApplied(spark, d, "day1"))
+    val original = probe(d, idxB1)
+    assert(original.nonEmpty, "fixture must produce pairs")
+    assert(Dedup.appendToShingleIndex(spark, d, docsDf(idxB1), "day1"))
+    assert(Dedup.isShingleBatchApplied(spark, d, "day1"))
+    // the replay view: batch anti-joined out of postings AND sets —
+    // restores the pre-append index, so the emission is identical
+    // (the df table DOES hold the batch's partial counts; only prefix
+    // ORDER shifts, never the verified pair set)
+    val (f, sh) = Dedup.deltaDedupOf(spark, d, docsDf(idxB1),
+      checkDisjoint = false, excludeBatch = true)
+    val replayed = f.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    sh.unpersist(blocking = true)
+    assert(replayed == original,
+      "replayed emission diverges from the original probe")
+    // without the replay flag the guard still fires (wedge prevention
+    // lives in the STREAM's manifest check, not in a weakened guard)
+    intercept[IllegalArgumentException] { probe(d, idxB1) }
+  }
+
+  test("deltaDedup re-arms the disjointness guard once batches are " +
+    "appended") {
+    // the split-predicate justification for skipping the guard only
+    // holds against the BASE build: an appended batch may contain the
+    // delta slice itself, after which the unguarded probe would
+    // silently corrupt pair multiplicities
+    val tmp = java.nio.file.Files.createTempDirectory("graft_arm").toFile
+    val d = writeCorpus(new java.io.File(tmp, "d"),
+      idxCorpus ++ Seq(4L -> txt(40)))
+    // base: guard off (disjoint by the split predicate), must not throw
+    val (f1, sh1) = Dedup.deltaDedup(spark, d)
+    f1.collect(); sh1.unpersist(blocking = true)
+    // a caller folds the delta slice into the index — the append-side
+    // guard checks against the INDEX (which excludes id 4), so this
+    // is accepted
+    assert(Dedup.appendToShingleIndex(spark, d,
+      docsDf(Seq(4L -> txt(40))), "oops"))
+    // now the split predicate no longer implies disjointness: the
+    // guard must be back on and fail loudly
+    val e = intercept[IllegalArgumentException] {
+      Dedup.deltaDedup(spark, d)
+    }
+    assert(e.getMessage.contains("doc_id 4"), e.getMessage)
+  }
+
+  test("compaction folds postings/sets file layout back to one file " +
+    "per bucket") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lay").toFile
+    val d = writeCorpus(new java.io.File(tmp, "d"), idxCorpus)
+    val (postT, _, _) = Dedup.ensureShingleIndex(spark, d)
+    def files(t: String): Map[Int, Int] = {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
+      // bucketed file names carry the bucket id as _NNNNN after the
+      // task prefix: part-<task>_<bucket>(.c<n>)?.snappy.parquet
+      new java.io.File(wh, t).listFiles().toSeq
+        .filter(_.getName.endsWith(".parquet"))
+        .groupBy { f =>
+          "_(\\d{5})".r.findFirstMatchIn(f.getName).get.group(1).toInt
+        }.map { case (b, fs) => b -> fs.size }
+    }
+    val base = files(postT)
+    assert(base.values.forall(_ == 1),
+      s"base build must write one file per present bucket: $base")
+    assert(Dedup.appendToShingleIndex(spark, d, docsDf(idxB1), "day1"))
+    assert(Dedup.appendToShingleIndex(spark, d,
+      docsDf(Seq(300L -> txt(31))), "day2"))
+    val appended = files(postT)
+    assert(appended.values.exists(_ > 1),
+      s"appends must stack files per bucket or the test is vacuous")
+    val before = probe(d, idxB2)
+    assert(Dedup.compactShingleIndex(spark, d))
+    val compacted = files(postT)
+    assert(compacted.values.forall(_ == 1),
+      s"compaction must restore one file per bucket: $compacted")
+    assert(probe(d, idxB2) == before,
+      "layout compaction changed probe results")
+  }
 }

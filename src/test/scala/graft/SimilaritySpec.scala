@@ -280,6 +280,91 @@ class SimilaritySpec extends SparkSuite {
       "equal-count regen did not rebuild the IVF index")
   }
 
+  test("ivf replay mode, layout compaction, and partial-append repair") {
+    val sp = spark; import sp.implicits._
+    def vec(seed: Long): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(64)(r.nextFloat() * 2 - 1)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfrep")
+    val dir = new java.io.File(tmp.toFile, "d").toString
+    (0L until 150L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val (at, _) = Similarity.ensureIvfIndex(spark, dir)
+    // 1001 is a tiny perturbation of 1000 (= vec 3's vector): on a
+    // NAIVE replay each appears in the other's top-5 at cosine ~1 —
+    // the exact divergence the replay mode exists to prevent
+    val v1001 = vec(3L).clone(); v1001(0) = v1001(0) + 0.05f
+    val batch = Seq((1000L, vec(3L)), (1001L, v1001))
+      .toDF("vec_id", "embedding")
+    assert(!Similarity.isIvfBatchApplied(spark, dir, "ann_0"))
+    val original = Similarity.ivfProbe(spark, dir, batch, 5)
+      .orderBy("qid", "rn").collect().map(_.toSeq).toSeq
+    assert(Similarity.appendToIvfIndex(spark, dir, batch, "ann_0"))
+    assert(Similarity.isIvfBatchApplied(spark, dir, "ann_0"))
+    // replay view: the batch's own vectors anti-joined out restores
+    // the pre-append index — emission identical to the original
+    val replayed = Similarity.ivfProbe(spark, dir, batch, 5,
+      excludeProbes = true).orderBy("qid", "rn")
+      .collect().map(_.toSeq).toSeq
+    assert(replayed == original,
+      "replayed ivf emission diverges from the original probe")
+    val naive = Similarity.ivfProbe(spark, dir, batch, 5)
+      .orderBy("qid", "rn").collect().map(_.toSeq).toSeq
+    assert(naive != original,
+      "test fixture vacuous: naive replay did not diverge")
+    // layout compaction: one file per present bucket (the bucketed-
+    // write alignment rule), probes unchanged, idempotent until an
+    // append
+    def filesPerBucket(): Map[Int, Int] = {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
+      new java.io.File(wh, at).listFiles().toSeq
+        .filter(_.getName.endsWith(".parquet"))
+        .groupBy { f =>
+          "_(\\d{5})".r.findFirstMatchIn(f.getName).get.group(1).toInt
+        }.map { case (b, fs) => b -> fs.size }
+    }
+    assert(filesPerBucket().values.exists(_ > 1),
+      "append must stack files per bucket or the layout law is vacuous")
+    assert(Similarity.compactIvfIndex(spark, dir))
+    assert(filesPerBucket().values.forall(_ == 1),
+      s"compaction must restore one file per bucket: ${filesPerBucket()}")
+    assert(!Similarity.compactIvfIndex(spark, dir),
+      "compaction must be idempotent until the next append")
+    val postCompact = Similarity.ivfProbe(spark, dir, batch, 5)
+      .orderBy("qid", "rn").collect().map(_.toSeq).toSeq
+    assert(postCompact == naive, "compaction changed probe results")
+    // partial-append repair: a LATER append (ann_1) crashes between
+    // its table write and its manifest update — the repair must
+    // rebuild the base, refold the manifest-listed ann_0 from the
+    // batch store (NOT drop it with a corpus-only rebuild), and wipe
+    // ann_1's partial rows (its checkpoint never committed; replays)
+    val tag = (scala.util.hashing.MurmurHash3.stringHash(dir).toLong
+      & 0xffffffffL).toHexString
+    val mp = graft.operators.IndexManifest.path(spark, "graft_ivf", tag)
+    val withAnn0 = graft.operators.IndexManifest.read(spark, mp).get._1
+    assert(Similarity.appendToIvfIndex(spark, dir,
+      Seq((1100L, vec(777L))).toDF("vec_id", "embedding"), "ann_1"))
+    graft.operators.IndexManifest.writeText(spark, mp, withAnn0)
+    Similarity.forgetFreshIvfMemo()
+    Similarity.ensureIvfIndex(spark, dir)
+    assert(spark.table(at).count() == 152L,
+      "repair must keep base + refolded ann_0 and wipe ann_1 partials")
+    val batches = graft.operators.IndexManifest.read(spark, mp).get._2
+    assert(batches.exists(_._1 == "ann_0") && !batches.exists(_._1 == "ann_1"),
+      s"repaired manifest must list exactly the refolded batches: $batches")
+    val repaired = Similarity.ivfProbe(spark, dir,
+      Seq((2000L, vec(3L))).toDF("vec_id", "embedding"), 5).collect()
+    assert(repaired.exists(r => r.getLong(1) == 1000L &&
+      r.getDouble(2) == 1.0),
+      "refolded vector 1000 must be probe-visible after the repair")
+    // and the crashed ann_1 re-applies cleanly (the stream replay)
+    assert(Similarity.appendToIvfIndex(spark, dir,
+      Seq((1100L, vec(777L))).toDF("vec_id", "embedding"), "ann_1"))
+    assert(spark.table(at).count() == 153L)
+  }
+
   test("registered functions reject wrong arity with a clear error") {
     graft.functions.GraftFunctions.register(spark)
     val e = intercept[Exception] {

@@ -1003,6 +1003,98 @@ class StreamingSpec extends SparkSuite {
       "untouched component re-emitted")
   }
 
+  test("cc stream with stateDir keeps the cumulative-labels law " +
+    "across a driver restart") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    import graft.streaming.CorpusStreams
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ccres").toFile
+    val ckpt = new java.io.File(tmp, "ckpt").toString
+    val sd = new java.io.File(tmp, "state").toString
+    val labels = scala.collection.mutable.Map.empty[Long, Long]
+    val input = MemoryStream[CorpusStreams.Pair]
+    val q1 = CorpusStreams.ccStream(input.toDS(), Some(sd)) { (ch, _) =>
+      ch.foreach(u => labels(u.node) = u.lbl)
+    }.option("checkpointLocation", ckpt).start()
+    try {
+      input.addData(Seq(CorpusStreams.Pair(1L, 2L),
+        CorpusStreams.Pair(3L, 4L)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(labels.toMap == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+    // "restart": a NEW writer over the same checkpoint — committed
+    // batches do NOT replay, so the union-find must be rebuilt from
+    // the durable edge log, or the bridge below cannot ripple-relabel
+    // nodes it has never seen
+    val q2 = CorpusStreams.ccStream(input.toDS(), Some(sd)) { (ch, _) =>
+      ch.foreach(u => labels(u.node) = u.lbl)
+    }.option("checkpointLocation", ckpt).start()
+    try {
+      input.addData(Seq(CorpusStreams.Pair(2L, 3L)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(labels.toMap == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L),
+      s"post-restart labels diverge from batch components: $labels")
+  }
+
+  test("ingest stream with stateDir keeps cumulative semantics across " +
+    "a restart mid-chain") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    import graft.streaming.CorpusStreams
+    def txt(g: Int, variant: Int = 0): String = {
+      val toks = (1 to 30).map(i => s"g${g}w$i").toArray
+      if (variant != 0) toks(29) = s"g${g}v$variant"
+      toks.mkString(" ")
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ingres")
+    val dir = new java.io.File(tmp.toFile, "d").toString
+    val ckpt = new java.io.File(tmp.toFile, "ckpt").toString
+    val sd = new java.io.File(tmp.toFile, "state").toString
+    Seq(0L -> txt(0), 1L -> txt(1), 2L -> txt(2))
+      .toDF("doc_id", "text").coalesce(1).write
+      .parquet(s"$dir/documents.parquet")
+    // the same 3-doc chain as the convergence law, but the two halves
+    // are separated by a STOP + NEW WRITER instead of two micro-batches
+    val h1 = Seq(CorpusStreams.Doc(300L, txt(0, 1)),
+      CorpusStreams.Doc(301L, txt(9)))
+    val h2 = Seq(CorpusStreams.Doc(400L, txt(0, 2)),
+      CorpusStreams.Doc(401L, txt(9, 1)))
+    val allPairs = scala.collection.mutable.ListBuffer.empty[(Long, Long, Double)]
+    val labels = scala.collection.mutable.Map.empty[Long, Long]
+    val input = MemoryStream[CorpusStreams.Doc]
+    def writer() = CorpusStreams.dedupIngestStream(input.toDS(), dir,
+      streamId = "ingres", stateDir = Some(sd)) { (pairs, changed, _) =>
+      allPairs ++= pairs
+      changed.foreach(u => labels(u.node) = u.lbl)
+    }.option("checkpointLocation", ckpt)
+    val q1 = writer().start()
+    try { input.addData(h1); q1.processAllAvailable() } finally q1.stop()
+    val q2 = writer().start()
+    try { input.addData(h2); q2.processAllAvailable() } finally q2.stop()
+    // the one-big-batch comparator on a rebuilt-from-dir index
+    graft.operators.Dedup.dropShingleIndex(spark, dir)
+    graft.operators.Dedup.forgetFreshIndexMemo()
+    val (fullFrame, fullSh) = graft.operators.Dedup.deltaDedupOf(
+      spark, dir, (h1 ++ h2).toDS().toDF())
+    val full = fullFrame.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    fullSh.unpersist(blocking = true)
+    assert(allPairs.toSet == full,
+      "restarted ingest pairs != one-big-batch delta operator")
+    // the cross-RESTART chain must still collapse into one component:
+    // impossible unless the restarted union-find was reseeded from
+    // the durable edge log
+    assert(labels.get(300L).contains(0L) && labels.get(400L).contains(0L),
+      s"chain component not merged across restart: $labels")
+    val expLabels = graft.operators.Dedup.connectedComponents(
+      full.toSeq.map(p => (p._1, p._2)).toDF("da", "db"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.toMap == expLabels,
+      "post-restart labels != batch connected components over all pairs")
+  }
+
   test("ann stream probes the persisted IVF index; maintainIndex " +
     "makes arrivals findable by later batches") {
     val sp = spark; import sp.implicits._
