@@ -1,33 +1,38 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Measurement harness for the incremental-index amortization claim:
-  * "append cost tracks the BATCH, never the corpus". Times, on one
+  * "append cost tracks the BATCH, never the corpus — and probe cost
+  * tracks the CORPUS, never the append count". Times, on one
   * (replicated) corpus dir:
   *
-  *  - shingle index: cold build (drop + ensure) vs appending a
-  *    synthetic batch of `batchDocs` documents (fresh doc_ids, texts
-  *    sampled from the corpus so the shingle distribution is
-  *    realistic), plus the probe-equality sanity that the appended
-  *    docs are actually findable;
-  *  - IVF index: cold build vs appending `batchVecs` synthetic
-  *    vectors (fresh vec_ids, embeddings sampled from the corpus).
+  *  - shingle index: cold build (drop + ensure) vs appending
+  *    `nAppends` synthetic batches of `batchDocs` documents each
+  *    (fresh doc_ids, texts sampled from the corpus so the shingle
+  *    distribution is realistic);
+  *  - the PROBE-COST CURVE: a fixed probe batch timed against the
+  *    fresh index, against the index after all appends (N extra files
+  *    per bucket + unfolded df partials), and again after
+  *    compactShingleIndex folds the layout — the many-append tax and
+  *    whether compaction repays it;
+  *  - IVF index: the same build / N-append / probe / compact cycle.
   *
-  * Prints ONE JSON line. The claim holds when append_s is a small
-  * fraction of build_s and, across corpus rungs, append_s stays flat
-  * while build_s scales with n (SURVEY §18 records the rung points).
+  * Prints ONE JSON line. The claims hold when append_s stays flat in
+  * the batch across appends AND probe_compacted_s returns to ~
+  * probe_fresh_s (SURVEY §19 records the rung points).
   *
-  * Usage: runMain graft.AppendSmoke <corpusDir> [batchDocs] [batchVecs]
+  * Usage: runMain graft.AppendSmoke <corpusDir> [batchDocs] [batchVecs] [nAppends]
   */
 object AppendSmoke {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: AppendSmoke <corpusDir> [batchDocs] [batchVecs]")
+      "usage: AppendSmoke <corpusDir> [batchDocs] [batchVecs] [nAppends]")
     val dir = args(0)
     val batchDocs = args.lift(1).map(_.toInt).getOrElse(5000)
     val batchVecs = args.lift(2).map(_.toInt).getOrElse(5000)
+    val nAppends = args.lift(3).map(_.toInt).getOrElse(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -49,35 +54,69 @@ object AppendSmoke {
     val docs = Tables.documents(spark, dir)
     val nDocs = docs.count()
     val maxDoc = docs.agg(max("doc_id")).head.getLong(0)
-    // synthetic arrivals: corpus-sampled texts under fresh ids
-    val batch = docs.limit(batchDocs)
-      .select((col("doc_id") + lit(maxDoc + 1)).as("doc_id"), col("text"))
+    // synthetic arrivals: corpus-sampled texts under fresh ids; batch
+    // k uses the k-th id stripe so every batch is disjoint from the
+    // corpus, every other batch, and the probe stripe
+    def stripe(k: Int, limit: Int): DataFrame = docs.limit(limit)
+      .select((col("doc_id") + lit((maxDoc + 1) * k.toLong)).as("doc_id"),
+        col("text"))
       .localCheckpoint()
+    val probeBatch = stripe(nAppends + 2, batchDocs)
+    def probeS(): Double = timed {
+      val (f, sh) = operators.Dedup.deltaDedupOf(spark, dir, probeBatch)
+      val n = f.count()
+      sh.unpersist(blocking = false)
+      n
+    }._2
     operators.Dedup.dropShingleIndex(spark, dir)
     val (_, buildS) = timed(operators.Dedup.ensureShingleIndex(spark, dir))
-    val (applied, appendS) = timed(
-      operators.Dedup.appendToShingleIndex(spark, dir, batch, "smoke1"))
-    require(applied, "append did not apply")
+    val probeFreshS = probeS()
+    val appendTimes = (1 to nAppends).map { k =>
+      val b = stripe(k, batchDocs)
+      val (applied, t) = timed(
+        operators.Dedup.appendToShingleIndex(spark, dir, b, s"smoke$k"))
+      require(applied, s"append $k did not apply")
+      t
+    }
     // replay must no-op (and cost ~nothing)
-    val (replay, replayS) = timed(
-      operators.Dedup.appendToShingleIndex(spark, dir, batch, "smoke1"))
+    val (replay, replayS) = timed(operators.Dedup.appendToShingleIndex(
+      spark, dir, stripe(1, batchDocs), "smoke1"))
     require(!replay, "replayed append applied twice")
+    val probeAppendedS = probeS()
+    val (folded, compactS) =
+      timed(operators.Dedup.compactShingleIndex(spark, dir))
+    require(folded, "compaction had nothing to fold")
+    val probeCompactS = probeS()
 
     // ---- IVF index ----
     val emb = Tables.embeddings(spark, dir)
     val nVecs = emb.count()
     val maxVec = emb.agg(max("vec_id")).head.getLong(0)
-    val vbatch = emb.limit(batchVecs)
-      .select((col("vec_id") + lit(maxVec + 1)).as("vec_id"),
+    def vstripe(k: Int): DataFrame = emb.limit(batchVecs)
+      .select((col("vec_id") + lit((maxVec + 1) * k.toLong)).as("vec_id"),
         col("embedding"))
       .localCheckpoint()
+    val vprobe = vstripe(nAppends + 2)
+    def vprobeS(): Double = timed(
+      operators.Similarity.ivfProbe(spark, dir, vprobe, 5).count())._2
     operators.Similarity.dropIvfIndex(spark, dir)
     val (_, ivfBuildS) = timed(operators.Similarity.ensureIvfIndex(spark, dir))
-    val (vApplied, ivfAppendS) = timed(
-      operators.Similarity.appendToIvfIndex(spark, dir, vbatch, "smoke1"))
-    require(vApplied, "IVF append did not apply")
+    val ivfProbeFreshS = vprobeS()
+    val ivfAppendTimes = (1 to nAppends).map { k =>
+      val (applied, t) = timed(operators.Similarity.appendToIvfIndex(
+        spark, dir, vstripe(k), s"smoke$k"))
+      require(applied, s"IVF append $k did not apply")
+      t
+    }
+    val ivfProbeAppendedS = vprobeS()
+    val (vFolded, ivfCompactS) =
+      timed(operators.Similarity.compactIvfIndex(spark, dir))
+    require(vFolded, "IVF compaction had nothing to fold")
+    val ivfProbeCompactS = vprobeS()
 
-    println(f"""{"metric":"append_smoke","dir":"$dir","docs":$nDocs,"batch_docs":$batchDocs,"shingle_build_s":$buildS%.2f,"shingle_append_s":$appendS%.2f,"replay_s":$replayS%.3f,"vecs":$nVecs,"batch_vecs":$batchVecs,"ivf_build_s":$ivfBuildS%.2f,"ivf_append_s":$ivfAppendS%.2f}""")
+    def arr(ts: Seq[Double]): String =
+      ts.map(t => f"$t%.2f").mkString("[", ",", "]")
+    println(f"""{"metric":"append_smoke","dir":"$dir","docs":$nDocs,"batch_docs":$batchDocs,"n_appends":$nAppends,"shingle_build_s":$buildS%.2f,"shingle_append_s":${arr(appendTimes)},"replay_s":$replayS%.3f,"probe_fresh_s":$probeFreshS%.2f,"probe_appended_s":$probeAppendedS%.2f,"compact_s":$compactS%.2f,"probe_compacted_s":$probeCompactS%.2f,"vecs":$nVecs,"batch_vecs":$batchVecs,"ivf_build_s":$ivfBuildS%.2f,"ivf_append_s":${arr(ivfAppendTimes)},"ivf_probe_fresh_s":$ivfProbeFreshS%.2f,"ivf_probe_appended_s":$ivfProbeAppendedS%.2f,"ivf_compact_s":$ivfCompactS%.2f,"ivf_probe_compacted_s":$ivfProbeCompactS%.2f}""")
     // leave the dir's indexes CLEAN: a later gate on the same replica
     // (scale_gate, RecallGate) expects index == corpus slice, and an
     // index carrying these synthetic appends would fail its oracle

@@ -89,12 +89,23 @@ private[graft] object IndexManifest {
     * violation corrupts join multiplicities (and, for pair output,
     * orientation) SILENTLY, so it fails loudly instead. Cost: one
     * key-column scan of the bucketed table against the broadcast
-    * batch keys, early-stopped at the first clash. */
+    * batch keys, early-stopped at the first clash — RANGE-PRUNED to
+    * the batch's [min, max] key span first: indexed rows outside the
+    * span cannot clash, and parquet row-group stats turn the filter
+    * into skipped IO, so for the common monotonic-id ingest (every
+    * arriving batch's ids above everything indexed) the guard reads
+    * ~nothing no matter how large the index has grown (the r15
+    * AppendSmoke curve caught the unpruned scan growing with
+    * corpus + append count, 1.6 -> 2.2 s across 32 appends). */
   def requireDisjoint(s: SparkSession, table: String, keyCol: String,
                       batch: org.apache.spark.sql.DataFrame,
                       who: String): Unit = {
-    import org.apache.spark.sql.functions.{broadcast, col}
+    import org.apache.spark.sql.functions.{broadcast, col, max, min}
+    val span = batch.agg(min(col(keyCol)), max(col(keyCol))).head
+    if (span.isNullAt(0)) return // empty batch: vacuously disjoint
+    val (lo, hi) = (span.getLong(0), span.getLong(1))
     val clash = s.table(table).select(col(keyCol))
+      .filter(col(keyCol) >= lo && col(keyCol) <= hi)
       .join(broadcast(batch.select(col(keyCol)).distinct()), keyCol)
       .limit(1).collect()
     if (clash.nonEmpty)

@@ -608,7 +608,8 @@ object CorpusStreams {
     * relation-cache semantics, same as any external writer. */
   def annStream(vecs: Dataset[Vec], dir: String, k: Int = 5,
                 maintainIndex: Boolean = false,
-                streamId: String = "ann")(
+                streamId: String = "ann",
+                compactEvery: Int = 0)(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[Vec] =
     vecs.writeStream.outputMode("append").foreachBatch {
@@ -626,7 +627,13 @@ object CorpusStreams {
         if (maintainIndex) {
           graft.operators.Similarity.appendToIvfIndex(
             b.sparkSession, dir, bdf, s"${streamId}_$id")
-          ()
+          // cadenced assignment-table layout fold (the
+          // deltaDedupStream compactEvery rule: pure layout, probes
+          // exactly unchanged; 0 = leave it to an external nightly)
+          if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
+            graft.operators.Similarity.compactIvfIndex(b.sparkSession, dir)
+            ()
+          }
         }
     }
 
