@@ -96,12 +96,27 @@ object Similarity {
     * crosses 0.7 for the first time. */
   val ProbeBudget = 2
 
+  /** Effective budget at a given bits: DOUBLES once bits reaches 16.
+    * Rationale (the r15 2M-rung regime break, CLAUDE.md rule 16 in
+    * action): for a fixed query-neighbor angle θ, each hyperplane
+    * separates the pair with probability θ/π, so the neighbor's
+    * expected Hamming distance from the query's bucket grows
+    * LINEARLY with bits — while the probe ball stays weight<=3. At
+    * bits=16 (n=2,048k) the T=2 sequence (274 masks/table) measured
+    * recall 0.580 (floor 0.60, down from 0.700 at 1M/bits 15); T=4
+    * (512 masks/table, ~73%% of the weight<=3 ball) is the probe-side
+    * correction — candidates stay L x probes x occupancy, occupancy
+    * pinned ~32 by [[lshBits]], so cost per probe is still
+    * n-independent. */
+  def probeBudget(bits: Int): Int =
+    if (bits >= 16) 2 * ProbeBudget else ProbeBudget
+
   /** The per-table probe-sequence length q_ann_lsh actually uses:
-    * [[ProbeBudget]] x [[probesPerTable]], clamped to the enumerable
+    * [[probeBudget]] x [[probesPerTable]], clamped to the enumerable
     * weight<=3 ball. */
   def probeCount(bits: Int): Int =
     math.min(graft.functions.LshProbeIds.ballSize(bits),
-      math.min(512, ProbeBudget * probesPerTable(bits)))
+      math.min(512, probeBudget(bits) * probesPerTable(bits)))
 
   /** The bucket of `e` in LSH table `t`: `bits` sign bits packed into
     * a long — the SPEC form, kept as documentation and as the law

@@ -1,11 +1,16 @@
 #!/usr/bin/env bash
 # Big-rung recall ladder: replays the oracle-exempt sketch operators at
-# n = 256k / 512k / 1,024k vectors (128x/256x/512x of sf0.1 — rungs
-# labeled by ABSOLUTE n per CLAUDE.md rule 16) and fails below the
-# ratcheted floors. These are the rungs where lshBits(n) crosses 13/14/15
-# and the directed multi-probe regime is fully engaged; quality measured
-# r14 (ProbeBudget=2 directed probing): LSH 0.780/0.640/0.700 across
-# 256k/512k/1M, IVF 0.740/0.620/0.660, MinHash 1.000 with 0 FP.
+# n = 256k / 512k / 1,024k / 2,048k vectors (128x/256x/512x/1024x of
+# sf0.1 — rungs labeled by ABSOLUTE n per CLAUDE.md rule 16) and fails
+# below the ratcheted floors. These are the rungs where lshBits(n)
+# crosses 13/14/15/16 and the directed multi-probe regime is fully
+# engaged; quality measured r14 (ProbeBudget=2 directed probing): LSH
+# 0.780/0.640/0.700 across 256k/512k/1M, IVF 0.740/0.620/0.660,
+# MinHash 1.000 with 0 FP. The 2,048k rung (r15) broke the T=2 rule —
+# 0.580 at bits=16, the expected neighbor Hamming distance grows
+# linearly with bits while the probe ball stayed weight<=3 — and is
+# green at 0.640 with the corrected probeBudget(bits) (T doubles at
+# bits >= 16, 512 masks/table; IVF 0.760, MinHash 1.000/0 FP there).
 #
 # Floors sit just under measured so HALF the quality can no longer
 # evaporate silently (the round-12 judge's finding against the old
@@ -21,7 +26,7 @@
 #   (SPARK_GRAFT_SMOKE_REUSE=1), so a re-run after a code change skips
 #   the replication cost.
 set -euo pipefail
-RUNGS="${1:-128 256 512}"
+RUNGS="${1:-128 256 512 1024}"
 SRC="${RECALL_LADDER_SRC:-/root/testdata/sf0.1}"
 FLOORS="${RECALL_LADDER_FLOORS:-0.60 0.58 1.0}"
 cd "$(dirname "$0")/.."
