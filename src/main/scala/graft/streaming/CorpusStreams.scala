@@ -466,10 +466,27 @@ object CorpusStreams {
     val p = new org.apache.hadoop.fs.Path(stateDir, "pairs")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) {
-      s.read.schema("da LONG, db LONG")
+      val edges = s.read.schema("da LONG, db LONG")
         .option("recursiveFileLookup", "true").parquet(p.toString)
-        .collect().foreach(r => state.union(r.getLong(0), r.getLong(1)))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      edges.foreach { case (a, b) => state.union(a, b) }
       state.markAllEmitted()
+      // consolidate the log while we hold it all anyway: a year of
+      // daily batches is hundreds of tiny per-batch dirs, and every
+      // restart would re-list and re-open all of them. Fold into ONE
+      // seed dir, write-then-delete order — a crash between the two
+      // leaves duplicate edges, which idempotent unions absorb on the
+      // next seed; a replayed batch still overwrites its own b_<id>
+      // dir, never b_seed.
+      val subdirs = fs.listStatus(p).filter(_.isDirectory)
+      if (subdirs.length > 8) {
+        import s.implicits._
+        edges.toSeq.toDF("da", "db").coalesce(1)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(new org.apache.hadoop.fs.Path(p, "b_seed").toString)
+        subdirs.filter(_.getPath.getName != "b_seed")
+          .foreach(d => fs.delete(d.getPath, true))
+      }
     }
     state
   }

@@ -1032,9 +1032,31 @@ class StreamingSpec extends SparkSuite {
     try {
       input.addData(Seq(CorpusStreams.Pair(2L, 3L)))
       q2.processAllAvailable()
+      // ten more single-pair micro-batches: enough per-batch log dirs
+      // to cross the consolidation threshold on the NEXT seed
+      (10L to 19L).foreach { i =>
+        input.addData(Seq(CorpusStreams.Pair(i * 10, i * 10 + 1)))
+        q2.processAllAvailable()
+      }
     } finally q2.stop()
-    assert(labels.toMap == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L),
+    assert(labels.toMap.view.filterKeys(_ <= 4L).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L),
       s"post-restart labels diverge from batch components: $labels")
+    // third start: the seed reads >8 per-batch dirs, consolidates them
+    // into one, and the state must be unchanged by the fold
+    val q3 = CorpusStreams.ccStream(input.toDS(), Some(sd)) { (ch, _) =>
+      ch.foreach(u => labels(u.node) = u.lbl)
+    }.option("checkpointLocation", ckpt).start()
+    try {
+      input.addData(Seq(CorpusStreams.Pair(190L, 40L)))
+      q3.processAllAvailable()
+    } finally q3.stop()
+    assert(labels(191L) == 40L && labels(190L) == 40L,
+      s"post-consolidation merge wrong: $labels")
+    val pairDirs = new java.io.File(sd, "pairs").listFiles()
+      .count(_.isDirectory)
+    assert(pairDirs <= 3,
+      s"edge log not consolidated: $pairDirs per-batch dirs remain")
   }
 
   test("ingest stream with stateDir keeps cumulative semantics across " +
