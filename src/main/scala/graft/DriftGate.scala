@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measures what FROZEN IVF centroids actually cost under ingest
+  * drift — the regime [[graft.operators.Similarity.appendToIvfIndex]]
+  * documents but AppendRecallGate's i.i.d. 75/25 split cannot reach
+  * (it measured a staleness delta of ZERO, because an i.i.d. append
+  * is exactly what the base centroid sample already fit).
+  *
+  * Drift model: the held-out quarter of the replica corpus
+  * (vec_id % 4 == 3) arrives as a CONCENTRATED new domain — each
+  * vector shrunk to 0.2x and offset along a fixed unit direction, so
+  * the slice forms a tight cluster in a region the base sample never
+  * covered (the "new data source joins the ingest" shape; derived
+  * deterministically from the replica's own vectors, no synthetic
+  * randomness). The base 75% stays untouched.
+  *
+  * Construction mirrors AppendRecallGate: WORK dir = base slice,
+  * index built there, the drifted quarter folded in via four
+  * appendToIvfIndex batches (frozen centroids); MERGED dir = base +
+  * drifted, one-shot index (the comparator). Measured, per index
+  * state (frozen appended vs refreshed vs one-shot):
+  *  - top-5 recall of 10 drifted probes AND 10 base probes against
+  *    brute-force cosine over the merged corpus (drift must not be
+  *    bought by regressing the base);
+  *  - cell-occupancy concentration: max and median assignment-table
+  *    rows per cell. The predicted frozen failure mode is NOT recall
+  *    (arrivals land in their nearest stored cell and probes rank
+  *    cells by the same function) but occupancy: the drifted mass
+  *    piles into the few base cells nearest the new region, so every
+  *    probe touching them scans O(drift-fraction x n) rows instead of
+  *    O(sqrt n).
+  *
+  * Gates (exit 1):
+  *  - LAW: after [[Similarity.refreshIvfCentroids]] the work index is
+  *    CONTENT-IDENTICAL to the one-shot merged index — row count +
+  *    order-independent xxhash64 fingerprint over (cid, vec_id) and
+  *    over the centroid table;
+  *  - refreshed recall >= floor (the ladder's IVF floor) on BOTH
+  *    probe sets;
+  *  - refreshed max-cell occupancy must undercut the frozen index's
+  *    (the mitigation claim measured, not asserted from theory).
+  *
+  * Usage: runMain graft.DriftGate <replicaDir> <ivfFloor> [workBase]
+  * Prints one JSON line; exits 1 on violation.
+  */
+object DriftGate {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: DriftGate <replicaDir> <ivfFloor> [workBase]")
+    val dir = args(0)
+    val floor = args(1).toDouble
+    val workBase = if (args.length > 2) args(2) else "/tmp/graft_drift_gate"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    functions.GraftFunctions.register(spark)
+    import operators.Similarity
+
+    val work = s"$workBase/work"
+    val merged = s"$workBase/merged"
+    val emb = Tables.embeddings(spark, dir)
+    val base = emb.filter(col("vec_id") % 4 =!= 3)
+      .select("vec_id", "embedding")
+    // drift transform is gate-construction code, not an engine hot
+    // path — the interpreted HOF is fine here
+    val drifted = emb.filter(col("vec_id") % 4 === 3)
+      .select(col("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x * lit(0.2f) +
+            when(i === 0, lit(1.0f)).otherwise(lit(0.0f))).cast("float"))
+          .as("embedding"))
+    base.write.mode("overwrite").parquet(s"$work/embeddings.parquet")
+    base.unionByName(drifted).write.mode("overwrite")
+      .parquet(s"$merged/embeddings.parquet")
+    Similarity.dropIvfIndex(spark, work)
+    Similarity.dropIvfIndex(spark, merged)
+
+    val (atW, ctW) = Similarity.ensureIvfIndex(spark, work)
+    Seq(3, 7, 11, 15).foreach { r =>
+      require(Similarity.appendToIvfIndex(spark, work,
+        drifted.filter(col("vec_id") % 16 === r), s"drift_$r"),
+        s"append drift_$r did not apply")
+    }
+
+    def probesOf(src: DataFrame, n: Int): DataFrame =
+      src.orderBy("vec_id").limit(n)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          Similarity.norm(col("embedding")).as("qn"))
+        .localCheckpoint()
+    val pDrift = probesOf(drifted, 10)
+    val pBase = probesOf(base, 10)
+    val corpus = Tables.embeddings(spark, merged)
+    def grouped(df: DataFrame): Map[Long, Set[Long]] =
+      df.select("qid", "nid").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) =>
+          q -> rs.map(_.getLong(1)).toSet
+        }
+    val bruteDrift = grouped(Similarity.bruteForceKnn(pDrift, corpus, 5))
+    val bruteBase = grouped(Similarity.bruteForceKnn(pBase, corpus, 5))
+    def recallOf(d: String, probes: DataFrame,
+                 brute: Map[Long, Set[Long]]): Double = {
+      val ann = grouped(Similarity.ivfProbe(spark, d,
+        probes.select(col("qid").as("vec_id"), col("qe").as("embedding")),
+        5))
+      val rs = brute.map { case (q, bf) =>
+        (bf & ann.getOrElse(q, Set.empty)).size.toDouble / bf.size
+      }
+      rs.sum / rs.size
+    }
+    def occupancy(at: String): (Long, Long) = {
+      val occ = spark.table(at).groupBy("cid").count()
+        .select("count").collect().map(_.getLong(0)).sorted
+      (occ.last, occ(occ.length / 2))
+    }
+
+    val frozenDrift = recallOf(work, pDrift, bruteDrift)
+    val frozenBase = recallOf(work, pBase, bruteBase)
+    val (frozMax, frozMed) = occupancy(atW)
+
+    require(Similarity.refreshIvfCentroids(spark, work),
+      "refresh must run on an appended index")
+    val refreshedDrift = recallOf(work, pDrift, bruteDrift)
+    val refreshedBase = recallOf(work, pBase, bruteBase)
+    val (refMax, refMed) = occupancy(atW)
+
+    // LAW: refreshed == one-shot, content-identical (order-independent
+    // fingerprints; cheap and fully distributed)
+    val (atM, ctM) = Similarity.ensureIvfIndex(spark, merged)
+    def fp(t: String, cols: Seq[String]): (Long, Long) = {
+      val df = spark.table(t)
+      (df.count(),
+        df.select(xxhash64(cols.map(col): _*).as("h"))
+          .agg(coalesce(expr("bit_xor(h)"), lit(0L))).head.getLong(0))
+    }
+    val lawAssign = fp(atW, Seq("cid", "vec_id", "ce")) ==
+      fp(atM, Seq("cid", "vec_id", "ce"))
+    val lawCent = fp(ctW, Seq("cid", "ke", "kn")) ==
+      fp(ctM, Seq("cid", "ke", "kn"))
+
+    val n = spark.table(atM).count()
+    println(f"""{"metric":"drift_gate","dir":"$dir","vecs":$n,"recall_drift_frozen":$frozenDrift%.3f,"recall_drift_refreshed":$refreshedDrift%.3f,"recall_base_frozen":$frozenBase%.3f,"recall_base_refreshed":$refreshedBase%.3f,"occ_frozen_max":$frozMax,"occ_frozen_med":$frozMed,"occ_refreshed_max":$refMax,"occ_refreshed_med":$refMed,"law_assign":$lawAssign,"law_centroids":$lawCent,"floor":$floor}""")
+    var bad = List.empty[String]
+    if (!lawAssign || !lawCent)
+      bad ::= "refreshed index is not content-identical to one-shot"
+    if (refreshedDrift < floor || refreshedBase < floor)
+      bad ::= f"refreshed recall $refreshedDrift%.3f/$refreshedBase%.3f below floor $floor"
+    if (refMax >= frozMax)
+      bad ::= s"refresh did not reduce hot-cell occupancy ($refMax >= $frozMax)"
+    spark.stop()
+    if (bad.nonEmpty) { bad.foreach(m => Console.err.println(s"DRIFT GATE: $m")); sys.exit(1) }
+  }
+}

@@ -521,6 +521,88 @@ object Similarity {
     true
   }
 
+  private def dropTableWithLocation(s: SparkSession, t: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    val p = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), t)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** Re-fit the frozen coarse quantizer to the CURRENT index contents
+    * — the first-class form of the "periodic re-calibration"
+    * [[appendToIvfIndex]] documents. Appends assign arrivals against
+    * centroids sampled from the BASE corpus only; under ingest drift
+    * (a new domain concentrating where the base sample never reached)
+    * correctness and even recall hold — arrivals still land in their
+    * nearest stored cell and probes rank cells by the same function —
+    * but cell OCCUPANCY degrades: the drifted mass piles into the few
+    * base cells nearest the new region, so every probe touching them
+    * scans O(drift-fraction x n) rows instead of O(sqrt n)
+    * ([[graft.DriftGate]] measures exactly this).
+    *
+    * The refresh re-picks centroids with the build's own deterministic
+    * rule (vec_id % centroidMod(n) == 0) over the MERGED rows read
+    * from the assignment table's files — appended (possibly
+    * stream-only) vectors now contribute centroids in proportion to
+    * their mass — then reassigns every row. LAW (SimilaritySpec): the
+    * refreshed index is CONTENT-IDENTICAL (centroid set + assignment
+    * rows) to [[ensureIvfIndex]] run one-shot over the merged corpus,
+    * so every probe law proven on fresh indexes transfers verbatim.
+    *
+    * Cost is the build's own O(n x nlist) reassignment — the price of
+    * re-calibration, amortized over the probe traffic between
+    * refreshes. Crash-safe by table ABSENCE: both replacements are
+    * staged first and `ct` is dropped before any swap, so every
+    * mid-swap crash state has a missing catalog table — which the next
+    * [[ensureIvfIndex]] detects (not fresh) and repairs by rebuild +
+    * batch-store refold. No crash window leaves a live
+    * (new-centroids, old-assignments) pair, which would probe
+    * silently wrong. Returns true when a refresh ran; false when the
+    * manifest lists no appended batches — the base build already fit
+    * the whole corpus, and a refresh would be an expensive no-op. */
+  def refreshIvfCentroids(s: SparkSession, d: String): Boolean = {
+    val (at, ct) = ensureIvfIndex(s, d)
+    val mp = ivfManifestPath(s, d)
+    val stored = IndexManifest.read(s, mp).getOrElse(
+      throw new IllegalStateException(
+        s"IVF index for $d has no manifest after ensure"))
+    if (stored._2.isEmpty) return false
+    val buckets = IndexManifest.bucketsOf(stored._1, s"IVF index $d")
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    // the compactIvfIndex rule: read the table's FILES, not s.table —
+    // the advertised bucketing elides the alignment repartition while
+    // AQE degrades the actual scan, spraying tasks x buckets files
+    val cur = s.read
+      .parquet(new org.apache.hadoop.fs.Path(wh, at).toString)
+      .select(col("vec_id"), col("ce"), col("cn"))
+    val n = math.max(1L, cur.count())
+    val mod = centroidMod(n)
+    val centroids = cur.filter(col("vec_id") % mod === 0)
+      .select(col("vec_id").as("cid"), col("ce").as("ke"),
+        col("cn").as("kn"))
+      .localCheckpoint()
+    val handle = centroidHandle(s, centroids)
+    val (atS, ctS) = (at + "_r", ct + "_r")
+    Seq(atS, ctS).foreach(dropTableWithLocation(s, _))
+    cur.withColumn("cid",
+        graft.functions.GraftFunctions.nearestCentroid(col("ce"), handle))
+      .select(col("cid"), col("vec_id"), col("ce"), col("cn"))
+      .repartition(buckets, col("cid"))
+      .write.bucketBy(buckets, "cid").sortBy("cid")
+      .format("parquet").saveAsTable(atS)
+    centroids.write.format("parquet").saveAsTable(ctS)
+    dropTableWithLocation(s, ct)
+    dropTableWithLocation(s, at)
+    s.sql(s"ALTER TABLE $atS RENAME TO $at")
+    s.sql(s"ALTER TABLE $ctS RENAME TO $ct")
+    // the rewrite also folds append-accumulated files to one per
+    // bucket, so record the layout as compacted
+    IndexManifest.setCompacted(s, mp, stored._1, stored._2,
+      stored._2.size)
+    true
+  }
+
   /** The q_ann_lsh pipeline, parameterized on the per-table probe
     * count so [[graft.RecallGate]] can run a deliberately DEGRADED
     * probe (its negative control: a broken probe must fail the gate

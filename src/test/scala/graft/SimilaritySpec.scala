@@ -365,6 +365,80 @@ class SimilaritySpec extends SparkSuite {
     assert(spark.table(at).count() == 153L)
   }
 
+  test("refreshIvfCentroids: content-identical to a one-shot build over " +
+      "the merged corpus; crash states repair by rebuild") {
+    val sp = spark; import sp.implicits._
+    def vec(seed: Long): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(64)(r.nextFloat() * 2 - 1)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfref")
+    val dir = new java.io.File(tmp.toFile, "d").toString
+    val merged = new java.io.File(tmp.toFile, "m").toString
+    val base = (0L until 150L).map(i => (i, vec(i)))
+    base.toDF("vec_id", "embedding").coalesce(1).write
+      .parquet(s"$dir/embeddings.parquet")
+    val (at, ct) = Similarity.ensureIvfIndex(spark, dir)
+    // no appends -> an expensive no-op, refused
+    assert(!Similarity.refreshIvfCentroids(spark, dir),
+      "refresh must no-op when the base build already fit the corpus")
+    val a = (1000L until 1020L).map(i => (i, vec(i)))
+    val b = (1100L until 1120L).map(i => (i, vec(i)))
+    assert(Similarity.appendToIvfIndex(spark, dir,
+      a.toDF("vec_id", "embedding"), "day1"))
+    assert(Similarity.appendToIvfIndex(spark, dir,
+      b.toDF("vec_id", "embedding"), "day2"))
+    assert(Similarity.refreshIvfCentroids(spark, dir))
+    // the LAW: refreshed == one-shot over the merged corpus, exactly
+    (base ++ a ++ b).toDF("vec_id", "embedding").coalesce(1).write
+      .parquet(s"$merged/embeddings.parquet")
+    val (atM, ctM) = Similarity.ensureIvfIndex(spark, merged)
+    def cents(t: String): Set[(Long, Seq[Float], Double)] =
+      spark.table(t).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2))).toSet
+    def cells(t: String): Set[(Long, Long)] =
+      spark.table(t).select("cid", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cents(ct) == cents(ctM),
+      "refreshed centroid table diverges from the one-shot build")
+    assert(cells(at) == cells(atM),
+      "refreshed assignment diverges from the one-shot build")
+    // the refreshed quantizer now samples appended mass: at least one
+    // centroid comes from the appended id range (vec_id % 53 == 0
+    // picks 1007 and 1113), or the refresh was vacuous here
+    assert(cents(ct).exists(_._1 >= 1000L),
+      "no appended vector contributes a centroid — fixture vacuous")
+    // rewrite aligns the layout: one file per present bucket
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val perBucket = new java.io.File(wh, at).listFiles().toSeq
+      .filter(_.getName.endsWith(".parquet"))
+      .groupBy { f =>
+        "_(\\d{5})".r.findFirstMatchIn(f.getName).get.group(1).toInt
+      }.map { case (k, fs) => k -> fs.size }
+    assert(perBucket.values.forall(_ == 1),
+      s"refresh rewrite must leave one file per bucket: $perBucket")
+    // probes keep working against the refreshed index, and a new
+    // append assigns against the REFRESHED centroids
+    val probed = Similarity.ivfProbe(spark, dir,
+      Seq((2000L, vec(1005L))).toDF("vec_id", "embedding"), 5).collect()
+    assert(probed.exists(r => r.getLong(1) == 1005L &&
+      r.getDouble(2) == 1.0),
+      "appended vector not probe-visible after refresh")
+    assert(Similarity.appendToIvfIndex(spark, dir,
+      Seq((1200L, vec(1200L))).toDF("vec_id", "embedding"), "day3"))
+    assert(spark.table(at).count() == 191L)
+    // crash-state recovery: every mid-swap crash leaves a missing
+    // catalog table; the worst case (assignments swapped, centroid
+    // rename not yet run) is new-at + missing-ct — ensure must detect
+    // and repair by rebuild + refold, never serve the mismatched pair
+    spark.sql(s"DROP TABLE IF EXISTS $ct")
+    Similarity.forgetFreshIvfMemo()
+    Similarity.ensureIvfIndex(spark, dir)
+    assert(spark.table(at).count() == 191L &&
+      spark.catalog.tableExists(ct),
+      "mid-swap crash state must repair to base + all refolded batches")
+  }
+
   test("registered functions reject wrong arity with a clear error") {
     graft.functions.GraftFunctions.register(spark)
     val e = intercept[Exception] {
