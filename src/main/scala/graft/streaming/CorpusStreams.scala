@@ -612,9 +612,15 @@ object CorpusStreams {
     * batch's probes — the same closed-loop ingest shape as
     * [[deltaDedupStream]]'s maintenance mode, with the same
     * disjointness contract (arriving vec_ids must be new; violations
-    * throw). Centroids stay frozen between rebuilds, so appended
-    * vectors join existing cells; recall drift is re-centered by the
-    * periodic rebuild cadence (q_kmeans_refine), never correctness.
+    * throw). Centroids stay frozen between re-calibrations, so
+    * appended vectors join existing cells — correctness never drifts,
+    * but concentrated arrivals degrade cell occupancy (the DriftGate
+    * measurement: a 25%% drifted ingest grew the hot cell to 92x the
+    * median at 256k vectors). `refreshEvery = N` re-fits the
+    * quantizer in-stream every N batches
+    * ([[graft.operators.Similarity.refreshIvfCentroids]]), leaving
+    * the index content-identical to a one-shot build over everything
+    * ingested so far.
     *
     * `sink` must consume its frame before returning (the probe-cell
     * checkpoint is per-batch state). Appends are visible to LATER
@@ -626,7 +632,8 @@ object CorpusStreams {
   def annStream(vecs: Dataset[Vec], dir: String, k: Int = 5,
                 maintainIndex: Boolean = false,
                 streamId: String = "ann",
-                compactEvery: Int = 0)(
+                compactEvery: Int = 0,
+                refreshEvery: Int = 0)(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[Vec] =
     vecs.writeStream.outputMode("append").foreachBatch {
@@ -644,9 +651,31 @@ object CorpusStreams {
         if (maintainIndex) {
           graft.operators.Similarity.appendToIvfIndex(
             b.sparkSession, dir, bdf, s"${streamId}_$id")
+          // cadenced re-calibration (Similarity.refreshIvfCentroids:
+          // the DriftGate occupancy case — concentrated arrivals pile
+          // into few base cells until the quantizer is re-fit). The
+          // stream cadence SERIALIZES the refresh with appends; an
+          // external refresh while a maintaining stream runs is not
+          // supported (the append's centroid read would race the
+          // table swap). Guarantee scope: the replay-equality law
+          // holds for every crash window EXCEPT between a batch's own
+          // refresh and its checkpoint commit — there the replayed
+          // emission is still an exact-cosine top-k over the
+          // pre-batch corpus, but the refreshed cells can admit a
+          // different neighbor set at recall boundaries. Skipped on
+          // replay: re-fitting over rows that now include this batch
+          // would churn cells a second time; if the crash fell before
+          // the original refresh, the cadence just catches up at its
+          // next hit (refresh is maintenance, never correctness).
+          if (!replay && refreshEvery > 0 && (id + 1) % refreshEvery == 0) {
+            graft.operators.Similarity.refreshIvfCentroids(b.sparkSession, dir)
+            ()
+          }
           // cadenced assignment-table layout fold (the
           // deltaDedupStream compactEvery rule: pure layout, probes
-          // exactly unchanged; 0 = leave it to an external nightly)
+          // exactly unchanged; 0 = leave it to an external nightly).
+          // No-ops on a batch whose refresh just ran — the rewrite
+          // already folded the layout.
           if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
             graft.operators.Similarity.compactIvfIndex(b.sparkSession, dir)
             ()

@@ -1178,6 +1178,63 @@ class StreamingSpec extends SparkSuite {
       "batch-1 streamed probe != batch probe over the appended index")
   }
 
+  test("ann stream refreshEvery re-fits the quantizer in-stream; the " +
+    "maintained index ends content-identical to a one-shot build") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    import graft.streaming.CorpusStreams
+    def vec(seed: Long): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(64)(r.nextFloat() * 2 - 1)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_annref")
+    val dir = new java.io.File(tmp.toFile, "d").toString
+    val merged = new java.io.File(tmp.toFile, "m").toString
+    val base = (0L until 150L).map(i => (i, vec(i)))
+    base.toDF("vec_id", "embedding").coalesce(1).write
+      .parquet(s"$dir/embeddings.parquet")
+    val b0 = (1000L until 1020L).map(i => CorpusStreams.Vec(i, vec(i)))
+    // 1120 probes with an exact copy of arrival 1005's vector — the
+    // cross-batch visibility check, probed BEFORE b1's own append
+    val b1 = (1100L until 1120L).map(i => CorpusStreams.Vec(i, vec(i))) :+
+      CorpusStreams.Vec(1120L, vec(1005L))
+    val got = scala.collection.mutable.Map.empty[Long, Set[(Long, Long, Double, Long)]]
+    val input = MemoryStream[CorpusStreams.Vec]
+    val q = CorpusStreams.annStream(input.toDS(), dir,
+      maintainIndex = true, streamId = "ar", refreshEvery = 2) { (df, id) =>
+      got(id) = df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    }.start()
+    try {
+      input.addData(b0); q.processAllAvailable()
+      input.addData(b1); q.processAllAvailable()
+    } finally q.stop()
+    assert(got(1L).exists { case (qid, nid, s, rn) =>
+      qid == 1120L && nid == 1005L && s == 1.0 && rn == 1L },
+      "batch-0 arrival not rank-1 for its batch-1 copy probe")
+    // batch 1 hit the refresh cadence ((1+1) % 2 == 0): the index must
+    // now be content-identical to a one-shot build over base + b0 + b1
+    (base ++ (b0 ++ b1).map(v => (v.vec_id, v.embedding)))
+      .toDF("vec_id", "embedding").coalesce(1).write
+      .parquet(s"$merged/embeddings.parquet")
+    val (atM, ctM) = graft.operators.Similarity.ensureIvfIndex(spark, merged)
+    val (at, ct) = graft.operators.Similarity.ensureIvfIndex(spark, dir)
+    Seq(at, ct, atM, ctM).foreach(spark.catalog.refreshTable)
+    def cents(t: String): Set[(Long, Seq[Float], Double)] =
+      spark.table(t).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2))).toSet
+    def cells(t: String): Set[(Long, Long)] =
+      spark.table(t).select("cid", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cents(ct) == cents(ctM),
+      "stream-refreshed centroids diverge from the one-shot build")
+    assert(cells(at) == cells(atM),
+      "stream-refreshed assignment diverges from the one-shot build")
+    assert(cents(ct).exists(_._1 >= 1000L),
+      "no streamed arrival contributes a centroid — cadence vacuous")
+  }
+
   test("delta dedup stream with maintainIndex catches cross-batch " +
     "pairs — streamed union == one big batch exactly") {
     val sp = spark; import sp.implicits._
