@@ -126,15 +126,22 @@ object DriftGate {
     val frozenBase = recallOf(work, pBase, bruteBase)
     val (frozMax, frozMed) = occupancy(atW)
 
+    val t0 = System.nanoTime()
     require(Similarity.refreshIvfCentroids(spark, work),
       "refresh must run on an appended index")
+    val refreshSec = (System.nanoTime() - t0) / 1e9
     val refreshedDrift = recallOf(work, pDrift, bruteDrift)
     val refreshedBase = recallOf(work, pBase, bruteBase)
     val (refMax, refMed) = occupancy(atW)
 
     // LAW: refreshed == one-shot, content-identical (order-independent
-    // fingerprints; cheap and fully distributed)
+    // fingerprints; cheap and fully distributed). The comparator build
+    // is timed too: "refresh costs a rebuild" is a claim to measure,
+    // not assert (refresh reads the bucketed index files instead of
+    // the corpus dir and skips the fingerprint pass).
+    val t1 = System.nanoTime()
     val (atM, ctM) = Similarity.ensureIvfIndex(spark, merged)
+    val oneShotSec = (System.nanoTime() - t1) / 1e9
     def fp(t: String, cols: Seq[String]): (Long, Long) = {
       val df = spark.table(t)
       (df.count(),
@@ -147,7 +154,7 @@ object DriftGate {
       fp(ctM, Seq("cid", "ke", "kn"))
 
     val n = spark.table(atM).count()
-    println(f"""{"metric":"drift_gate","dir":"$dir","vecs":$n,"recall_drift_frozen":$frozenDrift%.3f,"recall_drift_refreshed":$refreshedDrift%.3f,"recall_base_frozen":$frozenBase%.3f,"recall_base_refreshed":$refreshedBase%.3f,"occ_frozen_max":$frozMax,"occ_frozen_med":$frozMed,"occ_refreshed_max":$refMax,"occ_refreshed_med":$refMed,"law_assign":$lawAssign,"law_centroids":$lawCent,"floor":$floor}""")
+    println(f"""{"metric":"drift_gate","dir":"$dir","vecs":$n,"recall_drift_frozen":$frozenDrift%.3f,"recall_drift_refreshed":$refreshedDrift%.3f,"recall_base_frozen":$frozenBase%.3f,"recall_base_refreshed":$refreshedBase%.3f,"occ_frozen_max":$frozMax,"occ_frozen_med":$frozMed,"occ_refreshed_max":$refMax,"occ_refreshed_med":$refMed,"refresh_s":$refreshSec%.2f,"oneshot_build_s":$oneShotSec%.2f,"law_assign":$lawAssign,"law_centroids":$lawCent,"floor":$floor}""")
     var bad = List.empty[String]
     if (!lawAssign || !lawCent)
       bad ::= "refreshed index is not content-identical to one-shot"

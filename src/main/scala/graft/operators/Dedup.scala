@@ -624,14 +624,16 @@ object Dedup {
       }
       val sh = explodedShingles(corpus).cache()
       writeShingleTables(s, names, sh,
-        buckets, org.apache.spark.sql.SaveMode.Overwrite)
+        (buckets, buckets, buckets),
+        org.apache.spark.sql.SaveMode.Overwrite)
       sh.unpersist(blocking = false)
       refold.foreach { case (bid, _) =>
         val bdf = s.read.parquet(
           new org.apache.hadoop.fs.Path(store, bid).toString)
         val bsh = explodedShingles(bdf).cache()
         writeShingleTables(s, names, bsh,
-          buckets, org.apache.spark.sql.SaveMode.Append)
+          (buckets, buckets, buckets),
+          org.apache.spark.sql.SaveMode.Append)
         bsh.unpersist(blocking = false)
       }
       // manifest LAST: its presence (with the full refolded batch
@@ -659,22 +661,24 @@ object Dedup {
     * hash-partitions on the key, the explicit node collapses. */
   private def writeShingleTables(s: SparkSession,
                                  names: (String, String, String),
-                                 sh: DataFrame, buckets: Int,
+                                 sh: DataFrame,
+                                 buckets: (Int, Int, Int),
                                  mode: org.apache.spark.sql.SaveMode)
       : Unit = {
     val (postT, setsT, dfT) = names
-    sh.repartition(buckets, col("s"))
-      .write.mode(mode).bucketBy(buckets, "s").sortBy("s")
+    val (postB, setsB, dfB) = buckets
+    sh.repartition(postB, col("s"))
+      .write.mode(mode).bucketBy(postB, "s").sortBy("s")
       .format("parquet").saveAsTable(postT)
     sh.groupBy("doc_id")
       .agg(sort_array(collect_list(col("s"))).as("ss"),
         count(lit(1)).as("c"))
-      .repartition(buckets, col("doc_id"))
-      .write.mode(mode).bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .repartition(setsB, col("doc_id"))
+      .write.mode(mode).bucketBy(setsB, "doc_id").sortBy("doc_id")
       .format("parquet").saveAsTable(setsT)
     sh.groupBy("s").agg(count(lit(1)).as("gdf"))
-      .repartition(buckets, col("s"))
-      .write.mode(mode).bucketBy(buckets, "s").sortBy("s")
+      .repartition(dfB, col("s"))
+      .write.mode(mode).bucketBy(dfB, "s").sortBy("s")
       .format("parquet").saveAsTable(dfT)
   }
 
@@ -723,9 +727,15 @@ object Dedup {
       .parquet(new org.apache.hadoop.fs.Path(
         shingleBatchStore(s, d), batchId).toString)
     val sh = explodedShingles(batch).cache()
-    val buckets = IndexManifest.bucketsOf(stored._1, s"shingle index $d")
+    // per-TABLE actual specs, not the manifest record: a crash inside
+    // a re-bucketing compact can leave tables with mixed specs (each
+    // rewrite renames independently) — appends must match each table
+    // or Spark's spec validation wedges the ingest until the compact
+    // converges them
+    def b(t: String): Int =
+      IndexManifest.appendBucketsOf(s, t, stored._1, s"shingle index $d")
     writeShingleTables(s, (postT, setsT, dfT), sh,
-      buckets, org.apache.spark.sql.SaveMode.Append)
+      (b(postT), b(setsT), b(dfT)), org.apache.spark.sql.SaveMode.Append)
     sh.unpersist(blocking = false)
     val nNew = batch.select("doc_id").distinct().count()
     IndexManifest.appendBatch(s, shingleManifestPath(s, d),
@@ -751,14 +761,26 @@ object Dedup {
     * [[ensureShingleIndex]] turns into a clean rebuild. Returns true
     * if a compaction ran, false when every applied batch was already
     * folded (idempotent, the append-path convention). */
-  def compactShingleIndex(s: SparkSession, d: String): Boolean = {
+  def compactShingleIndex(s: SparkSession, d: String,
+                          rebucketTo: Option[Int] = None): Boolean = {
     val (postT, setsT, dfT) = ensureShingleIndex(s, d)
     val stored = readShingleManifest(s, d).getOrElse(
       throw new IllegalStateException(
         s"shingle index for $d has no manifest after ensure"))
-    if (stored._2.size <= IndexManifest.compactedOf(stored._1))
+    val storedBuckets =
+      IndexManifest.bucketsOf(stored._1, s"shingle index $d")
+    // re-bucket against the GROWN doc count (base + appends) while we
+    // rewrite anyway: an index that grew past a Tables.indexBuckets
+    // threshold through appends would otherwise keep its build-time
+    // spec forever, capping probe-scan parallelism at the original
+    // bucket count. All three tables move together (the exchange-free
+    // probe joins align on the shared spec). rebucketTo overrides the
+    // sizing (tests / operator hook).
+    val buckets = rebucketTo.getOrElse(Tables.indexBuckets(
+      IndexManifest.indexRowsOf(stored._1, stored._2)))
+    if (stored._2.size <= IndexManifest.compactedOf(stored._1) &&
+        buckets == storedBuckets)
       return false
-    val buckets = IndexManifest.bucketsOf(stored._1, s"shingle index $d")
     val wh = s.conf.get("spark.sql.warehouse.dir")
     def dropWithLocation(t: String): Unit = {
       s.sql(s"DROP TABLE IF EXISTS $t")
@@ -809,8 +831,12 @@ object Dedup {
     // unchanged — DedupSpec pins probe-before == probe-after).
     rewrite(postT, "s", identity)
     rewrite(setsT, "doc_id", identity)
-    IndexManifest.setCompacted(s, shingleManifestPath(s, d),
-      stored._1, stored._2, stored._2.size)
+    val mp = shingleManifestPath(s, d)
+    IndexManifest.setCompacted(s, mp, stored._1, stored._2,
+      stored._2.size)
+    if (buckets != storedBuckets)
+      IndexManifest.read(s, mp).foreach { case (txt, _) =>
+        IndexManifest.setBuckets(s, mp, txt, buckets) }
     true
   }
 

@@ -21,12 +21,18 @@ private[graft] object IndexManifest {
 
   final case class Manifest(src: String, baseRows: Long, fp: Long,
                             buckets: Int, batches: Seq[(String, Long)]) {
+    /** The identity prefix freshness compares — src + rows + content
+      * fingerprint. The bucket spec is deliberately NOT part of it
+      * (v2): re-bucketing an append-grown index (compact/refresh
+      * picking Tables.indexBuckets over the GROWN row count) must not
+      * read as a stale base; appends take the CURRENT spec from
+      * [[bucketsOf]] instead. */
     def basePrefix: String = {
       val esc = src.replace("\\", "\\\\").replace("\"", "\\\"")
-      s"""{"v":1,"src":"$esc","baseRows":$baseRows,""" +
-        s""""fp":$fp,"buckets":$buckets,"batches":"""
+      s"""{"v":2,"src":"$esc","baseRows":$baseRows,"fp":$fp,"""
     }
-    def render: String = basePrefix + batches.map { case (id, r) =>
+    def render: String = basePrefix +
+      s""""buckets":$buckets,"batches":""" + batches.map { case (id, r) =>
       s"""{"id":"$id","rows":$r}""" }.mkString("[", ",", "]") + "}"
   }
 
@@ -84,6 +90,23 @@ private[graft] object IndexManifest {
       .getOrElse(throw new IllegalStateException(
         s"no buckets field in $what manifest"))
 
+  /** The bucket spec an APPEND must write with: the table's actual
+    * catalog spec — authoritative, because a crash between a
+    * re-bucketing compact's per-table rewrites can leave some tables
+    * ahead of the manifest record. Writing the table's own spec keeps
+    * appends working through that window (the next compact converges
+    * every table and the manifest); writing the manifest's would trip
+    * Spark's append-spec validation and wedge the ingest until the
+    * compact re-ran. Falls back to the manifest record if the table
+    * somehow carries no spec. */
+  def appendBucketsOf(s: SparkSession, table: String, storedTxt: String,
+                      what: String): Int =
+    s.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(bucketsOf(storedTxt, what))
+
   /** Runtime disjointness guard shared by the incremental indexes:
     * batch keys must not already be in the indexed table — a
     * violation corrupts join multiplicities (and, for pair output,
@@ -132,6 +155,27 @@ private[graft] object IndexManifest {
                    storedTxt: String, batches: Seq[(String, Long)],
                    compacted: Int): Unit =
     rewriteBatches(s, p, storedTxt, batches, compacted)
+
+  /** Sum of base + applied-batch rows — the GROWN size an
+    * append-accumulated index actually holds, which re-bucketing
+    * sizes against (the base corpus count alone under-buckets an
+    * index that grew 100x through appends). */
+  def indexRowsOf(storedTxt: String,
+                  batches: Seq[(String, Long)]): Long = {
+    val base = """"baseRows":(\d+)""".r.findFirstMatchIn(storedTxt)
+      .map(_.group(1).toLong).getOrElse(throw new IllegalStateException(
+        s"no baseRows field in manifest: $storedTxt"))
+    base + batches.map(_._2).sum
+  }
+
+  /** Record a re-bucketed table spec (all of an index's tables were
+    * rewritten with `buckets`); appends pick the new spec up via
+    * [[bucketsOf]]. The stored text is kept verbatim apart from the
+    * buckets field — base identity and batch list unchanged. */
+  def setBuckets(s: SparkSession, p: org.apache.hadoop.fs.Path,
+                 storedTxt: String, buckets: Int): Unit =
+    writeText(s, p, BucketsRe.replaceFirstIn(storedTxt,
+      s""""buckets":$buckets"""))
 
   private def rewriteBatches(s: SparkSession, p: org.apache.hadoop.fs.Path,
                              storedTxt: String,

@@ -467,7 +467,8 @@ object Similarity {
     if (stored._2.exists(_._1 == batchId)) return false
     IndexManifest.requireDisjoint(s, at, "vec_id", batch,
       s"appendToIvfIndex($batchId)")
-    val buckets = IndexManifest.bucketsOf(stored._1, s"IVF index $d")
+    val buckets =
+      IndexManifest.appendBucketsOf(s, at, stored._1, s"IVF index $d")
     // persist the batch FIRST (the appendToShingleIndex rule): the
     // partial-append repair refolds from this store
     batch.select(col("vec_id"), col("embedding"))
@@ -489,35 +490,42 @@ object Similarity {
     * probes exactly unchanged); staging table + catalog RENAME, crash
     * mid-swap leaves the table missing -> rebuild + refold. Returns
     * true if a fold ran, false when already compact (idempotent). */
-  def compactIvfIndex(s: SparkSession, d: String): Boolean = {
+  def compactIvfIndex(s: SparkSession, d: String,
+                      rebucketTo: Option[Int] = None): Boolean = {
     val (at, _) = ensureIvfIndex(s, d)
-    val stored = IndexManifest.read(s, ivfManifestPath(s, d)).getOrElse(
+    val mp = ivfManifestPath(s, d)
+    val stored = IndexManifest.read(s, mp).getOrElse(
       throw new IllegalStateException(
         s"IVF index for $d has no manifest after ensure"))
-    if (stored._2.size <= IndexManifest.compactedOf(stored._1))
+    val storedBuckets = IndexManifest.bucketsOf(stored._1, s"IVF index $d")
+    // re-bucket against the GROWN row count (base + appends): an index
+    // that grew past a Tables.indexBuckets threshold through appends
+    // keeps its build-time spec forever otherwise, capping probe-scan
+    // parallelism at the original bucket count no matter how large it
+    // gets. rebucketTo overrides the sizing (tests / operator hook).
+    val buckets = rebucketTo.getOrElse(Tables.indexBuckets(
+      IndexManifest.indexRowsOf(stored._1, stored._2)))
+    if (stored._2.size <= IndexManifest.compactedOf(stored._1) &&
+        buckets == storedBuckets)
       return false
-    val buckets = IndexManifest.bucketsOf(stored._1, s"IVF index $d")
-    val wh = s.conf.get("spark.sql.warehouse.dir")
-    def dropWithLocation(t: String): Unit = {
-      s.sql(s"DROP TABLE IF EXISTS $t")
-      val p = new org.apache.hadoop.fs.Path(wh, t)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
-    }
     val tmpT = at + "_c"
-    dropWithLocation(tmpT)
+    dropTableWithLocation(s, tmpT)
     // plain file read, not s.table: the bucketed scan's advertised
     // partitioning elides the repartition while the actual scan
     // degrades to coalesced splits (the compactShingleIndex rule) —
     // the write would spray tasks x buckets files
+    val wh = s.conf.get("spark.sql.warehouse.dir")
     s.read.parquet(new org.apache.hadoop.fs.Path(wh, at).toString)
       .repartition(buckets, col("cid"))
       .write.bucketBy(buckets, "cid").sortBy("cid")
       .format("parquet").saveAsTable(tmpT)
-    dropWithLocation(at)
+    dropTableWithLocation(s, at)
     s.sql(s"ALTER TABLE $tmpT RENAME TO $at")
-    IndexManifest.setCompacted(s, ivfManifestPath(s, d),
-      stored._1, stored._2, stored._2.size)
+    IndexManifest.setCompacted(s, mp, stored._1, stored._2,
+      stored._2.size)
+    if (buckets != storedBuckets)
+      IndexManifest.read(s, mp).foreach { case (txt, _) =>
+        IndexManifest.setBuckets(s, mp, txt, buckets) }
     true
   }
 
@@ -568,7 +576,7 @@ object Similarity {
       throw new IllegalStateException(
         s"IVF index for $d has no manifest after ensure"))
     if (stored._2.isEmpty) return false
-    val buckets = IndexManifest.bucketsOf(stored._1, s"IVF index $d")
+    val storedBuckets = IndexManifest.bucketsOf(stored._1, s"IVF index $d")
     val wh = s.conf.get("spark.sql.warehouse.dir")
     // the compactIvfIndex rule: read the table's FILES, not s.table —
     // the advertised bucketing elides the alignment repartition while
@@ -577,6 +585,11 @@ object Similarity {
       .parquet(new org.apache.hadoop.fs.Path(wh, at).toString)
       .select(col("vec_id"), col("ce"), col("cn"))
     val n = math.max(1L, cur.count())
+    // re-bucket to the GROWN size while we rewrite anyway (the
+    // compactIvfIndex rule) — keeps the content-identity law, since a
+    // one-shot build over the merged corpus sizes its buckets from
+    // the same n
+    val buckets = Tables.indexBuckets(n)
     val mod = centroidMod(n)
     val centroids = cur.filter(col("vec_id") % mod === 0)
       .select(col("vec_id").as("cid"), col("ce").as("ke"),
@@ -600,6 +613,9 @@ object Similarity {
     // bucket, so record the layout as compacted
     IndexManifest.setCompacted(s, mp, stored._1, stored._2,
       stored._2.size)
+    if (buckets != storedBuckets)
+      IndexManifest.read(s, mp).foreach { case (txt, _) =>
+        IndexManifest.setBuckets(s, mp, txt, buckets) }
     true
   }
 

@@ -592,4 +592,60 @@ class DedupSpec extends SparkSuite {
     assert(probe(d, idxB2) == before,
       "layout compaction changed probe results")
   }
+
+  test("compactShingleIndex re-buckets an append-grown index; probes " +
+    "unchanged; appends follow each table's actual spec") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rbk").toFile
+    val d = writeCorpus(new java.io.File(tmp, "d"), idxCorpus)
+    val (postT, setsT, dfT) = Dedup.ensureShingleIndex(spark, d)
+    def spec(t: String): Int =
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t))
+        .bucketSpec.get.numBuckets
+    assert(Seq(postT, setsT, dfT).forall(spec(_) == 32))
+    assert(Dedup.appendToShingleIndex(spark, d, docsDf(idxB1), "day1"))
+    val before = probe(d, idxB2)
+    assert(before.nonEmpty, "no pairs — re-bucket law would be vacuous")
+    // explicit re-bucket (rebucketTo stands in for the >1M-row
+    // Tables.indexBuckets threshold, unreachable at test scale)
+    assert(Dedup.compactShingleIndex(spark, d, rebucketTo = Some(8)))
+    assert(Seq(postT, setsT, dfT).forall(spec(_) == 8),
+      "re-bucket must move all three tables together")
+    assert(probe(d, idxB2) == before, "re-bucket changed probe results")
+    // appends pick the new spec up (manifest and tables agree)
+    assert(Dedup.appendToShingleIndex(spark, d,
+      docsDf(Seq(300L -> txt(31))), "day2"))
+    assert(probe(d, idxB2) == before)
+    // mixed-spec crash window: one table rewritten ahead of the others
+    // (a crash between a re-bucketing compact's per-table renames) —
+    // appends must follow each table's ACTUAL spec, not the manifest,
+    // or the ingest wedges until the compact converges
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val tmpT = dfT + "_x"
+    spark.sql(s"DROP TABLE IF EXISTS $tmpT")
+    spark.read
+      .parquet(new org.apache.hadoop.fs.Path(wh, dfT).toString)
+      .repartition(16, org.apache.spark.sql.functions.col("s"))
+      .write.bucketBy(16, "s").sortBy("s")
+      .format("parquet").saveAsTable(tmpT)
+    spark.sql(s"DROP TABLE $dfT")
+    val dfLoc = new org.apache.hadoop.fs.Path(wh, dfT)
+    val fs = dfLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dfLoc)) fs.delete(dfLoc, true)
+    spark.sql(s"ALTER TABLE $tmpT RENAME TO $dfT")
+    assert(spec(dfT) == 16 && spec(postT) == 8)
+    assert(Dedup.appendToShingleIndex(spark, d,
+      docsDf(Seq(301L -> txt(32))), "day3"),
+      "append must survive a mixed-spec window")
+    assert(probe(d, idxB2) == before,
+      "mixed-spec probe diverged (joins must stay correct, if slower)")
+    // the sizing compact converges every table and the manifest
+    // (target 32 != the manifest's recorded 8)
+    assert(Dedup.compactShingleIndex(spark, d))
+    assert(Seq(postT, setsT, dfT).forall(spec(_) == 32),
+      "compact must converge mixed specs to the sized bucket count")
+    assert(!Dedup.compactShingleIndex(spark, d),
+      "idempotent once converged and folded")
+    assert(probe(d, idxB2) == before)
+  }
 }

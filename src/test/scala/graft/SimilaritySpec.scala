@@ -365,6 +365,49 @@ class SimilaritySpec extends SparkSuite {
     assert(spark.table(at).count() == 153L)
   }
 
+  test("compactIvfIndex re-buckets an append-grown index; probes " +
+      "unchanged; appends follow the table's actual spec") {
+    val sp = spark; import sp.implicits._
+    def vec(seed: Long): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(64)(r.nextFloat() * 2 - 1)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfrbk")
+    val dir = new java.io.File(tmp.toFile, "d").toString
+    (0L until 150L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val (at, _) = Similarity.ensureIvfIndex(spark, dir)
+    def spec(t: String): Int =
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t))
+        .bucketSpec.get.numBuckets
+    assert(spec(at) == 32)
+    val batch = Seq((1000L, vec(3L)), (1001L, vec(42L)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.appendToIvfIndex(spark, dir, batch, "day1"))
+    def probeRows() = Similarity.ivfProbe(spark, dir,
+      Seq((2000L, vec(3L))).toDF("vec_id", "embedding"), 5)
+      .orderBy("qid", "rn").collect().map(_.toSeq).toSeq
+    val before = probeRows()
+    assert(before.exists(r => r(1) == 1000L),
+      "appended copy not probe-visible — fixture vacuous")
+    // explicit re-bucket (rebucketTo stands in for the >1M-row
+    // Tables.indexBuckets threshold, unreachable at test scale)
+    assert(Similarity.compactIvfIndex(spark, dir, rebucketTo = Some(8)))
+    assert(spec(at) == 8, "re-bucket must rewrite the table spec")
+    assert(probeRows() == before, "re-bucket changed probe results")
+    // appends follow the table's actual (and manifest's recorded) spec
+    assert(Similarity.appendToIvfIndex(spark, dir,
+      Seq((1100L, vec(99L))).toDF("vec_id", "embedding"), "day2"))
+    assert(probeRows() == before)
+    // the sizing compact converges back to Tables.indexBuckets (32)
+    assert(Similarity.compactIvfIndex(spark, dir))
+    assert(spec(at) == 32)
+    assert(!Similarity.compactIvfIndex(spark, dir),
+      "idempotent once converged and folded")
+    assert(probeRows() == before)
+  }
+
   test("refreshIvfCentroids: content-identical to a one-shot build over " +
       "the merged corpus; crash states repair by rebuild") {
     val sp = spark; import sp.implicits._
