@@ -99,25 +99,40 @@ object RecallGate {
         Some(rs.sum / rs.size)
       } else None
 
-    // dedup sketches vs the exact truth on the same corpus
-    import org.apache.spark.sql.functions._
-    def pairSet(name: String): Set[(Long, Long)] =
-      SparkEntry.queries(name)(spark, dir)
-        .select("da", "db").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val exact = pairSet("q_ngram_jaccard")
-    require(exact.nonEmpty, "no exact Jaccard pairs at scale — " +
-      "the replicated corpus lost its planted near-dups")
-    val mh = pairSet("q_dedup_minhash")
-    val mhFalse = (mh -- exact).size
-    val mhRecall = (exact & mh).size.toDouble / exact.size
-    val shRows = SparkEntry.queries("q_dedup_simhash")(spark, dir)
-      .select("hamming").collect().map(_.getLong(0))
-    val shBad = shRows.count(_ > 3)
+    // dedup sketches vs the exact truth on the same corpus.
+    // RECALL_GATE_SKIP_DOCS=1 scopes the gate to the VECTOR checks:
+    // the exact-Jaccard truth pass shuffles the doc corpus's shingle
+    // sets (tens of GB of single-JVM spill past ~10M docs — the
+    // documented local-mode memory boundary), while the vector rungs
+    // keep climbing cheaply. Doc floors then carry at their own
+    // largest measured n (rule: label scale evidence by absolute n,
+    // per table — a vectors-only rung is NOT doc-side evidence).
+    val skipDocs = sys.env.get("RECALL_GATE_SKIP_DOCS").contains("1")
+    val docChecks: Option[(Double, Int, Int, Int, Int)] =
+      if (skipDocs) None
+      else {
+        def pairSet(name: String): Set[(Long, Long)] =
+          SparkEntry.queries(name)(spark, dir)
+            .select("da", "db").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val exact = pairSet("q_ngram_jaccard")
+        require(exact.nonEmpty, "no exact Jaccard pairs at scale — " +
+          "the replicated corpus lost its planted near-dups")
+        val mh = pairSet("q_dedup_minhash")
+        val mhFalse = (mh -- exact).size
+        val mhRecall = (exact & mh).size.toDouble / exact.size
+        val shRows = SparkEntry.queries("q_dedup_simhash")(spark, dir)
+          .select("hamming").collect().map(_.getLong(0))
+        val shBad = shRows.count(_ > 3)
+        Some((mhRecall, mhFalse, exact.size, shRows.length, shBad))
+      }
 
     val controlJson = control
       .map(c => f""","control_recall":$c%.3f""").getOrElse("")
-    println(f"""{"metric":"recall_gate","dir":"$dir","n":$n,"lsh_recall":$lsh%.3f,"ivf_recall":$ivf%.3f,"lsh_floor":$lshFloor,"ivf_floor":$ivfFloor,"minhash_recall":$mhRecall%.3f,"minhash_false":$mhFalse,"minhash_floor":$mhFloor,"exact_pairs":${exact.size},"simhash_pairs":${shRows.length},"simhash_over_bound":$shBad$controlJson}""")
+    val docJson = docChecks.map { case (mhR, mhF, ex, shN, shB) =>
+      f""","minhash_recall":$mhR%.3f,"minhash_false":$mhF,"minhash_floor":$mhFloor,"exact_pairs":$ex,"simhash_pairs":$shN,"simhash_over_bound":$shB"""
+    }.getOrElse(""","docs_skipped":true""")
+    println(f"""{"metric":"recall_gate","dir":"$dir","n":$n,"lsh_recall":$lsh%.3f,"ivf_recall":$ivf%.3f,"lsh_floor":$lshFloor,"ivf_floor":$ivfFloor$docJson$controlJson}""")
     spark.stop()
     if (control.exists(_ >= lshFloor)) {
       System.err.println(
@@ -127,13 +142,18 @@ object RecallGate {
           "probe-policy regression at this n; ratchet it")
       sys.exit(1)
     }
-    if (lsh < lshFloor || ivf < ivfFloor || mhRecall < mhFloor ||
-        mhFalse > 0 || shRows.isEmpty || shBad > 0) {
+    val docBad = docChecks.exists { case (mhR, mhF, _, shN, shB) =>
+      mhR < mhFloor || mhF > 0 || shN == 0 || shB > 0
+    }
+    if (lsh < lshFloor || ivf < ivfFloor || docBad) {
       System.err.println(
         f"RECALL GATE FAILED: lsh $lsh%.3f (floor $lshFloor) / " +
-          f"ivf $ivf%.3f (floor $ivfFloor) / minhash $mhRecall%.3f " +
-          f"(floor $mhFloor, $mhFalse false positives) / simhash " +
-          f"${shRows.length} pairs, $shBad over hamming bound at n=$n")
+          f"ivf $ivf%.3f (floor $ivfFloor)" +
+          docChecks.map { case (mhR, mhF, _, shN, shB) =>
+            f" / minhash $mhR%.3f (floor $mhFloor, $mhF false " +
+              f"positives) / simhash $shN pairs, $shB over hamming " +
+              "bound"
+          }.getOrElse(" (doc checks skipped)") + s" at n=$n")
       sys.exit(1)
     }
   }

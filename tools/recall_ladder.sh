@@ -25,6 +25,12 @@
 #   Work dirs are per-rung and reused when the replica manifest matches
 #   (SPARK_GRAFT_SMOKE_REUSE=1), so a re-run after a code change skips
 #   the replication cost.
+#   RECALL_GATE_SKIP_DOCS=1 scopes rungs to the VECTOR checks
+#   (lsh/ivf): past ~10M docs the exact-Jaccard truth pass exceeds the
+#   single-JVM spill budget (~70 GB at 2048x), so vector rungs climb
+#   beyond the doc rungs — doc floors carry at their own largest
+#   measured n (5.12M docs via 1024x), and a vectors-only rung is NOT
+#   doc-side evidence.
 set -euo pipefail
 RUNGS="${1:-128 256 512 1024}"
 SRC="${RECALL_LADDER_SRC:-/root/testdata/sf0.1}"
