@@ -840,6 +840,43 @@ object Dedup {
     true
   }
 
+  /** Condition-driven maintenance for the persisted shingle index —
+    * the [[Similarity.maintainIvfIndex]] analog, with one op fewer:
+    * the shingle index has no drift symptom to refresh away (df stats
+    * are frozen by design — the prefix theorem holds for any rarity
+    * order and verification is exact, so staleness can reorder
+    * prefixes but never change the verified pair set; and the 64-bit
+    * shingle hash leaves nothing to concentrate — the 5.12M-doc
+    * SkewAudit measured bucket max/median 1.01x). What remains is
+    * layout: >= `compactAfter` uncompacted appended batches (each adds
+    * one file per bucket and partial df rows) or a bucket spec the
+    * grown doc count has outsized trigger [[compactShingleIndex]];
+    * otherwise nothing. No appended batches short-circuits to "none".
+    * Idempotent; `dryRun` reports without executing. Thresholds and
+    * their measurements: [[Maintenance]]. */
+  def maintainShingleIndex(s: SparkSession, d: String,
+                           compactAfter: Int =
+                             Maintenance.DefaultCompactAfter,
+                           dryRun: Boolean = false): MaintenanceReport = {
+    ensureShingleIndex(s, d)
+    val stored = readShingleManifest(s, d).getOrElse(
+      throw new IllegalStateException(
+        s"shingle index for $d has no manifest after ensure"))
+    val applied = stored._2.size
+    val uncompacted = applied - IndexManifest.compactedOf(stored._1)
+    val storedBuckets =
+      IndexManifest.bucketsOf(stored._1, s"shingle index $d")
+    val target = Tables.indexBuckets(
+      IndexManifest.indexRowsOf(stored._1, stored._2))
+    def report(action: String, ran: Boolean) =
+      MaintenanceReport("shingle", action, ran, applied, uncompacted,
+        storedBuckets, target, -1L, -1L)
+    if (applied == 0) report("none", ran = false)
+    else if (uncompacted >= compactAfter || target != storedBuckets)
+      report("compact", ran = !dryRun && compactShingleIndex(s, d))
+    else report("none", ran = false)
+  }
+
   /** The runtime face of the disjointness contract: batch doc_ids
     * must not already be in the indexed sets table — a violation
     * corrupts pair orientation and join multiplicities SILENTLY, so

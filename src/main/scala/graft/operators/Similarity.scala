@@ -619,6 +619,77 @@ object Similarity {
     true
   }
 
+  /** (max, median) assignment rows per IVF cell — the DriftGate
+    * occupancy statistic as a first-class health check. A hot cell is
+    * the measured symptom of centroid staleness under concentrated
+    * ingest drift: recall holds (arrivals land in their nearest stored
+    * cell and probes rank cells by the same function) but every probe
+    * touching the hot cell scans O(drift-fraction x n) rows instead of
+    * O(sqrt n).
+    *
+    * Cost: a cid-only columnar scan of the assignment table; the
+    * groupBy key IS the bucket key, so the per-cell count needs no
+    * exchange, and the aggregate over the counts frame touches
+    * ~nlist = sqrt(n) rows. Median is percentile_approx — the
+    * threshold it feeds ([[maintainIvfIndex]]) separates 4.9x from
+    * 92x, so approximation error is irrelevant. */
+  def ivfOccupancy(s: SparkSession, d: String): (Long, Long) = {
+    val (at, _) = ensureIvfIndex(s, d)
+    val r = s.table(at).groupBy("cid").agg(count(lit(1)).as("occ"))
+      .agg(max(col("occ")).as("mx"),
+        expr("percentile_approx(occ, 0.5D, 10000)").as("md"))
+      .head
+    if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
+  }
+
+  /** Condition-driven maintenance for the persisted IVF index — runs
+    * the right op exactly when its measured symptom appears, instead
+    * of the blind cadences (`refreshEvery`/`compactEvery`):
+    *
+    *  1. hot cell (max > `hotCellRatio` x median occupancy, the
+    *     DriftGate drift signature) -> [[refreshIvfCentroids]], which
+    *     re-fits the quantizer AND folds the file layout + re-buckets
+    *     in its rewrite — the expensive O(n x nlist) reassignment is
+    *     paid only when cells have actually degraded;
+    *  2. otherwise, >= `compactAfter` uncompacted appended batches or
+    *     a bucket spec the grown row count has outsized ->
+    *     [[compactIvfIndex]] (pure layout, probes exactly unchanged);
+    *  3. otherwise nothing.
+    *
+    * A manifest with no appended batches short-circuits to "none"
+    * without measuring occupancy: the base build fit the whole corpus,
+    * so neither symptom can exist (and refresh would no-op by the same
+    * rule). Idempotent: a pass that acted leaves the next pass at
+    * "none" until new appends arrive. `dryRun` reports the decision
+    * without executing it. Thresholds and their measurements:
+    * [[Maintenance]]. */
+  def maintainIvfIndex(s: SparkSession, d: String,
+                       compactAfter: Int = Maintenance.DefaultCompactAfter,
+                       hotCellRatio: Double = Maintenance.DefaultHotCellRatio,
+                       dryRun: Boolean = false): MaintenanceReport = {
+    ensureIvfIndex(s, d)
+    val stored = IndexManifest.read(s, ivfManifestPath(s, d)).getOrElse(
+      throw new IllegalStateException(
+        s"IVF index for $d has no manifest after ensure"))
+    val applied = stored._2.size
+    val uncompacted = applied - IndexManifest.compactedOf(stored._1)
+    val storedBuckets = IndexManifest.bucketsOf(stored._1, s"IVF index $d")
+    val target = Tables.indexBuckets(
+      IndexManifest.indexRowsOf(stored._1, stored._2))
+    def report(action: String, ran: Boolean, hot: (Long, Long)) =
+      MaintenanceReport("ivf", action, ran, applied, uncompacted,
+        storedBuckets, target, hot._1, hot._2)
+    if (applied == 0) return report("none", ran = false, (-1L, -1L))
+    val hot = ivfOccupancy(s, d)
+    if (hot._2 > 0 && hot._1 > hotCellRatio * hot._2)
+      report("refresh",
+        ran = !dryRun && refreshIvfCentroids(s, d), hot)
+    else if (uncompacted >= compactAfter || target != storedBuckets)
+      report("compact",
+        ran = !dryRun && compactIvfIndex(s, d), hot)
+    else report("none", ran = false, hot)
+  }
+
   /** The q_ann_lsh pipeline, parameterized on the per-table probe
     * count so [[graft.RecallGate]] can run a deliberately DEGRADED
     * probe (its negative control: a broken probe must fail the gate

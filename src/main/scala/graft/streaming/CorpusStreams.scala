@@ -344,7 +344,8 @@ object CorpusStreams {
   def deltaDedupStream(docs: Dataset[Doc], dir: String,
                        maintainIndex: Boolean = false,
                        streamId: String = "stream",
-                       compactEvery: Int = 0)(
+                       compactEvery: Int = 0,
+                       maintainEvery: Int = 0)(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[Doc] =
     docs.writeStream.outputMode("append").foreachBatch {
@@ -370,6 +371,12 @@ object CorpusStreams {
           // df rewrite cost; 0 = leave it to an external nightly)
           if (compactEvery > 0 && (id + 1) % compactEvery == 0)
             graft.operators.Dedup.compactShingleIndex(b.sparkSession, dir)
+          // condition-driven alternative to the blind cadence above:
+          // every N batches, CHECK (manifest-only, one small file
+          // read) and compact only when the measured layout symptom
+          // is present (Maintenance thresholds)
+          if (maintainEvery > 0 && (id + 1) % maintainEvery == 0)
+            graft.operators.Dedup.maintainShingleIndex(b.sparkSession, dir)
           ()
         }
     }
@@ -554,6 +561,7 @@ object CorpusStreams {
   def dedupIngestStream(docs: Dataset[Doc], dir: String,
                         streamId: String = "ingest",
                         compactEvery: Int = 0,
+                        maintainEvery: Int = 0,
                         stateDir: Option[String] = None)(
       sink: (Seq[(Long, Long, Double)], Seq[CcUpdate], Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[Doc] = {
@@ -588,6 +596,13 @@ object CorpusStreams {
           graft.operators.Dedup.compactShingleIndex(b.sparkSession, dir)
           ()
         }
+        // condition-driven twin of compactEvery (the deltaDedupStream
+        // rule): check the manifest every N batches, act only when
+        // the measured layout symptom is present
+        if (maintainEvery > 0 && (id + 1) % maintainEvery == 0) {
+          graft.operators.Dedup.maintainShingleIndex(b.sparkSession, dir)
+          ()
+        }
     }
   }
 
@@ -620,7 +635,11 @@ object CorpusStreams {
     * quantizer in-stream every N batches
     * ([[graft.operators.Similarity.refreshIvfCentroids]]), leaving
     * the index content-identical to a one-shot build over everything
-    * ingested so far.
+    * ingested so far; `maintainEvery = N` is the condition-driven
+    * form ([[graft.operators.Similarity.maintainIvfIndex]]) — it
+    * measures cell occupancy every N batches and refreshes only when
+    * the hot-cell drift symptom is actually present, so a healthy
+    * ingest never pays the O(n x nlist) reassignment.
     *
     * `sink` must consume its frame before returning (the probe-cell
     * checkpoint is per-batch state). Appends are visible to LATER
@@ -633,7 +652,8 @@ object CorpusStreams {
                 maintainIndex: Boolean = false,
                 streamId: String = "ann",
                 compactEvery: Int = 0,
-                refreshEvery: Int = 0)(
+                refreshEvery: Int = 0,
+                maintainEvery: Int = 0)(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[Vec] =
     vecs.writeStream.outputMode("append").foreachBatch {
@@ -678,6 +698,16 @@ object CorpusStreams {
           // already folded the layout.
           if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
             graft.operators.Similarity.compactIvfIndex(b.sparkSession, dir)
+            ()
+          }
+          // condition-driven alternative to both cadences: every N
+          // batches, measure (one cid-only occupancy scan) and run
+          // refresh/compact only when the measured symptom is present
+          // (Maintenance thresholds). Skipped on replay for the same
+          // reason refreshEvery is: a maintain-triggered refresh is
+          // subject to the identical guarantee-scope note above.
+          if (!replay && maintainEvery > 0 && (id + 1) % maintainEvery == 0) {
+            graft.operators.Similarity.maintainIvfIndex(b.sparkSession, dir)
             ()
           }
         }

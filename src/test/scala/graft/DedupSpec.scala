@@ -408,6 +408,44 @@ class DedupSpec extends SparkSuite {
     assert(probe(d, idxB2) == before)
   }
 
+  test("maintainShingleIndex acts only when the layout symptom is present") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mnts").toFile
+    val d = writeCorpus(new java.io.File(tmp, "d"), idxCorpus)
+    Dedup.ensureShingleIndex(spark, d)
+    // fresh index: decided from the manifest alone
+    val fresh = Dedup.maintainShingleIndex(spark, d)
+    assert(fresh.action == "none" && !fresh.ran &&
+      fresh.appliedBatches == 0, s"fresh: ${fresh.render}")
+    assert(Dedup.appendToShingleIndex(spark, d, docsDf(idxB1), "day1"))
+    // one append, threshold two: checked but left alone
+    val under = Dedup.maintainShingleIndex(spark, d, compactAfter = 2)
+    assert(under.action == "none" && !under.ran &&
+      under.uncompactedBatches == 1, s"under: ${under.render}")
+    assert(Dedup.appendToShingleIndex(spark, d,
+      docsDf(Seq(300L -> txt(30))), "day2"))
+    val before = probe(d, idxB2)
+    // dryRun reports the due compaction without executing it
+    val dry = Dedup.maintainShingleIndex(spark, d, compactAfter = 2,
+      dryRun = true)
+    assert(dry.action == "compact" && !dry.ran, s"dry: ${dry.render}")
+    val dfT = Dedup.ensureShingleIndex(spark, d)._3
+    assert(spark.table(dfT).count() >
+      spark.table(dfT).select("s").distinct().count(),
+      "dryRun must not fold df partials")
+    val acted = Dedup.maintainShingleIndex(spark, d, compactAfter = 2)
+    assert(acted.action == "compact" && acted.ran &&
+      acted.uncompactedBatches == 2, s"acted: ${acted.render}")
+    assert(spark.table(dfT).count() ==
+      spark.table(dfT).select("s").distinct().count(),
+      "the acted pass must have folded df partials")
+    assert(probe(d, idxB2) == before, "maintenance changed probe results")
+    // and the pass after an action is back to none
+    val after = Dedup.maintainShingleIndex(spark, d, compactAfter = 2)
+    assert(after.action == "none" && !after.ran &&
+      after.appliedBatches == 2 && after.uncompactedBatches == 0,
+      s"after: ${after.render}")
+  }
+
   test("disjointness contract fails loudly on probe and append") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_disj")
       .toFile

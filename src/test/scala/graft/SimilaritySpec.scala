@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Similarity
+import graft.operators.{Maintenance, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Laws for the similarity-search operators. The ANN variants are
@@ -480,6 +480,78 @@ class SimilaritySpec extends SparkSuite {
     assert(spark.table(at).count() == 191L &&
       spark.catalog.tableExists(ct),
       "mid-swap crash state must repair to base + all refolded batches")
+  }
+
+  test("maintainIvfIndex refreshes on the measured hot-cell symptom, " +
+      "compacts on layout, and no-ops when healthy") {
+    val sp = spark; import sp.implicits._
+    def vec(seed: Long): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(64)(r.nextFloat() * 2 - 1)
+    }
+    // the DriftGate synthesis: arrivals concentrated on one unit
+    // direction, so every drifted vector assigns to ONE stored cell
+    val u = {
+      val v = vec(777L)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    def drift(seed: Long): Array[Float] =
+      vec(seed).zip(u).map { case (x, ui) => 0.05f * x + ui }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfmnt")
+    val dir = new java.io.File(tmp.toFile, "d").toString
+    (0L until 150L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val (at, _) = Similarity.ensureIvfIndex(spark, dir)
+    // fresh index: decided from the manifest alone, occupancy unmeasured
+    val fresh = Similarity.maintainIvfIndex(spark, dir)
+    assert(fresh.action == "none" && !fresh.ran &&
+      fresh.hotCellMax == -1L, s"fresh: ${fresh.render}")
+    // healthy i.i.d. append: occupancy measured, index left alone
+    assert(Similarity.appendToIvfIndex(spark, dir,
+      (1000L until 1020L).map(i => (i, vec(i)))
+        .toDF("vec_id", "embedding"), "day1"))
+    val healthy = Similarity.maintainIvfIndex(spark, dir)
+    assert(healthy.action == "none" && !healthy.ran &&
+      healthy.hotCellMax >= 1L && healthy.uncompactedBatches == 1,
+      s"healthy: ${healthy.render}")
+    // concentrated drift batch: one stored cell absorbs all of it
+    assert(Similarity.appendToIvfIndex(spark, dir,
+      (5000L until 6200L).map(i => (i, drift(i)))
+        .toDF("vec_id", "embedding"), "day2"))
+    val (mx, md) = Similarity.ivfOccupancy(spark, dir)
+    assert(md > 0 && mx > Maintenance.DefaultHotCellRatio * md,
+      s"fixture not hot: max $mx median $md — the refresh branch " +
+        "would be untested")
+    // dryRun reports the due refresh without rewriting anything
+    val dry = Similarity.maintainIvfIndex(spark, dir, dryRun = true)
+    assert(dry.action == "refresh" && !dry.ran, s"dry: ${dry.render}")
+    assert(Similarity.ivfOccupancy(spark, dir)._1 == mx,
+      "dryRun must not rewrite the index")
+    val nRows = spark.table(at).count()
+    val acted = Similarity.maintainIvfIndex(spark, dir)
+    assert(acted.action == "refresh" && acted.ran, s"acted: ${acted.render}")
+    assert(spark.table(at).count() == nRows,
+      "refresh must reassign, never add or drop rows")
+    val (mx2, md2) = Similarity.ivfOccupancy(spark, dir)
+    assert(mx2 <= Maintenance.DefaultHotCellRatio * md2,
+      s"refresh left the hot cell standing: max $mx2 median $md2")
+    // pass after the action: healthy again (the rewrite recorded the
+    // layout fold too)
+    val after = Similarity.maintainIvfIndex(spark, dir)
+    assert(after.action == "none" && !after.ran &&
+      after.uncompactedBatches == 0, s"after: ${after.render}")
+    // layout-only path: enough healthy appends trip compact, not refresh
+    assert(Similarity.appendToIvfIndex(spark, dir,
+      Seq((7000L, vec(7000L))).toDF("vec_id", "embedding"), "day3"))
+    assert(Similarity.appendToIvfIndex(spark, dir,
+      Seq((7001L, vec(7001L))).toDF("vec_id", "embedding"), "day4"))
+    val compacted = Similarity.maintainIvfIndex(spark, dir,
+      compactAfter = 2)
+    assert(compacted.action == "compact" && compacted.ran,
+      s"compacted: ${compacted.render}")
+    assert(Similarity.maintainIvfIndex(spark, dir,
+      compactAfter = 2).action == "none")
   }
 
   test("registered functions reject wrong arity with a clear error") {

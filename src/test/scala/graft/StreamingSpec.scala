@@ -1235,6 +1235,60 @@ class StreamingSpec extends SparkSuite {
       "no streamed arrival contributes a centroid — cadence vacuous")
   }
 
+  test("ann stream maintainEvery refreshes only when the hot-cell " +
+    "symptom appears") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    import graft.streaming.CorpusStreams
+    def vec(seed: Long): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(64)(r.nextFloat() * 2 - 1)
+    }
+    val u = {
+      val v = vec(777L)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    def drift(seed: Long): Array[Float] =
+      vec(seed).zip(u).map { case (x, ui) => 0.05f * x + ui }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_annmnt")
+    val dir = new java.io.File(tmp.toFile, "d").toString
+    (0L until 150L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val (_, ct) = graft.operators.Similarity.ensureIvfIndex(spark, dir)
+    def centroidIds(): Set[Long] = {
+      spark.catalog.refreshTable(ct)
+      spark.table(ct).select("cid").collect().map(_.getLong(0)).toSet
+    }
+    val input = MemoryStream[CorpusStreams.Vec]
+    val q = CorpusStreams.annStream(input.toDS(), dir,
+      maintainIndex = true, streamId = "am", maintainEvery = 1) {
+      (df, _) => df.collect(); ()
+    }.start()
+    try {
+      // healthy i.i.d. batch: the maintain pass measures and leaves
+      // the index alone — no appended id may appear as a centroid
+      input.addData((1000L until 1020L).map(i =>
+        CorpusStreams.Vec(i, vec(i))))
+      q.processAllAvailable()
+      assert(centroidIds().forall(_ < 1000L),
+        "healthy batch must not trigger a refresh")
+      // concentrated drift batch: the same cadence now measures a hot
+      // cell and refreshes — appended mass contributes centroids and
+      // occupancy is healthy again
+      input.addData((5000L until 6200L).map(i =>
+        CorpusStreams.Vec(i, drift(i))))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(centroidIds().exists(_ >= 5000L),
+      "drift batch must trigger an in-stream refresh")
+    val (mx, md) = graft.operators.Similarity.ivfOccupancy(spark, dir)
+    assert(md > 0 &&
+      mx <= graft.operators.Maintenance.DefaultHotCellRatio * md,
+      s"post-refresh occupancy still hot: max $mx median $md")
+  }
+
   test("delta dedup stream with maintainIndex catches cross-batch " +
     "pairs — streamed union == one big batch exactly") {
     val sp = spark; import sp.implicits._
