@@ -49,7 +49,7 @@ object Cli {
     * placed BEFORE positionals would swallow the next positional as
     * its value (`import-live --yes <backupDir> <url>` losing the
     * backup dir to --yes). */
-  val BareFlags: Set[String] = Set("yes")
+  val BareFlags: Set[String] = Set("yes", "dry-run")
 
   /** Split args into positionals and --key value / --key=value options;
     * a bare flag (BareFlags, or any trailing/valueless --flag) maps to
@@ -237,6 +237,18 @@ object Cli {
             "had malformed value_json and were quarantined (not applied)")
         println(s"applied diff $in -> $url " +
           s"(quarantined: ${quarantinedDiff.value})")
+      // condition-driven index maintenance over a corpus dir — the
+      // nightly-cron face of maintainShingleIndex/maintainIvfIndex:
+      // measures, acts only on present symptoms, and prints one
+      // loggable report line per index. --dry-run reports without
+      // acting (what WOULD tonight's run rewrite?).
+      case "maintain" :: dir :: Nil =>
+        val dry = opts.get("dry-run").contains("true")
+        functions.GraftFunctions.register(spark)
+        println(operators.Dedup
+          .maintainShingleIndex(spark, dir, dryRun = dry).render)
+        println(operators.Similarity
+          .maintainIvfIndex(spark, dir, dryRun = dry).render)
       case "query" :: name :: sfDir :: Nil =>
         SparkEntry.queries.get(name) match {
           case Some(fn) => fn(spark, sfDir).show(50, truncate = false)
@@ -256,6 +268,7 @@ object Cli {
             "import-live <backupDir> <url> [--token t] [--yes] | " +
             "migrate <refTarGzGlob> <backupDir> | " +
             "export-archive <backupDir> <outTarGz> [--shards n] | " +
+            "maintain <corpusDir> [--dry-run] | " +
             "query <name> <sfDir>")
         sys.exit(2)
     }

@@ -21,6 +21,12 @@ class CliSpec extends AnyFunSuite {
       "max_ipp" -> "500", "output" -> "backups/x", "yes" -> "true"))
   }
 
+  test("--dry-run is a bare flag: it never swallows a positional") {
+    val (pos, opts) = Cli.parseArgs(Seq("maintain", "--dry-run", "/corpus"))
+    assert(pos == List("maintain", "/corpus"))
+    assert(opts == Map("dry-run" -> "true"))
+  }
+
   test("default backup name is <projectId>-<timestamp>, sanitized") {
     // BackupProcessor.php:22-24: project id is the host's first label;
     // generateCompressedBackup sanitizes [^a-zA-Z0-9]+ to '-'
