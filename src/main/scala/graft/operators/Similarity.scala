@@ -690,6 +690,224 @@ object Similarity {
     else report("none", ran = false, hot)
   }
 
+  /** ADC shortlist width multiplier (R = k x refine) for q_ann_pq,
+    * scaled with n: the ADC error band is n-independent (it depends
+    * only on the codebook resolution), but the NUMBER of candidates
+    * whose true cosine falls inside that band around the top-5 cut
+    * grows LINEARLY with the corpus, so a fixed shortlist loses
+    * recall as n grows (the 128x ladder measured refine=8 at 0.500
+    * vs 0.86 at unit scale; widening R restored it: R=160 -> 0.700,
+    * 640 -> 0.880, 2560 -> 0.960 at 256k). The honest consequence:
+    * brute-ADC holds recall by keeping R a constant FRACTION of n
+    * (R ≈ n/256 here) — a constant-factor reduction of exact-scoring
+    * work (~256x) on top of the 32x payload compression, not a
+    * sublinear method; sublinear comes from composing the code
+    * column with IVF cell pruning (the documented scale path). The
+    * floor pins unit-scale behavior (n <= 51k -> refine 8, R = 40,
+    * today's test-scale shortlists unchanged). */
+  private[graft] def pqRefine(n: Long): Int =
+    math.max(8L, n / 1280L).toInt
+
+  /** Subspace count for product quantization: 8 where the embedding
+    * width allows (64-dim -> 8x8), else the largest power of two <= 8
+    * dividing the width (the non-64-dim-corpus rule — same reason the
+    * LSH law has one). */
+  private[graft] def pqSubspaces(dim: Int): Int =
+    Seq(8, 4, 2, 1).find(dim % _ == 0).get
+
+  /** Deterministic driver-trained PQ codebooks: a modulo sample of
+    * ~4096 vectors (the centroid-sample rule — at any n the collected
+    * sample is bounded), split into m subspaces, each quantized to
+    * ks = min(256, |sample|) codes by 4 Lloyd iterations seeded from
+    * the first ks sample slices in vec_id order. No randomness
+    * anywhere, so the same corpus always yields bit-identical
+    * codebooks (and so bit-identical codes — the reproducibility every
+    * index law here leans on). Empty cells keep their previous
+    * centroid; assignment ties go to the lowest index. Training cost
+    * is driver-side O(iters x |sample| x ks x dim) ≈ 0.3 s at the
+    * standard shape, independent of n. */
+  private[graft] def pqTrain(s: SparkSession, emb: DataFrame, n: Long)
+      : graft.functions.PqCodebooks = {
+    val mod = math.max(1L, n / 4096L)
+    val rows = emb.filter(col("vec_id") % mod === 0)
+      .select(col("vec_id"), col("embedding"))
+      .collect().sortBy(_.getLong(0))
+    require(rows.nonEmpty, "pqTrain: empty embedding sample")
+    def elems(r: org.apache.spark.sql.Row): Array[Double] =
+      r.getSeq[Any](1).map {
+        case f: Float  => f.toDouble
+        case d: Double => d
+        case other => throw new IllegalArgumentException(
+          s"pqTrain: embedding must be float or double, got " +
+            s"${if (other == null) "null" else other.getClass.getName}")
+      }.toArray
+    val sample = rows.map(elems)
+    val dim = sample.head.length
+    val m = pqSubspaces(dim)
+    val dsub = dim / m
+    val ks = math.min(256, sample.length)
+    val flat = new Array[Double](m * ks * dsub)
+    val sums = new Array[Double](ks * dsub)
+    val cnts = new Array[Int](ks)
+    var sIdx = 0
+    while (sIdx < m) {
+      val base = sIdx * ks * dsub
+      val vOff = sIdx * dsub
+      var j = 0
+      while (j < ks) {
+        var d = 0
+        while (d < dsub) { flat(base + j * dsub + d) = sample(j)(vOff + d); d += 1 }
+        j += 1
+      }
+      var it = 0
+      while (it < 4) {
+        java.util.Arrays.fill(sums, 0.0)
+        java.util.Arrays.fill(cnts, 0)
+        var i = 0
+        while (i < sample.length) {
+          val v = sample(i)
+          var bestJ = 0
+          var bestD = Double.MaxValue
+          var jj = 0
+          while (jj < ks) {
+            var d2 = 0.0
+            var d = 0
+            while (d < dsub) {
+              val diff = v(vOff + d) - flat(base + jj * dsub + d)
+              d2 += diff * diff
+              d += 1
+            }
+            if (d2 < bestD) { bestD = d2; bestJ = jj }
+            jj += 1
+          }
+          cnts(bestJ) += 1
+          var d = 0
+          while (d < dsub) { sums(bestJ * dsub + d) += v(vOff + d); d += 1 }
+          i += 1
+        }
+        var jj = 0
+        while (jj < ks) {
+          if (cnts(jj) > 0) {
+            var d = 0
+            while (d < dsub) {
+              flat(base + jj * dsub + d) = sums(jj * dsub + d) / cnts(jj)
+              d += 1
+            }
+          }
+          jj += 1
+        }
+        it += 1
+      }
+      sIdx += 1
+    }
+    graft.functions.PqCodebooks(m, ks, dsub, s.sparkContext.broadcast(flat))
+  }
+
+  /** The q_ann_pq pipeline — product-quantized ANN with exact
+    * re-ranking. Why it exists: at 100 TB the vector PAYLOAD is the
+    * cost — a 64-dim float vector is 256 B/row through every scan and
+    * shuffle, while its PQ code is 8 B (32x). The pipeline runs the
+    * heavy all-candidates stage entirely over codes:
+    *
+    *  1. codebooks: [[pqTrain]] (driver, deterministic, 128 KB).
+    *  2. ONE corpus scan encodes every vector (native
+    *     [[graft.functions.PqEncode]], the NearestCentroid pattern)
+    *     -> (nid, code, norm): 24 B/row from here on.
+    *  3. ADC scoring against the broadcast probe LUTs (native
+    *     [[graft.functions.PqAdcScore]]): m ADDS per (probe, vector)
+    *     instead of dim multiply-adds; ranking by adc/norm is
+    *     norm-corrected approximate cosine (the probe's own norm
+    *     scales every candidate equally). Two-stage top-R (salted
+    *     partial then global — the distributed-top-k shape) keeps
+    *     every sort bounded: no single task ever sorts n rows.
+    *  4. Exact re-rank: only the R = k x refine survivors (a few
+    *     hundred rows) rejoin the full vectors for exact cosine, so
+    *     output scores are EXACT (the ANN-family contract: the
+    *     approximation affects only recall, never reported scores),
+    *     rounded 6 dp for presentation with ties on nid.
+    *
+    * The standalone query scans all codes per probe (the brute-ADC
+    * form — at the probe counts of the test contract that is one
+    * narrow 24 B/row pass); composing with the IVF cell pruning of
+    * [[ivfProbe]] (codes stored per cell) is the documented next step
+    * of the scale path. Oracle-exempt like the rest of the ANN family
+    * (codebook-specific); SimilaritySpec pins the encode law, the
+    * determinism law, and the recall floor vs brute force. */
+  private[graft] def pqTopK(s: SparkSession, d: String, k: Int = 5,
+                            refineOverride: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, d)
+    val n = math.max(1L, emb.count())
+    val refine = refineOverride
+      .orElse(sys.env.get("GRAFT_PQ_REFINE").map(_.toInt))
+      .getOrElse(pqRefine(n))
+    val cb = pqTrain(s, emb, n)
+    // probe extraction is a corpus scan — materialize once (the
+    // q_ann_lsh probe-extraction rule)
+    val probe0 = emb.filter(col("vec_id") < 10).localCheckpoint()
+    val probeQ = probe0
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        norm(col("embedding")).as("qn"))
+    // driver-built LUTs: lut[s*ks + j] = dot(q_slice_s, codebook[s][j])
+    val flat = cb.flat
+    val luts: Map[Long, Array[Double]] =
+      probe0.select(col("vec_id"), col("embedding")).collect().map { r =>
+        val q = r.getSeq[Any](1).map {
+          case f: Float  => f.toDouble
+          case dd: Double => dd
+        }.toArray
+        val lut = new Array[Double](cb.m * cb.ks)
+        var sIdx = 0
+        while (sIdx < cb.m) {
+          val base = sIdx * cb.ks * cb.dsub
+          var j = 0
+          while (j < cb.ks) {
+            var acc = 0.0
+            var dd = 0
+            while (dd < cb.dsub) {
+              val qi = sIdx * cb.dsub + dd
+              if (qi < q.length) acc += q(qi) * flat(base + j * cb.dsub + dd)
+              dd += 1
+            }
+            lut(sIdx * cb.ks + j) = acc
+            j += 1
+          }
+          sIdx += 1
+        }
+        r.getLong(0) -> lut
+      }.toMap
+    val lutH = s.sparkContext.broadcast(luts)
+    val codes = scorable(emb)
+      .select(col("vec_id").as("nid"),
+        graft.functions.GraftFunctions.pqEncode(col("ce"), cb).as("code"),
+        col("cn").as("ncn"))
+    val r = k * refine
+    val cand = codes.crossJoin(broadcast(probeQ.select("qid")))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        (graft.functions.GraftFunctions.pqAdcScore(col("qid"), col("code"),
+          cb.m, cb.ks, lutH) / col("ncn")).as("adc"))
+    val wSalt = Window.partitionBy("qid", "salt")
+      .orderBy(desc("adc"), asc("nid"))
+    val wQ = Window.partitionBy("qid").orderBy(desc("adc"), asc("nid"))
+    val top = cand
+      .withColumn("salt", pmod(col("nid"), lit(32)).cast("int"))
+      .withColumn("srn", row_number().over(wSalt)).filter(col("srn") <= r)
+      .withColumn("arn", row_number().over(wQ)).filter(col("arn") <= r)
+      .select("qid", "nid")
+    val scored = scorable(emb).withColumnRenamed("vec_id", "nid")
+      .join(broadcast(top), "nid")
+      .join(broadcast(probeQ), "qid")
+      .select(col("qid"), col("nid"),
+        (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("raw"))
+    val w = Window.partitionBy("qid").orderBy(desc("raw"), asc("nid"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nid"),
+        round(col("raw"), 6).as("score"), col("rn"))
+      .orderBy("qid", "rn")
+  }
+
   /** The q_ann_lsh pipeline, parameterized on the per-table probe
     * count so [[graft.RecallGate]] can run a deliberately DEGRADED
     * probe (its negative control: a broken probe must fail the gate
@@ -889,6 +1107,20 @@ object Similarity {
         "SimilaritySpec measures recall vs q_knn_cosine at unit " +
         "scale, RecallGate + recall_ladder.sh at 16k..1M vectors.",
       (s, d) => lshTopK(s, d),
+      None),
+
+    GraftQuery(
+      "q_ann_pq",
+      "Product-quantized ANN with exact re-rank: deterministic driver-" +
+        "trained codebooks (m subspaces x <=256 codes, 128 KB), one " +
+        "corpus scan encodes each vector to an 8-byte code (native " +
+        "PqEncode — 32x smaller than the float vector, the 100 TB " +
+        "payload lever), ADC scoring via broadcast probe LUTs (native " +
+        "PqAdcScore, m adds/pair), salted two-stage top-R, exact " +
+        "cosine re-rank of the R=k*refine survivors (reported scores " +
+        "are exact). Oracle-exempt like the ANN family; SimilaritySpec " +
+        "pins encode/determinism laws + recall floor vs q_knn_cosine.",
+      (s, d) => pqTopK(s, d),
       None),
 
     GraftQuery(

@@ -53,6 +53,75 @@ class SimilaritySpec extends SparkSuite {
     assert(mean >= 0.5, s"ivf mean recall $mean < 0.5")
   }
 
+  test("pq encode law: native argmin-per-subspace packing matches a " +
+      "spec mirror; ties to the lowest index; adc is the LUT sum") {
+    val sp = spark; import sp.implicits._
+    // m=2 subspaces of 2 dims, ks=3 codes — small enough to hand-check
+    val flat = Array[Double](
+      0, 0, 1, 0, 0, 1, // s0 codes: (0,0) (1,0) (0,1)
+      5, 5, 1, 1, 0, 0) // s1 codes: (5,5) (1,1) (0,0)
+    val cb = graft.functions.PqCodebooks(2, 3, 2,
+      spark.sparkContext.broadcast(flat))
+    val vecs = Seq(
+      (0L, Array(0.9, 0.1, 0.0, 0.0)), // s0 -> 1; s1 -> 2
+      (1L, Array(0.0, 0.0, 1.0, 1.0)), // s0 -> 0; s1 -> 1
+      (2L, Array(0.5, 0.5, 3.0, 3.0))) // three-way + two-way ties -> 0;0
+    val got = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        graft.functions.GraftFunctions.pqEncode(col("embedding"), cb)
+          .as("code"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(0L) == (1L | (2L << 8)), s"vec0 code ${got(0L)}")
+    assert(got(1L) == (0L | (1L << 8)), s"vec1 code ${got(1L)}")
+    assert(got(2L) == (0L | (0L << 8)), s"vec2 tie code ${got(2L)}")
+    // ADC law: score(q, code) == dot(q, reconstruction(code)), i.e.
+    // the sum of the per-subspace LUT entries the code selects
+    val q = Array(1.0, 2.0, 3.0, 4.0)
+    val lut = new Array[Double](2 * 3)
+    for (s <- 0 until 2; j <- 0 until 3)
+      lut(s * 3 + j) = q(s * 2) * flat((s * 3 + j) * 2) +
+        q(s * 2 + 1) * flat((s * 3 + j) * 2 + 1)
+    val lutH = spark.sparkContext.broadcast(Map(7L -> lut))
+    val scoreGot = Seq((7L, got(0L))).toDF("qid", "code")
+      .select(graft.functions.GraftFunctions.pqAdcScore(
+        col("qid"), col("code"), 2, 3, lutH).as("s"))
+      .collect().head.getDouble(0)
+    // vec0's code selects s0 code (1,0) and s1 code (0,0):
+    // dot(q, (1,0,0,0)) = 1.0
+    assert(scoreGot == lut(1) + lut(3 + 2) && scoreGot == 1.0,
+      s"adc $scoreGot")
+  }
+
+  test("pq codebooks are deterministic; q_ann_pq recall floor vs " +
+      "brute force with exact reported scores") {
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count()
+    val cb1 = Similarity.pqTrain(spark, emb, n)
+    val cb2 = Similarity.pqTrain(spark, emb, n)
+    assert(cb1.m == cb2.m && cb1.ks == cb2.ks && cb1.dsub == cb2.dsub)
+    assert(java.util.Arrays.equals(cb1.flat, cb2.flat),
+      "same corpus must train bit-identical codebooks")
+    val ann = topk("q_ann_pq")
+    val recalls = brute.map { case (q, bf) =>
+      (bf & ann.getOrElse(q, Set.empty)).size.toDouble / bf.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"pq mean recall $mean < 0.8")
+    // reported scores are EXACT cosines (the ANN-family contract):
+    // every (qid, nid) q_ann_pq shares with brute force must carry an
+    // identical score
+    val bf = SparkEntry.queries("q_knn_cosine")(spark, sf)
+      .select("qid", "nid", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val pq = SparkEntry.queries("q_ann_pq")(spark, sf)
+      .select("qid", "nid", "score").collect()
+    val overlapping = pq.filter(r => bf.contains((r.getLong(0), r.getLong(1))))
+    assert(overlapping.nonEmpty)
+    assert(overlapping.forall { r =>
+      bf((r.getLong(0), r.getLong(1))) == r.getDouble(2)
+    }, "q_ann_pq reported a non-exact score")
+  }
+
   test("native lsh_bucket_ids matches the spec-form Column buckets") {
     // production bucketing is one native call per row (LshBucketIds);
     // the CASE WHEN vector_dot formulation (Similarity.tableBucket) is

@@ -21,7 +21,9 @@
 # corpus regens, not run-to-run noise.
 #
 # Usage: tools/recall_ladder.sh [rungs]   (default "128 256 512")
-#   RECALL_LADDER_FLOORS="lsh ivf mh" overrides the floors.
+#   RECALL_LADDER_FLOORS="lsh ivf mh pq" overrides the floors
+#   (pq measured 0.940/0.920/0.980 at 256k/1M/4M under the n-scaled
+#   shortlist rule — floor 0.85 leaves margin for corpus regens).
 #   Work dirs are per-rung and reused when the replica manifest matches
 #   (SPARK_GRAFT_SMOKE_REUSE=1), so a re-run after a code change skips
 #   the replication cost.
@@ -34,7 +36,7 @@
 set -euo pipefail
 RUNGS="${1:-128 256 512 1024}"
 SRC="${RECALL_LADDER_SRC:-/root/testdata/sf0.1}"
-FLOORS="${RECALL_LADDER_FLOORS:-0.60 0.58 1.0}"
+FLOORS="${RECALL_LADDER_FLOORS:-0.60 0.58 1.0 0.85}"
 cd "$(dirname "$0")/.."
 for K in $RUNGS; do
   WORK="/tmp/graft_recall_ladder_${K}x"

@@ -99,5 +99,5 @@ if [ "${SCALE_GATE_NO_RECALL:-0}" != "1" ]; then
   # degraded probe (perTable=1) must score BELOW the lsh floor or the
   # gate fails itself (red-on-wrong, like check_oracles' selftest)
   RECALL_GATE_CONTROL=1 \
-    sbt -batch "runMain graft.RecallGate $WORK ${SCALE_GATE_FLOORS:-0.70 0.50 1.0}"
+    sbt -batch "runMain graft.RecallGate $WORK ${SCALE_GATE_FLOORS:-0.70 0.50 1.0 0.85}"
 fi
