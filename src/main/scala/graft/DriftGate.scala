@@ -190,8 +190,11 @@ object DriftGate {
         df.select(xxhash64(cols.map(col): _*).as("h"))
           .agg(coalesce(expr("bit_xor(h)"), lit(0L))).head.getLong(0))
     }
-    val lawAssign = fp(atW, Seq("cid", "vec_id", "ce")) ==
-      fp(atM, Seq("cid", "vec_id", "ce"))
+    // code included (r15 IVFPQ): the refresh re-trains the PQ
+    // codebooks from the merged rows, so the 8-byte codes must match
+    // the one-shot build too
+    val lawAssign = fp(atW, Seq("cid", "vec_id", "ce", "code")) ==
+      fp(atM, Seq("cid", "vec_id", "ce", "code"))
     val lawCent = fp(ctW, Seq("cid", "ke", "kn")) ==
       fp(ctM, Seq("cid", "ke", "kn"))
 

@@ -82,6 +82,10 @@ object RecallGate {
     val lsh = meanRecall("q_ann_lsh")
     val ivf = meanRecall("q_ann_ivf")
     val pq = meanRecall("q_ann_pq")
+    // the IVFPQ composition is gated against the SAME floor as ivf:
+    // its recall is cell recall x shortlist recall (~0.95+ under the
+    // fraction rule), so holding the ivf floor is the claim to verify
+    val ivfpq = meanRecall("q_ann_ivfpq")
 
     // NEGATIVE CONTROL (the check_oracles selftest rule: a gate that
     // cannot fail on a wrong answer is vacuous — this class of hole
@@ -139,7 +143,7 @@ object RecallGate {
     val docJson = docChecks.map { case (mhR, mhF, ex, shN, shB) =>
       f""","minhash_recall":$mhR%.3f,"minhash_false":$mhF,"minhash_floor":$mhFloor,"exact_pairs":$ex,"simhash_pairs":$shN,"simhash_over_bound":$shB"""
     }.getOrElse(""","docs_skipped":true""")
-    println(f"""{"metric":"recall_gate","dir":"$dir","n":$n,"lsh_recall":$lsh%.3f,"ivf_recall":$ivf%.3f,"pq_recall":$pq%.3f,"lsh_floor":$lshFloor,"ivf_floor":$ivfFloor,"pq_floor":$pqFloor$docJson$controlJson}""")
+    println(f"""{"metric":"recall_gate","dir":"$dir","n":$n,"lsh_recall":$lsh%.3f,"ivf_recall":$ivf%.3f,"pq_recall":$pq%.3f,"ivfpq_recall":$ivfpq%.3f,"lsh_floor":$lshFloor,"ivf_floor":$ivfFloor,"pq_floor":$pqFloor$docJson$controlJson}""")
     spark.stop()
     if (control.exists(_ >= lshFloor)) {
       System.err.println(
@@ -152,10 +156,11 @@ object RecallGate {
     val docBad = docChecks.exists { case (mhR, mhF, _, shN, shB) =>
       mhR < mhFloor || mhF > 0 || shN == 0 || shB > 0
     }
-    if (lsh < lshFloor || ivf < ivfFloor || pq < pqFloor || docBad) {
+    if (lsh < lshFloor || ivf < ivfFloor || pq < pqFloor ||
+        ivfpq < ivfFloor || docBad) {
       System.err.println(
         f"RECALL GATE FAILED: lsh $lsh%.3f (floor $lshFloor) / " +
-          f"ivf $ivf%.3f (floor $ivfFloor) / " +
+          f"ivf $ivf%.3f / ivfpq $ivfpq%.3f (floor $ivfFloor) / " +
           f"pq $pq%.3f (floor $pqFloor)" +
           docChecks.map { case (mhR, mhF, _, shN, shB) =>
             f" / minhash $mhR%.3f (floor $mhFloor, $mhF false " +

@@ -246,6 +246,64 @@ object Similarity {
     (s"graft_ivf_assign_$tag", s"graft_ivf_cent_$tag")
   }
 
+  /** Catalog name of the index's PQ codebook sidecar (m x ks x dsub
+    * entries as (s, j, d, v) rows — ~16k rows at the standard shape,
+    * read once per probe session). */
+  private def ivfPqTableName(d: String): String = {
+    val tag = (scala.util.hashing.MurmurHash3.stringHash(d).toLong
+      & 0xffffffffL).toHexString
+    s"graft_ivf_pq_$tag"
+  }
+
+  private def writePqCodebooks(s: SparkSession, pqT: String,
+                               cb: graft.functions.PqCodebooks): Unit = {
+    val flat = cb.flat
+    val rows = for {
+      si <- 0 until cb.m; j <- 0 until cb.ks; di <- 0 until cb.dsub
+    } yield (si, j, di, flat((si * cb.ks + j) * cb.dsub + di))
+    val sp = s; import sp.implicits._
+    rows.toDF("s", "j", "d", "v")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(pqT)
+  }
+
+  // per-(app, dir) codebook memo: the sidecar read + broadcast is
+  // ~0.2 s, pure overhead on every probe after the first. Invalidated
+  // wherever the sidecar is rewritten (refresh/rebuild/drop).
+  private val pqCodebookMemo =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      graft.functions.PqCodebooks]()
+
+  private def forgetPqCodebooks(s: SparkSession, d: String): Unit =
+    pqCodebookMemo.remove(s.sparkContext.applicationId + ":pq:" + d)
+
+  /** Rebuild the [[graft.functions.PqCodebooks]] an index was built
+    * with from its sidecar table (shape recovered from the max
+    * indices; flat array re-assembled in [s][j][d] order, broadcast
+    * once per load, memoized per session). */
+  private[graft] def loadPqCodebooks(s: SparkSession, d: String)
+      : graft.functions.PqCodebooks = {
+    val key = s.sparkContext.applicationId + ":pq:" + d
+    val memo = pqCodebookMemo.get(key)
+    if (memo != null) return memo
+    val rows = s.table(ivfPqTableName(d))
+      .select("s", "j", "d", "v").collect()
+    require(rows.nonEmpty, s"empty PQ codebook table for $d")
+    val m = rows.map(_.getInt(0)).max + 1
+    val ks = rows.map(_.getInt(1)).max + 1
+    val dsub = rows.map(_.getInt(2)).max + 1
+    val flat = new Array[Double](m * ks * dsub)
+    rows.foreach { r =>
+      flat((r.getInt(0) * ks + r.getInt(1)) * dsub + r.getInt(2)) =
+        r.getDouble(3)
+    }
+    val cb = graft.functions.PqCodebooks(m, ks, dsub,
+      s.sparkContext.broadcast(flat))
+    pqCodebookMemo.put(key, cb)
+    cb
+  }
+
   /** Build-once, probe-many: persist the IVF index (cell assignments
     * + centroids) as catalog tables and return their names, skipping
     * the build when a fresh index for this corpus already exists.
@@ -269,6 +327,7 @@ object Similarity {
     * scales, doubling past 1M rows). */
   def ensureIvfIndex(s: SparkSession, d: String): (String, String) = {
     val (at, ct) = ivfTableNames(d)
+    val pqT = ivfPqTableName(d)
     val memoKey = s.sparkContext.applicationId + ":ivf:" + d
     if (freshIvfMemo.contains(memoKey)) return (at, ct)
     val emb = Tables.embeddings(s, d)
@@ -278,9 +337,14 @@ object Similarity {
       buckets, Nil)
     val stored = IndexManifest.read(s, ivfManifestPath(s, d))
     val sameBase = stored.exists(_._1.startsWith(expect.basePrefix))
+    // the code-column check migrates pre-PQ indexes (and the pq-table
+    // check catches a refresh crash that left the sidecar missing):
+    // either absence forces the same clean rebuild as any staleness
     val fresh = s.catalog.tableExists(at) && s.catalog.tableExists(ct) &&
+      s.catalog.tableExists(pqT) &&
       sameBase && stored.exists { case (_, batches) =>
-        s.table(at).count() == n + batches.map(_._2).sum
+        s.table(at).columns.contains("code") &&
+          s.table(at).count() == n + batches.map(_._2).sum
       }
     if (!fresh) {
       // partial-append vs stale-index distinction (the shingle-index
@@ -309,7 +373,7 @@ object Similarity {
       // to overwrite (LOCATION_ALREADY_EXISTS). The names are
       // graft-owned and corpus-deterministic, so clearing both the
       // catalog entry and the on-disk location is safe.
-      Seq(at, ct).foreach { t =>
+      Seq(at, ct, pqT).foreach { t =>
         s.sql(s"DROP TABLE IF EXISTS $t")
         val wh = s.conf.get("spark.sql.warehouse.dir")
         val p = new org.apache.hadoop.fs.Path(wh, t)
@@ -322,10 +386,18 @@ object Similarity {
           norm(col("embedding")).as("kn"))
         .localCheckpoint()
       val handle = centroidHandle(s, centroids)
+      // PQ codebooks trained alongside the quantizer (deterministic —
+      // the build-identity laws lean on it); every assignment row
+      // carries its 8-byte code so [[ivfPqProbe]]'s scoring scan can
+      // column-prune the 256 B vector away
+      val cb = pqTrain(s, emb, n)
       val assigned = scorable(emb)
         .withColumn("cid",
           graft.functions.GraftFunctions.nearestCentroid(col("ce"), handle))
-        .select(col("cid"), col("vec_id"), col("ce"), col("cn"))
+        .withColumn("code",
+          graft.functions.GraftFunctions.pqEncode(col("ce"), cb))
+        .select(col("cid"), col("vec_id"), col("ce"), col("cn"),
+          col("code"))
       // bucket count scales with n (Tables.indexBuckets — 32 at test
       // scales, the local parallelism; a cluster gets counts that
       // track corpus size); sortBy co-sorts within buckets so a
@@ -339,8 +411,10 @@ object Similarity {
         .format("parquet").saveAsTable(at)
       centroids.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .format("parquet").saveAsTable(ct)
+      writePqCodebooks(s, pqT, cb)
+      forgetPqCodebooks(s, d)
       refold.foreach { case (bid, _) =>
-        appendIvfAssignments(s, at, ct,
+        appendIvfAssignments(s, at, ct, cb,
           s.read.parquet(
             new org.apache.hadoop.fs.Path(store, bid).toString),
           buckets)
@@ -368,7 +442,7 @@ object Similarity {
   private[graft] def dropIvfIndex(s: SparkSession, d: String): Unit = {
     val (at, ct) = ivfTableNames(d)
     val wh = s.conf.get("spark.sql.warehouse.dir")
-    Seq(at, ct).foreach { t =>
+    Seq(at, ct, ivfPqTableName(d)).foreach { t =>
       s.sql(s"DROP TABLE IF EXISTS $t")
       val p = new org.apache.hadoop.fs.Path(wh, t)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -380,6 +454,7 @@ object Similarity {
     val bs = ivfBatchStore(s, d)
     if (fs.exists(bs)) fs.delete(bs, true)
     freshIvfMemo.remove(s.sparkContext.applicationId + ":ivf:" + d)
+    forgetPqCodebooks(s, d)
   }
 
   private def ivfManifestPath(s: SparkSession, d: String)
@@ -413,17 +488,24 @@ object Similarity {
       s.conf.get("spark.sql.warehouse.dir"), s"graft_ivf_batches_$tag")
   }
 
-  /** Assign `batch` against the STORED centroid table and append to
-    * the bucketed assignment table — the shared body of
-    * [[appendToIvfIndex]] and the partial-append refold. */
+  /** Assign `batch` against the STORED centroid table, encode against
+    * the STORED PQ codebooks (frozen between re-calibrations — the
+    * same posture as the centroids), and append to the bucketed
+    * assignment table — the shared body of [[appendToIvfIndex]] and
+    * the partial-append refold. */
   private def appendIvfAssignments(s: SparkSession, at: String,
-                                   ct: String, batch: DataFrame,
+                                   ct: String,
+                                   cb: graft.functions.PqCodebooks,
+                                   batch: DataFrame,
                                    buckets: Int): Unit = {
     val handle = centroidHandle(s, s.table(ct))
     val assigned = scorable(batch)
       .withColumn("cid",
         graft.functions.GraftFunctions.nearestCentroid(col("ce"), handle))
-      .select(col("cid"), col("vec_id"), col("ce"), col("cn"))
+      .withColumn("code",
+        graft.functions.GraftFunctions.pqEncode(col("ce"), cb))
+      .select(col("cid"), col("vec_id"), col("ce"), col("cn"),
+        col("code"))
     assigned.repartition(buckets, col("cid"))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .bucketBy(buckets, "cid").sortBy("cid")
@@ -475,7 +557,7 @@ object Similarity {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(new org.apache.hadoop.fs.Path(
         ivfBatchStore(s, d), batchId).toString)
-    appendIvfAssignments(s, at, ct, batch, buckets)
+    appendIvfAssignments(s, at, ct, loadPqCodebooks(s, d), batch, buckets)
     val nNew = batch.select("vec_id").distinct().count()
     IndexManifest.appendBatch(s, ivfManifestPath(s, d),
       stored._1, stored._2, batchId, nNew)
@@ -560,8 +642,11 @@ object Similarity {
     *
     * Cost is the build's own O(n x nlist) reassignment — the price of
     * re-calibration, amortized over the probe traffic between
-    * refreshes. Crash-safe by table ABSENCE: both replacements are
-    * staged first and `ct` is dropped before any swap, so every
+    * refreshes. Crash-safe by table ABSENCE: all three replacements
+    * (assignments, centroids, PQ codebooks — the codebooks re-train
+    * on the merged rows, extending the content-identity law to the
+    * code column) are staged first and `ct` is dropped before any
+    * swap, so every
     * mid-swap crash state has a missing catalog table — which the next
     * [[ensureIvfIndex]] detects (not fresh) and repairs by rebuild +
     * batch-store refold. No crash window leaves a live
@@ -596,19 +681,33 @@ object Similarity {
         col("cn").as("kn"))
       .localCheckpoint()
     val handle = centroidHandle(s, centroids)
-    val (atS, ctS) = (at + "_r", ct + "_r")
-    Seq(atS, ctS).foreach(dropTableWithLocation(s, _))
+    // re-train the PQ codebooks from the merged rows with the build's
+    // own deterministic rule — same vectors, same sample ids, same
+    // init order as a one-shot build over the merged corpus, so the
+    // content-identity law extends to the code column
+    val cb = pqTrain(s,
+      cur.select(col("vec_id"), col("ce").as("embedding")), n)
+    val pqT = ivfPqTableName(d)
+    val (atS, ctS, pqS) = (at + "_r", ct + "_r", pqT + "_r")
+    Seq(atS, ctS, pqS).foreach(dropTableWithLocation(s, _))
     cur.withColumn("cid",
         graft.functions.GraftFunctions.nearestCentroid(col("ce"), handle))
-      .select(col("cid"), col("vec_id"), col("ce"), col("cn"))
+      .withColumn("code",
+        graft.functions.GraftFunctions.pqEncode(col("ce"), cb))
+      .select(col("cid"), col("vec_id"), col("ce"), col("cn"),
+        col("code"))
       .repartition(buckets, col("cid"))
       .write.bucketBy(buckets, "cid").sortBy("cid")
       .format("parquet").saveAsTable(atS)
     centroids.write.format("parquet").saveAsTable(ctS)
+    writePqCodebooks(s, pqS, cb)
     dropTableWithLocation(s, ct)
     dropTableWithLocation(s, at)
+    dropTableWithLocation(s, pqT)
     s.sql(s"ALTER TABLE $atS RENAME TO $at")
     s.sql(s"ALTER TABLE $ctS RENAME TO $ct")
+    s.sql(s"ALTER TABLE $pqS RENAME TO $pqT")
+    forgetPqCodebooks(s, d)
     // the rewrite also folds append-accumulated files to one per
     // bucket, so record the layout as compacted
     IndexManifest.setCompacted(s, mp, stored._1, stored._2,
@@ -803,6 +902,43 @@ object Similarity {
     graft.functions.PqCodebooks(m, ks, dsub, s.sparkContext.broadcast(flat))
   }
 
+  /** Per-probe ADC lookup tables, built on the driver from a (tiny,
+    * by the probe-query contract) probe frame:
+    * lut[s*ks + j] = dot(q_slice_s, codebook[s][j]), so the
+    * executor-side score of a code is m array reads + adds. */
+  private def pqLuts(s: SparkSession, cb: graft.functions.PqCodebooks,
+                     probeVecs: DataFrame): Map[Long, Array[Double]] = {
+    val flat = cb.flat
+    probeVecs.select(col("vec_id"), col("embedding")).collect().map { r =>
+      val q = r.getSeq[Any](1).map {
+        case f: Float   => f.toDouble
+        case dd: Double => dd
+        case other => throw new IllegalArgumentException(
+          s"pqLuts: embedding must be float or double, got " +
+            s"${if (other == null) "null" else other.getClass.getName}")
+      }.toArray
+      val lut = new Array[Double](cb.m * cb.ks)
+      var sIdx = 0
+      while (sIdx < cb.m) {
+        val base = sIdx * cb.ks * cb.dsub
+        var j = 0
+        while (j < cb.ks) {
+          var acc = 0.0
+          var dd = 0
+          while (dd < cb.dsub) {
+            val qi = sIdx * cb.dsub + dd
+            if (qi < q.length) acc += q(qi) * flat(base + j * cb.dsub + dd)
+            dd += 1
+          }
+          lut(sIdx * cb.ks + j) = acc
+          j += 1
+        }
+        sIdx += 1
+      }
+      r.getLong(0) -> lut
+    }.toMap
+  }
+
   /** The q_ann_pq pipeline — product-quantized ANN with exact
     * re-ranking. Why it exists: at 100 TB the vector PAYLOAD is the
     * cost — a 64-dim float vector is 256 B/row through every scan and
@@ -848,35 +984,7 @@ object Similarity {
     val probeQ = probe0
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         norm(col("embedding")).as("qn"))
-    // driver-built LUTs: lut[s*ks + j] = dot(q_slice_s, codebook[s][j])
-    val flat = cb.flat
-    val luts: Map[Long, Array[Double]] =
-      probe0.select(col("vec_id"), col("embedding")).collect().map { r =>
-        val q = r.getSeq[Any](1).map {
-          case f: Float  => f.toDouble
-          case dd: Double => dd
-        }.toArray
-        val lut = new Array[Double](cb.m * cb.ks)
-        var sIdx = 0
-        while (sIdx < cb.m) {
-          val base = sIdx * cb.ks * cb.dsub
-          var j = 0
-          while (j < cb.ks) {
-            var acc = 0.0
-            var dd = 0
-            while (dd < cb.dsub) {
-              val qi = sIdx * cb.dsub + dd
-              if (qi < q.length) acc += q(qi) * flat(base + j * cb.dsub + dd)
-              dd += 1
-            }
-            lut(sIdx * cb.ks + j) = acc
-            j += 1
-          }
-          sIdx += 1
-        }
-        r.getLong(0) -> lut
-      }.toMap
-    val lutH = s.sparkContext.broadcast(luts)
+    val lutH = s.sparkContext.broadcast(pqLuts(s, cb, probe0))
     val codes = scorable(emb)
       .select(col("vec_id").as("nid"),
         graft.functions.GraftFunctions.pqEncode(col("ce"), cb).as("code"),
@@ -1043,6 +1151,108 @@ object Similarity {
       .join(broadcast(probeCells), Seq("cid"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
+        (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("raw"))
+    val w = Window.partitionBy("qid").orderBy(desc("raw"), asc("nid"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nid"),
+        round(col("raw"), 6).as("score"), col("rn"))
+  }
+
+  /** IVFPQ: the cell-pruned probe with PQ scoring over the persisted
+    * index — the composition the q_ann_pq scaladoc promises. Cell
+    * selection is [[ivfProbe]]'s (nprobe nearest cells, bucket-pruned
+    * scan); the difference is WHAT the cell scan reads and computes:
+    *
+    *  - scoring pass: (cid, vec_id, code, cn) — the 256 B vector
+    *    column is column-pruned away at the parquet scan (the code
+    *    column persisted by [[ensureIvfIndex]] is 8 B), and scoring
+    *    is m LUT adds per candidate (native
+    *    [[graft.functions.PqAdcScore]]) instead of a dim-wide dot;
+    *  - shortlist: top-R per probe by norm-corrected ADC, R a
+    *    constant fraction of the scanned cell population (the
+    *    [[pqRefine]] lesson applied to the cell scan: R ≈
+    *    cell-candidates/256, floor k x 8), salted two-stage so no
+    *    task sorts a whole cell set;
+    *  - exact re-rank: only the R survivors rejoin the vector column
+    *    (broadcast semi-join against the same cell-pruned scan), so
+    *    reported scores are EXACT cosines — the ANN-family contract.
+    *
+    * Recall multiplies the two approximations: cell recall (the IVF
+    * floor) x shortlist recall (measured 0.97-1.00x of the exact
+    * cell probe at 256k/1M/4M); gated at the rungs alongside
+    * ivf_recall. Appended vectors carry codes from the FROZEN
+    * codebooks (the centroid posture); [[refreshIvfCentroids]]
+    * re-trains and re-encodes, restoring content-identity with a
+    * one-shot build.
+    *
+    * MEASURED TRADEOFF (written so nobody re-litigates it from
+    * theory): the byte claim is real — parquet footers at 4M rows:
+    * ce 1049 MB vs code 33 MB, so the scoring pass reads 66 MB
+    * (vec_id+code+cn) instead of 1082 MB, 16.4x less — but on
+    * local[32] with a hot page cache the query is 2.4x SLOWER than
+    * [[ivfProbe]] (3.0 vs 1.2 s at 1M vectors): the codegen'd
+    * 64-dim VectorDot is already so cheap that the second
+    * (re-rank) pass over the cell pages costs more than ADC saves.
+    * This operator earns its keep where scans are storage/network
+    * bound — cold object storage, where the scoring pass dominates
+    * and 16x fewer bytes IS the wall-clock — and as the layout that
+    * lets a serving tier drop the vector column from hot storage
+    * entirely. On a warm single node, use [[ivfProbe]]. */
+  private[graft] def ivfPqProbe(s: SparkSession, d: String,
+                                probeVecs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (at, ct) = ensureIvfIndex(s, d)
+    val cb = loadPqCodebooks(s, d)
+    val centroids = s.table(ct)
+    val n = math.max(1L, s.table(at).count())
+    val nlist = math.max(1L, centroids.count())
+    val nprobe = math.max(4, math.ceil(n / (8.0 * centroidMod(n))).toInt)
+    val wProbe = Window.partitionBy("qid").orderBy(desc("ccos"), asc("cid"))
+    val probeCells = probeVecs
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        norm(col("embedding")).as("qn"))
+      .crossJoin(broadcast(centroids))
+      .select(col("qid"), col("qe"), col("qn"), col("cid"),
+        (dot(col("qe"), col("ke")) / (col("qn") * col("kn"))).as("ccos"))
+      .withColumn("crn", row_number().over(wProbe))
+      .filter(col("crn") <= nprobe)
+      .select(col("qid"), col("qe"), col("qn"), col("cid"))
+      .localCheckpoint()
+    val cellIds = probeCells.select("cid").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val lutH = s.sparkContext.broadcast(pqLuts(s, cb,
+      probeCells.select(col("qid").as("vec_id"), col("qe").as("embedding"))
+        .dropDuplicates("vec_id")))
+    // scoring pass: codes only — ce never leaves the parquet pages
+    val cand = s.table(at).filter(col("cid").isin(cellIds: _*))
+      .select(col("cid"), col("vec_id"), col("code"), col("cn"))
+      .join(broadcast(probeCells.select("qid", "cid")), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        (graft.functions.GraftFunctions.pqAdcScore(col("qid"), col("code"),
+          cb.m, cb.ks, lutH) / col("cn")).as("adc"))
+    // shortlist fraction is 8x RICHER than brute-ADC's 1/256: the
+    // probed cells are selected for proximity, so near-cutoff
+    // candidates are ~nlist/nprobe (~8x) denser there than in a
+    // uniform corpus scan (measured at 256k: 1/256 of the cell scan
+    // held only 0.580 vs ivf 0.740; 1/32 restored the composition)
+    val r = math.max(k * 8,
+      math.ceil(n.toDouble * nprobe / nlist / 32.0).toInt)
+    // one window per probe, same per-qid row count ivfProbe already
+    // sorts in one task — the brute-ADC query's salted pre-stage
+    // would add a full extra exchange here for nothing (measured as
+    // part of the 2.7x local overhead before this was removed)
+    val wQ = Window.partitionBy("qid").orderBy(desc("adc"), asc("nid"))
+    val top = cand
+      .withColumn("arn", row_number().over(wQ)).filter(col("arn") <= r)
+      .select("qid", "nid")
+    val probeQ = probeCells.select("qid", "qe", "qn").dropDuplicates("qid")
+    val scored = s.table(at).filter(col("cid").isin(cellIds: _*))
+      .select(col("vec_id").as("nid"), col("ce"), col("cn"))
+      .join(broadcast(top), "nid")
+      .join(broadcast(probeQ), "qid")
+      .select(col("qid"), col("nid"),
         (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("raw"))
     val w = Window.partitionBy("qid").orderBy(desc("raw"), asc("nid"))
     scored.withColumn("rn", row_number().over(w).cast("long"))
@@ -1252,6 +1462,22 @@ object Similarity {
         "CAST(row_number() OVER (PARTITION BY qid ORDER BY raw DESC, " +
         "nid) AS BIGINT) AS rn FROM s " +
         "QUALIFY rn <= 5 ORDER BY qid, rn")),
+
+    GraftQuery(
+      "q_ann_ivfpq",
+      "IVFPQ probe over the persisted index: cell-pruned scan reads " +
+        "(code, cn) — the 256 B vector column pruned away for an " +
+        "8-byte code — scores candidates by m LUT adds (native " +
+        "PqAdcScore), shortlists a constant fraction of the scanned " +
+        "cells, and exact-re-ranks only the survivors (reported " +
+        "scores exact). The composition of q_ann_ivf_probe's cell " +
+        "pruning with q_ann_pq's compression — the vector scale path. " +
+        "Oracle-exempt (codebook-specific shortlist); recall gated " +
+        "vs brute force in SimilaritySpec and at the RecallGate rungs.",
+      (s, d) => ivfPqProbe(s, d,
+        Tables.embeddings(s, d).filter(col("vec_id") < 10), 5)
+        .orderBy("qid", "rn"),
+      None),
 
     GraftQuery(
       "q_cluster_assign",

@@ -122,6 +122,64 @@ class SimilaritySpec extends SparkSuite {
     }, "q_ann_pq reported a non-exact score")
   }
 
+  test("ivfpq probe: recall floor vs the exact cell probe, appended " +
+      "vectors visible through frozen codebooks, exact scores") {
+    val sp = spark; import sp.implicits._
+    def vec(seed: Long): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(64)(r.nextFloat() * 2 - 1)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq")
+    val dir = new java.io.File(tmp.toFile, "d").toString
+    (0L until 150L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val probesDf = (0L until 10L).map(i => (5000L + i, vec(i + 300L)))
+      .toDF("vec_id", "embedding")
+    def grouped(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) =>
+          q -> rs.map(_.getLong(1)).toSet
+        }
+    val exact = grouped(Similarity.ivfProbe(spark, dir, probesDf, 5))
+    val pq = grouped(Similarity.ivfPqProbe(spark, dir, probesDf, 5))
+    val recalls = exact.map { case (q, ex) =>
+      (ex & pq.getOrElse(q, Set.empty)).size.toDouble / ex.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9,
+      s"ivfpq recall vs the exact cell probe $mean < 0.9")
+    // scores are exact cosines: every pq row must carry the same
+    // score the exact probe reports for that (qid, nid)
+    val exScores = Similarity.ivfProbe(spark, dir, probesDf, 150)
+      .select("qid", "nid", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val pqRows = Similarity.ivfPqProbe(spark, dir, probesDf, 5)
+      .select("qid", "nid", "score").collect()
+    assert(pqRows.nonEmpty && pqRows.forall { r =>
+      exScores.get((r.getLong(0), r.getLong(1)))
+        .contains(r.getDouble(2))
+    }, "ivfpq reported a non-exact score")
+    // appended vector (frozen centroids AND frozen codebooks): an
+    // exact copy of a probe's vector must surface at rank 1, cosine 1
+    assert(Similarity.appendToIvfIndex(spark, dir,
+      Seq((1000L, vec(300L))).toDF("vec_id", "embedding"), "day1"))
+    val got = Similarity.ivfPqProbe(spark, dir, probesDf, 5)
+      .filter(col("qid") === 5000L && col("rn") === 1L).collect()
+    assert(got.length == 1 && got(0).getLong(1) == 1000L &&
+      got(0).getDouble(2) == 1.0,
+      s"appended copy not at ivfpq rank 1: ${got.mkString(",")}")
+    // codebook sidecar round-trip: load == what a fresh train over
+    // the same corpus produces (the determinism the laws lean on)
+    val loaded = Similarity.loadPqCodebooks(spark, dir)
+    val trained = Similarity.pqTrain(spark,
+      (0L until 150L).map(i => (i, vec(i))).toDF("vec_id", "embedding"),
+      150L)
+    assert(loaded.m == trained.m && loaded.ks == trained.ks &&
+      loaded.dsub == trained.dsub &&
+      java.util.Arrays.equals(loaded.flat, trained.flat),
+      "persisted codebooks diverge from a deterministic re-train")
+  }
+
   test("native lsh_bucket_ids matches the spec-form Column buckets") {
     // production bucketing is one native call per row (LshBucketIds);
     // the CASE WHEN vector_dot formulation (Similarity.tableBucket) is
@@ -508,13 +566,17 @@ class SimilaritySpec extends SparkSuite {
     def cents(t: String): Set[(Long, Seq[Float], Double)] =
       spark.table(t).collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2))).toSet
-    def cells(t: String): Set[(Long, Long)] =
-      spark.table(t).select("cid", "vec_id").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // code included: the refresh re-trains the PQ codebooks from the
+    // merged rows with the build's own deterministic rule, so even
+    // the 8-byte codes must match the one-shot build bit for bit
+    def cells(t: String): Set[(Long, Long, Long)] =
+      spark.table(t).select("cid", "vec_id", "code").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(cents(ct) == cents(ctM),
       "refreshed centroid table diverges from the one-shot build")
     assert(cells(at) == cells(atM),
-      "refreshed assignment diverges from the one-shot build")
+      "refreshed assignment (incl. PQ codes) diverges from the " +
+        "one-shot build")
     // the refreshed quantizer now samples appended mass: at least one
     // centroid comes from the appended id range (vec_id % 53 == 0
     // picks 1007 and 1113), or the refresh was vacuous here

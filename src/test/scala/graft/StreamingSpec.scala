@@ -1224,9 +1224,9 @@ class StreamingSpec extends SparkSuite {
     def cents(t: String): Set[(Long, Seq[Float], Double)] =
       spark.table(t).collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2))).toSet
-    def cells(t: String): Set[(Long, Long)] =
-      spark.table(t).select("cid", "vec_id").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def cells(t: String): Set[(Long, Long, Long)] =
+      spark.table(t).select("cid", "vec_id", "code").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(cents(ct) == cents(ctM),
       "stream-refreshed centroids diverge from the one-shot build")
     assert(cells(at) == cells(atM),
