@@ -23,7 +23,8 @@ object SparkEntry {
         operators.Sql.queries ++
         operators.Multimodal.queries ++
         operators.Incremental.queries ++
-        operators.Curation.queries
+        operators.Curation.queries ++
+        operators.Retrieval.queries
     // a name collision across modules would silently shadow the
     // earlier query in the toMap below — the shadowed operator loses
     // ALL differential coverage with zero diagnostic. Fail fast.

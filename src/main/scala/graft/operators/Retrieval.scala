@@ -1,0 +1,553 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval and hybrid rank fusion — the search face of a
+  * corpus pipeline (decontamination lookups, RAG evaluation sets,
+  * "find the documents that mention X" curation passes).
+  *
+  * BM25 (Robertson/Spärck Jones, the Okapi formulation) is pure
+  * bounded-key relational algebra: two aggregates over the exploded
+  * token frame (per-doc length, per-(doc, term) term frequency), a
+  * broadcast of the |query-terms|-row document-frequency table and the
+  * 1-row corpus stats, then a scoring join. At 100 TB the only
+  * corpus-sized shuffles move 16-byte (doc_id, count) rows: the
+  * query-term filter lands BEFORE the tf shuffle (only docs containing
+  * a query term travel), and the doc-length aggregate is the same
+  * (doc_id, count) shape the exact-dedup operator already proved out.
+  *
+  * Cross-engine determinism follows the q_tfidf precedent: BM25 needs
+  * `ln`, and Java and DuckDB libm may differ in the last ulp, so the
+  * ranking key is the 6dp-ROUNDED score with a total (score, doc_id)
+  * tie-break — rounded equality ties break identically on both
+  * engines, and a 1-ulp drift cannot move a 6dp rounding except on a
+  * ~1e-16-wide knife edge. RRF, by contrast, is exact small-rational
+  * arithmetic (1/(60+rank)), so it ranks UNROUNDED (the
+  * q_cluster_assign rule) and rounds only the presented score.
+  */
+object Retrieval {
+
+  /** Fixed query-term set: one rare discriminative term (`dup`,
+    * df≈5% of docs in the synthetic corpus) plus two common ones, so
+    * the idf spread actually exercises the formula. */
+  val QueryTerms: Seq[String] = Seq("dup", "query", "vector")
+
+  /** Okapi defaults. */
+  val K1 = 1.2
+  val B = 0.75
+
+  /** RRF dampening constant (Cormack et al.'s k=60). */
+  val RrfK = 60
+
+  private def tokensOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .filter(length(col("t")) > 0)
+
+  private def tokens(s: SparkSession, d: String): DataFrame =
+    tokensOf(Tables.documents(s, d))
+
+  /** The per-(doc, term) Okapi contribution — ONE expression shared by
+    * the inline scorer and the indexed probe, so their sums are the
+    * same arithmetic over the same values (the indexed-equals-inline
+    * law is then about join plumbing, not float drift). Expects
+    * columns `tf`, `df`, `dl`, `n_docs`, `avgdl`. */
+  private def termScoreExpr: Column = {
+    val idf =
+      log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val lenNorm = lit(1.0) - lit(B) + lit(B) * col("dl") / col("avgdl")
+    idf * (col("tf") * (K1 + 1.0)) / (col("tf") + lit(K1) * lenNorm)
+  }
+
+  /** BM25 score per document for `terms`, 6dp-rounded (the ranking
+    * key — see the object doc). Only docs containing >=1 query term
+    * appear. */
+  def bm25Scores(s: SparkSession, d: String, terms: Seq[String]): DataFrame = {
+    val toks = tokens(s, d)
+    // per-doc length + the 1-row corpus stats derived from it; the
+    // mean is an exact-integer sum over count (sum(long)/count), not
+    // AVG-over-double, so partial-aggregation order cannot perturb it
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
+        .as("avgdl"))
+    val tf = toks.filter(col("t").isin(terms: _*))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    // tf already has one row per (doc, term) — df is a count, not a
+    // countDistinct
+    val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "t")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(round(sum(termScoreExpr), 6).as("score"))
+  }
+
+  /** Shared DuckDB CTE prefix computing 6dp BM25 scores as `bm`. */
+  private def bm25OracleCtes(terms: Seq[String]): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    "WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS t " +
+      "FROM documents), " +
+      "tok2 AS (SELECT * FROM tok WHERE length(t) > 0), " +
+      "dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id), " +
+      "stats AS (SELECT count(*) AS n_docs, " +
+      "CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl " +
+      "FROM dl), " +
+      s"tf AS (SELECT doc_id, t, count(*) AS tf FROM tok2 " +
+      s"WHERE t IN ($inList) GROUP BY doc_id, t), " +
+      "dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t), " +
+      "bm AS (SELECT tf.doc_id, round(sum(" +
+      "ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) / " +
+      "(tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))" +
+      "), 6) AS score " +
+      "FROM tf JOIN dfreq USING (t) JOIN dl ON tf.doc_id = dl.doc_id, " +
+      "stats GROUP BY tf.doc_id)"
+  }
+
+  // ---------------------------------------------------------------
+  // Persisted lexical (inverted) index — the incremental-maintenance
+  // treatment the shingle and IVF indexes already have, applied to
+  // the retrieval family. Re-tokenizing 100 TB per query is the
+  // q_ngram_jaccard foil all over again: the inline q_bm25 runs two
+  // corpus-sized aggregates per query, while a probe against this
+  // index touches |query-terms| buckets of the postings table plus
+  // the matched docs' doclen rows. Two bucketed catalog tables:
+  //
+  //  - postings (th, t, doc_id, tf), bucketed+sorted by th =
+  //    xxhash64(term): a query's term filter is an IN on the bucket
+  //    column, so the scan prunes to the terms' buckets and the
+  //    row-group sort skips within them; the term STRING rides along
+  //    so a 64-bit hash collision can never merge two terms' stats
+  //    (equality re-checked after the hash match).
+  //  - doclen (doc_id, dl), bucketed by doc_id: one row per corpus
+  //    doc INCLUDING token-less ones (dl=0), so the table's row count
+  //    reconciles exactly against baseRows + appended batches (the
+  //    crash guard) while corpus stats filter dl > 0 to match the
+  //    inline scorer's docs-with-tokens universe.
+  //
+  // Unlike the shingle index there are NO frozen stats: df, n_docs
+  // and avgdl all derive from current table contents at probe time
+  // (df over just the probed terms' rows; the 1-row corpus stats
+  // memoized per manifest generation), so an appended index is
+  // CONTENT-IDENTICAL to a one-shot build over the merged corpus and
+  // every probe law transfers — the IVF refresh machinery has nothing
+  // to maintain here. Maintenance is pure layout: appends add one
+  // file per bucket, compaction folds them and re-buckets to the
+  // grown corpus (Tables.indexBuckets).
+  // ---------------------------------------------------------------
+
+  private def lexIndexNames(d: String): (String, String) = {
+    val tag = (scala.util.hashing.MurmurHash3.stringHash(d).toLong
+      & 0xffffffffL).toHexString
+    (s"graft_lexidx_post_$tag", s"graft_lexidx_dl_$tag")
+  }
+
+  private def lexManifestPath(s: SparkSession, d: String)
+      : org.apache.hadoop.fs.Path = {
+    val tag = (scala.util.hashing.MurmurHash3.stringHash(d).toLong
+      & 0xffffffffL).toHexString
+    IndexManifest.path(s, "graft_lexidx", tag)
+  }
+
+  private[graft] def readLexManifest(s: SparkSession, d: String)
+      : Option[(String, Seq[(String, Long)])] =
+    IndexManifest.read(s, lexManifestPath(s, d))
+
+  /** Durable (doc_id, text) store of every appended batch — written
+    * BEFORE the table appends so a partial-append crash repairs by
+    * refolding manifest-listed batches instead of silently dropping
+    * stream-only arrivals (the shingle-index posture, r14 advice). */
+  private def lexBatchStore(s: SparkSession, d: String)
+      : org.apache.hadoop.fs.Path = {
+    val tag = (scala.util.hashing.MurmurHash3.stringHash(d).toLong
+      & 0xffffffffL).toHexString
+    new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), s"graft_lexidx_batches_$tag")
+  }
+
+  private val freshLexMemo =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+
+  /** (n_docs, avgdl) per index GENERATION — keyed by the manifest
+    * text, so any append (which rewrites the manifest) invalidates
+    * it. The doclen scan behind it is one slim-column aggregate, but
+    * at corpus scale that is n rows per query; per-generation
+    * memoization makes it once per ingest cycle. */
+  private val lexStatsMemo =
+    new scala.collection.concurrent.TrieMap[String, (Long, Double)]()
+
+  private[graft] def forgetLexMemo(): Unit = {
+    freshLexMemo.clear(); lexStatsMemo.clear()
+  }
+
+  /** The two bucketed writes shared by build, append and refold — the
+    * repartition-before-bucketed-write rule (CLAUDE.md 20) in one
+    * place. `docs` is (doc_id, text); rows written to doclen == rows
+    * of `docs` (dl=0 docs kept), the manifest reconciliation unit. */
+  private def writeLexTables(s: SparkSession, names: (String, String),
+                             docs: DataFrame, buckets: (Int, Int),
+                             mode: org.apache.spark.sql.SaveMode): Unit = {
+    val (postT, dlT) = names
+    val (postB, dlB) = buckets
+    val toks = tokensOf(docs).cache()
+    toks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      .withColumn("th", xxhash64(col("t")))
+      .select("th", "t", "doc_id", "tf")
+      .repartition(postB, col("th"))
+      .write.mode(mode).bucketBy(postB, "th").sortBy("th")
+      .format("parquet").saveAsTable(postT)
+    docs.select("doc_id")
+      .join(toks.groupBy("doc_id").agg(count(lit(1)).as("dl")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("dl"), lit(0L)).as("dl"))
+      .repartition(dlB, col("doc_id"))
+      .write.mode(mode).bucketBy(dlB, "doc_id").sortBy("doc_id")
+      .format("parquet").saveAsTable(dlT)
+    toks.unpersist(blocking = false)
+  }
+
+  /** Persisted lexical index over dir `d`'s FULL documents table
+    * (retrieval serves the whole corpus — there is no held-out delta
+    * slice here). Freshness, staleness, partial-append repair and
+    * memoization all follow [[Dedup.ensureShingleIndex]]: manifest
+    * identity is src + row count + xxhash64 content fingerprint; a
+    * partial append (manifest base matches, doclen rows short of
+    * baseRows + batches) rebuilds the base and REFOLDS manifest-listed
+    * batches from the durable batch store, failing loudly if the
+    * store is gone. */
+  def ensureLexIndex(s: SparkSession, d: String): (String, String) = {
+    val names @ (postT, dlT) = lexIndexNames(d)
+    val memoKey = s.sparkContext.applicationId + ":" + d
+    if (freshLexMemo.contains(memoKey)) return names
+    val corpus = Tables.documents(s, d)
+    val nCorpus = corpus.count()
+    val buckets = Tables.indexBuckets(nCorpus)
+    val expect = IndexManifest.Manifest(d, nCorpus,
+      Dedup.corpusFingerprint(corpus), buckets, Nil)
+    val stored = readLexManifest(s, d)
+    val sameBase = stored.exists(_._1.startsWith(expect.basePrefix))
+    val fresh = Seq(postT, dlT).forall(s.catalog.tableExists) &&
+      sameBase && stored.exists { case (_, batches) =>
+        s.table(dlT).count() == nCorpus + batches.map(_._2).sum
+      }
+    if (!fresh) {
+      val refold: Seq[(String, Long)] =
+        if (sameBase) stored.map(_._2).getOrElse(Nil) else Nil
+      val store = lexBatchStore(s, d)
+      val storeFs = store.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!sameBase && storeFs.exists(store)) storeFs.delete(store, true)
+      refold.foreach { case (bid, _) =>
+        val p = new org.apache.hadoop.fs.Path(store, bid)
+        if (!storeFs.exists(p)) throw new IllegalStateException(
+          s"lexical index for $d is in a partial-append state and " +
+            s"appended batch '$bid' has no persisted rows at $p — " +
+            "refusing to rebuild from the corpus dir alone (stream-only " +
+            "arrivals whose checkpoints committed would be lost). " +
+            "Restore the batch store or drop the index explicitly " +
+            "(dropLexIndex) to accept the loss.")
+      }
+      Seq(postT, dlT).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val wh = s.conf.get("spark.sql.warehouse.dir")
+        val p = new org.apache.hadoop.fs.Path(wh, t)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      writeLexTables(s, names, corpus, (buckets, buckets),
+        org.apache.spark.sql.SaveMode.Overwrite)
+      refold.foreach { case (bid, _) =>
+        val bdf = s.read.parquet(
+          new org.apache.hadoop.fs.Path(store, bid).toString)
+        writeLexTables(s, names, bdf, (buckets, buckets),
+          org.apache.spark.sql.SaveMode.Append)
+      }
+      // manifest LAST — a crash above leaves the old manifest and the
+      // next ensure re-detects and re-runs the recovery (idempotent)
+      IndexManifest.write(s, lexManifestPath(s, d),
+        expect.copy(batches = refold))
+    }
+    freshLexMemo.add(memoKey)
+    names
+  }
+
+  /** Has `batchId` already been folded in? The replay detector. */
+  def isLexBatchApplied(s: SparkSession, d: String,
+                        batchId: String): Boolean =
+    readLexManifest(s, d).exists(_._2.exists(_._1 == batchId))
+
+  /** Fold a new batch of (doc_id, text) rows into the lexical index.
+    * Idempotent per batchId; batch doc_ids must be disjoint from the
+    * index (range-pruned loud guard); batch rows persist to the batch
+    * store FIRST so every crash window repairs without data loss.
+    * Cost tracks the batch, never the corpus. Because probe-time df /
+    * n_docs / avgdl derive from table contents, the appended index is
+    * content-identical to a one-shot build over the merged corpus —
+    * scores update to the new corpus statistics immediately. */
+  def appendToLexIndex(s: SparkSession, d: String, batch: DataFrame,
+                       batchId: String): Boolean = {
+    require(batchId.matches("[A-Za-z0-9_.\\-]+"),
+      s"batchId must match [A-Za-z0-9_.-]+ (manifest round-trip): $batchId")
+    val (postT, dlT) = ensureLexIndex(s, d)
+    val stored = readLexManifest(s, d).getOrElse(
+      throw new IllegalStateException(
+        s"lexical index for $d has no manifest after ensure"))
+    if (stored._2.exists(_._1 == batchId)) return false
+    IndexManifest.requireDisjoint(s, dlT, "doc_id", batch,
+      s"appendToLexIndex($batchId)")
+    batch.select(col("doc_id"), col("text"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(new org.apache.hadoop.fs.Path(
+        lexBatchStore(s, d), batchId).toString)
+    def b(t: String): Int =
+      IndexManifest.appendBucketsOf(s, t, stored._1, s"lexical index $d")
+    writeLexTables(s, (postT, dlT), batch.select("doc_id", "text"),
+      (b(postT), b(dlT)), org.apache.spark.sql.SaveMode.Append)
+    val nNew = batch.count()
+    IndexManifest.appendBatch(s, lexManifestPath(s, d),
+      stored._1, stored._2, batchId, nNew)
+    true
+  }
+
+  /** Fold the append-grown FILE layout back to one file per bucket
+    * and re-bucket to the grown corpus size — the lexical index has
+    * no mergeable stat rows (postings are per (doc, term), doclen per
+    * doc), so compaction is pure layout + bucket-spec maintenance.
+    * Probes are exactly unchanged. Staging + catalog RENAME per
+    * table; a crash mid-swap leaves a missing table the next ensure
+    * rebuilds + refolds. */
+  def compactLexIndex(s: SparkSession, d: String,
+                      rebucketTo: Option[Int] = None): Boolean = {
+    val (postT, dlT) = ensureLexIndex(s, d)
+    val stored = readLexManifest(s, d).getOrElse(
+      throw new IllegalStateException(
+        s"lexical index for $d has no manifest after ensure"))
+    val storedBuckets =
+      IndexManifest.bucketsOf(stored._1, s"lexical index $d")
+    val buckets = rebucketTo.getOrElse(Tables.indexBuckets(
+      IndexManifest.indexRowsOf(stored._1, stored._2)))
+    if (stored._2.size <= IndexManifest.compactedOf(stored._1) &&
+        buckets == storedBuckets)
+      return false
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    def dropWithLocation(t: String): Unit = {
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(wh, t)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    def rewrite(t: String, key: String): Unit = {
+      val tmpT = t + "_c"
+      dropWithLocation(tmpT)
+      // read the table's FILES, not the catalog table (CLAUDE.md
+      // 20a): the bucketed scan's advertised partitioning elides the
+      // alignment repartition while AQE degrades the actual scan to
+      // coalesced splits — the write would spray tasks x buckets
+      // files, the exact layout this fold exists to collapse
+      val files = s.read.parquet(
+        new org.apache.hadoop.fs.Path(wh, t).toString)
+      files.repartition(buckets, col(key))
+        .write.bucketBy(buckets, key).sortBy(key)
+        .format("parquet").saveAsTable(tmpT)
+      dropWithLocation(t)
+      s.sql(s"ALTER TABLE $tmpT RENAME TO $t")
+    }
+    rewrite(postT, "th")
+    rewrite(dlT, "doc_id")
+    val mp = lexManifestPath(s, d)
+    IndexManifest.setCompacted(s, mp, stored._1, stored._2,
+      stored._2.size)
+    if (buckets != storedBuckets)
+      IndexManifest.read(s, mp).foreach { case (txt, _) =>
+        IndexManifest.setBuckets(s, mp, txt, buckets) }
+    true
+  }
+
+  /** Condition-driven maintenance ([[Dedup.maintainShingleIndex]]
+    * posture): the lexical index has neither drift (stats live in the
+    * tables) nor mergeable partials — the only symptoms are layout
+    * (>= compactAfter uncompacted appended batches) and an outgrown
+    * bucket spec, both cured by [[compactLexIndex]]. */
+  def maintainLexIndex(s: SparkSession, d: String,
+                       compactAfter: Int = Maintenance.DefaultCompactAfter,
+                       dryRun: Boolean = false): MaintenanceReport = {
+    ensureLexIndex(s, d)
+    val stored = readLexManifest(s, d).getOrElse(
+      throw new IllegalStateException(
+        s"lexical index for $d has no manifest after ensure"))
+    val applied = stored._2.size
+    val uncompacted = applied - IndexManifest.compactedOf(stored._1)
+    val storedBuckets =
+      IndexManifest.bucketsOf(stored._1, s"lexical index $d")
+    val target = Tables.indexBuckets(
+      IndexManifest.indexRowsOf(stored._1, stored._2))
+    val wants = uncompacted >= compactAfter || target != storedBuckets
+    val action = if (wants) "compact" else "none"
+    val ran = wants && !dryRun && compactLexIndex(s, d)
+    MaintenanceReport("lex", action, ran, applied, uncompacted,
+      storedBuckets, target, -1L, -1L)
+  }
+
+  /** Drop the lexical index (tables + manifest + batch store + memos)
+    * — the cold-build measurement hook. */
+  private[graft] def dropLexIndex(s: SparkSession, d: String): Unit = {
+    val (postT, dlT) = lexIndexNames(d)
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    Seq(postT, dlT, postT + "_c", dlT + "_c").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(wh, t)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val mp = lexManifestPath(s, d)
+    val fs = mp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(mp)) fs.delete(mp, false)
+    val bs = lexBatchStore(s, d)
+    if (fs.exists(bs)) fs.delete(bs, true)
+    freshLexMemo.remove(s.sparkContext.applicationId + ":" + d)
+    lexStatsMemo.clear()
+  }
+
+  /** xxhash64 of a term, driver-side — the same function the postings
+    * writer applied, so probe hashes match stored bucket keys. */
+  private def termHash(t: String): Long =
+    new org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal(t)))
+      .eval(null).asInstanceOf[Long]
+
+  /** (n_docs, avgdl) for the index's current generation, memoized on
+    * the manifest text (any append rewrites it → auto-invalidation).
+    * Same arithmetic as the inline scorer: exact long sum / count. */
+  private def lexStats(s: SparkSession, d: String, dlT: String)
+      : (Long, Double) = {
+    val gen = readLexManifest(s, d).map(_._1).getOrElse("")
+    lexStatsMemo.getOrElseUpdate(
+      s.sparkContext.applicationId + ":" + d + ":" + gen, {
+        val r = s.table(dlT).filter(col("dl") > 0)
+          .agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl")).head
+        val n = r.getLong(0)
+        (n, r.getLong(1).toDouble / n.toDouble)
+      })
+  }
+
+  /** BM25 scores from the persisted index — same output contract as
+    * [[bm25Scores]] (6dp-rounded score per doc containing >= 1 query
+    * term), different cost shape: the postings scan is an IN on the
+    * bucket column (bucket pruning + row-group sort skip → only the
+    * query terms' buckets are read), df aggregates those few rows,
+    * and only the MATCHED docs' rows shuffle to the doclen join. The
+    * corpus-sized work left in the plan is the memoized 1-row stats
+    * aggregate, paid once per index generation, not per query. */
+  def bm25IndexedScores(s: SparkSession, d: String,
+                        terms: Seq[String]): DataFrame = {
+    val (postT, dlT) = ensureLexIndex(s, d)
+    val (nDocs, avgdl) = lexStats(s, d, dlT)
+    val hashes = terms.map(termHash)
+    val matched = s.table(postT)
+      .filter(col("th").isin(hashes: _*) && col("t").isin(terms: _*))
+      .select("doc_id", "t", "tf")
+    val dfreq = matched.groupBy("t").agg(count(lit(1)).as("df"))
+    matched.join(broadcast(dfreq), "t")
+      .join(s.table(dlT), "doc_id")
+      .withColumn("n_docs", lit(nDocs))
+      .withColumn("avgdl", lit(avgdl))
+      .groupBy("doc_id")
+      .agg(round(sum(termScoreExpr), 6).as("score"))
+  }
+
+  /** Top-20 lexical ranking (doc_id, lrank) for the fixed query. */
+  private def lexTop20(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // orderBy+limit keeps the corpus-sized frame in
+    // TakeOrderedAndProject (per-partition heaps, no global sort);
+    // the rank window then runs over 20 rows only
+    val top = bm25Scores(s, d, QueryTerms)
+      .orderBy(desc("score"), asc("doc_id")).limit(20)
+    val w = Window.orderBy(desc("score"), asc("doc_id"))
+    top.withColumn("lrank", row_number().over(w).cast("long"))
+      .select("doc_id", "lrank")
+  }
+
+  /** Top-20 cosine ranking (doc_id, vrank) against the vec_id=0 probe
+    * (doc ids and vector ids share the id space in the corpus). */
+  private def vecTop20(s: SparkSession, d: String): DataFrame = {
+    val probe = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        Similarity.norm(col("embedding")).as("qn"))
+    Similarity.bruteForceKnn(probe, Tables.embeddings(s, d), 20)
+      .select(col("nid").as("doc_id"), col("rn").as("vrank"))
+  }
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q_bm25",
+      "Okapi BM25 top-10 for a fixed 3-term query (k1=1.2, b=0.75): " +
+        "per-doc length and per-(doc, term) tf aggregates over the " +
+        "exploded token frame, broadcast df + corpus stats into the " +
+        "scoring join, TakeOrderedAndProject for the top-10. Ranks on " +
+        "the 6dp-rounded score with a doc_id tie-break (the q_tfidf " +
+        "libm rule).",
+      (s, d) => bm25Scores(s, d, QueryTerms)
+        .orderBy(desc("score"), asc("doc_id")).limit(10),
+      Some(bm25OracleCtes(QueryTerms) +
+        " SELECT doc_id, score FROM bm " +
+        "ORDER BY score DESC, doc_id LIMIT 10")),
+
+    GraftQuery(
+      "q_bm25_indexed",
+      "The same BM25 top-10, served from the persisted lexical " +
+        "inverted index (bucketed postings keyed by term hash + " +
+        "doclen; manifest-guarded, incrementally appendable, layout-" +
+        "compacted): the probe reads only the query terms' buckets " +
+        "and the matched docs' doclen rows — df/n_docs/avgdl derive " +
+        "from current table contents, so scores equal the inline " +
+        "q_bm25 bit-for-bit at any append state. Oracled against the " +
+        "identical corpus-recompute SQL.",
+      (s, d) => bm25IndexedScores(s, d, QueryTerms)
+        .orderBy(desc("score"), asc("doc_id")).limit(10),
+      Some(bm25OracleCtes(QueryTerms) +
+        " SELECT doc_id, score FROM bm " +
+        "ORDER BY score DESC, doc_id LIMIT 10")),
+
+    GraftQuery(
+      "q_hybrid_rrf",
+      "Hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25 " +
+        "top-20 and the cosine top-20 for the vec_id=0 probe, full " +
+        "outer on doc_id — the standard lexical+vector ensemble. Both " +
+        "input rankings are deterministic (rounded-score keys, total " +
+        "tie-breaks); the fusion score is exact rational arithmetic, " +
+        "so it ranks UNROUNDED and rounds only the presented value.",
+      (s, d) => {
+        val fused = lexTop20(s, d)
+          .join(vecTop20(s, d), Seq("doc_id"), "full_outer")
+        val rrf = coalesce(lit(1.0) / (lit(RrfK) + col("lrank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("vrank")), lit(0.0))
+        fused
+          .withColumn("rrf_raw", rrf)
+          .orderBy(desc("rrf_raw"), asc("doc_id"))
+          .limit(10)
+          .select(col("doc_id"), col("lrank"), col("vrank"),
+            round(col("rrf_raw"), 6).as("rrf"))
+      },
+      Some(bm25OracleCtes(QueryTerms) + ", " +
+        "lex AS (SELECT doc_id, lrank FROM (" +
+        "SELECT doc_id, CAST(row_number() OVER (" +
+        "ORDER BY score DESC, doc_id) AS BIGINT) AS lrank FROM bm) " +
+        "WHERE lrank <= 20), " +
+        "q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe " +
+        "FROM embeddings WHERE vec_id = 0), " +
+        "vec AS (SELECT doc_id, vrank FROM (" +
+        "SELECT vec_id AS doc_id, CAST(row_number() OVER (ORDER BY " +
+        "round(list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])), 6) " +
+        "DESC, vec_id) AS BIGINT) AS vrank " +
+        "FROM embeddings, q WHERE vec_id <> 0) WHERE vrank <= 20) " +
+        "SELECT doc_id, lrank, vrank, " +
+        "round(coalesce(1.0 / (60 + lrank), 0) + " +
+        "coalesce(1.0 / (60 + vrank), 0), 6) AS rrf " +
+        "FROM lex FULL JOIN vec USING (doc_id) " +
+        "ORDER BY (coalesce(1.0 / (60 + lrank), 0) + " +
+        "coalesce(1.0 / (60 + vrank), 0)) DESC, doc_id LIMIT 10")))
+}
