@@ -114,14 +114,42 @@ object AppendSmoke {
     require(vFolded, "IVF compaction had nothing to fold")
     val ivfProbeCompactS = vprobeS()
 
+    // ---- lexical index ----
+    // probe = the fixed BM25 query; its scan is bucket-pruned to the
+    // query terms, so what this curve shows is the append-layout tax
+    // on a SMALL read (N extra files in the probed buckets) plus the
+    // per-generation 1-row stats re-aggregation
+    def lprobeS(): Double = timed(
+      operators.Retrieval.bm25IndexedScores(spark, dir,
+        operators.Retrieval.QueryTerms).count())._2
+    operators.Retrieval.dropLexIndex(spark, dir)
+    val (_, lexBuildS) = timed(operators.Retrieval.ensureLexIndex(spark, dir))
+    val lexProbeFreshS = lprobeS()
+    val lexAppendTimes = (1 to nAppends).map { k =>
+      val b = stripe(k, batchDocs)
+      val (applied, t) = timed(
+        operators.Retrieval.appendToLexIndex(spark, dir, b, s"smoke$k"))
+      require(applied, s"lex append $k did not apply")
+      t
+    }
+    val (lexReplay, lexReplayS) = timed(operators.Retrieval
+      .appendToLexIndex(spark, dir, stripe(1, batchDocs), "smoke1"))
+    require(!lexReplay, "replayed lex append applied twice")
+    val lexProbeAppendedS = lprobeS()
+    val (lexFolded, lexCompactS) =
+      timed(operators.Retrieval.compactLexIndex(spark, dir))
+    require(lexFolded, "lex compaction had nothing to fold")
+    val lexProbeCompactS = lprobeS()
+
     def arr(ts: Seq[Double]): String =
       ts.map(t => f"$t%.2f").mkString("[", ",", "]")
-    println(f"""{"metric":"append_smoke","dir":"$dir","docs":$nDocs,"batch_docs":$batchDocs,"n_appends":$nAppends,"shingle_build_s":$buildS%.2f,"shingle_append_s":${arr(appendTimes)},"replay_s":$replayS%.3f,"probe_fresh_s":$probeFreshS%.2f,"probe_appended_s":$probeAppendedS%.2f,"compact_s":$compactS%.2f,"probe_compacted_s":$probeCompactS%.2f,"vecs":$nVecs,"batch_vecs":$batchVecs,"ivf_build_s":$ivfBuildS%.2f,"ivf_append_s":${arr(ivfAppendTimes)},"ivf_probe_fresh_s":$ivfProbeFreshS%.2f,"ivf_probe_appended_s":$ivfProbeAppendedS%.2f,"ivf_compact_s":$ivfCompactS%.2f,"ivf_probe_compacted_s":$ivfProbeCompactS%.2f}""")
+    println(f"""{"metric":"append_smoke","dir":"$dir","docs":$nDocs,"batch_docs":$batchDocs,"n_appends":$nAppends,"shingle_build_s":$buildS%.2f,"shingle_append_s":${arr(appendTimes)},"replay_s":$replayS%.3f,"probe_fresh_s":$probeFreshS%.2f,"probe_appended_s":$probeAppendedS%.2f,"compact_s":$compactS%.2f,"probe_compacted_s":$probeCompactS%.2f,"vecs":$nVecs,"batch_vecs":$batchVecs,"ivf_build_s":$ivfBuildS%.2f,"ivf_append_s":${arr(ivfAppendTimes)},"ivf_probe_fresh_s":$ivfProbeFreshS%.2f,"ivf_probe_appended_s":$ivfProbeAppendedS%.2f,"ivf_compact_s":$ivfCompactS%.2f,"ivf_probe_compacted_s":$ivfProbeCompactS%.2f,"lex_build_s":$lexBuildS%.2f,"lex_append_s":${arr(lexAppendTimes)},"lex_replay_s":$lexReplayS%.3f,"lex_probe_fresh_s":$lexProbeFreshS%.2f,"lex_probe_appended_s":$lexProbeAppendedS%.2f,"lex_compact_s":$lexCompactS%.2f,"lex_probe_compacted_s":$lexProbeCompactS%.2f}""")
     // leave the dir's indexes CLEAN: a later gate on the same replica
     // (scale_gate, RecallGate) expects index == corpus slice, and an
     // index carrying these synthetic appends would fail its oracle
     operators.Dedup.dropShingleIndex(spark, dir)
     operators.Similarity.dropIvfIndex(spark, dir)
+    operators.Retrieval.dropLexIndex(spark, dir)
     spark.stop()
   }
 }

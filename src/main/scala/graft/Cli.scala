@@ -249,6 +249,8 @@ object Cli {
           .maintainShingleIndex(spark, dir, dryRun = dry).render)
         println(operators.Similarity
           .maintainIvfIndex(spark, dir, dryRun = dry).render)
+        println(operators.Retrieval
+          .maintainLexIndex(spark, dir, dryRun = dry).render)
       case "query" :: name :: sfDir :: Nil =>
         SparkEntry.queries.get(name) match {
           case Some(fn) => fn(spark, sfDir).show(50, truncate = false)
