@@ -171,13 +171,16 @@ object Retrieval {
     java.util.Collections.newSetFromMap(
       new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
 
-  /** (n_docs, avgdl) per index GENERATION — keyed by the manifest
+  /** (n_docs, sum_dl) per index GENERATION — keyed by the manifest
     * text, so any append (which rewrites the manifest) invalidates
-    * it. The doclen scan behind it is one slim-column aggregate, but
-    * at corpus scale that is n rows per query; per-generation
-    * memoization makes it once per ingest cycle. */
+    * it. Kept as EXACT longs so the replay view can subtract a
+    * batch's own contribution bit-for-bit ([[bm25BatchScores]]); the
+    * avgdl division happens at use. The doclen scan behind it is one
+    * slim-column aggregate, but at corpus scale that is n rows per
+    * query; per-generation memoization makes it once per ingest
+    * cycle. */
   private val lexStatsMemo =
-    new scala.collection.concurrent.TrieMap[String, (Long, Double)]()
+    new scala.collection.concurrent.TrieMap[String, (Long, Long)]()
 
   private[graft] def forgetLexMemo(): Unit = {
     freshLexMemo.clear(); lexStatsMemo.clear()
@@ -417,18 +420,17 @@ object Retrieval {
       Seq(org.apache.spark.sql.catalyst.expressions.Literal(t)))
       .eval(null).asInstanceOf[Long]
 
-  /** (n_docs, avgdl) for the index's current generation, memoized on
-    * the manifest text (any append rewrites it → auto-invalidation).
-    * Same arithmetic as the inline scorer: exact long sum / count. */
+  /** (n_docs, sum_dl) over docs with >= 1 token for the index's
+    * current generation, memoized on the manifest text (any append
+    * rewrites it → auto-invalidation). */
   private def lexStats(s: SparkSession, d: String, dlT: String)
-      : (Long, Double) = {
+      : (Long, Long) = {
     val gen = readLexManifest(s, d).map(_._1).getOrElse("")
     lexStatsMemo.getOrElseUpdate(
       s.sparkContext.applicationId + ":" + d + ":" + gen, {
         val r = s.table(dlT).filter(col("dl") > 0)
           .agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl")).head
-        val n = r.getLong(0)
-        (n, r.getLong(1).toDouble / n.toDouble)
+        (r.getLong(0), r.getLong(1))
       })
   }
 
@@ -443,7 +445,10 @@ object Retrieval {
   def bm25IndexedScores(s: SparkSession, d: String,
                         terms: Seq[String]): DataFrame = {
     val (postT, dlT) = ensureLexIndex(s, d)
-    val (nDocs, avgdl) = lexStats(s, d, dlT)
+    val (nDocs, sumDl) = lexStats(s, d, dlT)
+    // same IEEE division of the same exact longs as the inline
+    // scorer's sum/count — the indexed==inline law depends on it
+    val avgdl = sumDl.toDouble / nDocs.toDouble
     val hashes = terms.map(termHash)
     val matched = s.table(postT)
       .filter(col("th").isin(hashes: _*) && col("t").isin(terms: _*))
@@ -451,6 +456,64 @@ object Retrieval {
     val dfreq = matched.groupBy("t").agg(count(lit(1)).as("df"))
     matched.join(broadcast(dfreq), "t")
       .join(s.table(dlT), "doc_id")
+      .withColumn("n_docs", lit(nDocs))
+      .withColumn("avgdl", lit(avgdl))
+      .groupBy("doc_id")
+      .agg(round(sum(termScoreExpr), 6).as("score"))
+  }
+
+  /** Standing-query scoring of an ARRIVING batch against the index's
+    * corpus statistics — the alerting face of retrieval ("which of
+    * today's documents match the monitored query?"), the probe the
+    * [[graft.streaming.CorpusStreams.searchIngestStream]] loop runs
+    * before appending the batch. tf and dl come from the batch's own
+    * tokens; df / n_docs / avgdl come from the INDEX (the
+    * frozen-snapshot posture of the delta-dedup probe: the batch is
+    * scored against the corpus as of its arrival). A query term the
+    * corpus has never seen gets df = 0 — maximal idf, no special
+    * case.
+    *
+    * `excludeBatch` is the replay view (the annStream/deltaDedupOf
+    * rule): when a crashed-after-append batch replays, its own rows
+    * are IN the index, so the probe anti-joins the batch's doc_ids
+    * out of the df scan and subtracts the batch's own (n, sum_dl)
+    * contribution from the memoized generation stats — all exact
+    * long arithmetic, so the replayed emission equals the original
+    * bit-for-bit (pinned in LexIndexSpec). */
+  def bm25BatchScores(s: SparkSession, d: String, batch: DataFrame,
+                      terms: Seq[String],
+                      excludeBatch: Boolean = false): DataFrame = {
+    val (postT, dlT) = ensureLexIndex(s, d)
+    val hashes = terms.map(termHash)
+    val bids =
+      if (excludeBatch) Some(batch.select("doc_id").distinct()) else None
+    def minusBatch(t: DataFrame): DataFrame =
+      bids.fold(t)(ids => t.join(broadcast(ids), Seq("doc_id"), "left_anti"))
+    val (nIdx, sumIdx) = lexStats(s, d, dlT)
+    val btoks = tokensOf(batch)
+    val (nDocs, sumDl) =
+      if (!excludeBatch) (nIdx, sumIdx)
+      else {
+        // the batch's own stored contribution, recomputed from its
+        // tokens (no table scan): docs with >= 1 token and their
+        // total length — exactly what the append folded in
+        val r = btoks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum(col("dl")), lit(0L)).as("sdl")).head
+        (nIdx - r.getLong(0), sumIdx - r.getLong(1))
+      }
+    val avgdl = sumDl.toDouble / nDocs.toDouble
+    val btf = btoks.filter(col("t").isin(terms: _*))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val bdl = btoks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val dfreq = minusBatch(
+      s.table(postT)
+        .filter(col("th").isin(hashes: _*) && col("t").isin(terms: _*))
+        .select("doc_id", "t"))
+      .groupBy("t").agg(count(lit(1)).as("df"))
+    btf.join(broadcast(dfreq), Seq("t"), "left")
+      .na.fill(0L, Seq("df"))
+      .join(bdl, "doc_id")
       .withColumn("n_docs", lit(nDocs))
       .withColumn("avgdl", lit(avgdl))
       .groupBy("doc_id")

@@ -713,6 +713,58 @@ object CorpusStreams {
         }
     }
 
+  /** The retrieval family's ingest loop — the lexical analog of
+    * [[annStream]]: each arriving micro-batch of documents is scored
+    * against the monitored `terms` with the maintained index's
+    * CURRENT corpus statistics ([[graft.operators.Retrieval
+    * .bm25BatchScores]] — the standing-query/alerting probe, tf+dl
+    * from the batch, df/n_docs/avgdl from the index), the emission
+    * handed to `sink` as (doc_id, score) rows in total doc_id order,
+    * and the batch appended to the index before the next one probes
+    * — so tomorrow's arrivals are scored against a corpus that
+    * includes today's, with no rebuild.
+    *
+    * Crash-safety follows the family contract: appends are
+    * idempotent per `streamId_batchId`; a replayed batch is detected
+    * by its manifest id and probes in excludeBatch mode (its own
+    * rows anti-joined out of the df scan, its own (n, sum_dl)
+    * contribution subtracted from the generation stats — exact long
+    * arithmetic), so the replayed emission EQUALS the original and
+    * the re-append no-ops. `compactEvery` runs the pure-layout fold
+    * on a cadence; `maintainEvery` runs the condition-driven policy
+    * instead (measure, act only on present symptoms); 0 leaves each
+    * to an external nightly `Cli maintain`. */
+  def searchIngestStream(docs: Dataset[Doc], dir: String,
+                         terms: Seq[String],
+                         maintainIndex: Boolean = false,
+                         streamId: String = "search",
+                         compactEvery: Int = 0,
+                         maintainEvery: Int = 0)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Doc] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (b: Dataset[Doc], id: Long) =>
+        val bdf = b.toDF().localCheckpoint()
+        val replay = graft.operators.Retrieval.isLexBatchApplied(
+          b.sparkSession, dir, s"${streamId}_$id")
+        sink(graft.operators.Retrieval.bm25BatchScores(
+          b.sparkSession, dir, bdf, terms, excludeBatch = replay)
+          .orderBy("doc_id"), id)
+        if (maintainIndex) {
+          graft.operators.Retrieval.appendToLexIndex(
+            b.sparkSession, dir, bdf, s"${streamId}_$id")
+          if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
+            graft.operators.Retrieval.compactLexIndex(b.sparkSession, dir)
+            ()
+          }
+          if (!replay && maintainEvery > 0 &&
+              (id + 1) % maintainEvery == 0) {
+            graft.operators.Retrieval.maintainLexIndex(b.sparkSession, dir)
+            ()
+          }
+        }
+    }
+
   private def round8(x: Double): Double = java.math.BigDecimal.valueOf(x)
     .setScale(8, java.math.RoundingMode.HALF_UP).doubleValue
   private def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)

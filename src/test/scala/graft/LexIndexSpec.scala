@@ -177,6 +177,48 @@ class LexIndexSpec extends SparkSuite {
     assert(e.getMessage.contains("partial-append"), e.getMessage)
   }
 
+  test("standing-query batch scoring: hand-pinned formula, df=0 path, " +
+    "and replay view == original emission") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lex6").toFile
+    val d = writeCorpus(new java.io.File(tmp, "d"), baseCorpus)
+    Retrieval.ensureLexIndex(spark, d)
+    // g51w1 is vocabulary unique to doc 101 — absent from the base
+    // corpus, so its df over the index is 0 (maximal idf, no special
+    // case)
+    val terms = Seq("dup", "query", "g51w1")
+    val original = Retrieval.bm25BatchScores(spark, d, docsDf(b1), terms)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(original.keySet == Set(100L, 101L))
+    // hand-computed BM25 for doc 100 (dl=23: 20 filler + 2 dup +
+    // 1 query) against the base corpus stats: n=12 docs, sum_dl=270
+    // (20 + g%3 + (g+1)%4 summed over g=0..11), avgdl=22.5;
+    // df(dup)=8 (g%3>0), df(query)=9 ((g+1)%4>0)
+    def term(tf: Double, df: Double): Double = {
+      val idf = math.log((12 - df + 0.5) / (df + 0.5) + 1.0)
+      val lenNorm = 1.0 - 0.75 + 0.75 * 23.0 / 22.5
+      idf * (tf * 2.2) / (tf + 1.2 * lenNorm)
+    }
+    val expected100 = term(2, 8) + term(1, 9)
+    assert(math.abs(original(100L) - expected100) < 2e-6,
+      s"formula drift: got ${original(100L)}, hand-computed $expected100")
+    // the replay view: after the append, excludeBatch must restore
+    // the pre-append emission bit-for-bit (manifest-generation stats
+    // minus the batch's own exact-long contribution; df anti-joined)
+    assert(Retrieval.appendToLexIndex(spark, d, docsDf(b1), "day1"))
+    val replayed = Retrieval
+      .bm25BatchScores(spark, d, docsDf(b1), terms, excludeBatch = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(replayed == original,
+      s"replay view diverged: $replayed vs $original")
+    // and WITHOUT the exclusion the view is genuinely different (the
+    // batch's own rows now contribute df / n / avgdl) — the naive
+    // replay would have emitted corrupted scores
+    val naive = Retrieval.bm25BatchScores(spark, d, docsDf(b1), terms)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(naive != original,
+      "fixture too weak: naive replay indistinguishable from original")
+  }
+
   test("equal-count content regen forces a rebuild (fingerprint)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_lex5").toFile
     val dir = new java.io.File(tmp, "d")

@@ -1345,4 +1345,55 @@ class StreamingSpec extends SparkSuite {
     assert((got(0L) ++ got(1L)) == full,
       "streamed union with index maintenance != one-big-batch result")
   }
+
+  test("search ingest stream scores arrivals against the maintained " +
+    "lex index and appends them for later batches") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    import graft.streaming.CorpusStreams
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lexstr")
+    val dir = new java.io.File(tmp.toFile, "d").toString
+    // base corpus: distinct per-doc vocab, 'dup' planted in g%3 docs
+    (0 until 10).map { g =>
+      (g.toLong, ((1 to 20).map(i => s"g${g}w$i") ++
+        Seq.fill(g % 3)("dup")).mkString(" "))
+    }.toDF("doc_id", "text").coalesce(1).write
+      .parquet(s"$dir/documents.parquet")
+    val b0 = Seq(CorpusStreams.Doc(100L, "dup dup alpha beta"),
+      CorpusStreams.Doc(101L, "gamma delta"))
+    val b1 = Seq(CorpusStreams.Doc(200L, "dup epsilon"),
+      CorpusStreams.Doc(201L, "zeta eta"))
+    val input = MemoryStream[CorpusStreams.Doc]
+    val got = scala.collection.mutable.Map[Long, Seq[(Long, Double)]]()
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val q = CorpusStreams.searchIngestStream(input.toDS(), dir,
+      Seq("dup"), maintainIndex = true, streamId = "s1") { (df, id) =>
+      got(id) = rowsOf(df)
+    }.start()
+    try {
+      input.addData(b0: _*); q.processAllAvailable()
+      input.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+    // batch 0: only doc 100 carries the monitored term
+    assert(got(0L).map(_._1) == Seq(100L) && got(0L).head._2 > 0,
+      s"batch-0 emission: ${got(0L)}")
+    // batch 1's emission must equal the excludeBatch comparator over
+    // the maintained index (the replay-equality law, evaluated from
+    // the root session — refresh the cloned-session appends first)
+    val (postT, dlT) = graft.operators.Retrieval.ensureLexIndex(spark, dir)
+    spark.catalog.refreshTable(postT)
+    spark.catalog.refreshTable(dlT)
+    val cmp = rowsOf(graft.operators.Retrieval
+      .bm25BatchScores(spark, dir, b1.toDF(), Seq("dup"),
+        excludeBatch = true).orderBy("doc_id"))
+    assert(got(1L) == cmp,
+      s"streamed emission != replay view: ${got(1L)} vs $cmp")
+    // both batches' arrivals are in the standing corpus ranking now
+    val all = graft.operators.Retrieval
+      .bm25IndexedScores(spark, dir, Seq("dup"))
+      .collect().map(_.getLong(0)).toSet
+    assert(all.contains(100L) && all.contains(200L),
+      s"appended arrivals missing from the corpus ranking: $all")
+  }
 }
