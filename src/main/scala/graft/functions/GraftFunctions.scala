@@ -194,6 +194,25 @@ object GraftFunctions {
       m, ks, luts))
   }
 
+  /** Column form of [[BloomMightContain]] — broadcast-handle only,
+    * like [[pqEncode]] (the bits are data-derived; the exact verify
+    * downstream makes the operator's RESULTS data-independent, so no
+    * SQL-registry form is needed for oracle parity). Shape-validated
+    * on the driver, where the broadcast value is readable. */
+  def bloomMightContain(h: org.apache.spark.sql.Column,
+      bloom: org.apache.spark.broadcast.Broadcast[(Array[Long], Int)])
+      : org.apache.spark.sql.Column = {
+    val (bits, k) = bloom.value
+    require(bits.nonEmpty && (bits.length & (bits.length - 1)) == 0,
+      s"bloom_might_contain: bits length must be a power of two, " +
+        s"got ${bits.length}")
+    require(k >= 1 && k <= 16,
+      s"bloom_might_contain: k must be in [1, 16], got $k")
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      BloomMightContain(GraftColumnBridge.expression(h), bloom))
+  }
+
   /** Idempotent per-session registration (temp functions). Skips names
     * already present so repeated calls (one per query invocation) don't
     * emit a "replaced a previously registered function" WARN each —
@@ -1170,4 +1189,124 @@ case class PqAdcScore(left: Expression, right: Expression,
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): PqAdcScore =
     copy(left = newLeft, right = newRight)
+}
+
+/** Bloom filter over 64-bit hashes: power-of-two bit array + k probes
+  * via Kirsch-Mitzenmacher double hashing (h1 + j*h2, both derived
+  * from the key through [[LshPlanes.splitmix64]] — public-domain
+  * constants). Shared by the driver-side build and both eval paths of
+  * [[BloomMightContain]], so set and test bits can never diverge.
+  *
+  * Deterministic in the member SET (bit-OR is order-independent), so
+  * a collect-order-nondeterministic build still yields identical bits
+  * — and false positives downstream are removed by an exact verify
+  * anyway (the q_decontaminate_bloom contract). */
+object BloomLongs {
+
+  /** Build (bits, k) sized at `bitsPerKey` bits per member, rounded up
+    * to a power of two (the mask-instead-of-modulo probe); k from the
+    * ACTUAL m/n ratio (ln 2 * m/n), clamped to [1, 16]. At the default
+    * 10 bits/key the false-positive rate is < 1%. */
+  def build(members: Array[Long], bitsPerKey: Int = 10): (Array[Long], Int) = {
+    require(bitsPerKey >= 1 && bitsPerKey <= 64,
+      s"bloom build: bitsPerKey must be in [1, 64], got $bitsPerKey")
+    val n = math.max(1, members.length)
+    var mBits = 64L
+    while (mBits < n.toLong * bitsPerKey) mBits <<= 1
+    val k = math.max(1L, math.min(16L,
+      math.round(0.6931471805599453 * mBits.toDouble / n.toDouble))).toInt
+    val bits = new Array[Long]((mBits >>> 6).toInt)
+    val mask = mBits - 1
+    var i = 0
+    while (i < members.length) {
+      val h1 = LshPlanes.splitmix64(members(i))
+      val h2 = LshPlanes.splitmix64(members(i) ^ 0xA5A5A5A5A5A5A5A5L) | 1L
+      var j = 0
+      while (j < k) {
+        val idx = (h1 + j.toLong * h2) & mask
+        bits((idx >>> 6).toInt) |= (1L << idx)
+        j += 1
+      }
+      i += 1
+    }
+    (bits, k)
+  }
+
+  def mightContain(bits: Array[Long], k: Int, h: Long): Boolean = {
+    val mask = bits.length.toLong * 64L - 1L
+    val h1 = LshPlanes.splitmix64(h)
+    val h2 = LshPlanes.splitmix64(h ^ 0xA5A5A5A5A5A5A5A5L) | 1L
+    var j = 0
+    while (j < k) {
+      val idx = (h1 + j.toLong * h2) & mask
+      if ((bits((idx >>> 6).toInt) & (1L << idx)) == 0L) return false
+      j += 1
+    }
+    true
+  }
+}
+
+/** Bloom-membership test of a 64-bit hash column — the constant-memory
+  * prefilter for "does this row's key appear in the (broadcast) other
+  * side?" joins. At 10 bits/key the filter is ~50x smaller than the
+  * equivalent broadcast HashedRelation of 8-byte keys (whose layout
+  * overhead is several-x on top of the key bytes), which is what keeps
+  * a 10^9-gram eval suite broadcastable to small executors; false
+  * positives MUST be removed by an exact join downstream (the engine's
+  * only caller, q_decontaminate_bloom, does — so its results equal the
+  * exact operator's bit-for-bit, FP-independent).
+  *
+  * Full `doGenCode` (the VectorDot posture, not CodegenFallback): the
+  * test is k masked probes of a referenced long[], small enough that
+  * an interpreted dispatch per row would dominate it — inlined in the
+  * scan's whole-stage loop it costs a few ns per gram. The bits ride a
+  * Broadcast handle (the PqAdcScore pattern): plans carry bytes, each
+  * executor fetches the array once. */
+case class BloomMightContain(child: Expression,
+    bloom: org.apache.spark.broadcast.Broadcast[(Array[Long], Int)])
+    extends UnaryExpression {
+
+  @transient private lazy val bits: Array[Long] = bloom.value._1
+  @transient private lazy val k: Int = bloom.value._2
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bloom_might_contain expects bigint, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = BooleanType
+
+  override def prettyName: String = "bloom_might_contain"
+
+  override def nullSafeEval(a: Any): Any =
+    BloomLongs.mightContain(bits, k, a.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bitsRef = ctx.addReferenceObj("bloomBits", bits, "long[]")
+    // bake mask/k as literals: both are plan constants, and a literal
+    // mask keeps the probe loop free of the array-length reload
+    val mask = bits.length.toLong * 64L - 1L
+    nullSafeCodeGen(ctx, ev, h => {
+      val h1 = ctx.freshName("h1"); val h2 = ctx.freshName("h2")
+      val j = ctx.freshName("j"); val idx = ctx.freshName("idx")
+      val ok = ctx.freshName("ok")
+      s"""
+         |final long $h1 = graft.functions.LshPlanes.splitmix64($h);
+         |final long $h2 =
+         |  graft.functions.LshPlanes.splitmix64($h ^ 0xA5A5A5A5A5A5A5A5L) | 1L;
+         |boolean $ok = true;
+         |for (int $j = 0; $j < $k; $j++) {
+         |  final long $idx = ($h1 + (long) $j * $h2) & ${mask}L;
+         |  if (($bitsRef[(int) ($idx >>> 6)] & (1L << $idx)) == 0L) {
+         |    $ok = false; break;
+         |  }
+         |}
+         |${ev.value} = $ok;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): BloomMightContain =
+    copy(child = c)
 }

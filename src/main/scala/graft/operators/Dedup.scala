@@ -1085,6 +1085,54 @@ object Dedup {
         |""".stripMargin)),
 
     GraftQuery(
+      "q_decontaminate_bloom",
+      "Decontamination's constant-memory scale path: the same exact " +
+        "contamination semantics as q_decontaminate, with a Bloom " +
+        "prefilter (native codegen'd bloom_might_contain, 10 bits/key " +
+        "over the eval suite's distinct gram hashes, broadcast as a " +
+        "handle) killing non-eval grams INSIDE the train scan before " +
+        "the exact join. q_decontaminate's broadcast HashedRelation of " +
+        "8-byte gram keys costs several-x layout overhead per key in " +
+        "EVERY executor — at a 10^9-gram eval suite (every benchmark + " +
+        "its augmentations) that is tens of GB per executor, where the " +
+        "bloom is ~1.2 GB; survivors (true matches + <1% FPs) are a " +
+        "tiny fraction of the 100 TB train side, so the exact verify " +
+        "join behind it is free and FPs never reach the output. The " +
+        "driver-side eval collect is eval-suite-sized — the same bound " +
+        "the exact operator's broadcast already assumes. Oracle: " +
+        "identical to q_decontaminate (the bloom is results-invisible " +
+        "by construction — differentially proven every run).",
+      (s, d) => {
+        val ng = gramHashes(Tables.spread(Tables.documents(s, d)))
+        val ev = ng.filter(col("doc_id") % 41 === 0)
+        val members = ev.select("g").distinct()
+          .collect().map(_.getLong(0))
+        val bloom = s.sparkContext.broadcast(
+          graft.functions.BloomLongs.build(members))
+        contamination(
+          ng.filter(col("doc_id") % 41 =!= 0)
+            .filter(graft.functions.GraftFunctions
+              .bloomMightContain(col("g"), bloom)),
+          ev).orderBy("train_id", "eval_id")
+      },
+      Some("""
+        |WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+        |ng AS (
+        |  SELECT DISTINCT doc_id, unnest(
+        |    CASE WHEN len(t) >= 3 THEN
+        |      list_transform(generate_series(1, len(t)-2),
+        |                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |    ELSE [] END) AS g
+        |  FROM toks),
+        |tr AS (SELECT doc_id AS train_id, g FROM ng WHERE doc_id % 41 <> 0),
+        |ev AS (SELECT doc_id AS eval_id, g FROM ng WHERE doc_id % 41 = 0)
+        |SELECT train_id, eval_id, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM tr JOIN ev USING (g)
+        |GROUP BY train_id, eval_id HAVING count(*) >= 3
+        |ORDER BY train_id, eval_id
+        |""".stripMargin)),
+
+    GraftQuery(
       "q_dedup_exact",
       "Exact dedup by md5 fingerprint of the lowercased text: one " +
         "hash-groupBy on a 32-char key; keeper = min doc_id per group.",

@@ -1261,6 +1261,53 @@ object Similarity {
         round(col("raw"), 6).as("score"), col("rn"))
   }
 
+  /** SemDeDup-style semantic dedup (the cluster-then-prune recipe of
+    * Abbas et al. 2023, arXiv:2303.09540): assign every vector to its
+    * nearest coarse-quantizer cell, compare pairs only WITHIN a cell,
+    * and drop the larger vec_id of every pair with unrounded cosine
+    * >= tau — kept = vectors with no more-similar-than-tau earlier-id
+    * cell mate. Embedding near-dup as a corpus-shrinking operator
+    * (keep/drop verdicts) rather than q_dedup_embedding's sampled
+    * pair report.
+    *
+    * Shape at scale: cell assignment is the fused NearestCentroid
+    * argmax on map-only scans (never a join — rule of the 15.65x
+    * crossJoin foil); the pair join shuffles both sides ONCE on the
+    * cell id (co-partitioned self-join), so candidate pairs are
+    * O(sum of cell^2), never the n^2 all-pairs — the SemDeDup bound.
+    * The demo quantizer follows the oracled q_cluster_assign sqrt(n)
+    * rule (cells ~ sqrt(n), so pairs ~ n^1.5); a production corpus
+    * passes a finer quantizer (nlist ~ n/C for a fixed cell budget C,
+    * e.g. the persisted IVF index's centroids) to keep pairs ~ n*C.
+    * The drop side of the anti-join is duplicate-sized and broadcasts
+    * under AQE. Cosines compare UNROUNDED on both engines (the
+    * q_dedup_embedding comparator; rounding first would quantize
+    * near-threshold pairs into cross-engine ties). */
+  def semanticDedup(s: SparkSession, d: String, tau: Double): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val mod = centroidMod(math.max(1L, emb.count()))
+    val handle = centroidHandle(s,
+      emb.filter(col("vec_id") % mod === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("ke"),
+          norm(col("embedding")).as("kn")))
+    def assigned(idc: String, ec: String, nc: String, cc: String) =
+      Tables.spread(emb).select(col("vec_id").as(idc),
+        col("embedding").as(ec), norm(col("embedding")).as(nc),
+        graft.functions.GraftFunctions
+          .nearestCentroid(col("embedding"), handle).as(cc))
+    val earlier = assigned("qid", "qe", "qn", "qcid")
+    val later = assigned("vec_id", "ce", "cn", "cid")
+    val raw = dot(col("qe"), col("ce")) / (col("qn") * col("cn"))
+    val dropped = later.join(earlier,
+      col("qcid") === col("cid") && col("qid") < col("vec_id") &&
+        raw >= tau,
+      "leftsemi")
+    assigned("vec_id", "ce2", "cn2", "cid")
+      .join(dropped.select("vec_id"), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cid"))
+      .orderBy("vec_id")
+  }
+
   val queries: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -1305,6 +1352,35 @@ object Similarity {
         "AS cos FROM q, embeddings WHERE qid < vec_id " +
         "AND list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])) " +
         ">= 0.35 ORDER BY da, db")),
+
+    GraftQuery(
+      "q_dedup_semantic",
+      "SemDeDup semantic dedup: nearest-cell assignment (fused " +
+        "NearestCentroid argmax, map-only), within-cell pairs with " +
+        "unrounded cosine >= 0.35 mark their larger vec_id dropped, " +
+        "kept rows anti-join the drop list. One co-partitioned " +
+        "self-join shuffle on the cell id bounds candidates at " +
+        "sum-of-cell-sizes^2 — never all-pairs. DuckDB-oracled end to " +
+        "end: the oracle re-derives the same argmax cells " +
+        "(q_cluster_assign's differential cover) and the same " +
+        "unrounded cosine drop rule.",
+      (s, d) => semanticDedup(s, d, 0.35),
+      Some("WITH n AS (SELECT count(*) AS cnt FROM embeddings), " +
+        "m AS (SELECT greatest(53, cnt // CAST(ceil(sqrt(cnt)) AS " +
+        "BIGINT)) AS md FROM n), " +
+        "c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ke, " +
+        "sqrt(list_aggregate(list_transform(CAST(embedding AS " +
+        "DOUBLE[]), x -> x*x), 'sum')) AS kn " +
+        "FROM embeddings, m WHERE vec_id % md = 0), " +
+        "a AS (SELECT vec_id, cid, ve FROM (" +
+        "SELECT e.vec_id, c.cid, CAST(e.embedding AS DOUBLE[]) AS ve, " +
+        "row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+        "list_dot_product(CAST(e.embedding AS DOUBLE[]), c.ke) / c.kn " +
+        "DESC, c.cid) AS rn FROM embeddings e, c) WHERE rn = 1) " +
+        "SELECT x.vec_id, x.cid FROM a x WHERE NOT EXISTS (" +
+        "SELECT 1 FROM a p WHERE p.cid = x.cid AND p.vec_id < x.vec_id " +
+        "AND list_cosine_similarity(p.ve, x.ve) >= 0.35) " +
+        "ORDER BY vec_id")),
 
     GraftQuery(
       "q_ann_lsh",

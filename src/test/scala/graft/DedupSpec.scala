@@ -686,4 +686,42 @@ class DedupSpec extends SparkSuite {
       "idempotent once converged and folded")
     assert(probe(d, idxB2) == before)
   }
+
+  test("bloom filter: no false negatives, bounded false-positive rate, " +
+    "and the codegen'd expression equals the driver-side test") {
+    import graft.functions.BloomLongs
+    val members = Array.tabulate(10000)(i =>
+      graft.functions.LshPlanes.splitmix64(i.toLong * 7919L + 13L))
+    val (bits, k) = BloomLongs.build(members)
+    assert(members.forall(BloomLongs.mightContain(bits, k, _)),
+      "a bloom filter must never reject a member")
+    val nonMembers = Array.tabulate(20000)(i =>
+      graft.functions.LshPlanes.splitmix64(-1L - i.toLong))
+      .filterNot(members.contains)
+    val fp = nonMembers.count(BloomLongs.mightContain(bits, k, _))
+    val rate = fp.toDouble / nonMembers.length
+    assert(rate < 0.03, s"fp rate $rate >= 0.03 at 10 bits/key (k=$k)")
+    // the codegen'd expression path (a DataFrame filter) must agree
+    // with the driver-side helper hash for hash — the doGenCode
+    // fragment's differential cover
+    val sp = spark; import sp.implicits._
+    val all = members.take(500) ++ nonMembers.take(2000)
+    val bloomB = spark.sparkContext.broadcast((bits, k))
+    val viaExpr = all.toSeq.toDF("h")
+      .filter(graft.functions.GraftFunctions
+        .bloomMightContain(col("h"), bloomB))
+      .collect().map(_.getLong(0)).toSet
+    val viaHelper = all.filter(BloomLongs.mightContain(bits, k, _)).toSet
+    assert(viaExpr == viaHelper,
+      "codegen'd bloom_might_contain diverged from BloomLongs")
+  }
+
+  test("q_decontaminate_bloom equals the exact operator row for row") {
+    def rows(n: String) = SparkEntry.queries(n)(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val exact = rows("q_decontaminate")
+    assert(exact.nonEmpty, "fixture too weak: no contamination found")
+    assert(rows("q_decontaminate_bloom") == exact,
+      "bloom-prefiltered decontamination must be results-invisible")
+  }
 }

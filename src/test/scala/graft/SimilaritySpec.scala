@@ -35,6 +35,38 @@ class SimilaritySpec extends SparkSuite {
     assert(math.abs(got - 0.5) < 1e-12) // 1/(sqrt2*sqrt2)
   }
 
+  test("semantic dedup: kept set equals the brute-force within-cell " +
+    "drop rule, with the oracled cluster assignment's cells") {
+    val kept = SparkEntry.queries("q_dedup_semantic")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val assign = SparkEntry.queries("q_cluster_assign")(spark, sf)
+      .select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute-force reference: same fold order as VectorDot (index-order
+    // dot, norm = sqrt(self-dot)), unrounded threshold compare
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val byCell = assign.groupBy(_._2).view.mapValues(_.keys.toSeq.sorted)
+    val dropped = byCell.values.flatMap { ids =>
+      ids.filter(b => ids.exists(a =>
+        a < b && cos(vecs(a), vecs(b)) >= 0.35))
+    }.toSet
+    assert(dropped.nonEmpty, "fixture too weak: nothing dropped")
+    assert(kept.keySet == (assign.keySet -- dropped),
+      s"kept set diverges from the brute-force rule " +
+        s"(|kept|=${kept.size}, |expected|=${assign.size - dropped.size})")
+    assert(kept.forall { case (id, c) => assign(id) == c },
+      "kept rows must carry their assignment cell")
+  }
+
   test("lsh ann recall floor vs brute force") {
     val ann = topk("q_ann_lsh")
     val recalls = brute.map { case (q, bf) =>
