@@ -1308,6 +1308,44 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Incremental SemDeDup over the PERSISTED IVF index — the semantic
+    * twin of Dedup.deltaDedup: re-check the newly ingested slice
+    * (isDeltaBatch: vec_id % 5 == 4) against the corpus by probing
+    * each batch vector's own assigned cell for an EARLIER-id mate with
+    * cosine >= tau. Emits one verdict row per duplicate: (vec_id,
+    * dup_of = the most-similar earlier cell mate, ties to the smaller
+    * id, cos).
+    *
+    * Shape at scale: both join sides scan the SAME cid-bucketed
+    * assignment table, so the cell-mate join is exchange-free on the
+    * bucket key (the delta-dedup probe posture); per-batch cost is
+    * O(batch x occupancy), never O(n) — the amortization that makes
+    * daily semantic re-checks affordable where q_dedup_semantic's
+    * full pass is the rebuild foil. The window that picks each dup's
+    * best mate runs on candidate pairs only (duplicate-sized). The
+    * index build amortizes across every probe AND the whole ANN
+    * family (same artifact as q_ann_ivf_probe / q_ann_ivfpq). */
+  def semanticDeltaDedup(s: SparkSession, d: String, tau: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (at, _) = ensureIvfIndex(s, d)
+    val asg = s.table(at)
+    val q = asg.filter(Dedup.isDeltaBatch(col("vec_id")))
+      .select(col("cid"), col("vec_id").as("qid"), col("ce").as("qe"),
+        col("cn").as("qn"))
+    val mates = asg.select(col("cid"), col("vec_id").as("nid"),
+      col("ce").as("ne"), col("cn").as("nn"))
+    val w = Window.partitionBy("qid").orderBy(desc("raw"), asc("nid"))
+    q.join(mates, Seq("cid"))
+      .filter(col("nid") < col("qid"))
+      .withColumn("raw", dot(col("qe"), col("ne")) / (col("qn") * col("nn")))
+      .filter(col("raw") >= tau)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("qid").as("vec_id"), col("nid").as("dup_of"),
+        round(col("raw"), 6).as("cos"))
+      .orderBy("vec_id")
+  }
+
   val queries: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -1381,6 +1419,41 @@ object Similarity {
         "SELECT 1 FROM a p WHERE p.cid = x.cid AND p.vec_id < x.vec_id " +
         "AND list_cosine_similarity(p.ve, x.ve) >= 0.35) " +
         "ORDER BY vec_id")),
+
+    GraftQuery(
+      "q_dedup_semantic_delta",
+      "Incremental SemDeDup over the persisted IVF index: the newly " +
+        "ingested slice (vec_id % 5 = 4) probes its own assigned cell " +
+        "for an earlier-id mate with cosine >= 0.35 — one verdict row " +
+        "per duplicate with its best mate. Both join sides scan the " +
+        "cid-bucketed assignment table, so the cell-mate join is " +
+        "exchange-free; per-batch cost is O(batch x occupancy), the " +
+        "amortization q_dedup_semantic's full pass is the foil for. " +
+        "DuckDB-oracled end to end (deterministic index build " +
+        "re-derived relationally, the q_ann_ivf_probe posture).",
+      (s, d) => semanticDeltaDedup(s, d, 0.35),
+      Some("WITH n AS (SELECT count(*) AS cnt FROM embeddings), " +
+        "m AS (SELECT greatest(53, cnt // CAST(ceil(sqrt(cnt)) AS " +
+        "BIGINT)) AS md FROM n), " +
+        "c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ke, " +
+        "sqrt(list_aggregate(list_transform(CAST(embedding AS " +
+        "DOUBLE[]), x -> x*x), 'sum')) AS kn " +
+        "FROM embeddings, m WHERE vec_id % md = 0), " +
+        "a AS (SELECT vec_id, cid, ve, " +
+        "sqrt(list_aggregate(list_transform(ve, x -> x*x), 'sum')) " +
+        "AS nrm FROM (" +
+        "SELECT e.vec_id, c.cid, CAST(e.embedding AS DOUBLE[]) AS ve, " +
+        "row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+        "list_dot_product(CAST(e.embedding AS DOUBLE[]), c.ke) / c.kn " +
+        "DESC, c.cid) AS rn FROM embeddings e, c) WHERE rn = 1), " +
+        "p AS (SELECT q.vec_id AS qvid, b.vec_id AS nid, " +
+        "list_dot_product(q.ve, b.ve) / (q.nrm * b.nrm) AS raw " +
+        "FROM a q JOIN a b ON q.cid = b.cid AND b.vec_id < q.vec_id " +
+        "WHERE q.vec_id % 5 = 4) " +
+        "SELECT qvid AS vec_id, nid AS dup_of, round(raw, 6) AS cos " +
+        "FROM (SELECT qvid, nid, raw, row_number() OVER (" +
+        "PARTITION BY qvid ORDER BY raw DESC, nid) AS rn " +
+        "FROM p WHERE raw >= 0.35) WHERE rn = 1 ORDER BY vec_id")),
 
     GraftQuery(
       "q_ann_lsh",

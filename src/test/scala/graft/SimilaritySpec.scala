@@ -67,6 +67,37 @@ class SimilaritySpec extends SparkSuite {
       "kept rows must carry their assignment cell")
   }
 
+  test("incremental semantic dedup: verdicts equal the brute-force " +
+    "earlier-mate rule within the persisted index's cells") {
+    val got = SparkEntry.queries("q_dedup_semantic_delta")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val assign = SparkEntry.queries("q_cluster_assign")(spark, sf)
+      .select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val byCell = assign.groupBy(_._2).view.mapValues(_.keys.toSeq)
+    val expected = byCell.values.flatMap { ids =>
+      ids.filter(_ % 5 == 4).flatMap { b =>
+        val mates = ids.filter(a => a < b && cos(vecs(a), vecs(b)) >= 0.35)
+        if (mates.isEmpty) None
+        // best mate: max cosine, ties to the SMALLER id
+        else Some(b -> mates.maxBy(a => (cos(vecs(a), vecs(b)), -a)))
+      }
+    }.toMap
+    assert(expected.nonEmpty, "fixture too weak: no delta duplicates")
+    assert(got == expected,
+      s"verdicts diverge: |got|=${got.size}, |expected|=${expected.size}")
+  }
+
   test("lsh ann recall floor vs brute force") {
     val ann = topk("q_ann_lsh")
     val recalls = brute.map { case (q, bf) =>
