@@ -804,8 +804,18 @@ object Similarity {
     * column with IVF cell pruning (the documented scale path). The
     * floor pins unit-scale behavior (n <= 51k -> refine 8, R = 40,
     * today's test-scale shortlists unchanged). */
+  /** Brute-ADC re-rank width per result slot: a constant FRACTION of n
+    * (the rule-16 lesson — the ADC error band is n-independent but its
+    * candidate population grows linearly), with a small-n FLOOR of 128
+    * slots (engages below n ≈ 164k): at a fixed fraction the shortlist
+    * shrinks with n while the error band does not, so small corpora
+    * starve — measured at n=16k (the 32x scale_gate rung, R = 5x
+    * refine): refine 12 (the unfloored rule) → recall 0.580, 32 →
+    * 0.740, 64 → 0.860, 128 → 0.940. The floor is invisible at the
+    * ladder rungs (n/1280 ≥ 128 from 164k up) and costs ~nothing where
+    * it does engage (R=640 of a ≤164k corpus). */
   private[graft] def pqRefine(n: Long): Int =
-    math.max(8L, n / 1280L).toInt
+    math.max(128L, n / 1280L).toInt
 
   /** Subspace count for product quantization: 8 where the embedding
     * width allows (64-dim -> 8x8), else the largest power of two <= 8
@@ -1236,9 +1246,16 @@ object Similarity {
     // probed cells are selected for proximity, so near-cutoff
     // candidates are ~nlist/nprobe (~8x) denser there than in a
     // uniform corpus scan (measured at 256k: 1/256 of the cell scan
-    // held only 0.580 vs ivf 0.740; 1/32 restored the composition)
-    val r = math.max(k * 8,
-      math.ceil(n.toDouble * nprobe / nlist / 32.0).toInt)
+    // held only 0.580 vs ivf 0.740; 1/32 restored the composition).
+    // Small-n floor k*128 (the pqRefine floor, same starvation mode):
+    // at n=16k the cell scan is ~2000 rows and 1/32 of it (63) held
+    // only 0.400 vs ivf 0.540; 320 → 0.520, 640 → 0.540 = 1.00x the
+    // exact cell probe. Engages while cell candidates < ~20k, i.e.
+    // below the 256k rung (whose 1/32 is already 1012); env override
+    // is the same-window A/B knob.
+    val r = sys.env.get("GRAFT_IVFPQ_SHORTLIST").map(_.toInt).getOrElse(
+      math.max(k * 128,
+        math.ceil(n.toDouble * nprobe / nlist / 32.0).toInt))
     // one window per probe, same per-qid row count ivfProbe already
     // sorts in one task — the brute-ADC query's salted pre-stage
     // would add a full extra exchange here for nothing (measured as

@@ -501,6 +501,34 @@ object TextAnalysis {
         "AS cum_before FROM documents) ORDER BY doc_id")),
 
     GraftQuery(
+      "q_doc_chunk",
+      "Fixed-window document chunking with stride (the prep step " +
+        "between cleaning and embedding/packing: every doc becomes " +
+        "overlapping W-token windows, stride S < W so no boundary " +
+        "token is seen by zero chunks): chunk starts are i*S for i in " +
+        "[0, ceil((n-W)/S)], so the last window always reaches the " +
+        "end. The token array is materialized in its OWN select " +
+        "before the generator — the explode emits cheap chunk " +
+        "indices and the W-token slice happens once per CHUNK row " +
+        "(putting the split beside the explode would re-tokenize per " +
+        "generated element, the 64x ExtractGenerator foil). Map-only: " +
+        "no shuffle anywhere before the presentation sort; output " +
+        "scales with token count / S regardless of document skew. " +
+        "W=32/S=24 fits the synthetic docs (10-99 tokens); production " +
+        "passes e.g. 2048/1536.",
+      (s, d) => docChunks(Tables.documents(s, d), 32, 24)
+        .orderBy("doc_id", "chunk_id"),
+      Some("WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks, " +
+        "len(str_split(text, ' ')) AS n FROM documents), " +
+        "c AS (SELECT doc_id, toks, " +
+        "unnest(generate_series(0, greatest(0, (n - 32 + 23) // 24))) " +
+        "AS i FROM t) " +
+        "SELECT doc_id, CAST(i AS BIGINT) AS chunk_id, " +
+        "array_to_string(toks[i*24 + 1 : i*24 + 32], ' ') AS chunk_text, " +
+        "CAST(len(toks[i*24 + 1 : i*24 + 32]) AS BIGINT) AS n_tokens " +
+        "FROM c ORDER BY doc_id, chunk_id")),
+
+    GraftQuery(
       "q_source_mix",
       "Data-mixing weights per source (temperature resampling, " +
         "α = 0.7): document/token counts, raw share, temperature-" +
@@ -801,6 +829,33 @@ object TextAnalysis {
       .select(col("doc_id"), col("shard"), col("n_tokens"),
         expr(s"cum_before DIV $b").as("bin"),
         (col("cum_before") % b).cast("bigint").as("bin_offset"))
+  }
+
+  /** Overlapping `window`-token chunks every `stride` tokens per
+    * document (q_doc_chunk's body): starts i*stride for i in
+    * [0, ceil((n-window)/stride)] so the final window reaches the
+    * document's end; the last chunk may be shorter. The token array
+    * materializes in its own select BEFORE the generator (re-splitting
+    * beside the explode would re-tokenize once per emitted chunk —
+    * the ExtractGenerator rule), and the slice is computed into a
+    * column once, then projected twice (text + count). */
+  private[graft] def docChunks(docs: DataFrame, window: Int,
+                               stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"docChunks: need 1 <= stride <= window, got window=$window " +
+        s"stride=$stride")
+    Tables.spread(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), greatest(lit(0),
+          floor((col("n") - lit(window) + lit(stride - 1)) / lit(stride))
+            .cast("int")))).as("i"))
+      .withColumn("ch",
+        slice(col("toks"), col("i") * stride + 1, lit(window)))
+      .select(col("doc_id"), col("i").cast("bigint").as("chunk_id"),
+        concat_ws(" ", col("ch")).as("chunk_text"),
+        size(col("ch")).cast("bigint").as("n_tokens"))
   }
 
   /** q_data_split's deterministic hash bucket (0-99) — a doc's split

@@ -74,4 +74,37 @@ class CurationSpec extends SparkSuite {
     val scoredIds = ids(got.lmScores).toSet
     assert(ids(got.packed).forall(scoredIds.contains))
   }
+
+  test("doc chunking: full coverage, stride offsets, exact " +
+    "reconstruction, and the last window reaches the end") {
+    val (w, s) = (32, 24)
+    val docs = Tables.documents(spark, sf)
+    val toks = docs.collect().map(r =>
+      r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    val got = TextAnalysis.docChunks(docs, w, s)
+      .collect().groupBy(_.getLong(0)).map { case (id, rs) =>
+        id -> rs.sortBy(_.getLong(1)).map(r =>
+          (r.getLong(1), r.getString(2), r.getLong(3)))
+      }
+    assert(got.keySet == toks.keySet, "every doc must emit chunks")
+    got.foreach { case (id, chunks) =>
+      val t = toks(id)
+      // chunk i is exactly tokens [i*s, i*s + w)
+      chunks.foreach { case (i, text, n) =>
+        val expect = t.slice((i * s).toInt, (i * s).toInt + w)
+        assert(text == expect.mkString(" ") && n == expect.length,
+          s"doc $id chunk $i diverges")
+      }
+      // contiguous ids from 0; last window covers the final token
+      assert(chunks.map(_._1).toSeq == (0L until chunks.length).toSeq)
+      val lastStart = (chunks.last._1 * s).toInt
+      assert(lastStart + w >= t.length, s"doc $id tail uncovered")
+      // and one fewer chunk would leave a tail uncovered (minimality)
+      if (chunks.length > 1)
+        assert((chunks(chunks.length - 2)._1 * s).toInt + w < t.length,
+          s"doc $id emitted a redundant trailing chunk")
+    }
+    // fixture strength: multi-chunk docs exist
+    assert(got.values.exists(_.length >= 3))
+  }
 }
