@@ -34,7 +34,9 @@ object ScaleSmoke {
     "q_cluster_assign", "q_span_dup", "q_train_shuffle",
     "q_quality_calibrated", "q_ngram_lm", "q_kmeans_refine",
     "q_embed_outliers", "q_dedup_keep", "q_token_budget",
-    "q_perplexity_filter", "q_data_split", "q_pipeline_curate")
+    "q_perplexity_filter", "q_data_split", "q_pipeline_curate",
+    "q_dedup_semantic", "q_dedup_semantic_delta",
+    "q_decontaminate_bloom", "q_doc_chunk")
 
   /** Event/sessionization family: user ids shift per replica, so
     * per-user session structure is identical while the partition key
