@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The composed corpus-curation pipeline — the way a real training-data
@@ -109,6 +109,78 @@ object Curation {
     Curated(nll, packed)
   }
 
+  /** DSIR-style importance weights (Data Selection via Importance
+    * Resampling): score every raw document by how target-like its
+    * hashed-unigram distribution is — log p_target(doc) −
+    * log p_raw(doc) under two add-one-smoothed bucketed unigram LMs —
+    * and keep the top 20 %. The target domain here is the corpus's
+    * own English slice (the in-corpus stand-in for "the downstream
+    * domain"); `buckets` hashed word buckets make BOTH LMs fixed-size
+    * regardless of corpus vocabulary — the property that keeps the
+    * scorer a BROADCAST at 100 TB (the LM is `buckets` rows whatever
+    * the vocab; a word-keyed LM would be vocab-sized and join-only).
+    *
+    * Shape at scale: ONE corpus scan explodes tokens and buckets them
+    * map-side (md5 — the cross-engine-checkable stand-in for xxhash64,
+    * the q_train_shuffle rule — so no shuffle ever moves a string);
+    * the per-(doc, bucket) multiplicity aggregate combines map-side
+    * and is pinned (it feeds the LM build AND the per-doc score —
+    * the q_source_mix single-scan rule; its size is ≤ min(tokens,
+    * docs × buckets) rows of four fixed-width columns). Both LMs come
+    * from the SAME aggregate via conditional sums (no second corpus
+    * pass for the target), totals ride a broadcast 1-row aggregate,
+    * and the per-doc score is a broadcast join against the
+    * `buckets`-row ratio table followed by one map-side-combining
+    * groupBy(doc_id).
+    *
+    * Determinism discipline: per-bucket log-ratios are rounded to
+    * 8 dp at the BUCKET level (killing any libm ULP before it can
+    * spread), per-doc sums are exact DECIMAL Σ m·lr (the lmNll pinned
+    * (20,8)×(12,0) product), and the keep cutoff is the rank-based
+    * exact 80th percentile (an actual row value — the
+    * q_quality_calibrated rule), so the keep set is exact across
+    * engines. */
+  def importanceWeights(s: SparkSession, d: String,
+                        buckets: Int = 256): DataFrame =
+    importanceWeightsOf(Tables.spread(Tables.documents(s, d)),
+      col("lang") === "en", buckets)
+
+  /** [[importanceWeights]] over an arbitrary docs frame (doc_id, text,
+    * …) and target predicate — spec-testable on synthetic domains. */
+  private[graft] def importanceWeightsOf(docs: DataFrame, isTarget: Column,
+                                         buckets: Int): DataFrame = {
+    val bucket = conv(substring(md5(concat(col("w"), lit("#dsir42"))
+      .cast("binary")), 1, 8), 16, 10).cast("bigint") % buckets
+    val dbc = docs
+      .select(col("doc_id"), isTarget.as("t"),
+        explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), col("t"), bucket.as("b"))
+      .groupBy("doc_id", "t", "b").agg(count(lit(1)).as("m"))
+      .localCheckpoint() // LM build + per-doc score (single-scan rule)
+    val lm = dbc.groupBy("b").agg(
+      sum(col("m")).as("cr"),
+      sum(when(col("t"), col("m")).otherwise(0L)).as("ct"))
+    val tot = lm.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+    val lr = lm.crossJoin(broadcast(tot))
+      .select(col("b"), round(
+        log((col("ct") + 1).cast("double") / (col("tt") + buckets)) -
+          log((col("cr") + 1).cast("double") / (col("tr") + buckets)), 8)
+        .as("lr8"))
+    val scored = dbc.join(broadcast(lr), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum(col("m")).cast("bigint").as("n_tokens"),
+        GraftQuery.decSum(col("lr8").cast("decimal(20,8)") *
+          col("m").cast("decimal(12,0)"), 28, 8).as("logw"))
+      .localCheckpoint() // cutoff aggregate + verdict join
+    val cut = scored.agg(
+      expr("percentile_approx(logw, 0.8, 2147483647)").as("cutoff"))
+    scored.crossJoin(broadcast(cut))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("logw"), 6).as("logw"),
+        round(col("cutoff"), 6).as("cutoff"),
+        (col("logw") >= col("cutoff")).as("keep"))
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery(
       "q_pipeline_curate",
@@ -173,6 +245,39 @@ object Curation {
           "THEN 'val' ELSE 'test' END AS split FROM (" +
           "SELECT *, CAST(('0x' || substr(md5(" +
           "CAST(doc_id AS VARCHAR) || '#split42'), 1, 8)) AS BIGINT) " +
-          "% 100 AS bucket FROM packed) ORDER BY doc_id"))
+          "% 100 AS bucket FROM packed) ORDER BY doc_id")),
+
+    GraftQuery(
+      "q_importance_weights",
+      "DSIR-style importance reweighting: every raw document scored " +
+        "by log p_target - log p_raw under two 256-bucket hashed-" +
+        "unigram LMs (target = the corpus's English slice), keep = " +
+        "the top 20% by weight (rank-based exact percentile cutoff). " +
+        "Fixed-size LMs whatever the vocabulary — the scorer stays a " +
+        "broadcast at 100 TB; one corpus scan, map-side md5 buckets " +
+        "(no string ever shuffles), both LMs from ONE conditional " +
+        "aggregate, per-doc sums exact DECIMAL m x 8dp-log-ratio so " +
+        "the keep set is engine-exact.",
+      (s, d) => importanceWeights(s, d).orderBy("doc_id"),
+      Some("WITH tok AS (SELECT doc_id, lang = 'en' AS t, " +
+        "CAST(('0x' || substr(md5(w || '#dsir42'), 1, 8)) AS BIGINT) " +
+        "% 256 AS b FROM (SELECT doc_id, lang, " +
+        "unnest(str_split(text, ' ')) AS w FROM documents)), " +
+        "dbc AS (SELECT doc_id, t, b, count(*) AS m FROM tok " +
+        "GROUP BY doc_id, t, b), " +
+        "lm AS (SELECT b, SUM(m) AS cr, " +
+        "SUM(CASE WHEN t THEN m ELSE 0 END) AS ct FROM dbc GROUP BY b), " +
+        "tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS tr, " +
+        "CAST(SUM(ct) AS BIGINT) AS tt FROM lm), " +
+        "lr AS (SELECT b, round(ln((ct+1) / (tt+256)) - " +
+        "ln((cr+1) / (tr+256)), 8) AS lr8 FROM lm, tot), " +
+        "scored AS (SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_tokens, " +
+        "CAST(SUM(CAST(lr8 AS DECIMAL(20,8)) * " +
+        "CAST(m AS DECIMAL(12,0))) AS DOUBLE) AS logw " +
+        "FROM dbc JOIN lr USING (b) GROUP BY doc_id), " +
+        "cut AS (SELECT quantile_disc(logw, 0.8) AS cutoff FROM scored) " +
+        "SELECT doc_id, n_tokens, round(logw, 6) AS logw, " +
+        "round(cutoff, 6) AS cutoff, logw >= cutoff AS keep " +
+        "FROM scored, cut ORDER BY doc_id"))
   )
 }

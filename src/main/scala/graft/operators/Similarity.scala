@@ -1363,6 +1363,155 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Cell-bounded kNN graph over the embedding corpus — the artifact
+    * graph-based curation consumes (SemDeDup-style cluster pruning,
+    * diversity selection, the centrality scoring in [[graphRank]]):
+    * every vector's top-k cosine neighbors AMONG ITS OWN quantizer
+    * cell's mates. Exact within the cell, approximate globally
+    * (cross-cell neighbors are out of scope — SimilaritySpec measures
+    * edge recall vs the brute graph); deterministic end to end (the
+    * q_dedup_semantic cell rule), so the DuckDB oracle re-derives the
+    * SAME graph relationally.
+    *
+    * Shape at scale: cell assignment is the fused NearestCentroid
+    * argmax on a map-only scan (never a join — the 15.65x crossJoin
+    * foil); the candidate join shuffles both sides ONCE on the cell
+    * id, bounding pairs at sum-of-cell² (the SemDeDup bound, ~n^1.5
+    * under the sqrt(n) demo quantizer; production passes a finer
+    * nlist for n·C). The per-vector top-k window sees only (qid, nid,
+    * score) rows — vectors are dropped before the window shuffle (the
+    * rule-17 payload discipline). Ranks compare the 6dp-ROUNDED score
+    * with a vec_id tiebreak (the q_knn_cosine rule: rounding plus a
+    * total tiebreak keeps edge sets engine-identical even when the
+    * raw cosine's last ULP differs). */
+  def knnGraph(s: SparkSession, d: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, d)
+    val mod = centroidMod(math.max(1L, emb.count()))
+    val handle = centroidHandle(s,
+      emb.filter(col("vec_id") % mod === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("ke"),
+          norm(col("embedding")).as("kn")))
+    def assigned(idc: String, ec: String, nc: String, cc: String) =
+      Tables.spread(emb).select(col("vec_id").as(idc),
+        col("embedding").as(ec), norm(col("embedding")).as(nc),
+        graft.functions.GraftFunctions
+          .nearestCentroid(col("embedding"), handle).as(cc))
+    val a = assigned("qid", "qe", "qn", "cid")
+    val b = assigned("nid", "ne", "nn", "bcid")
+    val w = Window.partitionBy("qid").orderBy(desc("score"), asc("nid"))
+    a.join(b, col("cid") === col("bcid") && col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(dot(col("qe"), col("ne")) / (col("qn") * col("nn")), 6)
+          .as("score"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("qid", "nid", "score", "rn")
+  }
+
+  /** Fixed-iteration PageRank over an arbitrary (src, dst) edge list —
+    * the family's iterative-graph pattern beyond
+    * Dedup.connectedComponents. GraphX-example semantics: rank₀ = 1,
+    * rank' = (1−d) + d·Σ_in rank/outdeg; sink mass is not
+    * redistributed (a node with no out-edges contributes nothing), and
+    * a node with no in-edges settles at exactly 1−d.
+    *
+    * Determinism discipline: per-edge contributions are pre-rounded to
+    * 8 dp and summed through DECIMAL (order-independent, the decSum
+    * rule), each new rank re-rounded to 8 dp — both engines iterate
+    * over identical values, so the unrolled-CTE oracle matches exactly
+    * (the rounding also absorbs the 1−d double-arithmetic ULP).
+    *
+    * Shape at scale: callers materialize `edges` ONCE (the
+    * connectedComponents rule — never re-derive the graph per
+    * iteration); each iteration is one 8-byte-key join (rank × edges,
+    * the rank side ~nodes-sized) plus one map-side-combining
+    * groupBy(dst) whose shuffle rows are (long, decimal), then a left
+    * join back to the node list; rank frames are localCheckpoint'd per
+    * iteration so plan depth and lineage stay O(1), not O(iters). */
+  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int,
+               damping: Double = 0.85, teleport: Double = 0.15): DataFrame = {
+    // teleport is a SEPARATE literal, not computed 1 − damping: the
+    // double 1 - 0.85 is 0.15000000000000002 while both engines parse
+    // the literal 0.15 to the same (different) double — computing it
+    // here would seed every rank with a cross-engine ULP gap that the
+    // 8 dp rounding only usually absorbs. Callers keep
+    // teleport = 1 − damping as a decimal literal on both sides.
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val eg = edges.join(deg, Seq("src")).localCheckpoint()
+    var rank = nodes.select(col("id"), lit(1.0).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = rank.join(eg, col("id") === col("src"))
+        .select(col("dst"), round(col("r") / col("outdeg"), 8).as("c"))
+      val sums = contrib.groupBy("dst")
+        .agg(GraftQuery.decSum(col("c"), 28, 8).as("cs"))
+      rank = nodes.join(sums, col("id") === col("dst"), "left")
+        .select(col("id"), round(lit(teleport) +
+          lit(damping) * coalesce(col("cs"), lit(0.0)), 8).as("r"))
+        .localCheckpoint()
+    }
+    rank.join(deg, col("id") === col("src"), "left")
+      .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("out_deg"),
+        col("r"))
+  }
+
+  /** [[pageRank]] over the [[knnGraph]] edge list — semantic-graph
+    * centrality for curation: boilerplate/hub content ranks high,
+    * diverse periphery low. The edge list is localCheckpoint'd once
+    * (referenced by the degree aggregate and every iteration). */
+  def graphRank(s: SparkSession, d: String, k: Int, iters: Int): DataFrame = {
+    val edges = knnGraph(s, d, k)
+      .select(col("qid").as("src"), col("nid").as("dst"))
+      .localCheckpoint()
+    val nodes = Tables.embeddings(s, d).select(col("vec_id").as("id"))
+    pageRank(nodes, edges, iters)
+      .select(col("id").as("vec_id"), col("out_deg"),
+        round(col("r"), 6).as("pagerank"))
+  }
+
+  /** Shared oracle CTE chain for the cell-bounded kNN graph (k = 3):
+    * the q_dedup_semantic cell derivation (n/m/c/a) plus the edge CTE
+    * `e(src, dst, score, rn)` — reused verbatim by q_knn_graph and
+    * q_graph_rank so the two oracles can never drift apart. Returns
+    * the WITH prefix WITHOUT a trailing comma. */
+  private def knnGraphCtes: String =
+    "WITH n AS (SELECT count(*) AS cnt FROM embeddings), " +
+      "m AS (SELECT greatest(53, cnt // CAST(ceil(sqrt(cnt)) AS " +
+      "BIGINT)) AS md FROM n), " +
+      "c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ke, " +
+      "sqrt(list_aggregate(list_transform(CAST(embedding AS " +
+      "DOUBLE[]), x -> x*x), 'sum')) AS kn " +
+      "FROM embeddings, m WHERE vec_id % md = 0), " +
+      "a AS (SELECT vec_id, cid, ve, " +
+      "sqrt(list_aggregate(list_transform(ve, x -> x*x), 'sum')) " +
+      "AS nrm FROM (" +
+      "SELECT e.vec_id, c.cid, CAST(e.embedding AS DOUBLE[]) AS ve, " +
+      "row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+      "list_dot_product(CAST(e.embedding AS DOUBLE[]), c.ke) / c.kn " +
+      "DESC, c.cid) AS rn FROM embeddings e, c) WHERE rn = 1), " +
+      "e AS (SELECT qid AS src, nid AS dst, score, rn FROM (" +
+      "SELECT x.vec_id AS qid, y.vec_id AS nid, " +
+      "round(list_dot_product(x.ve, y.ve) / (x.nrm * y.nrm), 6) " +
+      "AS score, " +
+      "CAST(row_number() OVER (PARTITION BY x.vec_id ORDER BY " +
+      "round(list_dot_product(x.ve, y.ve) / (x.nrm * y.nrm), 6) DESC, " +
+      "y.vec_id) AS BIGINT) AS rn " +
+      "FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id <> y.vec_id) " +
+      "WHERE rn <= 3)"
+
+  /** One unrolled PageRank iteration as an oracle CTE (rank CTE `rv`
+    * from `rp`): contributions rounded to 8 dp, DECIMAL-summed,
+    * re-ranked and re-rounded — the exact twin of [[pageRank]]'s loop
+    * body. */
+  private def rankIterCte(rv: String, rp: String): String =
+    s"$rv AS (SELECT nn.id, round(CAST(0.15 AS DOUBLE) + " +
+      "0.85 * COALESCE(s.cs, CAST(0 AS DOUBLE)), 8) AS r " +
+      s"FROM $rp nn LEFT JOIN (SELECT e.dst, " +
+      "CAST(SUM(CAST(round(p.r / g.outdeg, 8) AS DECIMAL(28,8))) " +
+      "AS DOUBLE) AS cs " +
+      s"FROM e JOIN deg g ON g.src = e.src JOIN $rp p ON p.id = e.src " +
+      "GROUP BY e.dst) s ON s.dst = nn.id)"
+
   val queries: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -1471,6 +1620,47 @@ object Similarity {
         "FROM (SELECT qvid, nid, raw, row_number() OVER (" +
         "PARTITION BY qvid ORDER BY raw DESC, nid) AS rn " +
         "FROM p WHERE raw >= 0.35) WHERE rn = 1 ORDER BY vec_id")),
+
+    GraftQuery(
+      "q_knn_graph",
+      "Cell-bounded kNN graph build (k=3): every vector's top-3 " +
+        "cosine neighbors among its quantizer cell's mates — the " +
+        "artifact graph-based curation consumes (SemDeDup cluster " +
+        "pruning, diversity selection, q_graph_rank's centrality). " +
+        "Fused NearestCentroid assignment on map-only scans, ONE " +
+        "co-partitioned self-join on the cell id (candidates bounded " +
+        "at sum-of-cell², never n²), vectors dropped before the " +
+        "top-k window shuffle. Deterministic cells, so the oracle " +
+        "re-derives the SAME graph relationally; global (cross-cell) " +
+        "edge recall vs the brute graph is measured in SimilaritySpec.",
+      (s, d) => knnGraph(s, d, 3).orderBy("qid", "rn"),
+      Some(knnGraphCtes +
+        " SELECT src AS qid, dst AS nid, score, rn FROM e " +
+        "ORDER BY qid, rn")),
+
+    GraftQuery(
+      "q_graph_rank",
+      "PageRank over the semantic kNN graph (3 iterations, damping " +
+        "0.85): graph centrality for curation — boilerplate/hub " +
+        "content ranks high, diverse periphery low. Each iteration " +
+        "is one 8-byte-key join plus one map-side-combining " +
+        "groupBy(dst) with (long, decimal) shuffle rows; per-edge " +
+        "contributions are 8dp-pre-rounded and DECIMAL-summed so " +
+        "both engines iterate identical values (the unrolled-CTE " +
+        "oracle matches exactly); rank frames localCheckpoint per " +
+        "iteration so plan depth stays O(1) in iters.",
+      (s, d) => graphRank(s, d, 3, 3).orderBy("vec_id"),
+      Some(knnGraphCtes + ", " +
+        "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src), " +
+        "r0 AS (SELECT vec_id AS id, CAST(1.0 AS DOUBLE) AS r " +
+        "FROM embeddings), " +
+        rankIterCte("r1", "r0") + ", " +
+        rankIterCte("r2", "r1") + ", " +
+        rankIterCte("r3", "r2") + " " +
+        "SELECT r3.id AS vec_id, " +
+        "CAST(COALESCE(g.outdeg, 0) AS BIGINT) AS out_deg, " +
+        "round(r3.r, 6) AS pagerank " +
+        "FROM r3 LEFT JOIN deg g ON g.src = r3.id ORDER BY vec_id")),
 
     GraftQuery(
       "q_ann_lsh",

@@ -107,4 +107,35 @@ class CurationSpec extends SparkSuite {
     // fixture strength: multi-chunk docs exist
     assert(got.values.exists(_.length >= 3))
   }
+
+  test("importance weights: target-vocabulary docs outweigh raw-" +
+    "vocabulary docs, keep is the exact top-20% cutoff (ties " +
+    "included), deterministic") {
+    val sp = spark; import sp.implicits._
+    // two disjoint vocabularies: the target slice writes alpha..delta,
+    // the raw remainder omega..phi; two unlabeled probes carry one
+    // pure vocabulary each
+    val docs = ((1L to 4L).map(i =>
+        (i, "alpha beta gamma delta alpha beta", true)) ++
+      (5L to 8L).map(i => (i, "omega psi chi phi omega psi", false)) ++
+      Seq((9L, "alpha beta gamma delta", false),
+        (10L, "omega psi chi phi", false)))
+      .toDF("doc_id", "text", "is_t")
+    def run() = Curation.importanceWeightsOf(docs, col("is_t"), 256)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(4)))).toMap
+    val got = run()
+    // the unlabeled target-vocab probe outweighs the raw-vocab probe
+    assert(got(9L)._2 > got(10L)._2)
+    // every target-slice doc outweighs every raw-slice doc
+    assert((1L to 4L).map(got(_)._2).min > (5L to 8L).map(got(_)._2).max)
+    // keep = logw >= the 8th-smallest value (ceil(0.8*10)) — docs 1-4
+    // share one text, so the tied cutoff value keeps all FOUR: the
+    // rank-based rule keeps ties, it does not truncate to a count
+    assert(got.values.count(_._3) == 4)
+    assert((1L to 4L).forall(got(_)._3) && !(5L to 10L).exists(got(_)._3))
+    // token counts survive the bucket aggregation
+    assert(got(9L)._1 == 4L && got(1L)._1 == 6L)
+    assert(run() == got, "importance weights must be deterministic")
+  }
 }

@@ -98,6 +98,80 @@ class SimilaritySpec extends SparkSuite {
       s"verdicts diverge: |got|=${got.size}, |expected|=${expected.size}")
   }
 
+  test("knn graph: exact top-3 within each cell (the oracle's rule), " +
+    "measured global edge recall vs the unconstrained brute graph") {
+    val got = SparkEntry.queries("q_knn_graph")(spark, sf)
+      .select("qid", "nid").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.map(_.getLong(1)).toSet }
+    val assign = SparkEntry.queries("q_cluster_assign")(spark, sf)
+      .select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    // the graph ranks by the 6dp-ROUNDED score with nid tiebreak (the
+    // q_knn_cosine rule) — mirror it exactly
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def top3(q: Long, pool: Seq[Long]): Set[Long] =
+      pool.filter(_ != q)
+        .sortBy(n => (-r6(cos(vecs(q), vecs(n))), n)).take(3).toSet
+    val byCell = assign.groupBy(_._2).view.mapValues(_.keys.toSeq).toMap
+    val expected = byCell.values.flatMap { ids =>
+      ids.map(q => q -> top3(q, ids))
+    }.toMap.filter(_._2.nonEmpty)
+    assert(expected.nonEmpty, "fixture too weak: no cells with mates")
+    assert(got == expected,
+      s"within-cell top-3 diverges (|got|=${got.size}, " +
+        s"|expected|=${expected.size})")
+    // global recall vs the unconstrained brute top-3: cross-cell
+    // neighbors are out of scope by design — this MEASURES what that
+    // costs on the fixed corpus and floors it (proximity-based cells
+    // keep most true neighbors in-cell)
+    val all = vecs.keys.toSeq
+    val recalls = all.map { q =>
+      val bf = top3(q, all)
+      (bf & got.getOrElse(q, Set.empty)).size.toDouble / bf.size
+    }
+    val mean = recalls.sum / recalls.size
+    // 0.26 measured on the near-random 500-vector unit corpus (sqrt-n
+    // cells are weakest here); the scale rungs measure the real number
+    // on replicated corpora — floor loose for the same reason the
+    // in-suite LSH floor is 0.25
+    assert(mean >= 0.2, s"knn-graph global edge recall $mean < 0.2")
+  }
+
+  test("pageRank laws: regular-cycle fixed point, hand-computed chain " +
+    "values, isolated nodes settle at the teleport floor") {
+    val sp = spark; import sp.implicits._
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    // 3-cycle: every node has outdeg 1 and one in-edge, so rank 1.0 is
+    // a fixed point at any iteration count
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val pr = operators.Similarity.pageRank(nodes, cycle, 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(pr == Map(1L -> ((1L, 1.0)), 2L -> ((1L, 1.0)),
+      3L -> ((1L, 1.0))))
+    // chain 1 -> 2 with node 3 isolated: r1(1)=0.15 (no in-edges),
+    // r2(2)=0.15+0.85*0.15=0.2775, r3 unchanged; sink mass is NOT
+    // redistributed (the documented GraphX-example semantics)
+    val chain = Seq((1L, 2L)).toDF("src", "dst")
+    val pc = operators.Similarity.pageRank(nodes, chain, 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(pc(1L) == ((1L, 0.15)) && pc(3L) == ((0L, 0.15)))
+    assert(pc(2L) == ((0L, 0.2775)))
+  }
+
   test("lsh ann recall floor vs brute force") {
     val ann = topk("q_ann_lsh")
     val recalls = brute.map { case (q, bf) =>
