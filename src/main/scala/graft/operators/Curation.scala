@@ -145,10 +145,12 @@ object Curation {
     importanceWeightsOf(Tables.spread(Tables.documents(s, d)),
       col("lang") === "en", buckets)
 
-  /** [[importanceWeights]] over an arbitrary docs frame (doc_id, text,
-    * …) and target predicate — spec-testable on synthetic domains. */
-  private[graft] def importanceWeightsOf(docs: DataFrame, isTarget: Column,
-                                         buckets: Int): DataFrame = {
+  /** The shared DSIR scorer: (doc_id, n_tokens, logw) per document —
+    * logw engine-exact by construction (8dp bucket-level log-ratios,
+    * DECIMAL m·lr sums). localCheckpoint'd: both consumers scan it
+    * more than once (weights: cutoff + verdicts; sample: key + order). */
+  private[graft] def importanceScoresOf(docs: DataFrame, isTarget: Column,
+                                        buckets: Int): DataFrame = {
     val bucket = conv(substring(md5(concat(col("w"), lit("#dsir42"))
       .cast("binary")), 1, 8), 16, 10).cast("bigint") % buckets
     val dbc = docs
@@ -166,19 +168,71 @@ object Curation {
         log((col("ct") + 1).cast("double") / (col("tt") + buckets)) -
           log((col("cr") + 1).cast("double") / (col("tr") + buckets)), 8)
         .as("lr8"))
-    val scored = dbc.join(broadcast(lr), Seq("b"))
+    dbc.join(broadcast(lr), Seq("b"))
       .groupBy("doc_id")
       .agg(sum(col("m")).cast("bigint").as("n_tokens"),
         GraftQuery.decSum(col("lr8").cast("decimal(20,8)") *
           col("m").cast("decimal(12,0)"), 28, 8).as("logw"))
-      .localCheckpoint() // cutoff aggregate + verdict join
+      .localCheckpoint()
+  }
+
+  /** [[importanceWeights]] over an arbitrary docs frame (doc_id, text,
+    * …) and target predicate — spec-testable on synthetic domains. */
+  private[graft] def importanceWeightsOf(docs: DataFrame, isTarget: Column,
+                                         buckets: Int): DataFrame = {
+    val scored = importanceScoresOf(docs, isTarget, buckets)
     val cut = scored.agg(
       expr("percentile_approx(logw, 0.8, 2147483647)").as("cutoff"))
+    // logw/cutoff present UNROUNDED: the value is already exactly
+    // quantized at 1e-8 (a DECIMAL sum cast to double, identical in
+    // both engines), and re-rounding a quantized value to a COARSER
+    // scale in double puts ~1% of rows exactly on the half-way tie,
+    // where Spark (shortest-string HALF_UP) and DuckDB (binary) can
+    // break differently — the 32x gate measured 4 of 16000 rows
+    // flipping at 6dp. Rounding raw transcendentals to 8dp is safe
+    // (tie measure ~1e-8); re-rounding quantized sums is not (~1e-2).
     scored.crossJoin(broadcast(cut))
-      .select(col("doc_id"), col("n_tokens"),
-        round(col("logw"), 6).as("logw"),
-        round(col("cutoff"), 6).as("cutoff"),
+      .select(col("doc_id"), col("n_tokens"), col("logw"), col("cutoff"),
         (col("logw") >= col("cutoff")).as("keep"))
+  }
+
+  /** DSIR's resampling step: Gumbel-top-k over the importance weights —
+    * a sample WITHOUT replacement distributed ∝ exp(logw) (the Gumbel-
+    * max trick: adding an independent Gumbel(0,1) to each log-weight
+    * and taking the k largest keys IS weighted sampling), with the
+    * "randomness" a seeded hash uniform (the q_data_split md5 idiom:
+    * u = (bucket + 0.5) / 2³², never 0 or 1), so the sample is
+    * reproducible anywhere, stable under corpus growth for untouched
+    * docs, and cross-engine checkable. The Gumbel term is pre-rounded
+    * to 8 dp (the libm-ULP rule), the key an exact DECIMAL add of the
+    * two 1e-8-quantized operands with a doc_id tiebreak (never a
+    * double re-round — the half-way-tie rule). Top-k is orderBy + limit —
+    * a TakeOrderedAndProject (per-partition heaps + driver merge of k
+    * rows), never a global sort, at any corpus size. */
+  def importanceSample(s: SparkSession, d: String, k: Int = 100,
+                       buckets: Int = 256): DataFrame =
+    importanceSampleOf(Tables.spread(Tables.documents(s, d)),
+      col("lang") === "en", k, buckets)
+
+  private[graft] def importanceSampleOf(docs: DataFrame, isTarget: Column,
+                                        k: Int, buckets: Int): DataFrame = {
+    val scored = importanceScoresOf(docs, isTarget, buckets)
+    val u = (conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit("#gum42")).cast("binary")), 1, 8), 16, 10).cast("double") + 0.5) /
+      4294967296.0
+    // key = logw + gumbel, ADDED IN DECIMAL: both operands are exact
+    // 1e-8 multiples (logw by construction, the gumbel by its 8dp
+    // pre-round), so the decimal sum is exact and needs NO further
+    // rounding — a double add + round(,6) would re-round quantized
+    // values and hit the half-way-tie class (see importanceWeightsOf)
+    scored
+      .withColumn("gkey",
+        (col("logw").cast("decimal(28,8)") +
+          round(-log(-log(u)), 8).cast("decimal(28,8)")).cast("double"))
+      .orderBy(desc("gkey"), asc("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("n_tokens"), col("logw"), col("gkey"))
+      .orderBy(desc("gkey"), asc("doc_id"))
   }
 
   val queries: Seq[GraftQuery] = Seq(
@@ -259,25 +313,54 @@ object Curation {
         "aggregate, per-doc sums exact DECIMAL m x 8dp-log-ratio so " +
         "the keep set is engine-exact.",
       (s, d) => importanceWeights(s, d).orderBy("doc_id"),
-      Some("WITH tok AS (SELECT doc_id, lang = 'en' AS t, " +
-        "CAST(('0x' || substr(md5(w || '#dsir42'), 1, 8)) AS BIGINT) " +
-        "% 256 AS b FROM (SELECT doc_id, lang, " +
-        "unnest(str_split(text, ' ')) AS w FROM documents)), " +
-        "dbc AS (SELECT doc_id, t, b, count(*) AS m FROM tok " +
-        "GROUP BY doc_id, t, b), " +
-        "lm AS (SELECT b, SUM(m) AS cr, " +
-        "SUM(CASE WHEN t THEN m ELSE 0 END) AS ct FROM dbc GROUP BY b), " +
-        "tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS tr, " +
-        "CAST(SUM(ct) AS BIGINT) AS tt FROM lm), " +
-        "lr AS (SELECT b, round(ln((ct+1) / (tt+256)) - " +
-        "ln((cr+1) / (tr+256)), 8) AS lr8 FROM lm, tot), " +
-        "scored AS (SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_tokens, " +
-        "CAST(SUM(CAST(lr8 AS DECIMAL(20,8)) * " +
-        "CAST(m AS DECIMAL(12,0))) AS DOUBLE) AS logw " +
-        "FROM dbc JOIN lr USING (b) GROUP BY doc_id), " +
-        "cut AS (SELECT quantile_disc(logw, 0.8) AS cutoff FROM scored) " +
-        "SELECT doc_id, n_tokens, round(logw, 6) AS logw, " +
-        "round(cutoff, 6) AS cutoff, logw >= cutoff AS keep " +
-        "FROM scored, cut ORDER BY doc_id"))
+      Some(DsirCtes +
+        ", cut AS (SELECT quantile_disc(logw, 0.8) AS cutoff FROM scored) " +
+        "SELECT doc_id, n_tokens, logw, cutoff, logw >= cutoff AS keep " +
+        "FROM scored, cut ORDER BY doc_id")),
+
+    GraftQuery(
+      "q_importance_sample",
+      "DSIR's resampling step: Gumbel-top-100 over the importance " +
+        "weights — weighted sampling without replacement, distributed " +
+        "proportional to exp(logw), with the Gumbel noise a seeded " +
+        "md5 uniform so the sample is reproducible anywhere and " +
+        "cross-engine exact. Top-k is orderBy+limit (per-partition " +
+        "heaps, never a global sort); the Gumbel term is 8dp-pre-" +
+        "rounded and the key an exact DECIMAL add (no re-rounding of " +
+        "quantized values — the half-way-tie rule) with a doc_id " +
+        "tiebreak, so both engines pick identical rows in identical " +
+        "order.",
+      (s, d) => importanceSample(s, d),
+      Some(DsirCtes + " " +
+        "SELECT doc_id, n_tokens, logw, gkey FROM (" +
+        "SELECT doc_id, n_tokens, logw, " +
+        "CAST(CAST(logw AS DECIMAL(28,8)) + CAST(round(-ln(-ln(" +
+        "(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || " +
+        "'#gum42'), 1, 8)) AS BIGINT) + 0.5) / 4294967296)), 8) " +
+        "AS DECIMAL(28,8)) AS DOUBLE) AS gkey FROM scored) " +
+        "ORDER BY gkey DESC, doc_id LIMIT 100"))
   )
+
+  /** The shared DSIR oracle CTE chain (through `scored(doc_id,
+    * n_tokens, logw)`) — reused verbatim by q_importance_weights and
+    * q_importance_sample so the two oracles can never drift apart.
+    * (A def, not a val: `queries` initializes eagerly and a forward-
+    * referenced val would be null.) */
+  private def DsirCtes: String =
+    "WITH tok AS (SELECT doc_id, lang = 'en' AS t, " +
+      "CAST(('0x' || substr(md5(w || '#dsir42'), 1, 8)) AS BIGINT) " +
+      "% 256 AS b FROM (SELECT doc_id, lang, " +
+      "unnest(str_split(text, ' ')) AS w FROM documents)), " +
+      "dbc AS (SELECT doc_id, t, b, count(*) AS m FROM tok " +
+      "GROUP BY doc_id, t, b), " +
+      "lm AS (SELECT b, SUM(m) AS cr, " +
+      "SUM(CASE WHEN t THEN m ELSE 0 END) AS ct FROM dbc GROUP BY b), " +
+      "tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS tr, " +
+      "CAST(SUM(ct) AS BIGINT) AS tt FROM lm), " +
+      "lr AS (SELECT b, round(ln((ct+1) / (tt+256)) - " +
+      "ln((cr+1) / (tr+256)), 8) AS lr8 FROM lm, tot), " +
+      "scored AS (SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_tokens, " +
+      "CAST(SUM(CAST(lr8 AS DECIMAL(20,8)) * " +
+      "CAST(m AS DECIMAL(12,0))) AS DOUBLE) AS logw " +
+      "FROM dbc JOIN lr USING (b) GROUP BY doc_id)"
 }

@@ -1416,43 +1416,52 @@ object Similarity {
     * redistributed (a node with no out-edges contributes nothing), and
     * a node with no in-edges settles at exactly 1−d.
     *
-    * Determinism discipline: per-edge contributions are pre-rounded to
-    * 8 dp and summed through DECIMAL (order-independent, the decSum
-    * rule), each new rank re-rounded to 8 dp — both engines iterate
-    * over identical values, so the unrolled-CTE oracle matches exactly
-    * (the rounding also absorbs the 1−d double-arithmetic ULP).
+    * Determinism discipline: the ENTIRE iteration is fixed-point
+    * integer arithmetic in 1e-8 rank units — contributions floor-
+    * divide (ru div outdeg), in-sums are exact BIGINT, the damping
+    * step is (pct·Σ) div 100 — so both engines iterate bit-identical
+    * values with NO rounding boundary anywhere. (The first cut
+    * rounded double contributions to 8 dp: r/outdeg with an EVEN
+    * out-degree puts ~half the odd-last-digit ranks exactly on the
+    * half-way tie, which Spark's shortest-string HALF_UP and DuckDB's
+    * binary round break differently — sf0.001 already diverged.
+    * Division is where quantized values breed exact ties; integers
+    * are the fix, not finer rounding.) Doubles appear only in the
+    * final presentation ru/1e8 (exact long → correctly-rounded
+    * division, identical in both engines). Integer headroom: the
+    * damping product overflows Long only past ~1e9 nodes' rank mass
+    * converging on ONE node; production at that in-degree scale
+    * widens the units to DECIMAL.
     *
     * Shape at scale: callers materialize `edges` ONCE (the
     * connectedComponents rule — never re-derive the graph per
     * iteration); each iteration is one 8-byte-key join (rank × edges,
     * the rank side ~nodes-sized) plus one map-side-combining
-    * groupBy(dst) whose shuffle rows are (long, decimal), then a left
+    * groupBy(dst) whose shuffle rows are (long, long), then a left
     * join back to the node list; rank frames are localCheckpoint'd per
     * iteration so plan depth and lineage stay O(1), not O(iters). */
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int,
-               damping: Double = 0.85, teleport: Double = 0.15): DataFrame = {
-    // teleport is a SEPARATE literal, not computed 1 − damping: the
-    // double 1 - 0.85 is 0.15000000000000002 while both engines parse
-    // the literal 0.15 to the same (different) double — computing it
-    // here would seed every rank with a cross-engine ULP gap that the
-    // 8 dp rounding only usually absorbs. Callers keep
-    // teleport = 1 − damping as a decimal literal on both sides.
+               damping: Double = 0.85): DataFrame = {
+    val dampPct = math.round(damping * 100)
+    require(dampPct >= 0 && dampPct <= 100, s"damping $damping not in [0,1]")
+    val teleUnits = 100000000L - dampPct * 1000000L
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val eg = edges.join(deg, Seq("src")).localCheckpoint()
-    var rank = nodes.select(col("id"), lit(1.0).as("r"))
+    var rank = nodes.select(col("id"), lit(100000000L).as("ru"))
     for (_ <- 1 to iters) {
       val contrib = rank.join(eg, col("id") === col("src"))
-        .select(col("dst"), round(col("r") / col("outdeg"), 8).as("c"))
+        .select(col("dst"), expr("ru div outdeg").as("cu"))
       val sums = contrib.groupBy("dst")
-        .agg(GraftQuery.decSum(col("c"), 28, 8).as("cs"))
+        .agg(sum(col("cu")).cast("long").as("cs"))
       rank = nodes.join(sums, col("id") === col("dst"), "left")
-        .select(col("id"), round(lit(teleport) +
-          lit(damping) * coalesce(col("cs"), lit(0.0)), 8).as("r"))
+        .select(col("id"),
+          expr(s"$teleUnits + ($dampPct * coalesce(cs, 0L)) div 100")
+            .cast("long").as("ru"))
         .localCheckpoint()
     }
     rank.join(deg, col("id") === col("src"), "left")
       .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("out_deg"),
-        col("r"))
+        (col("ru") / lit(100000000L)).as("r"))
   }
 
   /** [[pageRank]] over the [[knnGraph]] edge list — semantic-graph
@@ -1464,16 +1473,26 @@ object Similarity {
       .select(col("qid").as("src"), col("nid").as("dst"))
       .localCheckpoint()
     val nodes = Tables.embeddings(s, d).select(col("vec_id").as("id"))
+    // rank presents UNROUNDED: r = ru/1e8 is the exact fixed-point
+    // value (identical doubles in both engines); re-rounding a
+    // quantized value to a coarser scale in double would put ~1% of
+    // rows on the half-way tie, broken engine-specifically — the
+    // q_importance_weights half-way-tie rule
     pageRank(nodes, edges, iters)
-      .select(col("id").as("vec_id"), col("out_deg"),
-        round(col("r"), 6).as("pagerank"))
+      .select(col("id").as("vec_id"), col("out_deg"), col("r").as("pagerank"))
   }
 
   /** Shared oracle CTE chain for the cell-bounded kNN graph (k = 3):
     * the q_dedup_semantic cell derivation (n/m/c/a) plus the edge CTE
     * `e(src, dst, score, rn)` — reused verbatim by q_knn_graph and
     * q_graph_rank so the two oracles can never drift apart. Returns
-    * the WITH prefix WITHOUT a trailing comma. */
+    * the WITH prefix WITHOUT a trailing comma. `a` and `e` are
+    * MATERIALIZED: DuckDB inlines multi-referenced CTEs, and
+    * q_graph_rank references `e` (and through it the argmax self-join
+    * over vector arrays) in every unrolled iteration — inlined, the
+    * 32x gate filled the disk with repeated ~2M-pair × 1 KB-array
+    * spills; materialized, `e` is a 4-column table and the whole
+    * oracle runs in 22 s with zero temp spill. */
   private def knnGraphCtes: String =
     "WITH n AS (SELECT count(*) AS cnt FROM embeddings), " +
       "m AS (SELECT greatest(53, cnt // CAST(ceil(sqrt(cnt)) AS " +
@@ -1482,14 +1501,14 @@ object Similarity {
       "sqrt(list_aggregate(list_transform(CAST(embedding AS " +
       "DOUBLE[]), x -> x*x), 'sum')) AS kn " +
       "FROM embeddings, m WHERE vec_id % md = 0), " +
-      "a AS (SELECT vec_id, cid, ve, " +
+      "a AS MATERIALIZED (SELECT vec_id, cid, ve, " +
       "sqrt(list_aggregate(list_transform(ve, x -> x*x), 'sum')) " +
       "AS nrm FROM (" +
       "SELECT e.vec_id, c.cid, CAST(e.embedding AS DOUBLE[]) AS ve, " +
       "row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
       "list_dot_product(CAST(e.embedding AS DOUBLE[]), c.ke) / c.kn " +
       "DESC, c.cid) AS rn FROM embeddings e, c) WHERE rn = 1), " +
-      "e AS (SELECT qid AS src, nid AS dst, score, rn FROM (" +
+      "e AS MATERIALIZED (SELECT qid AS src, nid AS dst, score, rn FROM (" +
       "SELECT x.vec_id AS qid, y.vec_id AS nid, " +
       "round(list_dot_product(x.ve, y.ve) / (x.nrm * y.nrm), 6) " +
       "AS score, " +
@@ -1500,15 +1519,15 @@ object Similarity {
       "WHERE rn <= 3)"
 
   /** One unrolled PageRank iteration as an oracle CTE (rank CTE `rv`
-    * from `rp`): contributions rounded to 8 dp, DECIMAL-summed,
-    * re-ranked and re-rounded — the exact twin of [[pageRank]]'s loop
-    * body. */
+    * from `rp`): the exact fixed-point integer twin of [[pageRank]]'s
+    * loop body — BIGINT floor-divided contributions, exact sums,
+    * integer damping (`//` is DuckDB's integral divide = Spark's
+    * `div` on non-negatives). */
   private def rankIterCte(rv: String, rp: String): String =
-    s"$rv AS (SELECT nn.id, round(CAST(0.15 AS DOUBLE) + " +
-      "0.85 * COALESCE(s.cs, CAST(0 AS DOUBLE)), 8) AS r " +
+    s"$rv AS (SELECT nn.id, CAST(15000000 + " +
+      "(85 * COALESCE(s.cs, 0)) // 100 AS BIGINT) AS ru " +
       s"FROM $rp nn LEFT JOIN (SELECT e.dst, " +
-      "CAST(SUM(CAST(round(p.r / g.outdeg, 8) AS DECIMAL(28,8))) " +
-      "AS DOUBLE) AS cs " +
+      "CAST(SUM(p.ru // g.outdeg) AS BIGINT) AS cs " +
       s"FROM e JOIN deg g ON g.src = e.src JOIN $rp p ON p.id = e.src " +
       "GROUP BY e.dst) s ON s.dst = nn.id)"
 
@@ -1644,22 +1663,24 @@ object Similarity {
         "0.85): graph centrality for curation — boilerplate/hub " +
         "content ranks high, diverse periphery low. Each iteration " +
         "is one 8-byte-key join plus one map-side-combining " +
-        "groupBy(dst) with (long, decimal) shuffle rows; per-edge " +
-        "contributions are 8dp-pre-rounded and DECIMAL-summed so " +
-        "both engines iterate identical values (the unrolled-CTE " +
-        "oracle matches exactly); rank frames localCheckpoint per " +
-        "iteration so plan depth stays O(1) in iters.",
+        "groupBy(dst) with (long, long) shuffle rows; the whole " +
+        "iteration is fixed-point integer arithmetic in 1e-8 rank " +
+        "units (floor-divided contributions, exact BIGINT sums, " +
+        "integer damping) so both engines iterate bit-identical " +
+        "values — no rounding boundary exists anywhere; rank frames " +
+        "localCheckpoint per iteration so plan depth stays O(1) in " +
+        "iters.",
       (s, d) => graphRank(s, d, 3, 3).orderBy("vec_id"),
       Some(knnGraphCtes + ", " +
         "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src), " +
-        "r0 AS (SELECT vec_id AS id, CAST(1.0 AS DOUBLE) AS r " +
+        "r0 AS (SELECT vec_id AS id, CAST(100000000 AS BIGINT) AS ru " +
         "FROM embeddings), " +
         rankIterCte("r1", "r0") + ", " +
         rankIterCte("r2", "r1") + ", " +
         rankIterCte("r3", "r2") + " " +
         "SELECT r3.id AS vec_id, " +
         "CAST(COALESCE(g.outdeg, 0) AS BIGINT) AS out_deg, " +
-        "round(r3.r, 6) AS pagerank " +
+        "CAST(r3.ru AS DOUBLE) / 100000000 AS pagerank " +
         "FROM r3 LEFT JOIN deg g ON g.src = r3.id ORDER BY vec_id")),
 
     GraftQuery(

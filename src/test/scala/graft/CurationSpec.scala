@@ -138,4 +138,32 @@ class CurationSpec extends SparkSuite {
     assert(got(9L)._1 == 4L && got(1L)._1 == 6L)
     assert(run() == got, "importance weights must be deterministic")
   }
+
+  test("importance sample: Gumbel-top-k equals the k-prefix of the " +
+    "fully keyed order, emits a total (gkey desc, doc_id) order, and " +
+    "is deterministic") {
+    val sp = spark; import sp.implicits._
+    val docs = (1L to 40L).map(i =>
+        (i, s"w${i % 7} w${i % 5} w${i % 3} w${i % 11}", i % 4 == 0))
+      .toDF("doc_id", "text", "is_t")
+    val full = Curation.importanceSampleOf(docs, col("is_t"), 40, 64)
+      .collect()
+    val top = Curation.importanceSampleOf(docs, col("is_t"), 10, 64)
+      .collect()
+    assert(full.length == 40 && top.length == 10)
+    // the k-sample IS the k-prefix of the full keyed order (limit
+    // cannot reorder or swap members)
+    assert(top.map(_.getLong(0)).toSeq ==
+      full.take(10).map(_.getLong(0)).toSeq)
+    // total order: keys non-increasing, ties broken by ascending id
+    val keys = full.map(r => (r.getDouble(3), r.getLong(0))).toSeq
+    assert(keys.sliding(2).forall {
+      case Seq((a, ai), (b, bi)) => a > b || (a == b && ai < bi)
+      case _ => true
+    })
+    val again = Curation.importanceSampleOf(docs, col("is_t"), 10, 64)
+      .collect()
+    assert(again.map(_.toSeq).toSeq == top.map(_.toSeq).toSeq,
+      "importance sample must be deterministic")
+  }
 }
