@@ -163,6 +163,20 @@ object GraftFunctions {
       validCentroids(BroadcastCentroids(handle))))
   }
 
+  /** Column form of [[NearestCells]] — the multi-probe generalization
+    * of [[nearestCentroid]] (top-P cell ids per row). Broadcast-handle
+    * only: the graph/probe operators that need top-P are data-derived
+    * paths with no SQL-registry form required. */
+  def nearestCells(vec: org.apache.spark.sql.Column, p: Int,
+      handle: org.apache.spark.broadcast.Broadcast[
+        (Array[Long], Array[Double], Array[Double])])
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(NearestCells(
+      GraftColumnBridge.expression(vec), p,
+      validCentroids(BroadcastCentroids(handle))))
+  }
+
   /** Column form of [[PqEncode]] — broadcast-handle only (codebooks
     * are data-derived, so there is no literal SQL-registry form; the
     * ANN family is oracle-exempt anyway). Shape-validated on the
@@ -714,6 +728,91 @@ case class NearestCentroid(child: Expression, source: CentroidSet)
   }
 
   override protected def withNewChildInternal(c: Expression): NearestCentroid =
+    copy(child = c)
+}
+
+/** Top-P nearest-centroid ids for a vector, ordered by (score desc,
+  * cid asc) — the multi-probe generalization of [[NearestCentroid]]
+  * (P = 1 degenerates to the argmax). Same fused-loop rationale: the
+  * relational form (crossJoin broadcast centroids + a top-P window)
+  * materializes n × nlist wide rows where this is one interpreted
+  * dispatch per ROW with primitive loops inside; for a kNN-GRAPH
+  * build every corpus vector is a query, so the window form's
+  * intermediate would be the full n × nlist blowup the rule-13 foil
+  * measured at 15.65x. Selection is insertion into two P-sized
+  * arrays (P ≈ nlist/8 stays small); ties break to the smaller cid,
+  * exactly the [[NearestCentroid]]/oracle convention, so the emitted
+  * ORDER is total and engine-reproducible. */
+case class NearestCells(child: Expression, p: Int, source: CentroidSet)
+    extends UnaryExpression with CodegenFallback {
+
+  @transient private lazy val cids: Array[Long] = source.cids
+  @transient private lazy val centsFlat: Array[Double] = source.centsFlat
+  @transient private lazy val norms: Array[Double] = source.norms
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      if (p < 1) TypeCheckResult.TypeCheckFailure(
+        s"nearest_cells: p must be >= 1, got $p")
+      else if (cids.nonEmpty && norms.length == cids.length &&
+          centsFlat.length % cids.length == 0)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"nearest_cells: inconsistent centroid shapes (|cids|=" +
+          s"${cids.length}, |cents_flat|=${centsFlat.length}, " +
+          s"|norms|=${norms.length})")
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"nearest_cells expects array<float|double>, got " +
+        child.dataType.simpleString)
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "nearest_cells"
+
+  private def elemFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @transient private lazy val dim =
+    if (cids.isEmpty) 0 else centsFlat.length / cids.length
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val m = math.min(arr.numElements(), dim)
+    val v = new Array[Double](m)
+    var j = 0
+    if (elemFloat) while (j < m) { v(j) = arr.getFloat(j).toDouble; j += 1 }
+    else while (j < m) { v(j) = arr.getDouble(j); j += 1 }
+    val cap = math.min(p, cids.length)
+    val topS = new Array[Double](cap)
+    val topC = new Array[Long](cap)
+    var filled = 0
+    var c = 0
+    while (c < cids.length) {
+      val off = c * dim
+      var dot = 0.0
+      var i = 0
+      while (i < m) { dot += v(i) * centsFlat(off + i); i += 1 }
+      val s = dot / norms(c)
+      val cid = cids(c)
+      // insertion position: entries strictly better than (s, cid)
+      var pos = filled
+      while (pos > 0 && (topS(pos - 1) < s ||
+          (topS(pos - 1) == s && topC(pos - 1) > cid))) pos -= 1
+      if (pos < cap) {
+        val last = math.min(filled, cap - 1)
+        var k = last
+        while (k > pos) { topS(k) = topS(k - 1); topC(k) = topC(k - 1); k -= 1 }
+        topS(pos) = s
+        topC(pos) = cid
+        if (filled < cap) filled += 1
+      }
+      c += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(topC, filled))
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCells =
     copy(child = c)
 }
 

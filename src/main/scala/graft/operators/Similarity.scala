@@ -1363,44 +1363,58 @@ object Similarity {
       .orderBy("vec_id")
   }
 
-  /** Cell-bounded kNN graph over the embedding corpus — the artifact
+  /** Multi-probe kNN graph over the embedding corpus — the artifact
     * graph-based curation consumes (SemDeDup-style cluster pruning,
     * diversity selection, the centrality scoring in [[graphRank]]):
-    * every vector's top-k cosine neighbors AMONG ITS OWN quantizer
-    * cell's mates. Exact within the cell, approximate globally
-    * (cross-cell neighbors are out of scope — SimilaritySpec measures
-    * edge recall vs the brute graph); deterministic end to end (the
-    * q_dedup_semantic cell rule), so the DuckDB oracle re-derives the
-    * SAME graph relationally.
+    * every vector's top-k cosine neighbors among the mates of its
+    * NPROBE nearest quantizer cells (the IVF family's probe rule,
+    * nprobe = max(4, nlist/8)). This is "run an IVF probe for every
+    * corpus vector": exact within the probed cells, approximate
+    * globally (GraphRecall + SimilaritySpec measure both recall
+    * levels; the within-cell-only first cut measured 0.105 global
+    * recall at 16k — cos 0.4-0.55 neighbors straddle argmax cells,
+    * so the probe ring is what recall actually buys). Deterministic
+    * end to end (the q_dedup_semantic cell rule), so the DuckDB
+    * oracle re-derives the SAME graph relationally.
     *
-    * Shape at scale: cell assignment is the fused NearestCentroid
-    * argmax on a map-only scan (never a join — the 15.65x crossJoin
-    * foil); the candidate join shuffles both sides ONCE on the cell
-    * id, bounding pairs at sum-of-cell² (the SemDeDup bound, ~n^1.5
-    * under the sqrt(n) demo quantizer; production passes a finer
-    * nlist for n·C). The per-vector top-k window sees only (qid, nid,
-    * score) rows — vectors are dropped before the window shuffle (the
-    * rule-17 payload discipline). Ranks compare the 6dp-ROUNDED score
-    * with a vec_id tiebreak (the q_knn_cosine rule: rounding plus a
-    * total tiebreak keeps edge sets engine-identical even when the
-    * raw cosine's last ULP differs). */
+    * Shape at scale: the top-nprobe cell ring is ONE native
+    * [[graft.functions.NearestCells]] eval per row on a map-only scan
+    * — with every corpus vector a query, the relational form
+    * (crossJoin + window) would materialize the full n × nlist
+    * intermediate, the rule-13 foil — computed in its own select
+    * BEFORE the explode (the rule-15 generator discipline). The
+    * candidate join shuffles on the cell id with candidates bounded
+    * at nprobe × n × occupancy (the IVF probe cost, paid corpus-wide
+    * because a graph build IS n probes — never n²). The per-vector
+    * top-k window sees only (qid, nid, score) rows (rule-17 payload
+    * discipline). Ranks compare the 6dp-ROUNDED score with a vec_id
+    * tiebreak (the q_knn_cosine rule: rounding plus a total tiebreak
+    * keeps edge sets engine-identical even when the raw cosine's
+    * last ULP differs). */
   def knnGraph(s: SparkSession, d: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(s, d)
-    val mod = centroidMod(math.max(1L, emb.count()))
+    val n = math.max(1L, emb.count())
+    val mod = centroidMod(n)
+    val nprobe = math.max(4, math.ceil(n / (8.0 * mod)).toInt)
     val handle = centroidHandle(s,
       emb.filter(col("vec_id") % mod === 0)
         .select(col("vec_id").as("cid"), col("embedding").as("ke"),
           norm(col("embedding")).as("kn")))
-    def assigned(idc: String, ec: String, nc: String, cc: String) =
-      Tables.spread(emb).select(col("vec_id").as(idc),
-        col("embedding").as(ec), norm(col("embedding")).as(nc),
+    // the expensive top-nprobe ring in its OWN select, the explode in
+    // the next (rule 15); qe/qn ride the generator as attributes
+    val q = Tables.spread(emb).select(col("vec_id").as("qid"),
+        col("embedding").as("qe"), norm(col("embedding")).as("qn"),
         graft.functions.GraftFunctions
-          .nearestCentroid(col("embedding"), handle).as(cc))
-    val a = assigned("qid", "qe", "qn", "cid")
-    val b = assigned("nid", "ne", "nn", "bcid")
+          .nearestCells(col("embedding"), nprobe, handle).as("qcids"))
+      .select(col("qid"), col("qe"), col("qn"),
+        explode(col("qcids")).as("qcid"))
+    val mates = Tables.spread(emb).select(col("vec_id").as("nid"),
+      col("embedding").as("ne"), norm(col("embedding")).as("nn"),
+      graft.functions.GraftFunctions
+        .nearestCentroid(col("embedding"), handle).as("cid"))
     val w = Window.partitionBy("qid").orderBy(desc("score"), asc("nid"))
-    a.join(b, col("cid") === col("bcid") && col("qid") =!= col("nid"))
+    q.join(mates, col("qcid") === col("cid") && col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         round(dot(col("qe"), col("ne")) / (col("qn") * col("nn")), 6)
           .as("score"))
@@ -1482,32 +1496,45 @@ object Similarity {
       .select(col("id").as("vec_id"), col("out_deg"), col("r").as("pagerank"))
   }
 
-  /** Shared oracle CTE chain for the cell-bounded kNN graph (k = 3):
-    * the q_dedup_semantic cell derivation (n/m/c/a) plus the edge CTE
+  /** Shared oracle CTE chain for the multi-probe kNN graph (k = 3):
+    * the q_dedup_semantic cell derivation generalized to a full cell
+    * RANKING (`ar`, crn per (vector, centroid)), the argmax assignment
+    * `a` (crn = 1), the probe ring `q` (crn <= nprobe, the IVF family
+    * rule re-derived relationally from n), and the edge CTE
     * `e(src, dst, score, rn)` — reused verbatim by q_knn_graph and
     * q_graph_rank so the two oracles can never drift apart. Returns
-    * the WITH prefix WITHOUT a trailing comma. `a` and `e` are
+    * the WITH prefix WITHOUT a trailing comma. `ar`/`a`/`e` are
     * MATERIALIZED: DuckDB inlines multi-referenced CTEs, and
-    * q_graph_rank references `e` (and through it the argmax self-join
-    * over vector arrays) in every unrolled iteration — inlined, the
-    * 32x gate filled the disk with repeated ~2M-pair × 1 KB-array
-    * spills; materialized, `e` is a 4-column table and the whole
-    * oracle runs in 22 s with zero temp spill. */
+    * q_graph_rank references `e` (and through it the ranking
+    * self-join over vector arrays) in every unrolled iteration —
+    * inlined, the 32x gate filled the disk (only ~8 GB scratch
+    * exists) with repeated array-wide spills; materialized, `e` is a
+    * 4-column table. */
   private def knnGraphCtes: String =
     "WITH n AS (SELECT count(*) AS cnt FROM embeddings), " +
-      "m AS (SELECT greatest(53, cnt // CAST(ceil(sqrt(cnt)) AS " +
-      "BIGINT)) AS md FROM n), " +
+      "m AS (SELECT md, greatest(4, CAST(ceil(cnt / (8.0 * md)) " +
+      "AS BIGINT)) AS np FROM (SELECT cnt, greatest(53, " +
+      "cnt // CAST(ceil(sqrt(cnt)) AS BIGINT)) AS md FROM n)), " +
       "c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ke, " +
       "sqrt(list_aggregate(list_transform(CAST(embedding AS " +
       "DOUBLE[]), x -> x*x), 'sum')) AS kn " +
       "FROM embeddings, m WHERE vec_id % md = 0), " +
-      "a AS MATERIALIZED (SELECT vec_id, cid, ve, " +
-      "sqrt(list_aggregate(list_transform(ve, x -> x*x), 'sum')) " +
-      "AS nrm FROM (" +
-      "SELECT e.vec_id, c.cid, CAST(e.embedding AS DOUBLE[]) AS ve, " +
+      // ar materializes NARROW (vec_id, cid, crn): with the vector
+      // arrays it would be n x nlist x ~520 B — 8.4 GB at the 64k
+      // rung, over this host's scratch; the arrays re-join from `v`
+      "ar AS MATERIALIZED (" +
+      "SELECT e.vec_id, c.cid, " +
       "row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
       "list_dot_product(CAST(e.embedding AS DOUBLE[]), c.ke) / c.kn " +
-      "DESC, c.cid) AS rn FROM embeddings e, c) WHERE rn = 1), " +
+      "DESC, c.cid) AS crn FROM embeddings e, c), " +
+      "v AS MATERIALIZED (SELECT vec_id, " +
+      "CAST(embedding AS DOUBLE[]) AS ve, " +
+      "sqrt(list_aggregate(list_transform(CAST(embedding AS " +
+      "DOUBLE[]), x -> x*x), 'sum')) AS nrm FROM embeddings), " +
+      "a AS MATERIALIZED (SELECT ar.vec_id, ar.cid, v.ve, v.nrm " +
+      "FROM ar JOIN v USING (vec_id) WHERE crn = 1), " +
+      "q AS (SELECT ar.vec_id, ar.cid, v.ve, v.nrm " +
+      "FROM ar JOIN v USING (vec_id), m WHERE crn <= np), " +
       "e AS MATERIALIZED (SELECT qid AS src, nid AS dst, score, rn FROM (" +
       "SELECT x.vec_id AS qid, y.vec_id AS nid, " +
       "round(list_dot_product(x.ve, y.ve) / (x.nrm * y.nrm), 6) " +
@@ -1515,7 +1542,7 @@ object Similarity {
       "CAST(row_number() OVER (PARTITION BY x.vec_id ORDER BY " +
       "round(list_dot_product(x.ve, y.ve) / (x.nrm * y.nrm), 6) DESC, " +
       "y.vec_id) AS BIGINT) AS rn " +
-      "FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id <> y.vec_id) " +
+      "FROM q x JOIN a y ON x.cid = y.cid AND x.vec_id <> y.vec_id) " +
       "WHERE rn <= 3)"
 
   /** One unrolled PageRank iteration as an oracle CTE (rank CTE `rv`
@@ -1642,16 +1669,19 @@ object Similarity {
 
     GraftQuery(
       "q_knn_graph",
-      "Cell-bounded kNN graph build (k=3): every vector's top-3 " +
-        "cosine neighbors among its quantizer cell's mates — the " +
-        "artifact graph-based curation consumes (SemDeDup cluster " +
-        "pruning, diversity selection, q_graph_rank's centrality). " +
-        "Fused NearestCentroid assignment on map-only scans, ONE " +
-        "co-partitioned self-join on the cell id (candidates bounded " +
-        "at sum-of-cell², never n²), vectors dropped before the " +
-        "top-k window shuffle. Deterministic cells, so the oracle " +
-        "re-derives the SAME graph relationally; global (cross-cell) " +
-        "edge recall vs the brute graph is measured in SimilaritySpec.",
+      "Multi-probe kNN graph build (k=3): every vector's top-3 " +
+        "cosine neighbors among its nprobe nearest cells' mates " +
+        "(nprobe = max(4, nlist/8), the IVF probe rule applied " +
+        "corpus-wide — a graph build IS n probes) — the artifact " +
+        "graph-based curation consumes (SemDeDup cluster pruning, " +
+        "diversity selection, q_graph_rank's centrality). The probe " +
+        "ring is ONE native NearestCells eval per row (the window " +
+        "form would materialize n x nlist, the rule-13 foil); " +
+        "candidates bounded at nprobe x n x occupancy, never n²; " +
+        "vectors dropped before the top-k window shuffle. " +
+        "Deterministic cells, so the oracle re-derives the SAME " +
+        "graph relationally; global edge recall vs the brute graph " +
+        "is measured by GraphRecall + SimilaritySpec.",
       (s, d) => knnGraph(s, d, 3).orderBy("qid", "rn"),
       Some(knnGraphCtes +
         " SELECT src AS qid, dst AS nid, score, rn FROM e " +

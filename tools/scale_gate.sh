@@ -110,3 +110,13 @@ if [ "${SCALE_GATE_NO_RECALL:-0}" != "1" ]; then
   RECALL_GATE_CONTROL=1 \
     sbt -batch "runMain graft.RecallGate $WORK ${SCALE_GATE_FLOORS:-0.70 0.50 1.0 0.85}"
 fi
+
+# Graph-recall gate: q_knn_graph/q_graph_rank are oracled for
+# CORRECTNESS above (32x is their differential rung — at 128x the
+# DuckDB oracle's 518M-row window sort exceeds this host's ~8 GB
+# scratch; Spark runs it in ~2 min), but the probe ring's RECALL only
+# moves at scale. Floor just under measured: 0.513 at 16k, 0.565 at
+# 64k (rises with n as nprobe tracks nlist — IVF parity per rung).
+if [ "${SCALE_GATE_NO_RECALL:-0}" != "1" ]; then
+  sbt -batch "runMain graft.GraphRecall $WORK ${SCALE_GATE_GRAPH_FLOOR:-0.45}"
+fi
