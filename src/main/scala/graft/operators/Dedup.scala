@@ -240,6 +240,49 @@ object Dedup {
     * crosses ~1 GB. */
   val PrefilterMinDocs = 100000L
 
+  /** Fuzzy decontamination: exact 3-gram Jaccard >= tau between TRAIN
+    * documents and the eval suite (doc_id % 41 == 0, q_decontaminate's
+    * convention) — the near-duplicate face of eval-leakage detection.
+    * q_decontaminate's shared-gram count catches verbatim inclusion; a
+    * lightly paraphrased eval document shares most of its gram SET
+    * without long verbatim runs, which is exactly a Jaccard threshold.
+    *
+    * Shape at scale: the one-sided prefix theorem applies from the
+    * EVAL side — J(T,E) >= tau forces the intersection to hit E's
+    * |E| − ceil(tau·|E|) + 1 globally-rarest shingles — so the
+    * candidate join is (eval prefixes) × (train shingles): the
+    * fixed-size eval suite contributes the prefix rows while the
+    * unbounded train side is scanned, never prefixed. Verification is
+    * the shared [[verifyJaccard]] tail (precision 1.0, size-gated
+    * prefilter), so results are IDENTICAL to the naive cross join. */
+  def fuzzyContamination(s: SparkSession, d: String,
+                         tau: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val nDocs = docs.count()
+    val isEval = col("doc_id") % 41 === 0
+    val sh = explodedShingles(docs).persist(
+      if (nDocs >= DiskShinglesMinDocs)
+        org.apache.spark.storage.StorageLevel.DISK_ONLY
+      else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val card = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val gdf = sh.groupBy("s").agg(count(lit(1)).as("gdf"))
+    val w = Window.partitionBy("doc_id").orderBy(asc("gdf"), asc("s"))
+    val prefix = sh.filter(isEval).join(gdf, "s")
+      .withColumn("rn", row_number().over(w))
+      .join(card, "doc_id")
+      .filter(col("rn") <= col("c") - ceil(col("c") * tau) + 1)
+      .select(col("doc_id").as("db"), col("s"))
+    val cands = prefix.join(
+        sh.filter(!isEval).select(col("doc_id").as("da"), col("s")), "s")
+      .select("da", "db").distinct()
+    val (out, _) = materialized(
+      verifyJaccard(cands, sh, tau, prefilter = nDocs >= PrefilterMinDocs))
+    sh.unpersist(blocking = false)
+    out.select(col("da").as("train_id"), col("db").as("eval_id"),
+      col("jaccard"))
+  }
+
   /** [[verifyJaccard]]'s tail over a PRE-BUILT sets frame
     * (doc_id, ss: sorted hash array, c: cardinality) instead of raw
     * shingles — the incremental path, where the corpus sets are a
@@ -1083,6 +1126,35 @@ object Dedup {
         |GROUP BY train_id, eval_id HAVING count(*) >= 3
         |ORDER BY train_id, eval_id
         |""".stripMargin)),
+
+    GraftQuery(
+      "q_decontaminate_fuzzy",
+      "Fuzzy decontamination: exact 3-gram Jaccard >= 0.5 between " +
+        "train docs and the eval suite — the near-duplicate face of " +
+        "eval leakage (a paraphrased eval doc shares most of its gram " +
+        "SET without the verbatim runs q_decontaminate counts). " +
+        "One-sided prefix from the EVAL side (fixed-size while the " +
+        "train corpus grows: eval prefixes join train shingles, the " +
+        "train side is scanned never prefixed), shared verifyJaccard " +
+        "tail — results identical to the naive cross join.",
+      (s, d) => fuzzyContamination(s, d, 0.5)
+        .orderBy("train_id", "eval_id"),
+      Some("WITH tok AS (SELECT doc_id, str_split(text,' ') AS t " +
+        "FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, " +
+        "unnest(list_transform(range(1, greatest(len(t)-2,1)+1), " +
+        "i -> array_to_string(t[i:i+2],' '))) AS s FROM tok)), " +
+        "card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i " +
+        "FROM sh a JOIN sh b ON a.s = b.s " +
+        "AND a.doc_id % 41 <> 0 AND b.doc_id % 41 = 0 " +
+        "GROUP BY da, db) " +
+        "SELECT da AS train_id, db AS eval_id, " +
+        "round(CAST(i AS DOUBLE)/(ca.c+cb.c-i), 6) AS jaccard " +
+        "FROM inter JOIN card ca ON ca.doc_id = da " +
+        "JOIN card cb ON cb.doc_id = db " +
+        "WHERE CAST(i AS DOUBLE)/(ca.c+cb.c-i) >= 0.5 " +
+        "ORDER BY train_id, eval_id")),
 
     GraftQuery(
       "q_decontaminate_bloom",

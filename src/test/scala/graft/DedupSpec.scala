@@ -191,6 +191,26 @@ class DedupSpec extends SparkSuite {
     })
   }
 
+  test("fuzzy decontamination equals the all-pairs Jaccard graph " +
+    "restricted to train-eval pairs") {
+    val tau = 0.5
+    val fuzzy = Dedup.fuzzyContamination(spark, sf, tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fuzzy.nonEmpty, "fixture too weak: no cross-boundary pairs")
+    // orientation law: train side never eval, eval side always eval
+    assert(fuzzy.forall { case (t, e, _) => t % 41 != 0 && e % 41 == 0 })
+    val all = Dedup.jaccardPairs(
+        Tables.documents(spark, sf), tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = all.collect {
+      case (da, db, j) if (da % 41 == 0) != (db % 41 == 0) =>
+        if (da % 41 == 0) (db, da, j) else (da, db, j)
+    }.toSet
+    assert(fuzzy == expected,
+      s"fuzzy (${fuzzy.size}) != cross-restricted all-pairs " +
+        s"(${expected.size})")
+  }
+
   test("jaccardPairsM releases every graft block except its own result") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val before = spark.sparkContext.getPersistentRDDs.keySet
