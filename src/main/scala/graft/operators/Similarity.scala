@@ -1478,6 +1478,40 @@ object Similarity {
         (col("ru") / lit(100000000L)).as("r"))
   }
 
+  /** Semantic clustering: connected components over the MUTUAL kNN
+    * graph — an edge survives only when each endpoint ranks the other
+    * inside its own top-k (the standard mutual-kNN tightening: a hub
+    * vector cannot chain unrelated neighborhoods through asymmetric
+    * edges). Every vector is emitted with its cluster representative
+    * (min vec_id, the [[Dedup.connectedComponents]] label law) and
+    * cluster size; vectors with no mutual edge are their own
+    * singleton rep.
+    *
+    * Shape at scale: the mutual filter is one self-join of the
+    * (src, dst) edge list on 8-byte keys (edges localCheckpoint'd
+    * once, the connectedComponents rule); components then run on the
+    * size-gated CC hybrid (driver union-find under 1M edges,
+    * distributed pointer jumping above) — mutual edges number at most
+    * n·k, so the gate behaves exactly as the dedup family's. */
+  def graphClusters(s: SparkSession, d: String, k: Int): DataFrame = {
+    val e = knnGraph(s, d, k)
+      .select(col("qid").as("src"), col("nid").as("dst"))
+      .localCheckpoint()
+    val mutual = e.as("x").join(e.as("y"),
+        col("x.src") === col("y.dst") && col("x.dst") === col("y.src"))
+      .filter(col("x.src") < col("x.dst"))
+      .select(col("x.src").as("da"), col("x.dst").as("db"))
+    val labels = Dedup.connectedComponents(mutual) // (node, lbl)
+    val nodes = Tables.embeddings(s, d).select(col("vec_id"))
+    val lab = nodes.join(labels, col("vec_id") === col("node"), "left")
+      .select(col("vec_id"),
+        coalesce(col("lbl"), col("vec_id")).as("cluster_rep"))
+    val sizes = lab.groupBy("cluster_rep")
+      .agg(count(lit(1)).as("cluster_size"))
+    lab.join(sizes, "cluster_rep")
+      .select(col("vec_id"), col("cluster_rep"), col("cluster_size"))
+  }
+
   /** [[pageRank]] over the [[knnGraph]] edge list — semantic-graph
     * centrality for curation: boilerplate/hub content ranks high,
     * diverse periphery low. The edge list is localCheckpoint'd once
@@ -1712,6 +1746,37 @@ object Similarity {
         "CAST(COALESCE(g.outdeg, 0) AS BIGINT) AS out_deg, " +
         "CAST(r3.ru AS DOUBLE) / 100000000 AS pagerank " +
         "FROM r3 LEFT JOIN deg g ON g.src = r3.id ORDER BY vec_id")),
+
+    GraftQuery(
+      "q_graph_cluster",
+      "Semantic clustering: connected components over the MUTUAL kNN " +
+        "graph (an edge survives only when each endpoint ranks the " +
+        "other in its own top-3 — hub vectors cannot chain unrelated " +
+        "neighborhoods through asymmetric edges). Every vector with " +
+        "its cluster rep (min id) and size, singletons their own rep. " +
+        "One 8-byte-key self-join for the mutual filter, then the " +
+        "size-gated CC hybrid (driver union-find under 1M edges, " +
+        "pointer jumping above); mutual edges <= n*k. Oracle: the " +
+        "same graph re-derived relationally + WITH RECURSIVE " +
+        "reachability (the q_dedup_groups posture).",
+      (s, d) => graphClusters(s, d, 3).orderBy("vec_id"),
+      Some("WITH RECURSIVE " + knnGraphCtes.stripPrefix("WITH ") + ", " +
+        "me AS (SELECT e1.src AS da, e1.dst AS db FROM e e1 " +
+        "JOIN e e2 ON e1.src = e2.dst AND e1.dst = e2.src " +
+        "WHERE e1.src < e1.dst), " +
+        "ed AS (SELECT da AS s2, db AS d2 FROM me " +
+        "UNION ALL SELECT db, da FROM me), " +
+        "reach AS (SELECT s2 AS node, s2 AS lbl FROM ed " +
+        "UNION SELECT ee.d2 AS node, r.lbl FROM reach r " +
+        "JOIN ed ee ON ee.s2 = r.node), " +
+        "comp AS (SELECT node, min(lbl) AS rep FROM reach " +
+        "GROUP BY node), " +
+        "lab AS (SELECT em.vec_id, COALESCE(cm.rep, em.vec_id) " +
+        "AS cluster_rep FROM embeddings em " +
+        "LEFT JOIN comp cm ON cm.node = em.vec_id) " +
+        "SELECT vec_id, cluster_rep, " +
+        "count(*) OVER (PARTITION BY cluster_rep) AS cluster_size " +
+        "FROM lab ORDER BY vec_id")),
 
     GraftQuery(
       "q_ann_lsh",

@@ -153,6 +153,42 @@ class SimilaritySpec extends SparkSuite {
     assert(mean >= 0.5, s"knn-graph global edge recall $mean < 0.5")
   }
 
+  test("graph clusters equal driver union-find over the mutual edges " +
+    "of the verified knn graph; singletons are their own rep") {
+    val edges = SparkEntry.queries("q_knn_graph")(spark, sf)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mutual = edges.filter { case (a, b) => a < b && edges((b, a)) }
+    assert(mutual.nonEmpty, "fixture too weak: no mutual edges")
+    // driver union-find with min-label
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    mutual.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id").collect().map(_.getLong(0))
+    val expRep = all.map(v => v -> find(v)).toMap
+    val expSize = expRep.values.groupBy(identity).view.mapValues(_.size)
+    val got = SparkEntry.queries("q_graph_cluster")(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got.keySet == all.toSet)
+    all.foreach { v =>
+      assert(got(v) == ((expRep(v), expSize(expRep(v)).toLong)),
+        s"vec $v: got ${got(v)}, expected " +
+          s"(${expRep(v)}, ${expSize(expRep(v))})")
+    }
+    // fixture strength: a multi-member cluster exists
+    assert(expSize.values.exists(_ > 1))
+  }
+
   test("pageRank laws: regular-cycle fixed point, hand-computed chain " +
     "values, isolated nodes settle at the teleport floor") {
     val sp = spark; import sp.implicits._
