@@ -713,6 +713,77 @@ object CorpusStreams {
         }
     }
 
+  /** The SemDeDup ingest loop — semantic clustering as arrivals land,
+    * composing the family's pieces into one foreachBatch: each
+    * micro-batch of vectors (1) probes the persisted IVF index for
+    * its exact-cosine top-k ([[annStream]]'s probe, replay-safe via
+    * excludeProbes), (2) links every probe pair at cosine >= tau into
+    * the durable union-find (the [[ccStream]] machinery: per-batch
+    * edge log under `stateDir`, restart reseeds from the log, labels
+    * are component-min ids), (3) hands `sink` the batch's accepted
+    * pairs and changed labels, and (4) appends the batch to the index
+    * ([[graft.operators.Similarity.appendToIvfIndex]], idempotent per
+    * streamId_batchId) so later arrivals cluster against everything
+    * ingested so far — with the same refresh/compact/maintain
+    * cadences and guarantee scopes as [[annStream]].
+    *
+    * Edge semantics are PROBE-BOUNDED: a pair is observed iff the
+    * neighbor ranks in the arrival's top-k within its probed cells
+    * (the annStream recall contract — q_dedup_semantic's full pass is
+    * the batch foil). The stream law StreamingSpec pins: cumulative
+    * labels == Dedup.connectedComponents over all emitted pairs,
+    * arrival-split-independent given the same pair stream, and a
+    * cross-batch duplicate chain merges only because batch N's append
+    * is probe-visible to batch N+1. */
+  def semanticIngestStream(vecs: Dataset[Vec], dir: String,
+                           tau: Double, k: Int = 5,
+                           streamId: String = "semcc",
+                           compactEvery: Int = 0,
+                           refreshEvery: Int = 0,
+                           maintainEvery: Int = 0,
+                           stateDir: Option[String] = None)(
+      sink: (Seq[(Long, Long, Double)], Seq[CcUpdate], Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Vec] = {
+    val state = stateDir.fold(new UnionFindState)(
+      sd => seededUnionFind(vecs.sparkSession, sd))
+    vecs.writeStream.outputMode("append").foreachBatch {
+      (b: Dataset[Vec], id: Long) =>
+        val bdf = b.toDF().localCheckpoint()
+        val replay = graft.operators.Similarity.isIvfBatchApplied(
+          b.sparkSession, dir, s"${streamId}_$id")
+        // pairs: the probe's top-k filtered at tau — duplicate-sized
+        // (the dedupIngestStream collect bound), total (qid, nid)
+        // order so replays emit identically
+        val pairs = graft.operators.Similarity
+          .ivfProbe(b.sparkSession, dir, bdf, k, excludeProbes = replay)
+          .filter(col("score") >= tau)
+          .select("qid", "nid", "score")
+          .orderBy("qid", "nid")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+        pairs.foreach { case (a, n, _) => state.union(a, n) }
+        sink(pairs, state.drainChanged(), id)
+        stateDir.foreach(sd => logPairs(b.sparkSession, sd, id,
+          pairs.map(p => (p._1, p._2))))
+        graft.operators.Similarity.appendToIvfIndex(
+          b.sparkSession, dir, bdf, s"${streamId}_$id")
+        // cadences + replay scopes exactly as annStream (see its
+        // scaladoc for the refresh guarantee-scope note)
+        if (!replay && refreshEvery > 0 && (id + 1) % refreshEvery == 0) {
+          graft.operators.Similarity.refreshIvfCentroids(b.sparkSession, dir)
+          ()
+        }
+        if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
+          graft.operators.Similarity.compactIvfIndex(b.sparkSession, dir)
+          ()
+        }
+        if (!replay && maintainEvery > 0 && (id + 1) % maintainEvery == 0) {
+          graft.operators.Similarity.maintainIvfIndex(b.sparkSession, dir)
+          ()
+        }
+    }
+  }
+
   /** The retrieval family's ingest loop — the lexical analog of
     * [[annStream]]: each arriving micro-batch of documents is scored
     * against the monitored `terms` with the maintained index's

@@ -1178,6 +1178,73 @@ class StreamingSpec extends SparkSuite {
       "batch-1 streamed probe != batch probe over the appended index")
   }
 
+  test("semantic ingest stream: probe pairs at tau feed the durable " +
+    "union-find, cross-batch chains merge through the appended index") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    import graft.streaming.CorpusStreams
+    def vec(seed: Long): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(64)(r.nextFloat() * 2 - 1)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_semcc")
+    val dir = new java.io.File(tmp.toFile, "d").toString
+    val sd = new java.io.File(tmp.toFile, "s").toString
+    (0L until 150L).map(i => (i, vec(i)))
+      .toDF("vec_id", "embedding").coalesce(1).write
+      .parquet(s"$dir/embeddings.parquet")
+    // a duplicate CHAIN split across batches: 2000 copies corpus
+    // vector 5 (links in batch 0), 3000 copies 2000 (links only if
+    // batch 0's append is probe-visible to batch 1); 2001 is isolated
+    val h1 = Seq(CorpusStreams.Vec(2000L, vec(5L)),
+      CorpusStreams.Vec(2001L, vec(888L)))
+    val h2 = Seq(CorpusStreams.Vec(3000L, vec(5L)))
+    val allPairs = scala.collection.mutable.ListBuffer.empty[(Long, Long, Double)]
+    val labels = scala.collection.mutable.Map.empty[Long, Long]
+    val input = MemoryStream[CorpusStreams.Vec]
+    val q = CorpusStreams.semanticIngestStream(input.toDS(), dir,
+      tau = 0.99, streamId = "sc1", stateDir = Some(sd)) {
+      (pairs, changed, _) =>
+        allPairs ++= pairs
+        changed.foreach(u => labels(u.node) = u.lbl)
+    }.start()
+    try {
+      input.addData(h1); q.processAllAvailable()
+      input.addData(h2); q.processAllAvailable()
+    } finally q.stop()
+    // every emitted pair respects tau; the chain observed both links
+    assert(allPairs.forall(_._3 >= 0.99))
+    assert(allPairs.exists(p => p._1 == 2000L && p._2 == 5L))
+    assert(allPairs.exists(p => p._1 == 3000L && p._2 == 2000L),
+      s"cross-batch link missing (append not probe-visible): $allPairs")
+    // cumulative labels == batch components over all emitted pairs,
+    // rooted at the corpus vector (min id 5)
+    assert(labels.get(2000L).contains(5L) && labels.get(3000L).contains(5L),
+      s"chain not merged to the corpus root: $labels")
+    assert(!labels.contains(2001L), "isolated arrival must emit no label")
+    val expLabels = graft.operators.Dedup.connectedComponents(
+      allPairs.toSeq.map(p => (p._1, p._2)).toDF("da", "db"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.toMap == expLabels,
+      "streamed labels != batch connected components over all pairs")
+    // restart on the same state dir: a NEW writer reseeds the
+    // union-find from the edge log — a fresh link to 3000 must land
+    // in the SAME component without re-reading batches 0-1
+    val labels2 = scala.collection.mutable.Map.empty[Long, Long]
+    val input2 = MemoryStream[CorpusStreams.Vec]
+    val q2 = CorpusStreams.semanticIngestStream(input2.toDS(), dir,
+      tau = 0.99, streamId = "sc2", stateDir = Some(sd)) {
+      (_, changed, _) => changed.foreach(u => labels2(u.node) = u.lbl)
+    }.start()
+    try {
+      input2.addData(Seq(CorpusStreams.Vec(4000L, vec(5L))))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(labels2.get(4000L).contains(5L),
+      s"restarted stream lost the seeded component: $labels2")
+  }
+
   test("ann stream refreshEvery re-fits the quantizer in-stream; the " +
     "maintained index ends content-identical to a one-shot build") {
     val sp = spark; import sp.implicits._
