@@ -141,7 +141,7 @@ object Cli {
   }
 
   def main(args: Array[String]): Unit = {
-    val (pos, opts) = parseArgs(args.toIndexedSeq)
+    val (_, opts) = parseArgs(args.toIndexedSeq)
     val builder = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -154,6 +154,14 @@ object Cli {
     opts.get("temp_dir").foreach(builder.config("spark.local.dir", _))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try run(args, spark) finally spark.stop()
+  }
+
+  /** The command dispatch against a CALLER-OWNED session — main wraps
+    * it with session create/stop; specs drive it on the shared test
+    * session (which a main-owned stop would kill). */
+  def run(args: Array[String], spark: SparkSession): Unit = {
+    val (pos, opts) = parseArgs(args.toIndexedSeq)
     import spark.implicits._
 
     val token = opts.get("token")
@@ -251,6 +259,31 @@ object Cli {
           .maintainIvfIndex(spark, dir, dryRun = dry).render)
         println(operators.Retrieval
           .maintainLexIndex(spark, dir, dryRun = dry).render)
+      // the LLM-pipeline face: run the five-stage curation DAG
+      // (calibrated quality -> LM perplexity -> exact dedup ->
+      // decontaminate -> pack + split) over a corpus dir and write
+      // the training-ready artifact — packed survivors plus the
+      // shared LM score frame, with a manifest recording provenance
+      // and per-split counts (the writeBackup manifest discipline:
+      // aggregated from the WRITTEN artifact, not the plan)
+      case "curate" :: dir :: out :: Nil =>
+        functions.GraftFunctions.register(spark)
+        val c = operators.Curation.curate(spark, dir)
+        c.packed.orderBy("doc_id").write.mode("overwrite")
+          .option("compression", "zstd").parquet(s"$out/packed.parquet")
+        c.lmScores.orderBy("doc_id").write.mode("overwrite")
+          .option("compression", "zstd").parquet(s"$out/lm_scores.parquet")
+        val written = spark.read.parquet(s"$out/packed.parquet")
+        val bySplit = written.groupBy("split").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val manifest = s"""{"src":"$dir","docs":${written.count()},""" +
+          s""""splits":{${bySplit.toSeq.sorted.map { case (k, v) =>
+            s""""$k":$v""" }.mkString(",")}},""" +
+          s""""lm_scored":${spark.read.parquet(s"$out/lm_scores.parquet")
+            .count()}}"""
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(out, "_CURATE_MANIFEST.json"), manifest)
+        println(manifest)
       case "query" :: name :: sfDir :: Nil =>
         SparkEntry.queries.get(name) match {
           case Some(fn) => fn(spark, sfDir).show(50, truncate = false)
@@ -271,9 +304,9 @@ object Cli {
             "migrate <refTarGzGlob> <backupDir> | " +
             "export-archive <backupDir> <outTarGz> [--shards n] | " +
             "maintain <corpusDir> [--dry-run] | " +
+            "curate <corpusDir> <outDir> | " +
             "query <name> <sfDir>")
         sys.exit(2)
     }
-    spark.stop()
   }
 }

@@ -1512,6 +1512,49 @@ object Similarity {
       .select(col("vec_id"), col("cluster_rep"), col("cluster_size"))
   }
 
+  /** Diversity sampling over [[graphClusters]]: keep at most `m`
+    * vectors per semantic cluster, chosen in seeded-hash order (the
+    * q_train_shuffle md5 idiom — unbiased within the cluster,
+    * reproducible anywhere, a vector's pick rank never changes when
+    * OTHER clusters grow). The SemDeDup keep rule generalized from
+    * keep-one: m > 1 preserves intra-cluster variation while still
+    * bounding each semantic neighborhood's weight in the training
+    * mix. Emits every vector with its rank and verdict; the only
+    * window partitions by cluster_rep (state bounded by cluster
+    * size). */
+  def clusterSample(s: SparkSession, d: String, k: Int, m: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val skey = md5(concat(col("vec_id").cast("string"), lit("#cs42"))
+      .cast("binary"))
+    val w = Window.partitionBy("cluster_rep").orderBy("skey", "vec_id")
+    graphClusters(s, d, k)
+      .withColumn("skey", skey)
+      .withColumn("pick", row_number().over(w).cast("long"))
+      .select(col("vec_id"), col("cluster_rep"), col("cluster_size"),
+        col("pick"), (col("pick") <= m).as("keep"))
+  }
+
+  /** The shared cluster-derivation oracle prefix (through
+    * `lab(vec_id, cluster_rep)`): [[knnGraphCtes]] + mutual-edge
+    * filter + WITH RECURSIVE reachability + min-label components —
+    * reused by q_graph_cluster and q_cluster_sample so the two
+    * oracles can never drift apart. */
+  private def clusterCtes: String =
+    "WITH RECURSIVE " + knnGraphCtes.stripPrefix("WITH ") + ", " +
+      "me AS (SELECT e1.src AS da, e1.dst AS db FROM e e1 " +
+      "JOIN e e2 ON e1.src = e2.dst AND e1.dst = e2.src " +
+      "WHERE e1.src < e1.dst), " +
+      "ed AS (SELECT da AS s2, db AS d2 FROM me " +
+      "UNION ALL SELECT db, da FROM me), " +
+      "reach AS (SELECT s2 AS node, s2 AS lbl FROM ed " +
+      "UNION SELECT ee.d2 AS node, r.lbl FROM reach r " +
+      "JOIN ed ee ON ee.s2 = r.node), " +
+      "comp AS (SELECT node, min(lbl) AS rep FROM reach " +
+      "GROUP BY node), " +
+      "lab AS (SELECT em.vec_id, COALESCE(cm.rep, em.vec_id) " +
+      "AS cluster_rep FROM embeddings em " +
+      "LEFT JOIN comp cm ON cm.node = em.vec_id)"
+
   /** [[pageRank]] over the [[knnGraph]] edge list — semantic-graph
     * centrality for curation: boilerplate/hub content ranks high,
     * diverse periphery low. The edge list is localCheckpoint'd once
@@ -1760,23 +1803,32 @@ object Similarity {
         "same graph re-derived relationally + WITH RECURSIVE " +
         "reachability (the q_dedup_groups posture).",
       (s, d) => graphClusters(s, d, 3).orderBy("vec_id"),
-      Some("WITH RECURSIVE " + knnGraphCtes.stripPrefix("WITH ") + ", " +
-        "me AS (SELECT e1.src AS da, e1.dst AS db FROM e e1 " +
-        "JOIN e e2 ON e1.src = e2.dst AND e1.dst = e2.src " +
-        "WHERE e1.src < e1.dst), " +
-        "ed AS (SELECT da AS s2, db AS d2 FROM me " +
-        "UNION ALL SELECT db, da FROM me), " +
-        "reach AS (SELECT s2 AS node, s2 AS lbl FROM ed " +
-        "UNION SELECT ee.d2 AS node, r.lbl FROM reach r " +
-        "JOIN ed ee ON ee.s2 = r.node), " +
-        "comp AS (SELECT node, min(lbl) AS rep FROM reach " +
-        "GROUP BY node), " +
-        "lab AS (SELECT em.vec_id, COALESCE(cm.rep, em.vec_id) " +
-        "AS cluster_rep FROM embeddings em " +
-        "LEFT JOIN comp cm ON cm.node = em.vec_id) " +
-        "SELECT vec_id, cluster_rep, " +
+      Some(clusterCtes +
+        " SELECT vec_id, cluster_rep, " +
         "count(*) OVER (PARTITION BY cluster_rep) AS cluster_size " +
         "FROM lab ORDER BY vec_id")),
+
+    GraftQuery(
+      "q_cluster_sample",
+      "Diversity sampling: keep at most 2 vectors per semantic " +
+        "cluster (the SemDeDup keep rule generalized from 1), chosen " +
+        "in seeded-md5 order within each cluster — unbiased, " +
+        "reproducible, stable under corpus growth for untouched " +
+        "clusters. Emits every vector with its pick rank and keep " +
+        "verdict (the q_token_budget verdict convention); the only " +
+        "window partitions by cluster, so per-partition state is " +
+        "bounded by cluster size.",
+      (s, d) => clusterSample(s, d, 3, 2).orderBy("vec_id"),
+      Some(clusterCtes + ", " +
+        "sz AS (SELECT cluster_rep, CAST(count(*) AS BIGINT) AS " +
+        "cluster_size FROM lab GROUP BY cluster_rep), " +
+        "p AS (SELECT l.vec_id, l.cluster_rep, s.cluster_size, " +
+        "CAST(row_number() OVER (PARTITION BY l.cluster_rep " +
+        "ORDER BY md5(CAST(l.vec_id AS VARCHAR) || '#cs42'), " +
+        "l.vec_id) AS BIGINT) AS pick " +
+        "FROM lab l JOIN sz s USING (cluster_rep)) " +
+        "SELECT vec_id, cluster_rep, cluster_size, pick, " +
+        "pick <= 2 AS keep FROM p ORDER BY vec_id")),
 
     GraftQuery(
       "q_ann_lsh",

@@ -139,6 +139,25 @@ class CurationSpec extends SparkSuite {
     assert(run() == got, "importance weights must be deterministic")
   }
 
+  test("Cli curate writes the packed artifact + manifest equal to " +
+    "running the pipeline directly") {
+    val sp = spark
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_curate_cli").toString
+    Cli.run(Array("curate", sf, out), sp)
+    val written = sp.read.parquet(s"$out/packed.parquet")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val direct = Curation.curate(sp, sf).packed
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(written == direct,
+      s"CLI artifact (${written.size}) != direct pipeline (${direct.size})")
+    val man = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(out, "_CURATE_MANIFEST.json"))
+    assert(man.contains(s""""docs":${direct.size}"""))
+    assert(man.contains(""""train":"""))
+    assert(sp.read.parquet(s"$out/lm_scores.parquet").count() > 0)
+  }
+
   test("importance sample: Gumbel-top-k equals the k-prefix of the " +
     "fully keyed order, emits a total (gkey desc, doc_id) order, and " +
     "is deterministic") {

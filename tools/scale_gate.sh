@@ -51,7 +51,7 @@ OUT="${4:-/tmp/graft_scale_gate_out}"
 # ratios over a 32x-denser token population; Gumbel-top-k order),
 # and q_decontaminate_fuzzy (cross-boundary Jaccard pairs only exist
 # on the replicated corpus at the gate SF — 39 at 32x, 0 at sf0.01)
-QUERIES="${SCALE_GATE_QUERIES:-q_agg_basic,q_agg_distinct,q_filter_range,q_topk,q_string_agg,q_window_ntile,q_window_cume,q_span_dup,q_tfidf,q_source_mix,q_backup_diff,q_train_shuffle,q_ngram_lm,q_kmeans_refine,q_events_window,q_events_session,q_session_compact,q_dedup_keep,q_token_budget,q_perplexity_filter,q_data_split,q_pipeline_curate,q_dedup_delta,q_dedup_semantic,q_dedup_semantic_delta,q_decontaminate_bloom,q_knn_graph,q_graph_rank,q_importance_weights,q_importance_sample,q_decontaminate_fuzzy,q_graph_cluster}"
+QUERIES="${SCALE_GATE_QUERIES:-q_agg_basic,q_agg_distinct,q_filter_range,q_topk,q_string_agg,q_window_ntile,q_window_cume,q_span_dup,q_tfidf,q_source_mix,q_backup_diff,q_train_shuffle,q_ngram_lm,q_kmeans_refine,q_events_window,q_events_session,q_session_compact,q_dedup_keep,q_token_budget,q_perplexity_filter,q_data_split,q_pipeline_curate,q_dedup_delta,q_dedup_semantic,q_dedup_semantic_delta,q_decontaminate_bloom,q_knn_graph,q_graph_rank,q_importance_weights,q_importance_sample,q_decontaminate_fuzzy,q_graph_cluster,q_cluster_sample}"
 cd "$(dirname "$0")/.."
 # cross-engine rank-law preflight: the calibrated-filter oracles below
 # depend on DuckDB's quantile_disc picking the value at rank ceil(p*n)
