@@ -209,6 +209,20 @@ object TextAnalysis {
         "FROM documents ORDER BY doc_id")),
 
     GraftQuery(
+      "q_bpe_merges",
+      "BPE merge-rule induction (8 merges): tokenizer training as a " +
+        "relational program — one corpus pass to the word-frequency " +
+        "table (vocabulary-sized), then every iteration counts " +
+        "frequency-weighted adjacent symbol pairs, takes a 1-row " +
+        "deterministic argmax (lexicographic ties), and applies a " +
+        "leftmost-greedy fold merge; </w> terminals keep merges " +
+        "word-bounded. Oracle-exempt (each argmax feeds the next " +
+        "tokenization); BpeSpec pins a driver-reference equality " +
+        "and the greedy-fold laws.",
+      (s, d) => bpeMerges(Tables.documents(s, d), 8).orderBy("step"),
+      None),
+
+    GraftQuery(
       "q_token_count",
       "Token counting two ways: whitespace tokens and a BPE-ish regex " +
         "lexer ([a-z]+ | digits | single non-space symbol) — the token " +
@@ -856,6 +870,71 @@ object TextAnalysis {
       .select(col("doc_id"), col("i").cast("bigint").as("chunk_id"),
         concat_ws(" ", col("ch")).as("chunk_text"),
         size(col("ch")).cast("bigint").as("n_tokens"))
+  }
+
+  /** BPE merge-rule induction (k merges) — tokenizer training as a
+    * relational program. The scalable shape is the real trainers'
+    * (byte-pair encoding over word frequencies): ONE corpus pass
+    * folds to the word-frequency table (distinct word + count —
+    * VOCABULARY-sized, never corpus-sized), and every merge iteration
+    * runs on that table alone: adjacent symbol-pair counts weighted
+    * by word frequency, a 1-row deterministic argmax (ties broken
+    * lexicographically on the pair), and a leftmost-greedy
+    * non-overlapping merge applied to each word's symbol array by an
+    * array fold. Words carry the classic </w> terminal so merges
+    * respect word boundaries. K iterations touch only vocab-sized
+    * frames (localCheckpoint'd per step — the pageRank O(1)-plan
+    * rule); the interpreted-HOF fold is acceptable here because the
+    * frame is vocabulary-sized (rule-1 scope is corpus-hot paths).
+    * Oracle-exempt: each step's argmax feeds the next tokenization,
+    * which no static SQL can express — BpeSpec pins equality with an
+    * independent driver reference over the raw corpus, plus the
+    * greedy-fold laws. */
+  private[graft] def bpeMerges(docs: DataFrame, k: Int): DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    var words = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(concat(split(col("w"), ""), array(lit("</w>"))).as("syms"),
+        col("cnt"))
+      .localCheckpoint()
+    val rules =
+      scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
+    var step = 1
+    var more = true
+    while (step <= k && more) {
+      val pairs = words
+        .select(col("cnt"), explode(
+          expr("transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(syms[i - 1] AS l, syms[i] AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("freq"))
+      // 1-row driver argmax per step: the merge table IS the result;
+      // vocab-sized aggregate, never corpus data
+      val best = pairs.orderBy(desc("freq"), asc("l"), asc("r"))
+        .limit(1).collect()
+      if (best.isEmpty) more = false
+      else {
+        val (l, r, f) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        rules += ((step.toLong, l, r, f))
+        // leftmost-greedy non-overlapping merge: fold each symbol in,
+        // replacing a trailing `l` when `r` arrives — a fresh merge
+        // result never immediately re-merges ("aaaa" + (a,a) ->
+        // (aa)(aa), the standard greedy semantics)
+        val fold = aggregate(col("syms"),
+          typedLit(Seq.empty[String]),
+          (acc, x) => when(size(acc) > 0 &&
+              element_at(acc, -1) === lit(l) && x === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+            .otherwise(concat(acc, array(x))))
+        words = words.select(fold.as("syms"), col("cnt")).localCheckpoint()
+      }
+      step += 1
+    }
+    rules.toSeq.toDF("step", "left", "right", "freq")
   }
 
   /** q_data_split's deterministic hash bucket (0-99) — a doc's split

@@ -1,0 +1,101 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Laws for the oracle-exempt BPE merge induction: the distributed
+  * program must equal an INDEPENDENT driver reference implementing
+  * byte-pair encoding the textbook way (word-frequency map, pair
+  * counts, lexicographic-tie argmax, leftmost-greedy non-overlapping
+  * merge), both over the raw sf fixture and over a hand-built corpus
+  * whose merge sequence is verifiable by eye. */
+class BpeSpec extends SparkSuite {
+
+  /** Textbook driver BPE over (word -> count). */
+  private def referenceBpe(freq: Map[String, Long],
+                           k: Int): Seq[(Long, String, String, Long)] = {
+    var words: Map[Vector[String], Long] = freq.toSeq
+      .map { case (w, c) => (w.split("").toVector :+ "</w>") -> c }
+      .groupBy(_._1).map { case (s, g) => s -> g.map(_._2).sum }
+    val out = scala.collection.mutable.ListBuffer
+      .empty[(Long, String, String, Long)]
+    var step = 1
+    var more = true
+    while (step <= k && more) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        syms.sliding(2).foreach {
+          case Vector(a, b) => pairs((a, b)) = pairs.getOrElse((a, b), 0L) + c
+          case _ =>
+        }
+      }
+      if (pairs.isEmpty) more = false
+      else {
+        val ((l, r), f) = pairs.toSeq
+          .minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((step.toLong, l, r, f))
+        words = words.toSeq.map { case (syms, c) =>
+          val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+          syms.foreach { x =>
+            if (merged.nonEmpty && merged.last == l && x == r) {
+              merged.remove(merged.length - 1); merged += (l + r)
+            } else merged += x
+          }
+          merged.toVector -> c
+        }.groupBy(_._1).map { case (s, g) => s -> g.map(_._2).sum }
+      }
+      step += 1
+    }
+    out.toSeq
+  }
+
+  private def run(df: org.apache.spark.sql.DataFrame, k: Int) =
+    TextAnalysis.bpeMerges(df, k).orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+
+  test("bpe merges equal the driver reference on the sf fixture") {
+    val docs = Tables.documents(spark, sf)
+    val freq = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = referenceBpe(freq, 8)
+    val got = run(docs, 8)
+    assert(expected.size == 8, "fixture too weak: fewer than 8 merges")
+    assert(got == expected,
+      s"distributed merges diverge from the reference:\n got $got\n exp $expected")
+  }
+
+  test("hand corpus: merge order, word-boundary terminal, and the " +
+    "greedy non-overlap law") {
+    val sp = spark; import sp.implicits._
+    // 'aaaa' x3 + 'ab' x2: (a,a) wins first (weight 9 = 3 pairs x 3),
+    // then greedy non-overlap leaves exactly one (aa,aa) pair per word
+    val docs = Seq((1L, "aaaa aaaa aaaa ab ab")).toDF("doc_id", "text")
+    val got = run(docs, 3)
+    assert(got(0)._2 == "a" && got(0)._3 == "a" && got(0)._4 == 9L,
+      s"first merge should be (a,a)@9: ${got(0)}")
+    // greedy non-overlap leaves (aa)(aa)(</w>) per word, so both
+    // (aa,aa) and (aa,</w>) count 3 — the lexicographic tie rule picks
+    // (aa,</w>) ('<' sorts before 'a'), which is itself a law check
+    assert(got(1) == ((2L, "aa", "</w>", 3L)),
+      s"tie must break lexicographically to (aa,</w>)@3: ${got(1)}")
+    // after merge 2 each aaaa-word is (aa)(aa</w>): the only 3-weight
+    // pair left is (aa, aa</w>)
+    assert(got(2) == ((3L, "aa", "aa</w>", 3L)),
+      s"(aa,aa</w>)@3 must follow: ${got(2)}")
+    // </w> keeps merges word-bounded: no rule may span the terminal
+    // as a LEFT symbol (nothing follows it inside a word)
+    assert(got.forall(r => !r._2.endsWith("</w>") || r._2 == "</w>"),
+      s"a merge consumed a terminal as its left symbol: $got")
+  }
+
+  test("k caps the rule count and steps are 1..k in order") {
+    val got = run(Tables.documents(spark, sf), 5)
+    assert(got.map(_._1) == (1L to 5L))
+    // frequencies are non-increasing is NOT a BPE law (later merges
+    // can beat earlier residual pairs), but every freq is positive
+    assert(got.forall(_._4 > 0))
+  }
+}
