@@ -194,6 +194,32 @@ object Similarity {
     math.max(53L, n / nlistTarget)
   }
 
+  /** Deterministic, ID-STRUCTURE-INDEPENDENT centroid pick: a vector
+    * is a centroid iff its seeded md5 bucket ≡ 0 (mod `mod`) — the
+    * q_data_split hash idiom, bit-identical in DuckDB so every
+    * cell-deriving oracle re-computes the SAME sample. The first cut
+    * used raw `vec_id % mod == 0`, and the 64k DriftGate rung broke
+    * it structurally: centroidMod(64000) = 252 ≡ 0 (mod 4), so a
+    * drifted data source arriving on ids ≡ 3 (mod 4) could NEVER
+    * contribute a centroid — the whole 16k drift cloud piled into one
+    * cell (15,694 rows) and even refreshIvfCentroids could not split
+    * it, the maintenance policy correctly refusing to settle (the
+    * prior 256k/1M rungs passed only because their moduli happened to
+    * be odd). Id-modulus sampling correlates with any id-residue-
+    * structured ingest — sharded or interleaved id assignment is
+    * exactly that shape in production; hashing the id first removes
+    * the correlation while keeping determinism, reproducibility, and
+    * the 1/mod sampling rate. */
+  private[graft] def centroidPick(mod: Long): Column =
+    (conv(substring(md5(concat(col("vec_id").cast("string"),
+      lit("#cent42")).cast("binary")), 1, 8), 16, 10).cast("bigint")
+      % mod) === 0
+
+  /** [[centroidPick]]'s oracle twin (DuckDB SQL fragment). */
+  private def CentroidPickSql: String =
+    "CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '#cent42'), " +
+      "1, 8)) AS BIGINT) % md = 0"
+
   /** Collected (cid, embedding, norm) centroid rows baked to the
     * primitive constants [[graft.functions.NearestCentroid]] takes:
     * (cids, flattened row-major matrix, norms), sorted by cid so the
@@ -381,7 +407,7 @@ object Similarity {
         if (fs.exists(p)) fs.delete(p, true)
       }
       val mod = centroidMod(n)
-      val centroids = emb.filter(col("vec_id") % mod === 0)
+      val centroids = emb.filter(centroidPick(mod))
         .select(col("vec_id").as("cid"), col("embedding").as("ke"),
           norm(col("embedding")).as("kn"))
         .localCheckpoint()
@@ -676,7 +702,7 @@ object Similarity {
     // the same n
     val buckets = Tables.indexBuckets(n)
     val mod = centroidMod(n)
-    val centroids = cur.filter(col("vec_id") % mod === 0)
+    val centroids = cur.filter(centroidPick(mod))
       .select(col("vec_id").as("cid"), col("ce").as("ke"),
         col("cn").as("kn"))
       .localCheckpoint()
@@ -838,7 +864,7 @@ object Similarity {
   private[graft] def pqTrain(s: SparkSession, emb: DataFrame, n: Long)
       : graft.functions.PqCodebooks = {
     val mod = math.max(1L, n / 4096L)
-    val rows = emb.filter(col("vec_id") % mod === 0)
+    val rows = emb.filter(centroidPick(mod))
       .select(col("vec_id"), col("embedding"))
       .collect().sortBy(_.getLong(0))
     require(rows.nonEmpty, "pqTrain: empty embedding sample")
@@ -1304,7 +1330,7 @@ object Similarity {
     val emb = Tables.embeddings(s, d)
     val mod = centroidMod(math.max(1L, emb.count()))
     val handle = centroidHandle(s,
-      emb.filter(col("vec_id") % mod === 0)
+      emb.filter(centroidPick(mod))
         .select(col("vec_id").as("cid"), col("embedding").as("ke"),
           norm(col("embedding")).as("kn")))
     def assigned(idc: String, ec: String, nc: String, cc: String) =
@@ -1398,7 +1424,7 @@ object Similarity {
     val mod = centroidMod(n)
     val nprobe = math.max(4, math.ceil(n / (8.0 * mod)).toInt)
     val handle = centroidHandle(s,
-      emb.filter(col("vec_id") % mod === 0)
+      emb.filter(centroidPick(mod))
         .select(col("vec_id").as("cid"), col("embedding").as("ke"),
           norm(col("embedding")).as("kn")))
     // the expensive top-nprobe ring in its OWN select, the explode in
@@ -1595,7 +1621,7 @@ object Similarity {
       "c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ke, " +
       "sqrt(list_aggregate(list_transform(CAST(embedding AS " +
       "DOUBLE[]), x -> x*x), 'sum')) AS kn " +
-      "FROM embeddings, m WHERE vec_id % md = 0), " +
+      "FROM embeddings, m WHERE " + CentroidPickSql + "), " +
       // ar materializes NARROW (vec_id, cid, crn): with the vector
       // arrays it would be n x nlist x ~520 B — 8.4 GB at the 64k
       // rung, over this host's scratch; the arrays re-join from `v`
@@ -1698,7 +1724,7 @@ object Similarity {
         "c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ke, " +
         "sqrt(list_aggregate(list_transform(CAST(embedding AS " +
         "DOUBLE[]), x -> x*x), 'sum')) AS kn " +
-        "FROM embeddings, m WHERE vec_id % md = 0), " +
+        "FROM embeddings, m WHERE " + CentroidPickSql + "), " +
         "a AS (SELECT vec_id, cid, ve FROM (" +
         "SELECT e.vec_id, c.cid, CAST(e.embedding AS DOUBLE[]) AS ve, " +
         "row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
@@ -1727,7 +1753,7 @@ object Similarity {
         "c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ke, " +
         "sqrt(list_aggregate(list_transform(CAST(embedding AS " +
         "DOUBLE[]), x -> x*x), 'sum')) AS kn " +
-        "FROM embeddings, m WHERE vec_id % md = 0), " +
+        "FROM embeddings, m WHERE " + CentroidPickSql + "), " +
         "a AS (SELECT vec_id, cid, ve, " +
         "sqrt(list_aggregate(list_transform(ve, x -> x*x), 'sum')) " +
         "AS nrm FROM (" +
@@ -1889,7 +1915,7 @@ object Similarity {
         // the probe crossJoin AND the driver collect below, so
         // materialize it once (same rationale as q_ann_lsh's probe
         // checkpoint)
-        val centroids = emb.filter(col("vec_id") % mod === 0)
+        val centroids = emb.filter(centroidPick(mod))
           .select(col("vec_id").as("cid"), col("embedding").as("ke"),
             norm(col("embedding")).as("kn"))
           .localCheckpoint()
@@ -1960,7 +1986,7 @@ object Similarity {
         "c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ke, " +
         "sqrt(list_aggregate(list_transform(CAST(embedding AS " +
         "DOUBLE[]), x -> x*x), 'sum')) AS kn " +
-        "FROM embeddings, m WHERE vec_id % md = 0), " +
+        "FROM embeddings, m WHERE " + CentroidPickSql + "), " +
         "a AS (SELECT vec_id, cid FROM (" +
         "SELECT e.vec_id, c.cid, row_number() OVER (" +
         "PARTITION BY e.vec_id ORDER BY " +
@@ -2020,7 +2046,7 @@ object Similarity {
         val emb = Tables.embeddings(s, d)
         val mod = centroidMod(math.max(1L, emb.count()))
         val handle = centroidHandle(s,
-          emb.filter(col("vec_id") % mod === 0)
+          emb.filter(centroidPick(mod))
             .select(col("vec_id").as("cid"), col("embedding").as("ke"),
               norm(col("embedding")).as("kn")))
         Tables.spread(emb)
@@ -2038,7 +2064,7 @@ object Similarity {
         "c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ke, " +
         "sqrt(list_aggregate(list_transform(CAST(embedding AS " +
         "DOUBLE[]), x -> x*x), 'sum')) AS kn " +
-        "FROM embeddings, m WHERE vec_id % md = 0), " +
+        "FROM embeddings, m WHERE " + CentroidPickSql + "), " +
         "a AS (SELECT vec_id, cid FROM (" +
         "SELECT e.vec_id, c.cid, row_number() OVER (" +
         "PARTITION BY e.vec_id ORDER BY " +
@@ -2069,7 +2095,7 @@ object Similarity {
         val emb = Tables.embeddings(s, d)
         val mod = centroidMod(math.max(1L, emb.count()))
         val handle0 = centroidHandle(s,
-          emb.filter(col("vec_id") % mod === 0)
+          emb.filter(centroidPick(mod))
             .select(col("vec_id").as("cid"), col("embedding").as("ke"),
               norm(col("embedding")).as("kn")))
         // mean per (cluster, dimension): 8dp-rounded doubles summed as
@@ -2127,7 +2153,7 @@ object Similarity {
         "c0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ke, " +
         "sqrt(list_aggregate(list_transform(CAST(embedding AS " +
         "DOUBLE[]), x -> x*x), 'sum')) AS kn " +
-        "FROM embeddings, m WHERE vec_id % md = 0), " +
+        "FROM embeddings, m WHERE " + CentroidPickSql + "), " +
         "a0 AS (SELECT vec_id, cid FROM (" +
         "SELECT e.vec_id, c0.cid, row_number() OVER (" +
         "PARTITION BY e.vec_id ORDER BY " +
@@ -2170,7 +2196,7 @@ object Similarity {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         val mod = centroidMod(math.max(1L, emb.count()))
-        val cent = emb.filter(col("vec_id") % mod === 0)
+        val cent = emb.filter(centroidPick(mod))
           .select(col("vec_id").as("cid"), col("embedding").as("ke"),
             norm(col("embedding")).as("kn"))
           .localCheckpoint()
@@ -2201,9 +2227,15 @@ object Similarity {
         val sd = when(col("cn_rows") >= 2, sqrt(variance)).otherwise(lit(0.0))
         val z = when(col("cn_rows") < 2 || sd === 0.0, lit(0.0))
           .otherwise((col("rs") - mean) / sd)
+        // score presents UNROUNDED: rs is already 8dp-quantized, and
+        // re-rounding a quantized value to 6dp is the half-way-tie
+        // class (CLAUDE.md rule 26 — the hashed-centroid sample landed
+        // one sf0.001 row exactly on 0.xxxxxx50 and the engines broke
+        // the tie differently). z is an UNquantized ratio, so its 4dp
+        // round stays in the safe class.
         scored.join(broadcast(stats), Seq("cid"))
           .select(col("vec_id"), col("cid"),
-            round(col("rs"), 6).as("score"),
+            col("rs").as("score"),
             round(z, 4).as("z"),
             (abs(z) > 2.0).as("outlier"))
           .orderBy("vec_id")
@@ -2214,7 +2246,7 @@ object Similarity {
         "c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ke, " +
         "sqrt(list_aggregate(list_transform(CAST(embedding AS " +
         "DOUBLE[]), x -> x*x), 'sum')) AS kn " +
-        "FROM embeddings, m WHERE vec_id % md = 0), " +
+        "FROM embeddings, m WHERE " + CentroidPickSql + "), " +
         "a AS (SELECT vec_id, cid FROM (" +
         "SELECT e.vec_id, c.cid, row_number() OVER (" +
         "PARTITION BY e.vec_id ORDER BY " +
@@ -2234,7 +2266,7 @@ object Similarity {
         "sqrt(greatest((s2 - s1 * s1 / cn_rows) / (cn_rows - 1), 0.0)) " +
         "ELSE 0.0 END " +
         "AS sd, s1 / cn_rows AS mean FROM sc JOIN st USING (cid)) " +
-        "SELECT vec_id, cid, round(rs, 6) AS score, " +
+        "SELECT vec_id, cid, rs AS score, " +
         "round(CASE WHEN sd = 0.0 THEN 0.0 ELSE (rs - mean) / sd END, 4) " +
         "AS z, " +
         "abs(CASE WHEN sd = 0.0 THEN 0.0 ELSE (rs - mean) / sd END) > 2.0 " +

@@ -1261,11 +1261,14 @@ class StreamingSpec extends SparkSuite {
     val base = (0L until 150L).map(i => (i, vec(i)))
     base.toDF("vec_id", "embedding").coalesce(1).write
       .parquet(s"$dir/embeddings.parquet")
-    val b0 = (1000L until 1020L).map(i => CorpusStreams.Vec(i, vec(i)))
-    // 1120 probes with an exact copy of arrival 1005's vector — the
+    // ranges include 1031 and 1146 — the ids the HASHED centroid pick
+    // (mod 53) selects, keeping the cadence-strength assert below
+    // non-vacuous
+    val b0 = (1020L until 1040L).map(i => CorpusStreams.Vec(i, vec(i)))
+    // 1160 probes with an exact copy of arrival 1025's vector — the
     // cross-batch visibility check, probed BEFORE b1's own append
-    val b1 = (1100L until 1120L).map(i => CorpusStreams.Vec(i, vec(i))) :+
-      CorpusStreams.Vec(1120L, vec(1005L))
+    val b1 = (1140L until 1160L).map(i => CorpusStreams.Vec(i, vec(i))) :+
+      CorpusStreams.Vec(1160L, vec(1025L))
     val got = scala.collection.mutable.Map.empty[Long, Set[(Long, Long, Double, Long)]]
     val input = MemoryStream[CorpusStreams.Vec]
     val q = CorpusStreams.annStream(input.toDS(), dir,
@@ -1278,7 +1281,7 @@ class StreamingSpec extends SparkSuite {
       input.addData(b1); q.processAllAvailable()
     } finally q.stop()
     assert(got(1L).exists { case (qid, nid, s, rn) =>
-      qid == 1120L && nid == 1005L && s == 1.0 && rn == 1L },
+      qid == 1160L && nid == 1025L && s == 1.0 && rn == 1L },
       "batch-0 arrival not rank-1 for its batch-1 copy probe")
     // batch 1 hit the refresh cadence ((1+1) % 2 == 0): the index must
     // now be content-identical to a one-shot build over base + b0 + b1
@@ -1312,16 +1315,20 @@ class StreamingSpec extends SparkSuite {
       val r = new scala.util.Random(seed)
       Array.fill(64)(r.nextFloat() * 2 - 1)
     }
-    val u = {
-      val v = vec(777L)
-      val n = math.sqrt(v.map(x => x * x.toDouble).sum)
-      v.map(x => (x / n).toFloat)
+    // the SimilaritySpec maintainIvfIndex fixture rules: 6000-vector
+    // base (hot-cell concentration is an extreme-value effect that
+    // needs ~100 cells), DriftGate's unit-normalized 0.2-shrink +
+    // offset transform (the corpus embeddings the gate runs on are
+    // unit vectors)
+    def drift(seed: Long): Array[Float] = {
+      val v = vec(seed)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.zipWithIndex.map { case (x, i) =>
+        0.2f * (x / n) + (if (i == 0) 1.0f else 0.0f) }
     }
-    def drift(seed: Long): Array[Float] =
-      vec(seed).zip(u).map { case (x, ui) => 0.05f * x + ui }
     val tmp = java.nio.file.Files.createTempDirectory("graft_annmnt")
     val dir = new java.io.File(tmp.toFile, "d").toString
-    (0L until 150L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    (0L until 6000L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
       .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
     val (_, ct) = graft.operators.Similarity.ensureIvfIndex(spark, dir)
     def centroidIds(): Set[Long] = {
@@ -1336,19 +1343,19 @@ class StreamingSpec extends SparkSuite {
     try {
       // healthy i.i.d. batch: the maintain pass measures and leaves
       // the index alone — no appended id may appear as a centroid
-      input.addData((1000L until 1020L).map(i =>
+      input.addData((10000L until 10020L).map(i =>
         CorpusStreams.Vec(i, vec(i))))
       q.processAllAvailable()
-      assert(centroidIds().forall(_ < 1000L),
+      assert(centroidIds().forall(_ < 10000L),
         "healthy batch must not trigger a refresh")
       // concentrated drift batch: the same cadence now measures a hot
       // cell and refreshes — appended mass contributes centroids and
       // occupancy is healthy again
-      input.addData((5000L until 6200L).map(i =>
+      input.addData((50000L until 53000L).map(i =>
         CorpusStreams.Vec(i, drift(i))))
       q.processAllAvailable()
     } finally q.stop()
-    assert(centroidIds().exists(_ >= 5000L),
+    assert(centroidIds().exists(_ >= 50000L),
       "drift batch must trigger an in-stream refresh")
     val (mx, md) = graft.operators.Similarity.ivfOccupancy(spark, dir)
     assert(md > 0 &&
