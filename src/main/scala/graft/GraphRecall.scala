@@ -53,7 +53,14 @@ object GraphRecall {
     val emb = Tables.embeddings(spark, dir)
     val n = emb.count()
     val every = if (sampleArg > 0) sampleArg else math.max(1L, n / 200)
-    val probes = emb.filter(col("vec_id") % every === 0)
+    // hashed 1/every sample, never a raw id modulus (rule 28): replica
+    // ids are orig + i*vecSpan, so `vec_id % every == 0` collapses the
+    // probe set to origs ≡ 0 (mod gcd(every, vecSpan)) — at the 32x
+    // gate (span 500, every 80) only 25 distinct source directions
+    // were ever probed, and an id-residue-structured slice (DriftGate's
+    // %4 drift ids) could be excluded from the gate wholesale
+    val pick = operators.Similarity.hashPick(col("vec_id"), "#gr42", every)
+    val probes = emb.filter(pick)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         operators.Similarity.norm(col("embedding")).as("qn"))
     val tau = 0.35
@@ -64,7 +71,8 @@ object GraphRecall {
       .bruteForceKnn(probes, emb, k).select("qid", "nid", "score")
       .collect())
     val graph = grouped(operators.Similarity.knnGraph(spark, dir, k)
-      .filter(col("qid") % every === 0).select("qid", "nid", "score")
+      .filter(operators.Similarity.hashPick(col("qid"), "#gr42", every))
+      .select("qid", "nid", "score")
       .collect())
     require(brute.nonEmpty, "empty probe sample")
     def got(q: Long): Set[Long] = graph.getOrElse(q, Map.empty).keySet

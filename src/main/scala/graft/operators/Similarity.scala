@@ -211,8 +211,17 @@ object Similarity {
     * the correlation while keeping determinism, reproducibility, and
     * the 1/mod sampling rate. */
   private[graft] def centroidPick(mod: Long): Column =
-    (conv(substring(md5(concat(col("vec_id").cast("string"),
-      lit("#cent42")).cast("binary")), 1, 8), 16, 10).cast("bigint")
+    hashPick(col("vec_id"), "#cent42", mod)
+
+  /** The hash-sampling idiom itself (seeded md5 bucket ≡ 0 mod `mod`)
+    * — EVERY deterministic 1/mod sample in the repo must go through
+    * this, never a raw id modulus (rule 28: id-residue-structured
+    * ingest — replica strides, sharded id assignment, DriftGate's %4
+    * drift slice — correlates with any raw modulus and can be
+    * excluded or over-selected wholesale). */
+  private[graft] def hashPick(id: Column, seed: String, mod: Long): Column =
+    (conv(substring(md5(concat(id.cast("string"),
+      lit(seed)).cast("binary")), 1, 8), 16, 10).cast("bigint")
       % mod) === 0
 
   /** [[centroidPick]]'s oracle twin (DuckDB SQL fragment). */
@@ -1333,20 +1342,28 @@ object Similarity {
       emb.filter(centroidPick(mod))
         .select(col("vec_id").as("cid"), col("embedding").as("ke"),
           norm(col("embedding")).as("kn")))
-    def assigned(idc: String, ec: String, nc: String, cc: String) =
-      Tables.spread(emb).select(col("vec_id").as(idc),
-        col("embedding").as(ec), norm(col("embedding")).as(nc),
+    // ONE assignment frame serving all three roles (both self-join
+    // sides + the output): the first cut invoked the nearestCentroid
+    // argmax per role — three full corpus scans each paying the
+    // k-centroid loop (the r15 plan audit's finding #2). The
+    // localCheckpoint materializes (vec_id, e, nn, cid) once, the
+    // knnGraph-consumer `edges` pattern; PlanSpec pins at most one
+    // nearest_centroid eval in the plan.
+    val asg = Tables.spread(emb).select(col("vec_id"),
+        col("embedding").as("e"), norm(col("embedding")).as("nn"),
         graft.functions.GraftFunctions
-          .nearestCentroid(col("embedding"), handle).as(cc))
-    val earlier = assigned("qid", "qe", "qn", "qcid")
-    val later = assigned("vec_id", "ce", "cn", "cid")
+          .nearestCentroid(col("embedding"), handle).as("cid"))
+      .localCheckpoint()
+    val earlier = asg.select(col("vec_id").as("qid"), col("e").as("qe"),
+      col("nn").as("qn"), col("cid").as("qcid"))
+    val later = asg.select(col("vec_id"), col("e").as("ce"),
+      col("nn").as("cn"), col("cid"))
     val raw = dot(col("qe"), col("ce")) / (col("qn") * col("cn"))
     val dropped = later.join(earlier,
       col("qcid") === col("cid") && col("qid") < col("vec_id") &&
         raw >= tau,
       "leftsemi")
-    assigned("vec_id", "ce2", "cn2", "cid")
-      .join(dropped.select("vec_id"), Seq("vec_id"), "left_anti")
+    asg.join(dropped.select("vec_id"), Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cid"))
       .orderBy("vec_id")
   }
@@ -1428,13 +1445,22 @@ object Similarity {
         .select(col("vec_id").as("cid"), col("embedding").as("ke"),
           norm(col("embedding")).as("kn")))
     // the expensive top-nprobe ring in its OWN select, the explode in
-    // the next (rule 15); qe/qn ride the generator as attributes
+    // the next (rule 15); qe/qn ride the generator as attributes.
+    // explode_OUTER, deliberately: InferFiltersFromGenerate only fires
+    // on non-outer generates, and the filter it synthesizes —
+    // Filter(size(nearest_cells(...)) > 0 AND isnotnull(...)) below
+    // the project — re-evaluates the native top-P ring (a k-centroid
+    // scan per row) a SECOND time corpus-wide (the r15 plan audit
+    // caught the doubled assignment phase). The ring is total for
+    // non-null embeddings, and a null qcid can never satisfy the
+    // equi-join, so outer semantics are row-identical here. PlanSpec
+    // pins exactly one nearest_cells eval per plan.
     val q = Tables.spread(emb).select(col("vec_id").as("qid"),
         col("embedding").as("qe"), norm(col("embedding")).as("qn"),
         graft.functions.GraftFunctions
           .nearestCells(col("embedding"), nprobe, handle).as("qcids"))
       .select(col("qid"), col("qe"), col("qn"),
-        explode(col("qcids")).as("qcid"))
+        explode_outer(col("qcids")).as("qcid"))
     val mates = Tables.spread(emb).select(col("vec_id").as("nid"),
       col("embedding").as("ne"), norm(col("embedding")).as("nn"),
       graft.functions.GraftFunctions

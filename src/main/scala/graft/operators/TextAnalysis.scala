@@ -905,7 +905,15 @@ object TextAnalysis {
     var step = 1
     var more = true
     while (step <= k && more) {
+      // size-1 words (a frequent single-char word after its (c,</w>)
+      // merge) contribute no pairs — and MUST be filtered before the
+      // transform: sequence(1, 0) yields the DESCENDING [1, 0], whose
+      // syms[i - 1] indexes syms[0]/syms[-1] — an ANSI
+      // INVALID_ARRAY_INDEX mid-iteration (or, ANSI off, null pairs
+      // that win the asc-tiebreak argmax and diverge from the driver
+      // reference, whose sliding(2) skips them)
       val pairs = words
+        .filter(size(col("syms")) >= 2)
         .select(col("cnt"), explode(
           expr("transform(sequence(1, size(syms) - 1), " +
             "i -> struct(syms[i - 1] AS l, syms[i] AS r))")).as("p"))

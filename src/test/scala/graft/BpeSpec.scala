@@ -91,6 +91,23 @@ class BpeSpec extends SparkSuite {
       s"a merge consumed a terminal as its left symbol: $got")
   }
 
+  test("a frequent single-char word fully merges without poisoning " +
+    "later pair counts") {
+    val sp = spark; import sp.implicits._
+    // 'a' x5 merges to the 1-symbol word (a</w>) at step 1; steps 2+
+    // must keep counting pairs from the other words exactly as the
+    // reference does (a size-1 syms array fed to sequence(1, 0) would
+    // emit [1, 0] -> a spurious or ANSI-throwing pair)
+    val docs = Seq((1L, "a a a a a no no nob")).toDF("doc_id", "text")
+    val freq = Map("a" -> 5L, "no" -> 2L, "nob" -> 1L)
+    val expected = referenceBpe(freq, 4)
+    val got = run(docs, 4)
+    assert(got(0) == ((1L, "a", "</w>", 5L)),
+      s"(a,</w>)@5 must merge first: ${got(0)}")
+    assert(got == expected,
+      s"post-single-symbol-word merges diverge:\n got $got\n exp $expected")
+  }
+
   test("k caps the rule count and steps are 1..k in order") {
     val got = run(Tables.documents(spark, sf), 5)
     assert(got.map(_._1) == (1L to 5L))

@@ -206,6 +206,31 @@ class PlanSpec extends SparkSuite {
       "session compaction introduced a corpus-global stage")
   }
 
+  test("knn graph evaluates the nearest_cells ring exactly once per row") {
+    // InferFiltersFromGenerate synthesizes Filter(size(g) > 0 AND
+    // isnotnull(g)) below a non-outer Generate — with g = the native
+    // top-P ring, that re-ran the k-centroid scan per corpus row a
+    // second time (the r15 plan-audit finding #1). explode_outer keeps
+    // the rule off; this pins the single eval.
+    val p = plan("q_knn_graph")
+    val evals = "nearest_cells\\(".r.findAllIn(p).size
+    assert(evals == 1,
+      s"q_knn_graph must evaluate nearest_cells exactly once, found " +
+        s"$evals:\n${p.linesIterator.filter(_.contains("nearest_cells"))
+          .mkString("\n")}")
+  }
+
+  test("semantic dedup assigns cells once, behind a checkpoint barrier") {
+    // the first cut invoked the nearestCentroid argmax per role
+    // (earlier / later / output) — three corpus scans each paying the
+    // k-centroid loop. The single localCheckpoint'd assignment frame
+    // leaves ZERO nearest_centroid evals in the consuming plan.
+    val p = plan("q_dedup_semantic")
+    assert(!p.contains("nearest_centroid"),
+      "q_dedup_semantic re-evaluates the centroid argmax above the " +
+        "checkpointed assignment frame")
+  }
+
   test("LSH bucketing is map-only: no aggregate before the bucket explode") {
     // the bucket computation must stay a projection (plane literals +
     // posexplode) — the retired shape aggregated sign bits with
