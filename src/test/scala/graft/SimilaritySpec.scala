@@ -886,6 +886,87 @@ class SimilaritySpec extends SparkSuite {
       compactAfter = 2).action == "none")
   }
 
+  test("knn graph index: fresh build equals the rebuild foil; ensure " +
+    "reuses it; the delta probe is the foil's slice") {
+    Similarity.ensureKnnGraphIndex(spark, sf, 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid", "score", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).toSeq.sorted
+    val foil = rows(Similarity.knnGraph(spark, sf, 3))
+    val idx = rows(Similarity.graphEdges(spark, sf, 3))
+    assert(foil.nonEmpty && idx == foil,
+      s"persisted edges diverge from knnGraph: ${idx.size} vs ${foil.size}")
+    // build-once: a second ensure must not rewrite the artifact
+    val (et, _) = Similarity.ensureKnnGraphIndex(spark, sf, 3)
+    def mtimes() = spark.table(et).inputFiles.map(f =>
+      new java.io.File(new java.net.URI(f)).lastModified()).toSeq.sorted
+    val before = mtimes()
+    Similarity.forgetFreshKnngMemo()
+    Similarity.ensureKnnGraphIndex(spark, sf, 3)
+    assert(mtimes() == before, "fresh graph index rebuilt on re-ensure")
+    // delta probe = the foil filtered to the slice
+    val delta = rows(SparkEntry.queries("q_knn_graph_delta")(spark, sf))
+    assert(delta.nonEmpty && delta == foil.filter(_._1 % 5 == 4),
+      "delta probe diverges from the foil's slice")
+  }
+
+  test("appendToKnnGraphIndex: merged content identity, reverse " +
+    "displacement, lag fold, replay no-op, compaction") {
+    val sp = spark; import sp.implicits._
+    def vec(seed: Long): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(64)(r.nextFloat() * 2 - 1)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_knngapp")
+    val dir = new java.io.File(tmp.toFile, "d").toString
+    (0L until 150L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val (et, _) = Similarity.ensureKnnGraphIndex(spark, dir, 3)
+    def resolved() = Similarity.graphEdges(spark, dir, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSeq.sorted
+    // batch: 1000 is an exact copy of node 3's vector (same argmax
+    // cell, cosine 1.0 — MUST displace into 3's top-k via the reverse
+    // pass), 1001 is novel
+    val batch = Seq((1000L, vec(3L)), (1001L, vec(9999L)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.appendToKnnGraphIndex(spark, dir, 3, batch, "g1"))
+    assert(!Similarity.appendToKnnGraphIndex(spark, dir, 3, batch, "g1"),
+      "replayed graph append must no-op")
+    val appended = resolved()
+    assert(appended.exists(e => e._1 == 3L && e._2 == 1000L &&
+        e._3 == 1.0 && e._4 == 1L),
+      "planted copy did not displace into node 3's adjacency at rank 1")
+    assert(appended.exists(_._1 == 1000L) && appended.exists(_._1 == 1001L),
+      "batch nodes gained no adjacency of their own")
+    // LAW: the appended view is row-identical to a one-shot rebuild
+    // over the merged corpus under the same frozen quantizer
+    Similarity.dropKnnGraphIndex(spark, dir, 3)
+    Similarity.ensureKnnGraphIndex(spark, dir, 3)
+    assert(resolved() == appended,
+      "appended graph diverges from the one-shot merged rebuild")
+    // lag fold: an ingest that appends to the IVF index directly
+    // leaves the graph lagging; the next ensure FOLDS (base files
+    // survive) instead of rebuilding
+    val filesBefore = spark.table(et).inputFiles.toSet
+    assert(Similarity.appendToIvfIndex(spark, dir,
+      Seq((2000L, vec(555L))).toDF("vec_id", "embedding"), "g2"))
+    Similarity.ensureKnnGraphIndex(spark, dir, 3)
+    val lagged = resolved()
+    assert(filesBefore.subsetOf(spark.table(et).inputFiles.toSet),
+      "lag ensure rebuilt instead of folding the missing batch")
+    assert(lagged.exists(_._1 == 2000L), "lag fold lost the batch node")
+    // compaction folds generations; the resolved view is unchanged
+    assert(Similarity.compactKnnGraphIndex(spark, dir, 3))
+    assert(resolved() == lagged, "compaction changed the resolved view")
+    assert(!Similarity.compactKnnGraphIndex(spark, dir, 3),
+      "second compact must no-op")
+    // maintenance: layout condition drives compaction, nothing else
+    val rep = Similarity.maintainKnnGraphIndex(spark, dir, 3)
+    assert(rep.action == "none" && !rep.ran, s"unexpected action: $rep")
+  }
+
   test("registered functions reject wrong arity with a clear error") {
     graft.functions.GraftFunctions.register(spark)
     val e = intercept[Exception] {
