@@ -141,13 +141,44 @@ object AppendSmoke {
     require(lexFolded, "lex compaction had nothing to fold")
     val lexProbeCompactS = lprobeS()
 
+    // ---- kNN graph index ----
+    // probe = the resolved family read (what graphRank/graphClusters
+    // pay before their own math); the per-append curve is the
+    // generation-resolve + extra-file tax on the bucketed edge scan.
+    // Graph appends fold BOTH indexes (the IVF fold runs inside), so
+    // graph_append_s is the full graph-aware ingest cost per batch —
+    // compare against ivf_append_s for the graph fold's own share.
+    def gprobeS(): Double = timed(
+      operators.Similarity.graphEdges(spark, dir, 3).count())._2
+    operators.Similarity.dropKnnGraphIndex(spark, dir, 3)
+    operators.Similarity.dropIvfIndex(spark, dir)
+    timed(operators.Similarity.ensureIvfIndex(spark, dir))
+    val (_, graphBuildS) =
+      timed(operators.Similarity.ensureKnnGraphIndex(spark, dir, 3))
+    val graphProbeFreshS = gprobeS()
+    val graphAppendTimes = (1 to nAppends).map { k =>
+      val (applied, t) = timed(operators.Similarity.appendToKnnGraphIndex(
+        spark, dir, 3, vstripe(k), s"smoke$k"))
+      require(applied, s"graph append $k did not apply")
+      t
+    }
+    val (gReplay, gReplayS) = timed(operators.Similarity
+      .appendToKnnGraphIndex(spark, dir, 3, vstripe(1), "smoke1"))
+    require(!gReplay, "replayed graph append applied twice")
+    val graphProbeAppendedS = gprobeS()
+    val (gFolded, graphCompactS) =
+      timed(operators.Similarity.compactKnnGraphIndex(spark, dir, 3))
+    require(gFolded, "graph compaction had nothing to fold")
+    val graphProbeCompactS = gprobeS()
+
     def arr(ts: Seq[Double]): String =
       ts.map(t => f"$t%.2f").mkString("[", ",", "]")
-    println(f"""{"metric":"append_smoke","dir":"$dir","docs":$nDocs,"batch_docs":$batchDocs,"n_appends":$nAppends,"shingle_build_s":$buildS%.2f,"shingle_append_s":${arr(appendTimes)},"replay_s":$replayS%.3f,"probe_fresh_s":$probeFreshS%.2f,"probe_appended_s":$probeAppendedS%.2f,"compact_s":$compactS%.2f,"probe_compacted_s":$probeCompactS%.2f,"vecs":$nVecs,"batch_vecs":$batchVecs,"ivf_build_s":$ivfBuildS%.2f,"ivf_append_s":${arr(ivfAppendTimes)},"ivf_probe_fresh_s":$ivfProbeFreshS%.2f,"ivf_probe_appended_s":$ivfProbeAppendedS%.2f,"ivf_compact_s":$ivfCompactS%.2f,"ivf_probe_compacted_s":$ivfProbeCompactS%.2f,"lex_build_s":$lexBuildS%.2f,"lex_append_s":${arr(lexAppendTimes)},"lex_replay_s":$lexReplayS%.3f,"lex_probe_fresh_s":$lexProbeFreshS%.2f,"lex_probe_appended_s":$lexProbeAppendedS%.2f,"lex_compact_s":$lexCompactS%.2f,"lex_probe_compacted_s":$lexProbeCompactS%.2f}""")
+    println(f"""{"metric":"append_smoke","dir":"$dir","docs":$nDocs,"batch_docs":$batchDocs,"n_appends":$nAppends,"shingle_build_s":$buildS%.2f,"shingle_append_s":${arr(appendTimes)},"replay_s":$replayS%.3f,"probe_fresh_s":$probeFreshS%.2f,"probe_appended_s":$probeAppendedS%.2f,"compact_s":$compactS%.2f,"probe_compacted_s":$probeCompactS%.2f,"vecs":$nVecs,"batch_vecs":$batchVecs,"ivf_build_s":$ivfBuildS%.2f,"ivf_append_s":${arr(ivfAppendTimes)},"ivf_probe_fresh_s":$ivfProbeFreshS%.2f,"ivf_probe_appended_s":$ivfProbeAppendedS%.2f,"ivf_compact_s":$ivfCompactS%.2f,"ivf_probe_compacted_s":$ivfProbeCompactS%.2f,"lex_build_s":$lexBuildS%.2f,"lex_append_s":${arr(lexAppendTimes)},"lex_replay_s":$lexReplayS%.3f,"lex_probe_fresh_s":$lexProbeFreshS%.2f,"lex_probe_appended_s":$lexProbeAppendedS%.2f,"lex_compact_s":$lexCompactS%.2f,"lex_probe_compacted_s":$lexProbeCompactS%.2f,"graph_build_s":$graphBuildS%.2f,"graph_append_s":${arr(graphAppendTimes)},"graph_replay_s":$gReplayS%.3f,"graph_probe_fresh_s":$graphProbeFreshS%.2f,"graph_probe_appended_s":$graphProbeAppendedS%.2f,"graph_compact_s":$graphCompactS%.2f,"graph_probe_compacted_s":$graphProbeCompactS%.2f}""")
     // leave the dir's indexes CLEAN: a later gate on the same replica
     // (scale_gate, RecallGate) expects index == corpus slice, and an
     // index carrying these synthetic appends would fail its oracle
     operators.Dedup.dropShingleIndex(spark, dir)
+    operators.Similarity.dropKnnGraphIndex(spark, dir, 3)
     operators.Similarity.dropIvfIndex(spark, dir)
     operators.Retrieval.dropLexIndex(spark, dir)
     spark.stop()
