@@ -177,6 +177,21 @@ object GraftFunctions {
       validCentroids(BroadcastCentroids(handle))))
   }
 
+  /** Column form of [[BpeTokens]]: byte-pair encode a text column
+    * against an ordered merge table (the column API is the only form —
+    * merge tables are data-derived or config, never SQL literals). The
+    * rank map is built eagerly here so an invalid table (a rule
+    * referencing a symbol no earlier rule creates, a duplicate rule)
+    * fails at plan construction on the driver, not per-task. */
+  def bpeTokens(text: org.apache.spark.sql.Column,
+                merges: Seq[(String, String)])
+      : org.apache.spark.sql.Column = {
+    BpeTokens.rankMap(merges) // driver-side validation
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      BpeTokens(GraftColumnBridge.expression(text), merges))
+  }
+
   /** Column form of [[PqEncode]] — broadcast-handle only (codebooks
     * are data-derived, so there is no literal SQL-registry form; the
     * ANN family is oracle-exempt anyway). Shape-validated on the
@@ -1139,6 +1154,150 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
     copy(child = newChild)
+}
+
+/** Byte-pair encode a document against a learned merge table — the
+  * corpus-hot ENCODE pass of the tokenizer whose TRAINING is
+  * graft.operators.TextAnalysis.bpeMerges. Per word (single-space
+  * tokens, the corpus convention): symbols = code points + the `</w>`
+  * terminal, then the standard encoder loop — find the minimum-rank
+  * pair present, merge ALL its occurrences in one leftmost-greedy
+  * non-overlapping pass, repeat until no rule applies. That loop is
+  * provably identical to replaying the training folds in rank order
+  * (each pass reaches the rule's fixpoint, and a merge only ever
+  * creates pairs containing its composite, whose rules are by
+  * construction LATER), which BpeSpec pins against an independent
+  * driver replay. Cost is O(len^2) hash probes per word, independent
+  * of the merge-table size — a per-rank sweep would cost O(K x len)
+  * per word at real vocabularies (K ~ 32k).
+  *
+  * doGenCode emits one static call per row with the rank map attached
+  * as a plan reference object (the NfcNormalize pattern), so the
+  * expression stays inside whole-stage codegen; an interpreted HOF
+  * fold here would re-enter the interpreter once per word per rule
+  * (rule 1's foil). */
+case class BpeTokens(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  @transient private lazy val ranks = BpeTokens.rankMap(merges)
+
+  override def prettyName: String = "bpe_tokens"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"bpe_tokens expects string, got ${child.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any =
+    BpeTokens.encode(a.asInstanceOf[UTF8String], ranks)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ranksRef = ctx.addReferenceObj("bpeRanks", ranks,
+      "java.util.HashMap")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.BpeTokens.encode($c, $ranksRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokens =
+    copy(child = newChild)
+}
+
+object BpeTokens {
+
+  /** Rank lookup (key = l + ' ' + r, value = 0-based rank), built
+    * once per plan. Validates the training invariant the encoder's
+    * correctness argument leans on: every non-initial symbol a rule
+    * references must have been CREATED by an earlier rule (initial
+    * symbols are single code points and the `</w>` terminal) — a table
+    * violating it could make the min-rank loop diverge from the
+    * rank-order training replay. */
+  def rankMap(merges: Seq[(String, String)])
+      : java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    val known = scala.collection.mutable.Set.empty[String]
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      def ok(sym: String): Boolean = sym == "</w>" ||
+        (sym.nonEmpty && sym.codePointCount(0, sym.length) == 1) ||
+        known(sym)
+      require(ok(l) && ok(r),
+        s"bpe_tokens: merge ${i + 1} ($l, $r) references a symbol no " +
+          "earlier rule creates — the table does not come from a " +
+          "rank-ordered training run")
+      require(m.put(l + " " + r, Int.box(i)) == null,
+        s"bpe_tokens: duplicate merge rule ($l, $r)")
+      known += (l + r)
+    }
+    m
+  }
+
+  /** Static so generated code calls it monomorphically. */
+  def encode(text: UTF8String,
+             ranks: java.util.HashMap[String, Integer]): ArrayData = {
+    val out = new java.util.ArrayList[UTF8String]()
+    val str = text.toString
+    val n = str.length
+    var ws = 0
+    while (ws < n) {
+      var we = str.indexOf(' ', ws)
+      if (we < 0) we = n
+      if (we > ws) encodeWord(str.substring(ws, we), ranks, out)
+      ws = we + 1
+    }
+    val arr = new Array[AnyRef](out.size())
+    var i = 0
+    while (i < arr.length) { arr(i) = out.get(i); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  private def encodeWord(w: String,
+                         ranks: java.util.HashMap[String, Integer],
+                         out: java.util.ArrayList[UTF8String]): Unit = {
+    var syms = new java.util.ArrayList[String](w.length + 1)
+    var i = 0
+    while (i < w.length) {
+      val cc = Character.charCount(w.codePointAt(i))
+      syms.add(w.substring(i, i + cc))
+      i += cc
+    }
+    syms.add("</w>")
+    var done = false
+    while (!done && syms.size > 1) {
+      // the minimum-rank pair present (ranks are unique per rule, so
+      // the chosen rank identifies exactly one (l, r))
+      var best = Int.MaxValue
+      var j = 0
+      while (j < syms.size - 1) {
+        val r = ranks.get(syms.get(j) + " " + syms.get(j + 1))
+        if (r != null && r < best) best = r
+        j += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        // one leftmost-greedy non-overlapping pass of the chosen rule
+        // — the training fold's semantics ("aaaa" + (a,a) -> (aa)(aa))
+        val merged = new java.util.ArrayList[String](syms.size)
+        var p = 0
+        while (p < syms.size) {
+          val hit = p < syms.size - 1 && {
+            val r = ranks.get(syms.get(p) + " " + syms.get(p + 1))
+            r != null && r.intValue() == best
+          }
+          if (hit) { merged.add(syms.get(p) + syms.get(p + 1)); p += 2 }
+          else { merged.add(syms.get(p)); p += 1 }
+        }
+        syms = merged
+      }
+    }
+    var t = 0
+    while (t < syms.size) {
+      out.add(UTF8String.fromString(syms.get(t)))
+      t += 1
+    }
+  }
 }
 
 object NfcNormalize {

@@ -223,6 +223,85 @@ object TextAnalysis {
       None),
 
     GraftQuery(
+      "q_bpe_encode",
+      "BPE ENCODE — the corpus-hot pass a training pipeline actually " +
+        "runs corpus-wide: every document tokenized against a fixed " +
+        "pre-trained merge table (the production shape: corpora are " +
+        "encoded with a tokenizer trained earlier, often elsewhere). " +
+        "ONE native bpe_tokens eval per document (codegen'd static " +
+        "call; an interpreted HOF fold would re-enter the interpreter " +
+        "per word per rule — rule 1), emitting the token stream and " +
+        "its length. The DuckDB oracle replays the same merge table " +
+        "one occurrence at a time via WITH RECURSIVE (min-rank pair, " +
+        "leftmost occurrence) — equivalent to the encoder's pass form " +
+        "because a merge only ever creates pairs of HIGHER rank, so " +
+        "this differentially proves the native encoder end to end; " +
+        "q_bpe_tokenize composes it with CORPUS-trained merges.",
+      (s, d) => bpeEncodedDocs(s, d, CanonicalMerges).orderBy("doc_id"),
+      Some(bpeEncCtes +
+        " SELECT doc_id, n_tokens, toks FROM bpe_docs ORDER BY doc_id")),
+
+    GraftQuery(
+      "q_bpe_tokenize",
+      "The composed tokenizer pipeline: TRAIN 8 merge rules on the " +
+        "corpus (q_bpe_merges' relational induction), collect the " +
+        "vocabulary-sized table to the driver, and ENCODE every " +
+        "document with it in one native pass. Oracle-exempt because " +
+        "training is (training's each argmax feeds the next " +
+        "tokenization — not static SQL); the two halves are " +
+        "separately proven — BpeSpec pins training against an " +
+        "independent driver reference AND encode against a " +
+        "rank-order training replay, while q_bpe_encode " +
+        "differentially proves the encoder under a fixed table.",
+      (s, d) => bpeEncodedDocs(s, d,
+        bpeMerges(Tables.documents(s, d), 8).orderBy("step").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq)
+        .orderBy("doc_id"),
+      None),
+
+    GraftQuery(
+      "q_token_budget_bpe",
+      "q_token_budget rebased on REAL tokenizer counts: each " +
+        "(source, shard) cell admits docs in seeded-hash order until " +
+        "its 500-BPE-token budget fills — budget sampling measured in " +
+        "the units the training run actually consumes, not " +
+        "whitespace-token approximations. Same distributed shape " +
+        "(budget split across shards up front; the only window " +
+        "partitions by (source, shard)); n_tokens is the native " +
+        "bpe_tokens length under the fixed canonical table, and the " +
+        "oracle reuses q_bpe_encode's recursive CTE chain so the two " +
+        "BPE oracles can never drift apart.",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val skey = md5(concat(col("doc_id").cast("string"), lit("#b42"))
+          .cast("binary"))
+        val w = Window.partitionBy("source", "shard")
+          .orderBy("skey", "doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.spread(Tables.documents(s, d))
+          .select(col("doc_id"), col("source"),
+            pmod(col("doc_id"), lit(8)).as("shard"), skey.as("skey"),
+            size(graft.functions.GraftFunctions
+              .bpeTokens(col("text"), CanonicalMerges))
+              .cast("bigint").as("n_tokens"))
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+          .select(col("doc_id"), col("source"), col("shard"),
+            col("n_tokens"), col("cum_tokens"),
+            (col("cum_tokens") <= lit(500L)).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some(bpeEncCtes +
+        " SELECT doc_id, source, shard, n_tokens, cum_tokens, " +
+        "cum_tokens <= 500 AS keep FROM (" +
+        "SELECT d.doc_id, d.source, d.doc_id % 8 AS shard, b.n_tokens, " +
+        "CAST(SUM(b.n_tokens) OVER (" +
+        "PARTITION BY d.source, d.doc_id % 8 " +
+        "ORDER BY md5(CAST(d.doc_id AS VARCHAR) || '#b42'), d.doc_id " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens " +
+        "FROM documents d JOIN bpe_docs b USING (doc_id)) " +
+        "ORDER BY doc_id")),
+
+    GraftQuery(
       "q_token_count",
       "Token counting two ways: whitespace tokens and a BPE-ish regex " +
         "lexer ([a-z]+ | digits | single non-space symbol) — the token " +
@@ -944,6 +1023,74 @@ object TextAnalysis {
     }
     rules.toSeq.toDF("step", "left", "right", "freq")
   }
+
+  /** The fixed merge table the ORACLED BPE queries encode with — a
+    * pre-trained tokenizer as a query parameter, the production shape
+    * (corpora are encoded with a tokenizer trained earlier, often on
+    * different data). Ten rules over the corpus's English fragment,
+    * ordered to respect the training invariant every rank-ordered BPE
+    * run satisfies (a composite symbol appears only after the rule
+    * creating it) — [[graft.functions.BpeTokens.rankMap]] validates it
+    * at plan construction, and the one-occurrence-at-a-time DuckDB
+    * replay is equivalent to the encoder's pass form only under it.
+    * (lazy: `queries` above initializes eagerly — the lmCteBody
+    * forward-reference rule.) */
+  private[graft] lazy val CanonicalMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("the", "</w>"), ("a", "n"), ("s", "c"),
+    ("sc", "an"), ("scan", "</w>"), ("e", "r"), ("er", "</w>"),
+    ("o", "r"))
+
+  /** Every document byte-pair encoded against `merges`: (doc_id,
+    * n_tokens, toks = the space-joined token stream). ONE native
+    * [[graft.functions.BpeTokens]] eval per document — the length and
+    * the join read the SAME materialized array (CollapseProject keeps
+    * non-cheap aliases un-inlined, so the encode is never duplicated
+    * into its consumers). */
+  private[graft] def bpeEncodedDocs(s: SparkSession, d: String,
+      merges: Seq[(String, String)]): DataFrame =
+    Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.bpeTokens(col("text"), merges)
+          .as("tk"))
+      .select(col("doc_id"),
+        size(col("tk")).cast("bigint").as("n_tokens"),
+        concat_ws(" ", col("tk")).as("toks"))
+
+  /** The BPE-encode oracle chain (through `bpe_docs(doc_id, n_tokens,
+    * toks)`), shared verbatim by q_bpe_encode and q_token_budget_bpe.
+    * The recursion applies, per word, ONE occurrence of the
+    * minimum-rank applicable rule per step (leftmost occurrence; each
+    * step shrinks the symbol list by exactly one, so the final state
+    * per word is the row with the SHORTEST list) — equivalent to the
+    * native encoder's all-occurrences pass because a merge only ever
+    * creates pairs containing its composite, whose rules are later. */
+  private[graft] def bpeEncCtes: String =
+    "WITH RECURSIVE bm(rank, l, r) AS (VALUES " +
+      CanonicalMerges.zipWithIndex.map { case ((l, r), i) =>
+        s"(${i + 1}, '$l', '$r')" }.mkString(", ") + "), " +
+      "bt AS (SELECT doc_id, str_split(text, ' ') AS tk FROM documents), " +
+      "bw AS (SELECT doc_id, i AS wpos, " +
+      "list_append(str_split(tk[i], ''), '</w>') AS syms " +
+      "FROM bt, UNNEST(generate_series(1, len(tk))) AS g(i) " +
+      "WHERE len(tk[i]) > 0), " +
+      "benc AS (SELECT doc_id, wpos, syms FROM bw " +
+      "UNION ALL " +
+      "SELECT e.doc_id, e.wpos, " +
+      "e.syms[1:b.pos-1] || [e.syms[b.pos] || e.syms[b.pos+1]] || " +
+      "e.syms[b.pos+2:] " +
+      "FROM benc e, LATERAL (" +
+      "SELECT g.i AS pos " +
+      "FROM UNNEST(generate_series(1, len(e.syms)-1)) AS g(i) " +
+      "JOIN bm ON bm.l = e.syms[g.i] AND bm.r = e.syms[g.i+1] " +
+      "ORDER BY bm.rank, g.i LIMIT 1) b), " +
+      "bfin AS (SELECT doc_id, wpos, min_by(syms, len(syms)) AS syms " +
+      "FROM benc GROUP BY doc_id, wpos), " +
+      "bpe_docs AS (SELECT d.doc_id, " +
+      "CAST(COALESCE(sum(len(f.syms)), 0) AS BIGINT) AS n_tokens, " +
+      "COALESCE(string_agg(array_to_string(f.syms, ' '), ' ' " +
+      "ORDER BY f.wpos), '') AS toks " +
+      "FROM documents d LEFT JOIN bfin f ON f.doc_id = d.doc_id " +
+      "GROUP BY d.doc_id)"
 
   /** q_data_split's deterministic hash bucket (0-99) — a doc's split
     * never changes as the corpus grows; frame-independent expression. */

@@ -115,4 +115,104 @@ class BpeSpec extends SparkSuite {
     // can beat earlier residual pairs), but every freq is positive
     assert(got.forall(_._4 > 0))
   }
+
+  /** Independent ENCODE reference: replay the training folds in rank
+    * order — one leftmost-greedy non-overlapping pass per rule,
+    * exactly [[referenceBpe]]'s merge step. The native expression uses
+    * a different algorithm (min-rank-present loop), so equality here
+    * is the encode<->train consistency law, not a mirror. */
+  private def refEncode(text: String,
+                        merges: Seq[(String, String)]): Seq[String] =
+    text.split(" ").filter(_.nonEmpty).toSeq.flatMap { w =>
+      var syms = w.split("").toVector :+ "</w>"
+      merges.foreach { case (l, r) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        syms.foreach { x =>
+          if (out.nonEmpty && out.last == l && x == r) {
+            out.remove(out.length - 1); out += (l + r)
+          } else out += x
+        }
+        syms = out.toVector
+      }
+      syms
+    }
+
+  private def encodeAll(df: org.apache.spark.sql.DataFrame,
+                        merges: Seq[(String, String)]) =
+    df.select(col("doc_id"),
+        graft.functions.GraftFunctions.bpeTokens(col("text"), merges)
+          .as("tk"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+
+  test("native encode equals the rank-order training replay under " +
+    "CORPUS-LEARNED merges (the encode<->train consistency law)") {
+    val docs = Tables.documents(spark, sf)
+    val merges = run(docs, 8).map(m => (m._2, m._3))
+    val got = encodeAll(docs, merges)
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == texts.size)
+    texts.foreach { case (id, text) =>
+      val exp = refEncode(text, merges)
+      assert(got(id) == exp,
+        s"doc $id: native ${got(id).take(20)} != replay ${exp.take(20)}")
+    }
+    // the encode must actually compress: fewer tokens than characters
+    assert(got.values.map(_.size).sum <
+      texts.values.map(_.split(" ").map(_.length + 1).sum).sum)
+  }
+
+  test("encode edge cases: greedy non-overlap, full-word merge, " +
+    "empty/multi-space text, invalid tables rejected") {
+    val sp = spark; import sp.implicits._
+    def enc(text: String, merges: Seq[(String, String)]): Seq[String] =
+      encodeAll(Seq((1L, text)).toDF("doc_id", "text"), merges)(1L)
+    // greedy non-overlap: "aaaa" -> (aa)(aa), "aaa" -> (aa)(a)
+    assert(enc("aaaa aaa", Seq(("a", "a"))) ==
+      Seq("aa", "aa", "</w>", "aa", "a", "</w>"))
+    // a word can merge to ONE symbol through the terminal
+    assert(enc("a the", Seq(("a", "</w>"), ("t", "h"), ("th", "e"),
+      ("the", "</w>"))) == Seq("a</w>", "the</w>"))
+    // rank order beats textual adjacency: with (b,c) ranked first,
+    // "abc" resolves b+c before a can pair
+    assert(enc("abc", Seq(("b", "c"), ("a", "bc"))) == Seq("abc", "</w>"))
+    // multiple/leading/trailing spaces collapse; empty text -> []
+    assert(enc("  a  b ", Nil) == Seq("a", "</w>", "b", "</w>"))
+    assert(enc("", Nil) == Seq.empty)
+    // a rule referencing a symbol no earlier rule creates is rejected
+    // at plan construction (the training invariant)
+    intercept[IllegalArgumentException] {
+      graft.functions.GraftFunctions.bpeTokens(col("text"),
+        Seq(("th", "e")))
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.GraftFunctions.bpeTokens(col("text"),
+        Seq(("t", "h"), ("t", "h")))
+    }
+  }
+
+  test("q_bpe_tokenize composes training and encode; q_bpe_encode's " +
+    "fixed table fires on the corpus") {
+    val docs = Tables.documents(spark, sf)
+    val merges = run(docs, 8).map(m => (m._2, m._3))
+    val got = SparkEntry.queries("q_bpe_tokenize")(spark, sf)
+      .select("doc_id", "n_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (id, text) =>
+      assert(got(id) == refEncode(text, merges).size.toLong,
+        s"doc $id token count diverges")
+    }
+    // the canonical fixed table must actually compress the corpus
+    // (otherwise the oracled pair proves nothing about merging)
+    val enc = SparkEntry.queries("q_bpe_encode")(spark, sf)
+      .agg(sum("n_tokens")).head.getLong(0)
+    val unmerged = texts.values.map { t =>
+      val ws = t.split(" ").filter(_.nonEmpty)
+      ws.length + ws.map(_.length).sum // chars + one </w> per word
+    }.sum
+    assert(enc < unmerged, s"canonical merges never fire: $enc >= $unmerged")
+  }
 }
