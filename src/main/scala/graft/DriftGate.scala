@@ -146,8 +146,43 @@ object DriftGate {
         (System.nanoTime() - t) / 1e9
       }.min
 
+    // semantic tau-gate under drift (r15 ask #6): the link rule the
+    // semantic ingest stream acts on — ivfProbe top-k filtered at
+    // cosine >= tau — measured as DUPLICATE DETECTION against brute
+    // truth (a probe's max merged-corpus cosine >= tau; scores are
+    // exact, so a detection can never be false — only MISSED). The
+    // drift cloud's vectors are near-identical (pairwise cosine
+    // ~0.92+ by construction) so every drift probe has tau-mates;
+    // base probes have them only where the replica PLANTS near-dups
+    // (the first cut asserted zero base mates and a planted pair
+    // refuted it). Gates: the refreshed index detects EVERY true
+    // mate on both probe sets; frozen misses are reported — pinning
+    // the claim that frozen centroids cost the tau gate OCCUPANCY
+    // (probe wall), not verdicts, and making any verdict cost visible
+    // the round it appears.
+    val semTau = 0.55
+    def semTruth(probes: DataFrame): Set[Long] =
+      Similarity.bruteForceKnn(probes, corpus, 1)
+        .filter(col("score") >= semTau)
+        .select("qid").collect().map(_.getLong(0)).toSet
+    def semDetect(d: String, probes: DataFrame): Set[Long] =
+      Similarity.ivfProbe(spark, d,
+        probes.select(col("qid").as("vec_id"), col("qe").as("embedding")),
+        5)
+        .filter(col("score") >= semTau)
+        .select("qid").distinct().collect().map(_.getLong(0)).toSet
+    val semTruthDrift = semTruth(pDrift)
+    val semTruthBase = semTruth(pBase)
+    require(semTruthDrift.size == 10,
+      s"drift cloud lost its tau-mates (${semTruthDrift.size}/10) — " +
+        "the fixture is broken")
+    def rate(got: Set[Long], truth: Set[Long]): Double =
+      if (truth.isEmpty) -1.0 else (got & truth).size.toDouble / truth.size
+
     val frozenDrift = recallOf(work, pDrift, bruteDrift)
     val frozenBase = recallOf(work, pBase, bruteBase)
+    val semDriftFroz = rate(semDetect(work, pDrift), semTruthDrift)
+    val semBaseFroz = rate(semDetect(work, pBase), semTruthBase)
     val (frozMax, frozMed) = occupancy(atW)
     val probeDriftFroz = probeSec(work, pDrift)
     val probeBaseFroz = probeSec(work, pBase)
@@ -172,6 +207,8 @@ object DriftGate {
         postMaint.render)
     val refreshedDrift = recallOf(work, pDrift, bruteDrift)
     val refreshedBase = recallOf(work, pBase, bruteBase)
+    val semDriftRef = rate(semDetect(work, pDrift), semTruthDrift)
+    val semBaseRef = rate(semDetect(work, pBase), semTruthBase)
     val (refMax, refMed) = occupancy(atW)
     val probeDriftRef = probeSec(work, pDrift)
     val probeBaseRef = probeSec(work, pBase)
@@ -199,7 +236,7 @@ object DriftGate {
       fp(ctM, Seq("cid", "ke", "kn"))
 
     val n = spark.table(atM).count()
-    println(f"""{"metric":"drift_gate","dir":"$dir","vecs":$n,"recall_drift_frozen":$frozenDrift%.3f,"recall_drift_refreshed":$refreshedDrift%.3f,"recall_base_frozen":$frozenBase%.3f,"recall_base_refreshed":$refreshedBase%.3f,"occ_frozen_max":$frozMax,"occ_frozen_med":$frozMed,"occ_refreshed_max":$refMax,"occ_refreshed_med":$refMed,"probe_drift_frozen_s":$probeDriftFroz%.2f,"probe_drift_refreshed_s":$probeDriftRef%.2f,"probe_base_frozen_s":$probeBaseFroz%.2f,"probe_base_refreshed_s":$probeBaseRef%.2f,"refresh_s":$refreshSec%.2f,"oneshot_build_s":$oneShotSec%.2f,"law_assign":$lawAssign,"law_centroids":$lawCent,"floor":$floor}""")
+    println(f"""{"metric":"drift_gate","dir":"$dir","vecs":$n,"recall_drift_frozen":$frozenDrift%.3f,"recall_drift_refreshed":$refreshedDrift%.3f,"recall_base_frozen":$frozenBase%.3f,"recall_base_refreshed":$refreshedBase%.3f,"occ_frozen_max":$frozMax,"occ_frozen_med":$frozMed,"occ_refreshed_max":$refMax,"occ_refreshed_med":$refMed,"probe_drift_frozen_s":$probeDriftFroz%.2f,"probe_drift_refreshed_s":$probeDriftRef%.2f,"probe_base_frozen_s":$probeBaseFroz%.2f,"probe_base_refreshed_s":$probeBaseRef%.2f,"refresh_s":$refreshSec%.2f,"oneshot_build_s":$oneShotSec%.2f,"law_assign":$lawAssign,"law_centroids":$lawCent,"sem_tau":$semTau,"sem_truth_drift":${semTruthDrift.size},"sem_truth_base":${semTruthBase.size},"sem_drift_frozen":$semDriftFroz%.3f,"sem_drift_refreshed":$semDriftRef%.3f,"sem_base_frozen":$semBaseFroz%.3f,"sem_base_refreshed":$semBaseRef%.3f,"floor":$floor}""")
     var bad = List.empty[String]
     if (!lawAssign || !lawCent)
       bad ::= "refreshed index is not content-identical to one-shot"
@@ -207,6 +244,10 @@ object DriftGate {
       bad ::= f"refreshed recall $refreshedDrift%.3f/$refreshedBase%.3f below floor $floor"
     if (refMax >= frozMax)
       bad ::= s"refresh did not reduce hot-cell occupancy ($refMax >= $frozMax)"
+    if (semDriftRef < 1.0)
+      bad ::= f"refreshed tau gate missed drift duplicates ($semDriftRef%.3f < 1.0)"
+    if (semTruthBase.nonEmpty && semBaseRef < 1.0)
+      bad ::= f"refreshed tau gate missed planted base duplicates ($semBaseRef%.3f < 1.0)"
     spark.stop()
     if (bad.nonEmpty) { bad.foreach(m => Console.err.println(s"DRIFT GATE: $m")); sys.exit(1) }
   }

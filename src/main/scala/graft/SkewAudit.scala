@@ -7,9 +7,16 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Hot-shingle skew audit of the bucketed delta-dedup probe — the r14
-  * verdict's ask #5: the exchange-free probe joins hash on the shingle
-  * `s`, so a pathological corpus (one viral boilerplate span) could
-  * concentrate a bucket and turn the probe into one straggler task.
+  * verdict's ask #5 — EXTENDED (r16, the r15 verdict's ask #5) with
+  * the lexical index, whose skew exposure is structurally worse:
+  * shingle hashes decorrelate content frequency from bucket placement
+  * (measured 1.01x at 5.12M docs), but BM25 postings follow Zipf — a
+  * stop-word's posting list IS a hot bucket by construction (every
+  * occurrence of one term hashes to ONE bucket). The lexical section
+  * measures per-bucket postings rows, the term-df tail, and per-task
+  * durations during a real bm25IndexedScores probe; the same > 4x
+  * max/median task-time threshold decides whether the documented
+  * df-based stop-term cap is warranted.
   * This main measures, on a (replicated) corpus dir at its scaled
   * bucket count:
   *
@@ -88,18 +95,58 @@ object SkewAudit {
     spark.sparkContext.removeSparkListener(listener)
 
     import scala.jdk.CollectionConverters._
-    val byStage = tasks.asScala.toSeq.groupBy(_._1)
-      .map { case (st, ts) => (st, ts.map(_._2).sorted) }
-      .toSeq.sortBy { case (_, ds) => -ds.sum }
-    val stageJson = byStage.take(4).map { case (st, ds) =>
-      val med = math.max(1L, ds(ds.length / 2))
-      f"""{"stage":$st,"tasks":${ds.length},"total_ms":${ds.sum},"max_ms":${ds.last},"median_ms":$med,"max_over_median":${ds.last.toDouble / med}%.2f}"""
-    }.mkString("[", ",", "]")
-    val probeRatio = byStage.headOption.map { case (_, ds) =>
-      ds.last.toDouble / math.max(1L, ds(ds.length / 2))
-    }.getOrElse(0.0)
+    def stageStats(q: java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)])
+        : (String, Double) = {
+      val byStage = q.asScala.toSeq.groupBy(_._1)
+        .map { case (st, ts) => (st, ts.map(_._2).sorted) }
+        .toSeq.sortBy { case (_, ds) => -ds.sum }
+      val stageJson = byStage.take(4).map { case (st, ds) =>
+        val med = math.max(1L, ds(ds.length / 2))
+        f"""{"stage":$st,"tasks":${ds.length},"total_ms":${ds.sum},"max_ms":${ds.last},"median_ms":$med,"max_over_median":${ds.last.toDouble / med}%.2f}"""
+      }.mkString("[", ",", "]")
+      val ratio = byStage.headOption.map { case (_, ds) =>
+        ds.last.toDouble / math.max(1L, ds(ds.length / 2))
+      }.getOrElse(0.0)
+      (stageJson, ratio)
+    }
+    val (stageJson, probeRatio) = stageStats(tasks)
 
-    println(f"""{"metric":"skew_audit","dir":"$dir","buckets":${perBucket.length},"bucket_rows_max":$rowMax,"bucket_rows_median":$rowMed,"bucket_rows_ratio":${rowMax.toDouble / math.max(1L, rowMed)}%.2f,"distinct_shingles":$nSh,"df_max":$dfMax,"df_mean":$dfMean%.2f,"probe_pairs":$nPairs,"heaviest_stage_max_over_median":$probeRatio%.2f,"stages":$stageJson}""")
+    // ---- lexical index (BM25 postings) ----
+    val (lexPostT, _) = operators.Retrieval.ensureLexIndex(spark, dir)
+    val lexPerBucket = spark.table(lexPostT)
+      .groupBy(input_file_name().as("f")).count()
+      .collect()
+      .map(r => BucketRe.findFirstMatchIn(r.getString(0)).get
+        .group(1).toInt -> r.getLong(1))
+      .sortBy(-_._2)
+    val lexRows = lexPerBucket.map(_._2).sorted
+    val lexRowMax = lexRows.last
+    val lexRowMed = lexRows(lexRows.length / 2)
+    // the Zipf head itself: per-term posting-list lengths
+    val lexDf = spark.table(lexPostT)
+      .groupBy("th").agg(count(lit(1)).as("df"))
+      .agg(max("df").as("mx"), avg("df").as("mean"),
+        count(lit(1)).as("terms")).head
+    val (lexDfMax, lexDfMean, lexTerms) =
+      (lexDf.getLong(0), lexDf.getDouble(1), lexDf.getLong(2))
+    val lexTasks = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]
+    val lexListener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskInfo != null)
+          lexTasks.add((t.stageId, t.taskInfo.duration))
+    }
+    spark.sparkContext.addSparkListener(lexListener)
+    val nScores = operators.Retrieval
+      .bm25IndexedScores(spark, dir, operators.Retrieval.QueryTerms)
+      .count()
+    val lexDeadline = System.nanoTime() + 10.seconds.toNanos
+    while (lexTasks.size() < 2 && System.nanoTime() < lexDeadline)
+      Thread.sleep(100)
+    Thread.sleep(1000)
+    spark.sparkContext.removeSparkListener(lexListener)
+    val (lexStageJson, lexProbeRatio) = stageStats(lexTasks)
+
+    println(f"""{"metric":"skew_audit","dir":"$dir","buckets":${perBucket.length},"bucket_rows_max":$rowMax,"bucket_rows_median":$rowMed,"bucket_rows_ratio":${rowMax.toDouble / math.max(1L, rowMed)}%.2f,"distinct_shingles":$nSh,"df_max":$dfMax,"df_mean":$dfMean%.2f,"probe_pairs":$nPairs,"heaviest_stage_max_over_median":$probeRatio%.2f,"stages":$stageJson,"lex_buckets":${lexPerBucket.length},"lex_bucket_rows_max":$lexRowMax,"lex_bucket_rows_median":$lexRowMed,"lex_bucket_rows_ratio":${lexRowMax.toDouble / math.max(1L, lexRowMed)}%.2f,"lex_terms":$lexTerms,"lex_df_max":$lexDfMax,"lex_df_mean":$lexDfMean%.2f,"lex_scores":$nScores,"lex_heaviest_stage_max_over_median":$lexProbeRatio%.2f,"lex_stages":$lexStageJson}""")
     spark.stop()
   }
 }

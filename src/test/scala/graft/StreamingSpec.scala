@@ -1245,6 +1245,43 @@ class StreamingSpec extends SparkSuite {
       s"restarted stream lost the seeded component: $labels2")
   }
 
+  test("semantic ingest stream drives condition-driven maintenance: " +
+    "the append-layout threshold compacts in-stream") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    import graft.streaming.CorpusStreams
+    def vec(seed: Long): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(64)(r.nextFloat() * 2 - 1)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_semmnt")
+    val dir = new java.io.File(tmp.toFile, "d").toString
+    (0L until 150L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val input = MemoryStream[CorpusStreams.Vec]
+    val q = CorpusStreams.semanticIngestStream(input.toDS(), dir,
+      tau = 0.99, streamId = "sm1", maintainEvery = 1) {
+      (_, _, _) => ()
+    }.start()
+    try {
+      // i.i.d. singleton batches reach DefaultCompactAfter = 8: the
+      // per-batch maintain pass must compact the accumulated layout
+      // (never refresh — occupancy stays healthy)
+      (0 until 8).foreach { i =>
+        input.addData(Seq(CorpusStreams.Vec(5000L + i, vec(7777L + i))))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val rep = graft.operators.Similarity
+      .maintainIvfIndex(spark, dir, dryRun = true)
+    assert(rep.appliedBatches == 8, s"expected 8 applied batches: $rep")
+    assert(rep.uncompactedBatches == 0,
+      s"maintainEvery never compacted the appended layout: ${rep.render}")
+    assert(rep.action == "none",
+      s"post-maintain state must be settled: ${rep.render}")
+  }
+
   test("ann stream refreshEvery re-fits the quantizer in-stream; the " +
     "maintained index ends content-identical to a one-shot build") {
     val sp = spark; import sp.implicits._

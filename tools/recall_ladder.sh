@@ -38,10 +38,25 @@ RUNGS="${1:-128 256 512 1024}"
 SRC="${RECALL_LADDER_SRC:-/root/testdata/sf0.1}"
 FLOORS="${RECALL_LADDER_FLOORS:-0.60 0.58 1.0 0.85}"
 cd "$(dirname "$0")/.."
+# Graph-recall rung policy (r15 verdict ask #4): the nprobe ~ nlist/8
+# ring rule needs rule-16 treatment at the big-n regimes too, but the
+# graph build is the family's one O(n^2/nlist·nprobe) pass — ~17 min at
+# 256k on this host and ~n^2 beyond — so GraphRecall runs only on rungs
+# up to RECALL_LADDER_GRAPH_MAX_N vectors (default 300k = the 128x rung
+# of sf0.1; raise it for a deeper, slower audit; 0 skips). Floor just
+# under measured with the hashed probe sample: 0.512/0.603/0.668 at
+# 16k/64k/256k — recall RISES with n as nprobe tracks nlist.
+GRAPH_MAX_N="${RECALL_LADDER_GRAPH_MAX_N:-300000}"
+GRAPH_FLOOR="${RECALL_LADDER_GRAPH_FLOOR:-0.60}"
 for K in $RUNGS; do
   WORK="/tmp/graft_recall_ladder_${K}x"
   SPARK_GRAFT_SMOKE_TABLES=embeddings,documents SPARK_GRAFT_SMOKE_REUSE=1 \
     sbt -batch "runMain graft.ScaleSmoke $K $SRC $WORK"
   sbt -batch "runMain graft.RecallGate $WORK $FLOORS"
+  N_VECS="$(( K * 2000 ))"   # sf0.1 embeddings = 2000 rows
+  if [ "$GRAPH_MAX_N" != "0" ] && [ "$N_VECS" -le "$GRAPH_MAX_N" ] \
+     && [ "$N_VECS" -ge 256000 ]; then
+    sbt -batch "runMain graft.GraphRecall $WORK $GRAPH_FLOOR"
+  fi
 done
-echo "RECALL LADDER GREEN: rungs [$RUNGS] x $SRC, floors [$FLOORS]"
+echo "RECALL LADDER GREEN: rungs [$RUNGS] x $SRC, floors [$FLOORS], graph <= ${GRAPH_MAX_N}v floor $GRAPH_FLOOR"

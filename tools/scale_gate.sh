@@ -117,8 +117,11 @@ fi
 # CORRECTNESS above (32x is their differential rung — at 128x the
 # DuckDB oracle's 518M-row window sort exceeds this host's ~8 GB
 # scratch; Spark runs it in ~2 min), but the probe ring's RECALL only
-# moves at scale. Floor just under measured: 0.513 at 16k, 0.565 at
-# 64k (rises with n as nprobe tracks nlist — IVF parity per rung).
+# moves at scale. Floor just under measured with the r16 HASHED probe
+# sample (the raw-modulus sample collapsed to 25 source directions at
+# this rung — rule 28): 0.512 at 16k, 0.603 at 64k, rising with n as
+# nprobe tracks nlist (IVF parity per rung; 256k+ rungs live in
+# tools/recall_ladder.sh).
 if [ "${SCALE_GATE_NO_RECALL:-0}" != "1" ]; then
-  sbt -batch "runMain graft.GraphRecall $WORK ${SCALE_GATE_GRAPH_FLOOR:-0.45}"
+  sbt -batch "runMain graft.GraphRecall $WORK ${SCALE_GATE_GRAPH_FLOOR:-0.47}"
 fi
