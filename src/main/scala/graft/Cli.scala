@@ -259,6 +259,12 @@ object Cli {
           .maintainIvfIndex(spark, dir, dryRun = dry).render)
         println(operators.Retrieval
           .maintainLexIndex(spark, dir, dryRun = dry).render)
+        // the graph index only exists where a graph consumer built
+        // it — maintaining one into existence here would pay the ring
+        // build on corpora that never run graph queries
+        if (operators.Similarity.hasKnnGraphIndex(spark, dir, 3))
+          println(operators.Similarity
+            .maintainKnnGraphIndex(spark, dir, 3, dryRun = dry).render)
       // the LLM-pipeline face: run the five-stage curation DAG
       // (calibrated quality -> LM perplexity -> exact dedup ->
       // decontaminate -> pack + split) over a corpus dir and write

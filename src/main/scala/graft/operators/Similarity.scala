@@ -1688,6 +1688,15 @@ object Similarity {
       })
   }
 
+  /** Whether a graph index has ever been built for (d, k) — the Cli
+    * maintain guard (maintenance must not BUILD an index on corpora
+    * that never run graph queries; ensure inside maintain would). */
+  private[graft] def hasKnnGraphIndex(s: SparkSession, d: String,
+                                      k: Int): Boolean = {
+    val mp = knngManifestPath(s, d, k)
+    mp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(mp)
+  }
+
   /** Drop the persisted kNN graph (tables + manifest + memo) — the
     * AppendSmoke cold-build hook and the law tests' reset. */
   private[graft] def dropKnnGraphIndex(s: SparkSession, d: String,

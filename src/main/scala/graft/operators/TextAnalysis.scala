@@ -302,6 +302,33 @@ object TextAnalysis {
         "ORDER BY doc_id")),
 
     GraftQuery(
+      "q_seq_pack_bpe",
+      "Sequence packing in REAL tokenizer units: q_seq_pack's " +
+        "concat-and-chunk (NSH independent pack streams, within-" +
+        "stream cumsum, context-window bin + offset per doc) with " +
+        "n_tokens = the native bpe_tokens length under the fixed " +
+        "canonical table — context windows are BPE-token budgets in a " +
+        "real pretraining run, and whitespace counts misplace every " +
+        "bin boundary. Same scale shape (parallelism = |streams|, no " +
+        "global order); the oracle reuses q_bpe_encode's recursive " +
+        "CTE chain.",
+      (s, d) => seqPack(Tables.spread(Tables.documents(s, d)),
+        nTokens = size(graft.functions.GraftFunctions
+          .bpeTokens(col("text"), CanonicalMerges)).cast("bigint"))
+        .orderBy("doc_id"),
+      Some(bpeEncCtes +
+        " SELECT doc_id, shard, n_tokens, " +
+        "CAST(cum_before // 512 AS BIGINT) AS bin, " +
+        "CAST(cum_before % 512 AS BIGINT) AS bin_offset FROM (" +
+        "SELECT d.doc_id, CAST(d.doc_id % 32 AS BIGINT) AS shard, " +
+        "b.n_tokens, COALESCE(SUM(b.n_tokens) OVER (" +
+        "PARTITION BY d.doc_id % 32 ORDER BY d.doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
+        "AS cum_before " +
+        "FROM documents d JOIN bpe_docs b USING (doc_id)) " +
+        "ORDER BY doc_id")),
+
+    GraftQuery(
       "q_token_count",
       "Token counting two ways: whitespace tokens and a BPE-ish regex " +
         "lexer ([a-z]+ | digits | single non-space symbol) — the token " +
@@ -909,14 +936,17 @@ object TextAnalysis {
     * counts cumsum within a stream, each doc gets its context-window
     * bin and start offset. Parallelism is |streams|; no global order. */
   private[graft] def seqPack(docs: DataFrame, nsh: Int = 32,
-                             b: Int = 512): DataFrame = {
+                             b: Int = 512,
+                             nTokens: Column =
+                               size(split(col("text"), " "))
+                                 .cast("bigint")): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     docs
       .select(col("doc_id"),
         (col("doc_id") % nsh).cast("bigint").as("shard"),
-        size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+        nTokens.as("n_tokens"))
       .withColumn("cum_before",
         coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col("doc_id"), col("shard"), col("n_tokens"),
