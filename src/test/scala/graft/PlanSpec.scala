@@ -206,6 +206,23 @@ class PlanSpec extends SparkSuite {
       "session compaction introduced a corpus-global stage")
   }
 
+  test("graph consumers probe the persisted edge table, never rebuild") {
+    // the whole point of the kNN graph index: q_knn_graph_delta and
+    // the rank/cluster/sample consumers read graft_knng_edges_* — a
+    // plan that re-derives the ring (nearest_cells / nearest_centroid
+    // in THIS plan) has regressed to the 47-57 s/consumer rebuild.
+    // (ensure runs eagerly inside the builders; the remaining plan
+    // must be reads + the consumer's own math.)
+    for (q <- Seq("q_knn_graph_delta", "q_graph_rank", "q_graph_cluster",
+        "q_cluster_sample")) {
+      val p = plan(q)
+      assert(!p.contains("nearest_cells") && !p.contains("nearest_centroid"),
+        s"$q re-derives the ring instead of probing the graph index")
+    }
+    assert(plan("q_knn_graph_delta").contains("graft_knng_edges_"),
+      "q_knn_graph_delta no longer reads the persisted edge table")
+  }
+
   test("knn graph evaluates the nearest_cells ring exactly once per row") {
     // InferFiltersFromGenerate synthesizes Filter(size(g) > 0 AND
     // isnotnull(g)) below a non-outer Generate — with g = the native
