@@ -70,7 +70,12 @@ object GraphRecall {
     val brute = grouped(operators.Similarity
       .bruteForceKnn(probes, emb, k).select("qid", "nid", "score")
       .collect())
-    val graph = grouped(operators.Similarity.knnGraph(spark, dir, k)
+    // the PERSISTED graph, not the knnGraph foil: content-identical
+    // by the SimilaritySpec build law, but the index build runs the
+    // top-k pass in disk-budgeted q-side chunks — the single-pass
+    // foil's ~8.3G-pair window sort exceeded this host's spill disk
+    // at the 256k rung — and repeat gate runs reuse the artifact
+    val graph = grouped(operators.Similarity.graphEdges(spark, dir, k)
       .filter(operators.Similarity.hashPick(col("qid"), "#gr42", every))
       .select("qid", "nid", "score")
       .collect())

@@ -1782,7 +1782,23 @@ object Similarity {
     * eval) is computed ONCE into a localCheckpoint'd frame feeding
     * both artifacts; the mates side reuses the STORED cell
     * assignments (no nearestCentroid re-eval — the build's argmax was
-    * already paid by ensureIvfIndex). */
+    * already paid by ensureIvfIndex).
+    *
+    * The top-k pass runs in Q-SIDE CHUNKS sized so each pass's
+    * candidate volume stays at the measured-safe budget: the window's
+    * partial top-k needs a LOCAL SORT of every scored pair, and at
+    * 256k vectors the single-pass form's ~8.3G pairs spilled past
+    * this host's disk ("No space left on device" — the one-shot
+    * build died where the 64k rung's 518M pairs were fine). Chunking
+    * by qid keeps every qid's window total (content-identical — the
+    * law test covers a multi-chunk build), bounds spill to
+    * budget x row width per pass, and costs only C re-scans of the
+    * 8-byte-key mates side. A real cluster keeps the same bound per
+    * EXECUTOR disk; the budget is the knob (var: the law test forces
+    * a multi-chunk build on the spec fixture and pins it
+    * row-identical to the single-pass form). */
+  private[graft] var GraphBuildPairBudget = 600000000L
+
   private def buildKnnGraphTables(s: SparkSession, k: Int,
                                   et: String, rt: String,
                                   at: String, ct: String,
@@ -1797,24 +1813,36 @@ object Similarity {
       .localCheckpoint()
     val mates = asg.select(col("cid"), col("vec_id").as("nid"),
       col("ce").as("ne"), col("cn").as("nn"))
-    // explode_outer: the knnGraph rule — a non-outer Generate gets an
-    // inferred size/notnull filter that would re-evaluate the ring
-    // (here it is a checkpointed attribute, but keep the idiom uniform)
-    val qx = q.select(col("qid"), col("qe"), col("qn"),
-      explode_outer(col("qcids")).as("qcid"))
+    val rows = math.max(1L, q.count()) // checkpointed: metadata-cheap
+    val nlist = math.max(1L, s.table(ct).count())
+    // per-q candidate fan-out = np x mean occupancy
+    val fan = math.max(1.0, np.toDouble * rows / nlist)
+    val chunkQ = math.max(1L, (GraphBuildPairBudget / fan).toLong)
+    val chunks = math.max(1, math.ceil(rows.toDouble / chunkQ).toInt)
     val w = Window.partitionBy("src").orderBy(desc("score"), asc("dst"))
-    val edges = qx
-      .join(mates, col("qcid") === col("cid") && col("qid") =!= col("nid"))
-      .select(col("qid").as("src"), col("nid").as("dst"),
-        round(dot(col("qe"), col("ne")) / (col("qn") * col("nn")), 6)
-          .as("score"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
-      .withColumn("gen", lit(null).cast("string"))
-    edges.repartition(eBuckets, col("src"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .bucketBy(eBuckets, "src").sortBy("src")
-      .format("parquet").saveAsTable(et)
+    (0 until chunks).foreach { c =>
+      val qc = if (chunks == 1) q
+        else q.filter(pmod(xxhash64(col("qid")), lit(chunks)) === c)
+      // explode_outer: the knnGraph rule — a non-outer Generate gets
+      // an inferred size/notnull filter that would re-evaluate the
+      // ring (here a checkpointed attribute, but keep the idiom)
+      val qx = qc.select(col("qid"), col("qe"), col("qn"),
+        explode_outer(col("qcids")).as("qcid"))
+      val edges = qx
+        .join(mates,
+          col("qcid") === col("cid") && col("qid") =!= col("nid"))
+        .select(col("qid").as("src"), col("nid").as("dst"),
+          round(dot(col("qe"), col("ne")) / (col("qn") * col("nn")), 6)
+            .as("score"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= k)
+        .withColumn("gen", lit(null).cast("string"))
+      edges.repartition(eBuckets, col("src"))
+        .write.mode(if (c == 0) org.apache.spark.sql.SaveMode.Overwrite
+          else org.apache.spark.sql.SaveMode.Append)
+        .bucketBy(eBuckets, "src").sortBy("src")
+        .format("parquet").saveAsTable(et)
+    }
     q.select(col("qid"), explode_outer(col("qcids")).as("qcid"),
         col("acid"))
       .repartition(eBuckets, col("qcid"))
@@ -1903,9 +1931,10 @@ object Similarity {
                              at: String, ct: String, np: Int,
                              batch: DataFrame, batchId: String): Unit = {
     import org.apache.spark.sql.expressions.Window
-    val storedTxt = IndexManifest.read(s, knngManifestPath(s, d, k))
-      .getOrElse(throw new IllegalStateException(
-        s"kNN graph index for $d (k=$k) has no manifest"))._1
+    val (storedTxt, storedBatches) =
+      IndexManifest.read(s, knngManifestPath(s, d, k))
+        .getOrElse(throw new IllegalStateException(
+          s"kNN graph index for $d (k=$k) has no manifest"))
     val eBuckets =
       IndexManifest.appendBucketsOf(s, et, storedTxt, s"kNN graph $d")
     val rBuckets =
@@ -1955,7 +1984,19 @@ object Similarity {
       .select(col("qid"), col("bid").as("nid"),
         round(dot(col("qe"), col("be")) / (col("qn") * col("bn")), 6)
           .as("score"))
-    val resolved = readKnnGraphEdges(s, d, k) // pre-batch view
+    // the pre-batch view RESTRICTED to touched srcs before the
+    // generation window: a full resolve is O(index rows) per fold —
+    // rule-21 creep, measured 12.5 -> 16.9 s across 8 appends at the
+    // 64k rung before this filter. The semi join keeps every row of a
+    // kept src (the window stays total per src, so resolution is
+    // unchanged on the subset), and the edge-scan side joins
+    // exchange-free on its bucket key; thresholds and old adjacencies
+    // are only ever read for srcs in `touched` (cand ⊆ touched ⊇
+    // survSrc), so nothing is lost.
+    val resolved = resolveGraphEdges(
+      s.table(et).join(touched.select(col("qid")).dropDuplicates(),
+        col("src") === col("qid"), "leftsemi"),
+      storedTxt, storedBatches)
     val thr = resolved.groupBy("src")
       .agg(count(lit(1)).as("deg"), min(col("score")).as("kth"))
     val surv = cand.join(thr, cand("qid") === thr("src"), "left")

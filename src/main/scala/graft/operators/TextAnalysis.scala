@@ -302,6 +302,50 @@ object TextAnalysis {
         "ORDER BY doc_id")),
 
     GraftQuery(
+      "q_bpe_vocab",
+      "The tokenizer vocabulary the canonical merge table induces: " +
+        "ids 0..|alphabet| for the corpus's distinct word characters " +
+        "(sorted) + the </w> terminal, then one composite per merge " +
+        "at |alphabet| + rank — the id space every downstream " +
+        "token-id artifact shares. Driver-built from a distinct-chars " +
+        "aggregate (alphabet-bounded, never corpus-bounded); the " +
+        "oracle re-derives identical ids under binary collation.",
+      (s, d) => bpeVocab(s, d, CanonicalMerges).orderBy("token_id"),
+      Some(bpeEncCtes + ", " + bpeVocabCte +
+        " SELECT token_id, sym FROM bvocab ORDER BY token_id")),
+
+    GraftQuery(
+      "q_bpe_ids",
+      "The corpus as TOKEN IDS — what a packer actually consumes: " +
+        "every document's BPE token stream joined to the vocabulary " +
+        "(broadcast — vocab is alphabet + merges sized at any corpus). " +
+        "The encode runs ONCE per doc in its own select; the " +
+        "posexplode is OUTER (rule 30: a non-outer generate gets an " +
+        "inferred size/notnull filter that would re-run the encode " +
+        "per row) and the null row an empty doc emits dies in the " +
+        "vocab equi-join. Map-only until the presentation sort.",
+      (s, d) => {
+        val enc = Tables.spread(Tables.documents(s, d))
+          .select(col("doc_id"),
+            graft.functions.GraftFunctions
+              .bpeTokens(col("text"), CanonicalMerges).as("tk"))
+          .select(col("doc_id"),
+            posexplode_outer(col("tk")).as(Seq("pos", "sym")))
+        enc.join(broadcast(bpeVocab(s, d, CanonicalMerges)), "sym")
+          .select(col("doc_id"), col("pos").cast("bigint").as("pos"),
+            col("token_id"), col("sym"))
+          .orderBy("doc_id", "pos")
+      },
+      Some(bpeEncCtes + ", " + bpeVocabCte + ", " +
+        "btoks AS (SELECT doc_id, wpos, g.i AS j, syms[g.i] AS sym " +
+        "FROM bfin, UNNEST(generate_series(1, len(syms))) AS g(i)), " +
+        "bpos AS (SELECT doc_id, sym, " +
+        "CAST(row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY wpos, j) - 1 AS BIGINT) AS pos FROM btoks) " +
+        "SELECT t.doc_id, t.pos, v.token_id, t.sym FROM bpos t " +
+        "JOIN bvocab v USING (sym) ORDER BY doc_id, pos")),
+
+    GraftQuery(
       "q_seq_pack_bpe",
       "Sequence packing in REAL tokenizer units: q_seq_pack's " +
         "concat-and-chunk (NSH independent pack streams, within-" +
@@ -1121,6 +1165,49 @@ object TextAnalysis {
       "ORDER BY f.wpos), '') AS toks " +
       "FROM documents d LEFT JOIN bfin f ON f.doc_id = d.doc_id " +
       "GROUP BY d.doc_id)"
+
+  /** The tokenizer VOCABULARY a merge table induces over a corpus —
+    * the real BPE layout: ids 0..|alphabet| for the initial symbols
+    * (every distinct character of the corpus's words, sorted, plus the
+    * `</w>` terminal), then one composite per merge at
+    * |alphabet| + rank. Built on the driver (the alphabet is bounded
+    * by the character set, never the corpus) from a distinct-chars
+    * aggregate; deterministic and binary-collation-sorted so the
+    * DuckDB twin derives identical ids. */
+  private[graft] def bpeVocab(s: SparkSession, d: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    val chars = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(explode(split(col("w"), "")).as("sym"))
+      .distinct()
+      .collect().map(_.getString(0))
+    val base = (chars.toSeq :+ "</w>").distinct.sorted
+    val comps = merges.map { case (l, r) => l + r }
+    require((base ++ comps).distinct.size == base.size + comps.size,
+      "bpe vocab: merge composites collide with the alphabet or each other")
+    (base.zipWithIndex.map { case (sym, i) => (i.toLong, sym) } ++
+      comps.zipWithIndex.map { case (sym, i) =>
+        ((base.size + i).toLong, sym) })
+      .toDF("token_id", "sym")
+  }
+
+  /** The vocab CTE body (through `bvocab(token_id, sym)`) — the DuckDB
+    * twin of [[bpeVocab]], shared by q_bpe_vocab and q_bpe_ids.
+    * Assumes [[bpeEncCtes]]'s `bm` merge CTE is in scope. */
+  private[graft] def bpeVocabCte: String =
+    "bchars AS (SELECT DISTINCT unnest(str_split(w, '')) AS sym FROM " +
+      "(SELECT unnest(str_split(text, ' ')) AS w FROM documents) " +
+      "WHERE len(w) > 0), " +
+      "bbase AS (SELECT sym FROM bchars UNION SELECT '</w>'), " +
+      "bvocab AS (" +
+      "SELECT CAST(row_number() OVER (ORDER BY sym) - 1 AS BIGINT) " +
+      "AS token_id, sym FROM bbase " +
+      "UNION ALL " +
+      "SELECT CAST((SELECT count(*) FROM bbase) + rank - 1 AS BIGINT) " +
+      "AS token_id, l || r AS sym FROM bm)"
 
   /** q_data_split's deterministic hash bucket (0-99) — a doc's split
     * never changes as the corpus grows; frame-independent expression. */

@@ -911,6 +911,34 @@ class SimilaritySpec extends SparkSuite {
       "delta probe diverges from the foil's slice")
   }
 
+  test("a disk-budgeted multi-chunk graph build is row-identical to " +
+    "the single-pass build") {
+    // the chunked top-k (q-side split by hashed qid, per-pass window)
+    // exists because the single-pass window's local sort of ALL
+    // scored pairs exceeded spill disk at the 256k rung; every qid
+    // lands wholly in one chunk, so the per-qid window is total and
+    // content identical. Force chunking on the spec fixture.
+    val single = Similarity.graphEdges(spark, sf, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSeq.sorted
+    val budget0 = Similarity.GraphBuildPairBudget
+    try {
+      Similarity.GraphBuildPairBudget = 1000L // ~minimum: many chunks
+      Similarity.dropKnnGraphIndex(spark, sf, 3)
+      val (et, _) = Similarity.ensureKnnGraphIndex(spark, sf, 3)
+      assert(spark.table(et).inputFiles.length > 8,
+        "budget did not force a multi-chunk (multi-file) build")
+      val chunked = Similarity.graphEdges(spark, sf, 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).toSeq.sorted
+      assert(chunked == single,
+        "chunked build diverges from the single-pass build")
+    } finally {
+      Similarity.GraphBuildPairBudget = budget0
+      Similarity.dropKnnGraphIndex(spark, sf, 3)
+    }
+  }
+
   test("appendToKnnGraphIndex: merged content identity, reverse " +
     "displacement, lag fold, replay no-op, compaction") {
     val sp = spark; import sp.implicits._
