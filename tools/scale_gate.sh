@@ -56,7 +56,7 @@ OUT="${4:-/tmp/graft_scale_gate_out}"
 # replicated scale) and q_bpe_encode + q_token_budget_bpe (the native
 # tokenizer pass vs DuckDB's recursive replay over a 32x-denser word
 # population)
-QUERIES="${SCALE_GATE_QUERIES:-q_agg_basic,q_agg_distinct,q_filter_range,q_topk,q_string_agg,q_window_ntile,q_window_cume,q_span_dup,q_tfidf,q_source_mix,q_backup_diff,q_train_shuffle,q_ngram_lm,q_kmeans_refine,q_events_window,q_events_session,q_session_compact,q_dedup_keep,q_token_budget,q_perplexity_filter,q_data_split,q_pipeline_curate,q_dedup_delta,q_dedup_semantic,q_dedup_semantic_delta,q_decontaminate_bloom,q_knn_graph,q_knn_graph_delta,q_graph_rank,q_importance_weights,q_importance_sample,q_decontaminate_fuzzy,q_graph_cluster,q_cluster_sample,q_bpe_encode,q_token_budget_bpe}"
+QUERIES="${SCALE_GATE_QUERIES:-q_agg_basic,q_agg_distinct,q_filter_range,q_topk,q_string_agg,q_window_ntile,q_window_cume,q_span_dup,q_tfidf,q_source_mix,q_backup_diff,q_train_shuffle,q_ngram_lm,q_kmeans_refine,q_events_window,q_events_session,q_session_compact,q_dedup_keep,q_token_budget,q_perplexity_filter,q_data_split,q_pipeline_curate,q_dedup_delta,q_dedup_semantic,q_dedup_semantic_delta,q_decontaminate_bloom,q_knn_graph,q_knn_graph_delta,q_graph_rank,q_importance_weights,q_importance_sample,q_decontaminate_fuzzy,q_graph_cluster,q_cluster_sample,q_bpe_encode,q_token_budget_bpe,q_bpe_vocab,q_bpe_ids,q_seq_pack_bpe}"
 cd "$(dirname "$0")/.."
 # cross-engine rank-law preflight: the calibrated-filter oracles below
 # depend on DuckDB's quantile_disc picking the value at rank ceil(p*n)
