@@ -622,6 +622,16 @@ object Dedup {
       corpusFingerprint(corpus), buckets, Nil)
     val stored = readShingleManifest(s, d)
     val sameBase = stored.exists(_._1.startsWith(expect.basePrefix))
+    // cross-JVM re-attach (the per-JVM catalog vs persistent warehouse
+    // split): recreate missing catalog entries from surviving files +
+    // their bucket-spec markers BEFORE the existence check, so a fresh
+    // session with a fresh manifest reuses the artifact instead of
+    // rebuilding. Only attempted when the manifest base matches this
+    // corpus — attaching stale tables just to drop them would pay
+    // pointless schema inference. Declined attaches (missing
+    // location/marker) fall through to the rebuild below.
+    if (sameBase) IndexManifest.reattachTables(s, Seq(
+      (postT, Some("s")), (setsT, Some("doc_id")), (dfT, Some("s"))))
     val fresh = Seq(postT, setsT, dfT).forall(s.catalog.tableExists) &&
       sameBase && stored.exists { case (_, batches) =>
         s.table(setsT).count() == nCorpus + batches.map(_._2).sum
@@ -713,16 +723,19 @@ object Dedup {
     sh.repartition(postB, col("s"))
       .write.mode(mode).bucketBy(postB, "s").sortBy("s")
       .format("parquet").saveAsTable(postT)
+    IndexManifest.markBuckets(s, postT, postB)
     sh.groupBy("doc_id")
       .agg(sort_array(collect_list(col("s"))).as("ss"),
         count(lit(1)).as("c"))
       .repartition(setsB, col("doc_id"))
       .write.mode(mode).bucketBy(setsB, "doc_id").sortBy("doc_id")
       .format("parquet").saveAsTable(setsT)
+    IndexManifest.markBuckets(s, setsT, setsB)
     sh.groupBy("s").agg(count(lit(1)).as("gdf"))
       .repartition(dfB, col("s"))
       .write.mode(mode).bucketBy(dfB, "s").sortBy("s")
       .format("parquet").saveAsTable(dfT)
+    IndexManifest.markBuckets(s, dfT, dfB)
   }
 
   /** Fold an already-probed batch into the persisted shingle index —
@@ -860,6 +873,10 @@ object Dedup {
       fold(files).repartition(buckets, col(key))
         .write.bucketBy(buckets, key).sortBy(key)
         .format("parquet").saveAsTable(tmpT)
+      // marker while still at the staging path; the RENAME moves the
+      // managed directory, marker included, so it always describes
+      // exactly the files beside it (the reattach contract)
+      IndexManifest.markBuckets(s, tmpT, buckets)
       dropWithLocation(t)
       s.sql(s"ALTER TABLE $tmpT RENAME TO $t")
     }

@@ -202,6 +202,7 @@ object Retrieval {
       .repartition(postB, col("th"))
       .write.mode(mode).bucketBy(postB, "th").sortBy("th")
       .format("parquet").saveAsTable(postT)
+    IndexManifest.markBuckets(s, postT, postB)
     docs.select("doc_id")
       .join(toks.groupBy("doc_id").agg(count(lit(1)).as("dl")),
         Seq("doc_id"), "left")
@@ -209,6 +210,7 @@ object Retrieval {
       .repartition(dlB, col("doc_id"))
       .write.mode(mode).bucketBy(dlB, "doc_id").sortBy("doc_id")
       .format("parquet").saveAsTable(dlT)
+    IndexManifest.markBuckets(s, dlT, dlB)
     toks.unpersist(blocking = false)
   }
 
@@ -232,6 +234,11 @@ object Retrieval {
       Dedup.corpusFingerprint(corpus), buckets, Nil)
     val stored = readLexManifest(s, d)
     val sameBase = stored.exists(_._1.startsWith(expect.basePrefix))
+    // cross-JVM re-attach (the ensureShingleIndex rule): recreate
+    // missing catalog entries from surviving warehouse files + bucket
+    // markers; declined attaches fall through to the rebuild below
+    if (sameBase) IndexManifest.reattachTables(s, Seq(
+      (postT, Some("th")), (dlT, Some("doc_id"))))
     val fresh = Seq(postT, dlT).forall(s.catalog.tableExists) &&
       sameBase && stored.exists { case (_, batches) =>
         s.table(dlT).count() == nCorpus + batches.map(_._2).sum
@@ -354,6 +361,8 @@ object Retrieval {
       files.repartition(buckets, col(key))
         .write.bucketBy(buckets, key).sortBy(key)
         .format("parquet").saveAsTable(tmpT)
+      // marker at the staging path; the RENAME carries it (reattach)
+      IndexManifest.markBuckets(s, tmpT, buckets)
       dropWithLocation(t)
       s.sql(s"ALTER TABLE $tmpT RENAME TO $t")
     }

@@ -381,6 +381,12 @@ object Similarity {
       buckets, Nil)
     val stored = IndexManifest.read(s, ivfManifestPath(s, d))
     val sameBase = stored.exists(_._1.startsWith(expect.basePrefix))
+    // cross-JVM re-attach (the ensureShingleIndex rule): a fresh
+    // session's empty catalog over an intact warehouse recreates the
+    // entries from the files + bucket markers instead of paying the
+    // O(n x nlist) rebuild; declined attaches fall through to rebuild
+    if (sameBase) IndexManifest.reattachTables(s, Seq(
+      (at, Some("cid")), (ct, None), (pqT, None)))
     // the code-column check migrates pre-PQ indexes (and the pq-table
     // check catches a refresh crash that left the sidecar missing):
     // either absence forces the same clean rebuild as any staleness
@@ -453,6 +459,7 @@ object Similarity {
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .bucketBy(buckets, "cid").sortBy("cid")
         .format("parquet").saveAsTable(at)
+      IndexManifest.markBuckets(s, at, buckets)
       centroids.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .format("parquet").saveAsTable(ct)
       writePqCodebooks(s, pqT, cb)
@@ -555,6 +562,7 @@ object Similarity {
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .bucketBy(buckets, "cid").sortBy("cid")
       .format("parquet").saveAsTable(at)
+    IndexManifest.markBuckets(s, at, buckets)
   }
 
   /** Content fingerprint of the embeddings slice (xxhash64 over
@@ -649,6 +657,7 @@ object Similarity {
       .repartition(buckets, col("cid"))
       .write.bucketBy(buckets, "cid").sortBy("cid")
       .format("parquet").saveAsTable(tmpT)
+    IndexManifest.markBuckets(s, tmpT, buckets)
     dropTableWithLocation(s, at)
     s.sql(s"ALTER TABLE $tmpT RENAME TO $at")
     IndexManifest.setCompacted(s, mp, stored._1, stored._2,
@@ -747,6 +756,7 @@ object Similarity {
       .repartition(buckets, col("cid"))
       .write.bucketBy(buckets, "cid").sortBy("cid")
       .format("parquet").saveAsTable(atS)
+    IndexManifest.markBuckets(s, atS, buckets)
     centroids.write.format("parquet").saveAsTable(ctS)
     writePqCodebooks(s, pqS, cb)
     dropTableWithLocation(s, ct)
@@ -1740,6 +1750,10 @@ object Similarity {
     val mp = knngManifestPath(s, d, k)
     val stored = IndexManifest.read(s, mp)
     val sameBase = stored.exists(_._1.startsWith(expect.basePrefix))
+    // cross-JVM re-attach (the ensureShingleIndex rule); the IVF
+    // tables were already re-attached by the ensureIvfIndex above
+    if (sameBase) IndexManifest.reattachTables(s, Seq(
+      (et, Some("src")), (rt, Some("qcid"))))
     val tablesOk = s.catalog.tableExists(et) && s.catalog.tableExists(rt)
     val gBatches = stored.map(_._2).getOrElse(Nil)
     val lockstep = sameBase && tablesOk &&
@@ -1773,6 +1787,13 @@ object Similarity {
     Seq(et, rt).foreach(dropTableWithLocation(s, _))
     buildKnnGraphTables(s, k, et, rt, at, ct, np, eBuckets)
     IndexManifest.write(s, mp, expect.copy(batches = ivfBatches))
+    // a rebuild writes every row gen-null, so the inherited batch list
+    // is already fully folded: record it compacted, or every read pays
+    // the generation-resolve path (broadcast join + per-src window)
+    // for batches that can have no non-null gen rows (r16 advice)
+    if (ivfBatches.nonEmpty)
+      IndexManifest.read(s, mp).foreach { case (txt, bs) =>
+        IndexManifest.setCompacted(s, mp, txt, bs, bs.size) }
     freshKnngMemo.add(memoKey)
     (et, rt)
   }
@@ -1815,9 +1836,13 @@ object Similarity {
       col("ce").as("ne"), col("cn").as("nn"))
     val rows = math.max(1L, q.count()) // checkpointed: metadata-cheap
     val nlist = math.max(1L, s.table(ct).count())
+    // read the budget knob ONCE per build: it is global JVM state (a
+    // test override), and a concurrent mutation mid-build must not
+    // split one build across two budgets (r16 advice)
+    val budget = GraphBuildPairBudget
     // per-q candidate fan-out = np x mean occupancy
     val fan = math.max(1.0, np.toDouble * rows / nlist)
-    val chunkQ = math.max(1L, (GraphBuildPairBudget / fan).toLong)
+    val chunkQ = math.max(1L, (budget / fan).toLong)
     val chunks = math.max(1, math.ceil(rows.toDouble / chunkQ).toInt)
     val w = Window.partitionBy("src").orderBy(desc("score"), asc("dst"))
     (0 until chunks).foreach { c =>
@@ -1843,12 +1868,14 @@ object Similarity {
         .bucketBy(eBuckets, "src").sortBy("src")
         .format("parquet").saveAsTable(et)
     }
+    IndexManifest.markBuckets(s, et, eBuckets)
     q.select(col("qid"), explode_outer(col("qcids")).as("qcid"),
         col("acid"))
       .repartition(eBuckets, col("qcid"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .bucketBy(eBuckets, "qcid").sortBy("qcid")
       .format("parquet").saveAsTable(rt)
+    IndexManifest.markBuckets(s, rt, eBuckets)
   }
 
   /** Resolved edge view of a raw edge frame: rows whose gen is not in
@@ -2019,12 +2046,14 @@ object Similarity {
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .bucketBy(eBuckets, "src").sortBy("src")
       .format("parquet").saveAsTable(et)
+    IndexManifest.markBuckets(s, et, eBuckets)
     b.select(col("bid").as("qid"), explode_outer(col("bring")).as("qcid"),
         col("bcid").as("acid"))
       .repartition(rBuckets, col("qcid"))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .bucketBy(rBuckets, "qcid").sortBy("qcid")
       .format("parquet").saveAsTable(rt)
+    IndexManifest.markBuckets(s, rt, rBuckets)
   }
 
   /** Fold newly ingested vectors into BOTH the IVF index and the
@@ -2099,10 +2128,12 @@ object Similarity {
       .repartition(target, col("src"))
       .write.bucketBy(target, "src").sortBy("src")
       .format("parquet").saveAsTable(etTmp)
+    IndexManifest.markBuckets(s, etTmp, target)
     files(rt).dropDuplicates("qid", "qcid")
       .repartition(target, col("qcid"))
       .write.bucketBy(target, "qcid").sortBy("qcid")
       .format("parquet").saveAsTable(rtTmp)
+    IndexManifest.markBuckets(s, rtTmp, target)
     dropTableWithLocation(s, et)
     dropTableWithLocation(s, rt)
     s.sql(s"ALTER TABLE $etTmp RENAME TO $et")
