@@ -1114,6 +1114,43 @@ object TextAnalysis {
     ("sc", "an"), ("scan", "</w>"), ("e", "r"), ("er", "</w>"),
     ("o", "r"))
 
+  /** A rank-ordered merge table at REALISTIC tokenizer size (K ≈ 32k;
+    * production vocabularies run 32k-100k merges while the oracled
+    * queries use 10) — deterministic synthesis, not training: every
+    * 2-character composite over the a-z alphabet (676 rules), then
+    * every 3-character composite (17,576 — each left symbol created
+    * by the 2-char block), then 4-character composites until `k`.
+    * Satisfies [[graft.functions.BpeTokens.rankMap]]'s training
+    * invariant by construction (each block only references the block
+    * before it), bounds symbol length at 4 (the table stays ~1 MB —
+    * no unbounded chain composites), and FIRES densely on real text
+    * (any adjacent lowercase letters merge), so an encode under it
+    * exercises the min-rank loop against a full-size rank map. */
+  private[graft] def syntheticMerges(k: Int): Seq[(String, String)] = {
+    val letters = ('a' to 'z').map(_.toString)
+    val b2 = for (c1 <- letters; c2 <- letters) yield (c1, c2)
+    val b3 = for ((c1, c2) <- b2; c3 <- letters) yield (c1 + c2, c3)
+    val need4 = (k - b2.size - b3.size).max(0)
+    val b4 = b3.map { case (l, r) => l + r } // 3-char composites, rank order
+      .take(need4 / letters.size + 1)
+      .flatMap(w => letters.map(c => (w, c)))
+    (b2 ++ b3 ++ b4).take(k)
+  }
+
+  /** `k` valid merge rules that can NEVER fire on corpus text: 2-char
+    * composites over Unicode private-use characters (U+E000..), which
+    * the corpus does not contain. Appending them to a real table
+    * changes the rank map's SIZE without changing which rules match —
+    * the controlled variable for the K-independence cost law
+    * ([[graft.BpeScaleGate]]): encode(text, t) == encode(text,
+    * t ++ inert) bit-for-bit, so any wall-clock delta is pure
+    * table-size overhead, never merge-behavior drift. */
+  private[graft] def inertMerges(k: Int): Seq[(String, String)] = {
+    val n = math.ceil(math.sqrt(k.toDouble)).toInt
+    val pua = (0 until n).map(i => (0xE000 + i).toChar.toString)
+    (for (c1 <- pua; c2 <- pua) yield (c1, c2)).take(k)
+  }
+
   /** Every document byte-pair encoded against `merges`: (doc_id,
     * n_tokens, toks = the space-joined token stream). ONE native
     * [[graft.functions.BpeTokens]] eval per document — the length and
@@ -1184,7 +1221,22 @@ object TextAnalysis {
       .select(explode(split(col("w"), "")).as("sym"))
       .distinct()
       .collect().map(_.getString(0))
-    val base = (chars.toSeq :+ "</w>").distinct.sorted
+    // sort by CODE POINT, not String's natural (UTF-16 code-unit)
+    // order: code-point order == UTF-8 byte order == DuckDB's binary
+    // VARCHAR collation, while code-unit order diverges for
+    // supplementary-plane symbols (surrogates 0xD800-DFFF compare
+    // below U+E000..U+FFFF) — ids would silently disagree between the
+    // engines on such corpora (r16 advice)
+    val cpOrd: Ordering[String] = (a: String, b: String) => {
+      val ai = a.codePoints().toArray
+      val bi = b.codePoints().toArray
+      val n = math.min(ai.length, bi.length)
+      var i = 0
+      while (i < n && ai(i) == bi(i)) i += 1
+      if (i < n) Integer.compare(ai(i), bi(i))
+      else Integer.compare(ai.length, bi.length)
+    }
+    val base = (chars.toSeq :+ "</w>").distinct.sorted(cpOrd)
     val comps = merges.map { case (l, r) => l + r }
     require((base ++ comps).distinct.size == base.size + comps.size,
       "bpe vocab: merge composites collide with the alphabet or each other")
@@ -1196,7 +1248,18 @@ object TextAnalysis {
 
   /** The vocab CTE body (through `bvocab(token_id, sym)`) — the DuckDB
     * twin of [[bpeVocab]], shared by q_bpe_vocab and q_bpe_ids.
-    * Assumes [[bpeEncCtes]]'s `bm` merge CTE is in scope. */
+    * Assumes [[bpeEncCtes]]'s `bm` merge CTE is in scope.
+    *
+    * Collation note: `ORDER BY sym` here is DuckDB's binary VARCHAR
+    * collation (UTF-8 byte order == code-point order), matched on the
+    * Spark side by [[bpeVocab]]'s explicit code-point sort. The
+    * remaining cross-engine assumption is SEGMENTATION: Spark's
+    * split-by-empty-regex keeps a surrogate PAIR together but splits
+    * between a base char and its combining marks, and DuckDB's
+    * str_split(w, '') likewise splits per code point — identical for
+    * the current ASCII corpus (verified by the oracled q_bpe_vocab /
+    * q_bpe_ids), while grapheme-cluster tokenization (NFC vs NFD
+    * combining sequences) is out of scope for both engines alike. */
   private[graft] def bpeVocabCte: String =
     "bchars AS (SELECT DISTINCT unnest(str_split(w, '')) AS sym FROM " +
       "(SELECT unnest(str_split(text, ' ')) AS w FROM documents) " +

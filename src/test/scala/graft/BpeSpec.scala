@@ -215,4 +215,53 @@ class BpeSpec extends SparkSuite {
     }.sum
     assert(enc < unmerged, s"canonical merges never fire: $enc >= $unmerged")
   }
+
+  // ---- realistic merge-table size (K ~ 32k; the BpeScaleGate laws) ----
+
+  test("32k inert rules leave the encode bit-identical (the " +
+    "K-independence gate's controlled variable)") {
+    val docs = Tables.documents(spark, sf)
+    val base = TextAnalysis.CanonicalMerges
+    val padded = base ++ TextAnalysis.inertMerges(32000)
+    assert(padded.size == base.size + 32000)
+    // the padded table passes the training-invariant validation at
+    // full size (rankMap runs at column construction)
+    val a = encodeAll(docs, base)
+    val b = encodeAll(docs, padded)
+    assert(a == b, "inert private-use rules changed the encode — " +
+      "the inert alphabet must be disjoint from the corpus")
+  }
+
+  test("native encode equals the rank-order training replay under a " +
+    "REALISTIC 32k merge table (K-independence of correctness)") {
+    val table = TextAnalysis.syntheticMerges(32000)
+    assert(table.size == 32000)
+    // construction validates the training invariant at K=32k
+    graft.functions.GraftFunctions.bpeTokens(col("text"), table)
+    // the replay reference runs one greedy pass per rule per word —
+    // 32k passes — so law-check a deterministic doc sample, not the
+    // full corpus
+    val docs = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 100 === 7).limit(5)
+    val got = encodeAll(docs, table)
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(texts.nonEmpty, "fixture: sample must be non-empty")
+    texts.foreach { case (id, text) =>
+      val exp = refEncode(text, table)
+      assert(got(id) == exp,
+        s"doc $id: native ${got(id).take(20)} != replay ${exp.take(20)}")
+    }
+    // the dense table must fire heavily: adjacent lowercase letters
+    // merge, so tokens come out well under character count
+    val toks = got.values.map(_.size).sum
+    val chars = texts.values.map(t =>
+      t.split(" ").filter(_.nonEmpty).map(_.length + 1).sum).sum
+    // (~0.6 measured: 2-char merges dominate, with (2char, 1char)
+    // rules extending some to trigrams; anything near 1.0 means the
+    // table is not firing)
+    assert(toks.toDouble / chars < 0.75,
+      s"32k table barely fires ($toks tokens vs $chars symbols) — " +
+        "the realistic-cost measurement would be vacuous")
+  }
 }

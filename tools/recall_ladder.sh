@@ -53,7 +53,14 @@ for K in $RUNGS; do
   SPARK_GRAFT_SMOKE_TABLES=embeddings,documents SPARK_GRAFT_SMOKE_REUSE=1 \
     sbt -batch "runMain graft.ScaleSmoke $K $SRC $WORK"
   sbt -batch "runMain graft.RecallGate $WORK $FLOORS"
-  N_VECS="$(( K * 2000 ))"   # sf0.1 embeddings = 2000 rows
+  # Rung size derives from the SOURCE's actual row count, never a
+  # hardcoded per-dir constant: RECALL_LADDER_SRC is overridable, and a
+  # baked-in "2000 rows" silently mislabels rung sizes on any other
+  # corpus — exactly the k-vs-n ambiguity rule 16 exists to kill (the
+  # 2026-08-12 regen changed table sizes under an assumption like this).
+  SRC_VECS="$(python3 -c "import pyarrow.parquet as pq; import sys; \
+print(pq.ParquetFile('$SRC/embeddings.parquet').metadata.num_rows)")"
+  N_VECS="$(( K * SRC_VECS ))"
   if [ "$GRAPH_MAX_N" != "0" ] && [ "$N_VECS" -le "$GRAPH_MAX_N" ] \
      && [ "$N_VECS" -ge 256000 ]; then
     sbt -batch "runMain graft.GraphRecall $WORK $GRAPH_FLOOR"

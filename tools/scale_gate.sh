@@ -130,3 +130,15 @@ fi
 if [ "${SCALE_GATE_NO_RECALL:-0}" != "1" ]; then
   sbt -batch "runMain graft.GraphRecall $WORK ${SCALE_GATE_GRAPH_FLOOR:-0.47}"
 fi
+
+# BPE K-independence gate: the oracled BPE queries encode under 10
+# rules; production tokenizers carry ~32k. BpeScaleGate encodes the
+# replicated corpus under the canonical table and the same table
+# padded with 32k inert rules (identity-asserted bit-for-bit) and
+# fails if the per-row cost ratio exceeds 1.5 — the O(len²)
+# K-independence claim, measured (r17: 1.10x at 640k docs, 3.79 vs
+# 4.18 µs/row; dense-firing 32k table 8.27 µs/row). Skippable with
+# the recall gates for quick re-runs.
+if [ "${SCALE_GATE_NO_RECALL:-0}" != "1" ]; then
+  sbt -batch "runMain graft.BpeScaleGate $WORK ${SCALE_GATE_BPE_RATIO:-1.5}"
+fi
