@@ -186,6 +186,10 @@ object DriftGate {
     val (frozMax, frozMed) = occupancy(atW)
     val probeDriftFroz = probeSec(work, pDrift)
     val probeBaseFroz = probeSec(work, pBase)
+    // fit canary on the frozen index: the drifted mass sits far from
+    // every stored centroid, so the below-baseline fraction must read
+    // ~the drift fraction (r17 trigger; Maintenance.DefaultFitCanaryFrac)
+    val fitFroz = Similarity.ivfFitGapFrac(spark, work)._1
 
     // the POLICY must detect the drift regime unprompted — this is
     // the distributed gate on Similarity.maintainIvfIndex's
@@ -205,6 +209,7 @@ object DriftGate {
     require(postMaint.action == "none",
       s"maintenance policy not settled after its own refresh: " +
         postMaint.render)
+    val fitRef = Similarity.ivfFitGapFrac(spark, work)._1
     val refreshedDrift = recallOf(work, pDrift, bruteDrift)
     val refreshedBase = recallOf(work, pBase, bruteBase)
     val semDriftRef = rate(semDetect(work, pDrift), semTruthDrift)
@@ -235,8 +240,42 @@ object DriftGate {
     val lawCent = fp(ctW, Seq("cid", "ke", "kn")) ==
       fp(ctM, Seq("cid", "ke", "kn"))
 
+    // LIGHT-DRIFT leg — the fit canary's reason to exist: a drift too
+    // small and too SPREAD for the hot-cell ratio (four ~1.6% clouds
+    // along four directions: per-cloud occupancy ~2-10x median at the
+    // ladder rungs, under the 16x trigger) must still fire the fit
+    // canary and refresh through the policy — the verdict-symptom
+    // trigger catching staleness BEFORE the occupancy regime.
+    val workL = s"$workBase/light"
+    val lightSlices = Seq(3L, 11L, 19L, 27L)
+    val lightDrift = lightSlices.zipWithIndex.map { case (r, i) =>
+      emb.filter(col("vec_id") % 64 === r)
+        .select(col("vec_id"),
+          transform(col("embedding"), (x, j) =>
+            (x * lit(0.2f) +
+              when(j === i + 1, lit(1.0f)).otherwise(lit(0.0f)))
+              .cast("float")).as("embedding"))
+    }
+    base.write.mode("overwrite").parquet(s"$workL/embeddings.parquet")
+    Similarity.dropIvfIndex(spark, workL)
+    Similarity.ensureIvfIndex(spark, workL)
+    lightDrift.zip(lightSlices).foreach { case (b, r) =>
+      require(Similarity.appendToIvfIndex(spark, workL, b, s"light_$r"),
+        s"append light_$r did not apply")
+    }
+    val (atL, _) = Similarity.ensureIvfIndex(spark, workL)
+    val (lMax, lMed) = occupancy(atL)
+    val lightOccSilent = lMed > 0 && lMax <= 16.0 * lMed
+    val lightPre = Similarity.maintainIvfIndex(spark, workL,
+      dryRun = true)
+    val lightFit = lightPre.fitGapFrac
+    val lightFires = lightPre.action == "refresh"
+    val lightRan = Similarity.maintainIvfIndex(spark, workL)
+    val lightSettled = lightRan.action == "refresh" && lightRan.ran &&
+      Similarity.maintainIvfIndex(spark, workL).action == "none"
+
     val n = spark.table(atM).count()
-    println(f"""{"metric":"drift_gate","dir":"$dir","vecs":$n,"recall_drift_frozen":$frozenDrift%.3f,"recall_drift_refreshed":$refreshedDrift%.3f,"recall_base_frozen":$frozenBase%.3f,"recall_base_refreshed":$refreshedBase%.3f,"occ_frozen_max":$frozMax,"occ_frozen_med":$frozMed,"occ_refreshed_max":$refMax,"occ_refreshed_med":$refMed,"probe_drift_frozen_s":$probeDriftFroz%.2f,"probe_drift_refreshed_s":$probeDriftRef%.2f,"probe_base_frozen_s":$probeBaseFroz%.2f,"probe_base_refreshed_s":$probeBaseRef%.2f,"refresh_s":$refreshSec%.2f,"oneshot_build_s":$oneShotSec%.2f,"law_assign":$lawAssign,"law_centroids":$lawCent,"sem_tau":$semTau,"sem_truth_drift":${semTruthDrift.size},"sem_truth_base":${semTruthBase.size},"sem_drift_frozen":$semDriftFroz%.3f,"sem_drift_refreshed":$semDriftRef%.3f,"sem_base_frozen":$semBaseFroz%.3f,"sem_base_refreshed":$semBaseRef%.3f,"floor":$floor}""")
+    println(f"""{"metric":"drift_gate","dir":"$dir","vecs":$n,"recall_drift_frozen":$frozenDrift%.3f,"recall_drift_refreshed":$refreshedDrift%.3f,"recall_base_frozen":$frozenBase%.3f,"recall_base_refreshed":$refreshedBase%.3f,"occ_frozen_max":$frozMax,"occ_frozen_med":$frozMed,"occ_refreshed_max":$refMax,"occ_refreshed_med":$refMed,"probe_drift_frozen_s":$probeDriftFroz%.2f,"probe_drift_refreshed_s":$probeDriftRef%.2f,"probe_base_frozen_s":$probeBaseFroz%.2f,"probe_base_refreshed_s":$probeBaseRef%.2f,"refresh_s":$refreshSec%.2f,"oneshot_build_s":$oneShotSec%.2f,"law_assign":$lawAssign,"law_centroids":$lawCent,"sem_tau":$semTau,"sem_truth_drift":${semTruthDrift.size},"sem_truth_base":${semTruthBase.size},"sem_drift_frozen":$semDriftFroz%.3f,"sem_drift_refreshed":$semDriftRef%.3f,"sem_base_frozen":$semBaseFroz%.3f,"sem_base_refreshed":$semBaseRef%.3f,"fit_frozen":$fitFroz%.4f,"fit_refreshed":$fitRef%.4f,"light_occ_max":$lMax,"light_occ_med":$lMed,"light_occ_silent":$lightOccSilent,"light_fit":$lightFit%.4f,"light_fires":$lightFires,"light_settled":$lightSettled,"floor":$floor}""")
     var bad = List.empty[String]
     if (!lawAssign || !lawCent)
       bad ::= "refreshed index is not content-identical to one-shot"
@@ -248,6 +287,21 @@ object DriftGate {
       bad ::= f"refreshed tau gate missed drift duplicates ($semDriftRef%.3f < 1.0)"
     if (semTruthBase.nonEmpty && semBaseRef < 1.0)
       bad ::= f"refreshed tau gate missed planted base duplicates ($semBaseRef%.3f < 1.0)"
+    // fit-canary gates (r17): the frozen heavy-drift index must read
+    // well over the trigger, the refresh must clear it, and the
+    // light-drift leg must fire the policy through the CANARY — with
+    // the occupancy trigger provably silent — then settle
+    if (fitFroz < operators.Maintenance.DefaultFitCanaryFrac)
+      bad ::= f"fit canary blind to the 25%% drift ($fitFroz%.4f)"
+    if (fitRef >= operators.Maintenance.DefaultFitCanaryFrac)
+      bad ::= f"fit canary did not clear after refresh ($fitRef%.4f)"
+    if (!lightOccSilent)
+      bad ::= s"light-drift leg tripped occupancy ($lMax vs med $lMed) — " +
+        "the before-occupancy claim is unmeasured at this rung"
+    if (!lightFires)
+      bad ::= f"fit canary missed the light spread drift ($lightFit%.4f)"
+    if (!lightSettled)
+      bad ::= "light-drift refresh did not settle the policy"
     spark.stop()
     if (bad.nonEmpty) { bad.foreach(m => Console.err.println(s"DRIFT GATE: $m")); sys.exit(1) }
   }

@@ -75,10 +75,17 @@ object GraphRecall {
     // top-k pass in disk-budgeted q-side chunks — the single-pass
     // foil's ~8.3G-pair window sort exceeded this host's spill disk
     // at the 256k rung — and repeat gate runs reuse the artifact
+    val ensureT0 = System.nanoTime()
     val graph = grouped(operators.Similarity.graphEdges(spark, dir, k)
       .filter(operators.Similarity.hashPick(col("qid"), "#gr42", every))
       .select("qid", "nid", "score")
       .collect())
+    val ensureWall = (System.nanoTime() - ensureT0) / 1e9
+    // rule-31a cost-model evidence: chunk count + wall of the ring
+    // build, when this run actually built (0 chunks = the ensure
+    // re-attached or reused the persisted artifact — the cross-JVM
+    // economics the r17 re-attach exists for)
+    val (bChunks, bRows, bWall) = operators.Similarity.LastGraphBuild
     require(brute.nonEmpty, "empty probe sample")
     def got(q: Long): Set[Long] = graph.getOrElse(q, Map.empty).keySet
     val recalls = brute.map { case (q, bf) =>
@@ -100,6 +107,9 @@ object GraphRecall {
       s""""recall":${math.rint(mean * 1000) / 1000},""" +
       s""""tau":$tau,"tau_pairs":${tauPairs.size},""" +
       s""""tau_recall":${math.rint(tauRecall * 1000) / 1000},""" +
+      s""""build_chunks":$bChunks,"build_rows":$bRows,""" +
+      s""""build_wall_s":${math.rint(bWall * 10) / 10},""" +
+      s""""ensure_plus_probe_wall_s":${math.rint(ensureWall * 10) / 10},""" +
       s""""floor":${floor.getOrElse(-1.0)}}""")
     if (floor.isDefined) {
       require(tauPairs.nonEmpty,

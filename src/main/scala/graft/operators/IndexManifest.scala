@@ -39,6 +39,31 @@ private[graft] object IndexManifest {
   val BatchRe = """\{"id":"([A-Za-z0-9_.\-]+)","rows":(\d+)\}""".r
   val BucketsRe = """"buckets":(\d+)""".r
   val CompactedRe = """"dfCompacted":(\d+)""".r
+  val FitRe = """"fitq":(-?\d+)""".r
+
+  /** Assignment-fit baseline (micro-units: cosine x 1e6) recorded at
+    * build/refresh time — the fit canary's reference quantile
+    * ([[Similarity.maintainIvfIndex]]). Stored BEFORE the "batches"
+    * field so [[rewriteBatches]] (appends, compaction records)
+    * preserves it verbatim; absent on pre-r17 manifests. */
+  def fitBaselineOf(storedTxt: String): Option[Long] =
+    FitRe.findFirstMatchIn(storedTxt).map(_.group(1).toLong)
+
+  /** Insert or replace the fit baseline, leaving every other field
+    * byte-identical (base identity, buckets, batch list unchanged). */
+  def setFitBaseline(s: SparkSession, p: org.apache.hadoop.fs.Path,
+                     storedTxt: String, micro: Long): Unit = {
+    val txt =
+      if (FitRe.findFirstIn(storedTxt).isDefined)
+        FitRe.replaceFirstIn(storedTxt, s""""fitq":$micro""")
+      else {
+        val at = storedTxt.indexOf("\"batches\":")
+        require(at >= 0, s"manifest has no batches field: $storedTxt")
+        storedTxt.substring(0, at) + s""""fitq":$micro,""" +
+          storedTxt.substring(at)
+      }
+    writeText(s, p, txt)
+  }
 
   /** How many of the applied batches have had their partial stat rows
     * folded back into one-row-per-key form (compaction); 0 if the

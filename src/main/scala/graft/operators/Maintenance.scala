@@ -16,12 +16,15 @@ final case class MaintenanceReport(index: String, action: String,
                                    ran: Boolean, appliedBatches: Int,
                                    uncompactedBatches: Int,
                                    storedBuckets: Int, targetBuckets: Int,
-                                   hotCellMax: Long, hotCellMedian: Long) {
+                                   hotCellMax: Long, hotCellMedian: Long,
+                                   fitGapFrac: Double = -1.0,
+                                   fitBaseline: Double = -1.0) {
   def render: String =
     s"""{"index":"$index","action":"$action","ran":$ran,""" +
       s""""batches":$appliedBatches,"uncompacted":$uncompactedBatches,""" +
       s""""buckets":$storedBuckets,"targetBuckets":$targetBuckets,""" +
-      s""""hotCellMax":$hotCellMax,"hotCellMedian":$hotCellMedian}"""
+      s""""hotCellMax":$hotCellMax,"hotCellMedian":$hotCellMedian,""" +
+      s""""fitGapFrac":$fitGapFrac,"fitBaseline":$fitBaseline}"""
 }
 
 /** Measured default thresholds for condition-driven index maintenance.
@@ -47,4 +50,23 @@ final case class MaintenanceReport(index: String, action: String,
 object Maintenance {
   val DefaultCompactAfter = 8
   val DefaultHotCellRatio = 16.0
+  /** Fit-GAP canary trigger: refresh when the fraction of sampled
+    * indexed rows whose gap — (max cosine to any other row of its own
+    * cell) minus (cosine to its assigned centroid) — exceeds the
+    * index's own build/refresh-time 99.5th-percentile baseline
+    * reaches this value. Healthy mass above the baseline is ~0.5% by
+    * construction, so 2% is a 4x excursion; a tight ingest cluster
+    * the frozen quantizer has no centroid for reads gap ~0.6 against
+    * a healthy tail ~0.15 (sibling cosine ~0.9 vs centroid fit ~0.3),
+    * so a drift of fraction d fires the trigger at d >~ 1.5% —
+    * BEFORE the hot-cell occupancy ratio can reach 16x (that needs
+    * d >= 16/nlist concentrated in ONE cell; spread drift never
+    * trips it at any d). Two rejected designs (r17, kept as negative
+    * results): a jittered self-probe canary — healthy fresh indexes
+    * detect jittered copies at only 0.83-0.98 (500 -> 256k vectors),
+    * so any detection-below-1.0 trigger false-fires on every healthy
+    * index — and an absolute-fit tail — in 64-dim the healthy fit
+    * p0.5 is ~0.19 while a novel cluster still fits ~0.33, so drift
+    * never undercuts it. */
+  val DefaultFitCanaryFrac = 0.02
 }

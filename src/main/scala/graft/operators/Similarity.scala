@@ -477,6 +477,13 @@ object Similarity {
         expect.copy(batches = refold))
     }
     freshIvfMemo.add(memoKey)
+    // fit-canary baseline: a fresh build defines its own healthy fit
+    // distribution; also migrates pre-baseline manifests in place
+    // (one manifest read on the first ensure per session — memoized
+    // callers never reach here)
+    if (IndexManifest.read(s, ivfManifestPath(s, d))
+        .flatMap(m => IndexManifest.fitBaselineOf(m._1)).isEmpty)
+      writeFitBaseline(s, d)
     (at, ct)
   }
 
@@ -773,6 +780,10 @@ object Similarity {
     if (buckets != storedBuckets)
       IndexManifest.read(s, mp).foreach { case (txt, _) =>
         IndexManifest.setBuckets(s, mp, txt, buckets) }
+    // the re-fitted quantizer defines the new fit baseline (the fit
+    // canary reads against the index's own healthy distribution, so a
+    // refresh both clears the symptom and re-arms the trigger)
+    writeFitBaseline(s, d)
     // the quantizer changed: any graph index for this corpus is now
     // structurally stale (its manifest pins the OLD centroid
     // fingerprint — the next graph ensure rebuilds)
@@ -824,9 +835,108 @@ object Similarity {
     * "none" until new appends arrive. `dryRun` reports the decision
     * without executing it. Thresholds and their measurements:
     * [[Maintenance]]. */
+  /** GAP sample for the verdict-symptom (fit-gap) canary: per sampled
+    * indexed row, (max cosine to any OTHER row of its own cell) minus
+    * (cosine to its assigned centroid). A healthy cell's members are
+    * exactly what its centroid was fitted to, so sibling similarity
+    * and centroid fit sit on the same scale and the gap is ~0; a
+    * tight ingest cluster the FROZEN quantizer has no centroid for
+    * shows sibling cosines ~0.9 against centroid fits ~0.3 — gap
+    * ~0.6, a dimension-robust signal where absolute fit is not (in
+    * 64-dim the healthy fit tail reaches ~0.19, measured, so a novel
+    * cluster's ~0.33 fit never undercuts it — the first cut of this
+    * canary used absolute fit and was refuted by its own spec
+    * fixture). Planted near-dups sit in the BASELINE distribution
+    * (the build-time sample sees them too), so they never read as
+    * drift. This is the marginal-coverage erosion DriftGate measured
+    * costing real tau-gate verdicts (sem_base_frozen 0.667 at 64k AND
+    * 256k) in a regime the 16x occupancy trigger cannot see.
+    *
+    * Deterministic hash sample of <= ~512 rows (rule 28 — never a raw
+    * id modulus); cost one cell-pruned scan joined to the broadcast
+    * sample (~sample x mean-occupancy = 512·√n codegen'd dots at
+    * √n-sized cells) + a broadcast centroid join — negligible next to
+    * the refresh it arms. Rows alone in their cell carry no sibling
+    * evidence and are excluded. Returns sorted gaps. */
+  private def sampledGaps(s: SparkSession, d: String): Array[Double] = {
+    val (at, ct) = ensureIvfIndex(s, d)
+    // read the tables' FILES, not s.table (the rule-20a sibling
+    // reason): the canary runs inside maintenance — immediately after
+    // appends and immediately after a refresh's drop-and-rename — and
+    // in streaming it runs in a CLONED session whose DDL cannot
+    // invalidate other sessions' table-relation caches; a path read
+    // builds a fresh file index every time and caches nothing under
+    // the table name (the StreamingSpec maintainEvery fixture caught
+    // the s.table form reading a pre-refresh listing). Costs bucket
+    // pruning: the scan is column-pruned but reads every cell —
+    // still ~index-bytes, 2-3 orders under the refresh it arms.
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    def files(t: String) =
+      s.read.parquet(new org.apache.hadoop.fs.Path(wh, t).toString)
+    val rows = files(at)
+    val n = math.max(1L, rows.count())
+    val mod = math.max(1L, n / 512)
+    val sample = rows.filter(hashPick(col("vec_id"), "#fit42", mod))
+      .select(col("cid"), col("vec_id").as("qid"), col("ce").as("qe"),
+        col("cn").as("qn"))
+      .localCheckpoint() // feeds the cid collect AND both joins below
+    val cids = sample.select("cid").distinct()
+      .collect().map(_.getLong(0)).sorted
+    if (cids.isEmpty) return Array.empty
+    val sib = rows.filter(col("cid").isin(cids: _*))
+      .join(broadcast(sample), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid")
+      .agg(max(dot(col("ce"), col("qe")) / (col("cn") * col("qn")))
+        .as("sib"))
+    sample.join(sib, Seq("qid")) // inner: lone rows excluded
+      .join(broadcast(files(ct)), Seq("cid"))
+      .select((col("sib") -
+        dot(col("qe"), col("ke")) / (col("qn") * col("kn"))).as("gap"))
+      .collect().map(_.getDouble(0)).sorted
+  }
+
+  /** Record the CURRENT gap distribution's 99.5th percentile as the
+    * index's baseline (micro-units in the manifest) — called after a
+    * build or refresh, when the quantizer fits its corpus by
+    * construction, so ~0.5% of healthy mass sits above it. */
+  private def writeFitBaseline(s: SparkSession, d: String): Unit = {
+    val gaps = sampledGaps(s, d)
+    if (gaps.isEmpty) return
+    val p995 = gaps(((gaps.length * 199) / 200).min(gaps.length - 1))
+    val mp = ivfManifestPath(s, d)
+    IndexManifest.read(s, mp).foreach { case (txt, _) =>
+      IndexManifest.setFitBaseline(s, mp, txt,
+        math.round(p995 * 1e6)) }
+  }
+
+  /** Fraction of the current gap sample ABOVE the stored baseline —
+    * the fit-gap canary's reading, paired with the baseline itself.
+    * A manifest without a baseline (pre-r17 or hand-edited) gets
+    * baselined NOW (the status quo becomes the reference; a later
+    * drift still reads against it). */
+  private[graft] def ivfFitGapFrac(s: SparkSession, d: String)
+      : (Double, Double) = {
+    val mp = ivfManifestPath(s, d)
+    val storedTxt = IndexManifest.read(s, mp).map(_._1).getOrElse(
+      throw new IllegalStateException(
+        s"IVF index for $d has no manifest after ensure"))
+    val micro = IndexManifest.fitBaselineOf(storedTxt).getOrElse {
+      writeFitBaseline(s, d)
+      IndexManifest.read(s, mp).flatMap(m =>
+        IndexManifest.fitBaselineOf(m._1)).getOrElse(Long.MaxValue)
+    }
+    val baseline = micro / 1e6
+    val gaps = sampledGaps(s, d)
+    if (gaps.isEmpty) (0.0, baseline)
+    else (gaps.count(_ > baseline).toDouble / gaps.length, baseline)
+  }
+
   def maintainIvfIndex(s: SparkSession, d: String,
                        compactAfter: Int = Maintenance.DefaultCompactAfter,
                        hotCellRatio: Double = Maintenance.DefaultHotCellRatio,
+                       fitCanaryFrac: Double =
+                         Maintenance.DefaultFitCanaryFrac,
                        dryRun: Boolean = false): MaintenanceReport = {
     ensureIvfIndex(s, d)
     val stored = IndexManifest.read(s, ivfManifestPath(s, d)).getOrElse(
@@ -837,18 +947,29 @@ object Similarity {
     val storedBuckets = IndexManifest.bucketsOf(stored._1, s"IVF index $d")
     val target = Tables.indexBuckets(
       IndexManifest.indexRowsOf(stored._1, stored._2))
-    def report(action: String, ran: Boolean, hot: (Long, Long)) =
+    def report(action: String, ran: Boolean, hot: (Long, Long),
+               fit: (Double, Double) = (-1.0, -1.0)) =
       MaintenanceReport("ivf", action, ran, applied, uncompacted,
-        storedBuckets, target, hot._1, hot._2)
+        storedBuckets, target, hot._1, hot._2, fit._1, fit._2)
     if (applied == 0) return report("none", ran = false, (-1L, -1L))
     val hot = ivfOccupancy(s, d)
     if (hot._2 > 0 && hot._1 > hotCellRatio * hot._2)
-      report("refresh",
+      return report("refresh",
         ran = !dryRun && refreshIvfCentroids(s, d), hot)
+    // fit canary (the verdict-symptom trigger): a drift too small or
+    // too spread to trip the occupancy ratio still erodes the
+    // quantizer's marginal coverage — visible as sampled rows whose
+    // fit to their assigned centroid falls below the index's own
+    // build/refresh-time baseline quantile. Only measured when
+    // appends exist (a base build defines the baseline).
+    val fit = ivfFitGapFrac(s, d)
+    if (fit._1 >= fitCanaryFrac)
+      report("refresh", ran = !dryRun && refreshIvfCentroids(s, d),
+        hot, fit)
     else if (uncompacted >= compactAfter || target != storedBuckets)
       report("compact",
-        ran = !dryRun && compactIvfIndex(s, d), hot)
-    else report("none", ran = false, hot)
+        ran = !dryRun && compactIvfIndex(s, d), hot, fit)
+    else report("none", ran = false, hot, fit)
   }
 
   /** ADC shortlist width multiplier (R = k x refine) for q_ann_pq,
@@ -1820,6 +1941,15 @@ object Similarity {
     * row-identical to the single-pass form). */
   private[graft] var GraphBuildPairBudget = 600000000L
 
+  /** Diagnostics of the LAST graph build this JVM ran (chunk count,
+    * q rows, wall seconds) — written by [[buildKnnGraphTables]], read
+    * by [[graft.GraphRecall]]'s report line so ladder rungs record
+    * the rule-31a cost model (build wall vs C re-scans of the mates
+    * side) without the library printing anything itself. (0, 0, 0)
+    * when no build ran (e.g. the ensure re-attached or reused). */
+  @volatile private[graft] var LastGraphBuild: (Int, Long, Double) =
+    (0, 0L, 0.0)
+
   private def buildKnnGraphTables(s: SparkSession, k: Int,
                                   et: String, rt: String,
                                   at: String, ct: String,
@@ -1844,6 +1974,7 @@ object Similarity {
     val fan = math.max(1.0, np.toDouble * rows / nlist)
     val chunkQ = math.max(1L, (budget / fan).toLong)
     val chunks = math.max(1, math.ceil(rows.toDouble / chunkQ).toInt)
+    val buildT0 = System.nanoTime()
     val w = Window.partitionBy("src").orderBy(desc("score"), asc("dst"))
     (0 until chunks).foreach { c =>
       val qc = if (chunks == 1) q
@@ -1876,6 +2007,7 @@ object Similarity {
       .bucketBy(eBuckets, "qcid").sortBy("qcid")
       .format("parquet").saveAsTable(rt)
     IndexManifest.markBuckets(s, rt, eBuckets)
+    LastGraphBuild = (chunks, rows, (System.nanoTime() - buildT0) / 1e9)
   }
 
   /** Resolved edge view of a raw edge frame: rows whose gen is not in

@@ -886,6 +886,67 @@ class SimilaritySpec extends SparkSuite {
       compactAfter = 2).action == "none")
   }
 
+  test("fit canary: spread drift below the occupancy threshold still " +
+      "refreshes through the policy, and the baseline survives " +
+      "appends + compaction") {
+    val sp = spark; import sp.implicits._
+    def vec(seed: Long): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(64)(r.nextFloat() * 2 - 1)
+    }
+    // four tight clouds along four directions (the maintain fixture's
+    // drift transform, dims 1-4): each ~1% of the index, so no single
+    // cell can approach the 16x hot ratio — the regime the occupancy
+    // trigger is structurally blind to
+    def drift(seed: Long, dim: Int): Array[Float] = {
+      val v = vec(seed)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.zipWithIndex.map { case (x, i) =>
+        0.2f * (x / n) + (if (i == dim) 1.0f else 0.0f) }
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivffit")
+    val dir = new java.io.File(tmp.toFile, "d").toString
+    (0L until 6000L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    Similarity.ensureIvfIndex(spark, dir)
+    val mp = graft.operators.IndexManifest.path(spark, "graft_ivf",
+      (scala.util.hashing.MurmurHash3.stringHash(dir).toLong
+        & 0xffffffffL).toHexString)
+    (1 to 4).foreach { d =>
+      assert(Similarity.appendToIvfIndex(spark, dir,
+        (50000L + d * 1000L until 50060L + d * 1000L)
+          .map(i => (i, drift(i, d))).toDF("vec_id", "embedding"),
+        s"cloud$d"))
+    }
+    val (mx, md) = Similarity.ivfOccupancy(spark, dir)
+    assert(md > 0 && mx <= Maintenance.DefaultHotCellRatio * md,
+      s"fixture leaked into the occupancy regime: max $mx median $md " +
+        "— the fit canary would not be the deciding trigger")
+    val dry = Similarity.maintainIvfIndex(spark, dir, dryRun = true)
+    assert(dry.action == "refresh" && !dry.ran &&
+      dry.fitGapFrac >= Maintenance.DefaultFitCanaryFrac &&
+      dry.fitBaseline > 0, s"dry: ${dry.render}")
+    val acted = Similarity.maintainIvfIndex(spark, dir)
+    assert(acted.action == "refresh" && acted.ran,
+      s"acted: ${acted.render}")
+    // refresh re-baselined: the same spread data now reads healthy
+    val after = Similarity.maintainIvfIndex(spark, dir)
+    assert(after.action == "none" && !after.ran &&
+      after.fitGapFrac >= 0 &&
+      after.fitGapFrac < Maintenance.DefaultFitCanaryFrac,
+      s"after: ${after.render}")
+    // the stored baseline survives the manifest's append/compaction
+    // rewrites (it sits before the batches field)
+    assert(Similarity.appendToIvfIndex(spark, dir,
+      (90000L until 90005L).map(i => (i, vec(i)))
+        .toDF("vec_id", "embedding"), "iid1"))
+    Similarity.compactIvfIndex(spark, dir)
+    val stored = graft.operators.IndexManifest.read(spark, mp)
+    assert(stored.exists(m =>
+      graft.operators.IndexManifest.fitBaselineOf(m._1).isDefined),
+      s"fit baseline lost across append+compact: ${stored.map(_._1)}")
+  }
+
   test("knn graph index: fresh build equals the rebuild foil; ensure " +
     "reuses it; the delta probe is the foil's slice") {
     Similarity.ensureKnnGraphIndex(spark, sf, 3)

@@ -46,7 +46,11 @@ cd "$(dirname "$0")/.."
 # of sf0.1; raise it for a deeper, slower audit; 0 skips). Floor just
 # under measured with the hashed probe sample: 0.512/0.603/0.668 at
 # 16k/64k/256k — recall RISES with n as nprobe tracks nlist.
-GRAPH_MAX_N="${RECALL_LADDER_GRAPH_MAX_N:-300000}"
+# r17: raised 300k -> 600k so the 256x rung (512k vectors) runs the
+# graph leg — the pair-budget build's chunk count roughly triples
+# (fan ~ np·√n), measured there with the build_chunks/build_wall_s
+# fields GraphRecall now reports (rule-31a cost model).
+GRAPH_MAX_N="${RECALL_LADDER_GRAPH_MAX_N:-600000}"
 GRAPH_FLOOR="${RECALL_LADDER_GRAPH_FLOOR:-0.60}"
 for K in $RUNGS; do
   WORK="/tmp/graft_recall_ladder_${K}x"
