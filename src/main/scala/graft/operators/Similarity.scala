@@ -475,6 +475,17 @@ object Similarity {
       // manifest, so the next ensure re-runs this recovery
       IndexManifest.write(s, ivfManifestPath(s, d),
         expect.copy(batches = refold))
+      // a SAME-BASE repair carries the pre-crash fit baseline forward:
+      // re-measuring over the refolded rows would absorb any
+      // pre-crash drift into the reference and silently disarm the
+      // canary for it (a real corpus change starts fresh below)
+      stored.filter(_ => sameBase)
+        .flatMap(m => IndexManifest.fitBaselineOf(m._1))
+        .foreach { micro =>
+          IndexManifest.read(s, ivfManifestPath(s, d)).foreach {
+            case (txt, _) => IndexManifest.setFitBaseline(s,
+              ivfManifestPath(s, d), txt, micro) }
+        }
     }
     freshIvfMemo.add(memoKey)
     // fit-canary baseline: a fresh build defines its own healthy fit
