@@ -177,6 +177,18 @@ object GraftFunctions {
       validCentroids(BroadcastCentroids(handle))))
   }
 
+  /** Column form of [[TopKEdges]] — the exact sort-free top-k
+    * aggregate for edge selection (column API only: the k is a build
+    * parameter, never a SQL literal). */
+  def topKEdges(dst: org.apache.spark.sql.Column,
+                score: org.apache.spark.sql.Column, k: Int)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(TopKEdges(
+      GraftColumnBridge.expression(dst),
+      GraftColumnBridge.expression(score), k).toAggregateExpression())
+  }
+
   /** Column form of [[BpeTokens]]: byte-pair encode a text column
     * against an ordered merge table (the column API is the only form —
     * merge tables are data-derived or config, never SQL literals). The

@@ -1961,6 +1961,14 @@ object Similarity {
   @volatile private[graft] var LastGraphBuild: (Int, Long, Double) =
     (0, 0L, 0.0)
 
+  /** A/B + law-test hook: force the graph build's top-k pass back to
+    * the window form (the TopKEdges aggregate's foil). Production
+    * default is the aggregate — sort-free, spill-free; the env form
+    * (GRAFT_GRAPH_WINDOW_BUILD=1) drives same-window A/Bs without a
+    * code edit. */
+  @volatile private[graft] var GraphBuildUseWindow =
+    sys.env.get("GRAFT_GRAPH_WINDOW_BUILD").contains("1")
+
   private def buildKnnGraphTables(s: SparkSession, k: Int,
                                   et: String, rt: String,
                                   at: String, ct: String,
@@ -1980,12 +1988,39 @@ object Similarity {
     // read the budget knob ONCE per build: it is global JVM state (a
     // test override), and a concurrent mutation mid-build must not
     // split one build across two budgets (r16 advice)
-    val budget = GraphBuildPairBudget
+    val baseBudget = GraphBuildPairBudget
+    // the aggregate form never SORTS the scored pairs, so the pair
+    // budget no longer sizes a sort-spill buffer (~40 B x budget under
+    // the window form) — per-pass disk becomes the chunk's q-side
+    // JOIN shuffle (~rowWidth(q) x budget / fan ≈ 550 B x chunkQ x np).
+    // Scaling the budget 16x keeps the same per-pass disk envelope
+    // (24 GB sort spill -> ~7 GB shuffle at the 512k shape) while
+    // cutting the chunk count — and with it the C re-scans of the
+    // mates side — 16-fold (52 -> 4 at 512k).
+    val budget =
+      if (GraphBuildUseWindow) baseBudget else 16L * baseBudget
     // per-q candidate fan-out = np x mean occupancy
     val fan = math.max(1.0, np.toDouble * rows / nlist)
     val chunkQ = math.max(1L, (budget / fan).toLong)
     val chunks = math.max(1, math.ceil(rows.toDouble / chunkQ).toInt)
     val buildT0 = System.nanoTime()
+    // ObjectHashAggregate silently falls back to SORT-BASED
+    // aggregation once a task's hash map passes
+    // spark.sql.objectHashAggregate.sortBased.fallbackThreshold —
+    // default 128 KEYS, so the "sort-free" top-k would re-sort the
+    // whole pair stream per chunk (measured: the 512k build filled
+    // the disk through exactly this fallback at the 16x budget).
+    // A map task can see every src in the chunk, so the threshold
+    // must cover chunkQ: state is |srcs| x (k x 16 B + overhead)
+    // ≈ 112 B/key — 150k keys ≈ 17 MB, trivially in-memory; the 4M
+    // cap (~450 MB/task) guards degenerate budget overrides.
+    val fallbackKey =
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val oldFallback = s.conf.getOption(fallbackKey)
+    if (!GraphBuildUseWindow)
+      s.conf.set(fallbackKey,
+        math.min(4000000L, chunkQ + 1024L).toString)
+    try {
     val w = Window.partitionBy("src").orderBy(desc("score"), asc("dst"))
     (0 until chunks).foreach { c =>
       val qc = if (chunks == 1) q
@@ -1995,14 +2030,36 @@ object Similarity {
       // ring (here a checkpointed attribute, but keep the idiom)
       val qx = qc.select(col("qid"), col("qe"), col("qn"),
         explode_outer(col("qcids")).as("qcid"))
-      val edges = qx
+      val scored = qx
         .join(mates,
           col("qcid") === col("cid") && col("qid") =!= col("nid"))
         .select(col("qid").as("src"), col("nid").as("dst"),
           round(dot(col("qe"), col("ne")) / (col("qn") * col("nn")), 6)
             .as("score"))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= k)
+      // top-k per src through the SORT-FREE native aggregate
+      // (TopKEdges): the window form's partial WindowGroupLimit must
+      // LOCAL-SORT every scored pair before it prunes — the rule-31a
+      // disk hazard the pair budget bounds — while the aggregate's
+      // map-side partial collapses each partition to <= k entries per
+      // src before the exchange, so nothing ever sorts or spills the
+      // candidate stream. Row-identical to the window (the ordering
+      // is the same (score desc, dst asc); SimilaritySpec pins the
+      // foil equality and GraphBuildUseWindow keeps the old form
+      // runnable for the law test and A/Bs). Measured: 55.1 -> 41.1 s
+      // at the 64k rung (single chunk, identical output); the larger
+      // win is structural — the 256k one-shot's 8.3G-pair sort filled
+      // this host's DISK, while the aggregate's peak state is
+      // |srcs-in-chunk| x k entries.
+      val edges = (if (GraphBuildUseWindow)
+          scored.withColumn("rn", row_number().over(w).cast("long"))
+            .filter(col("rn") <= k)
+        else scored.groupBy("src")
+          .agg(graft.functions.GraftFunctions
+            .topKEdges(col("dst"), col("score"), k).as("tk"))
+          .select(col("src"), posexplode(col("tk")).as(Seq("p", "e")))
+          .select(col("src"), col("e.dst").as("dst"),
+            col("e.score").as("score"),
+            (col("p") + 1).cast("long").as("rn")))
         .withColumn("gen", lit(null).cast("string"))
       edges.repartition(eBuckets, col("src"))
         .write.mode(if (c == 0) org.apache.spark.sql.SaveMode.Overwrite
@@ -2018,6 +2075,10 @@ object Similarity {
       .bucketBy(eBuckets, "qcid").sortBy("qcid")
       .format("parquet").saveAsTable(rt)
     IndexManifest.markBuckets(s, rt, eBuckets)
+    } finally oldFallback match {
+      case Some(v) => s.conf.set(fallbackKey, v)
+      case None => s.conf.unset(fallbackKey)
+    }
     LastGraphBuild = (chunks, rows, (System.nanoTime() - buildT0) / 1e9)
   }
 

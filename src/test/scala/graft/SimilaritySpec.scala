@@ -947,6 +947,47 @@ class SimilaritySpec extends SparkSuite {
       s"fit baseline lost across append+compact: ${stored.map(_._1)}")
   }
 
+  test("graph build top-k: the sort-free TopKEdges aggregate is " +
+      "row-identical to the window form, chunked or not") {
+    val sp = spark; import sp.implicits._
+    def vec(seed: Long): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(64)(r.nextFloat() * 2 - 1)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_topk")
+    val dir = new java.io.File(tmp.toFile, "d").toString
+    (0L until 400L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    def edgesWith(window: Boolean, budget: Long): Set[(Long, Long, Double, Long)] = {
+      Similarity.dropKnnGraphIndex(spark, dir, 3)
+      val oldW = Similarity.GraphBuildUseWindow
+      val oldB = Similarity.GraphBuildPairBudget
+      Similarity.GraphBuildUseWindow = window
+      Similarity.GraphBuildPairBudget = budget
+      try {
+        val (et, _) = Similarity.ensureKnnGraphIndex(spark, dir, 3)
+        spark.table(et).select("src", "dst", "score", "rn").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+            r.getLong(3))).toSet
+      } finally {
+        Similarity.GraphBuildUseWindow = oldW
+        Similarity.GraphBuildPairBudget = oldB
+      }
+    }
+    val agg = edgesWith(window = false, budget = Long.MaxValue)
+    assert(agg.nonEmpty && agg.exists(_._4 == 3L),
+      "fixture must produce full-rank adjacencies")
+    // window foil, single-pass AND a forced many-chunk aggregate
+    // build: all three bit-identical (scores are round()ed doubles,
+    // ranks share the (score desc, dst asc) order)
+    assert(edgesWith(window = true, budget = Long.MaxValue) == agg,
+      "aggregate build diverges from the window foil")
+    // 125 x the aggregate form's 16x budget scale = 2000 pairs/pass —
+    // a genuinely multi-chunk build on this fixture
+    assert(edgesWith(window = false, budget = 125L) == agg,
+      "chunked aggregate build diverges from the single-pass form")
+  }
+
   test("knn graph index: fresh build equals the rebuild foil; ensure " +
     "reuses it; the delta probe is the foil's slice") {
     Similarity.ensureKnnGraphIndex(spark, sf, 3)
@@ -984,7 +1025,9 @@ class SimilaritySpec extends SparkSuite {
         r.getLong(3))).toSeq.sorted
     val budget0 = Similarity.GraphBuildPairBudget
     try {
-      Similarity.GraphBuildPairBudget = 1000L // ~minimum: many chunks
+      // ~minimum: many chunks (the aggregate form scales the knob 16x,
+      // so 63 keeps the effective per-pass budget ~1000 pairs)
+      Similarity.GraphBuildPairBudget = 63L
       Similarity.dropKnnGraphIndex(spark, sf, 3)
       val (et, _) = Similarity.ensureKnnGraphIndex(spark, sf, 3)
       assert(spark.table(et).inputFiles.length > 8,
