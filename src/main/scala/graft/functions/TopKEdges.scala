@@ -50,10 +50,16 @@ final class TopKEdgesBuffer(val k: Int) extends Serializable {
   * pruned-but-sorted candidate stream.
   *
   * Emits array<struct<dst, score>> best-first; callers posexplode and
-  * take pos+1 as the rank. Null-scored or null-dst inputs are skipped
-  * (the window form never produces them — scores are round() of
-  * non-null dots — so skipping is vacuous there and safe anywhere
-  * else). */
+  * take pos+1 as the rank. Null-scored, null-dst and NaN-scored
+  * inputs are skipped: nulls never reach the window form either
+  * (scores are round() of non-null dots), and NaN is where the two
+  * forms would DIVERGE silently — Spark's desc ordering ranks NaN
+  * above every double (row_number would keep it first) while this
+  * buffer's beats() comparisons all return false for NaN (it would
+  * rank worst-possible). Dropping NaN explicitly makes the aggregate
+  * and the foil agree BY CONSTRUCTION on any corpus (a zero-norm
+  * vector's 0/0 cosine), not by the unit-norm corpus assumption;
+  * a neighbor with no defined similarity is not an edge. */
 case class TopKEdges(dst: Expression, score: Expression, k: Int,
                      mutableAggBufferOffset: Int = 0,
                      inputAggBufferOffset: Int = 0)
@@ -81,8 +87,10 @@ case class TopKEdges(dst: Expression, score: Expression, k: Int,
                       input: InternalRow): TopKEdgesBuffer = {
     val d = dst.eval(input)
     val s = score.eval(input)
-    if (d != null && s != null)
-      buf.insert(d.asInstanceOf[Long], s.asInstanceOf[Double])
+    if (d != null && s != null) {
+      val sd = s.asInstanceOf[Double]
+      if (!sd.isNaN) buf.insert(d.asInstanceOf[Long], sd)
+    }
     buf
   }
 

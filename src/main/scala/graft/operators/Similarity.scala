@@ -844,8 +844,11 @@ object Similarity {
     * so neither symptom can exist (and refresh would no-op by the same
     * rule). Idempotent: a pass that acted leaves the next pass at
     * "none" until new appends arrive. `dryRun` reports the decision
-    * without executing it. Thresholds and their measurements:
-    * [[Maintenance]]. */
+    * without executing it AND without any write at all — including
+    * the fit canary's baseline-on-first-read manifest migration
+    * (a pre-baseline manifest reads as fit (-1, -1) on a dry run;
+    * a real run establishes the baseline). Thresholds and their
+    * measurements: [[Maintenance]]. */
   /** GAP sample for the verdict-symptom (fit-gap) canary: per sampled
     * indexed row, (max cosine to any OTHER row of its own cell) minus
     * (cosine to its assigned centroid). A healthy cell's members are
@@ -925,14 +928,21 @@ object Similarity {
     * the fit-gap canary's reading, paired with the baseline itself.
     * A manifest without a baseline (pre-r17 or hand-edited) gets
     * baselined NOW (the status quo becomes the reference; a later
-    * drift still reads against it). */
-  private[graft] def ivfFitGapFrac(s: SparkSession, d: String)
+    * drift still reads against it) — UNLESS `readOnly`: a dry-run
+    * caller must not mutate the manifest (the r17 form did, silently
+    * rewriting hand-edited or partially migrated manifests during a
+    * "dry" maintenance call), so it reports (-1, -1) =
+    * baseline-missing instead, and skips the gap sample entirely. */
+  private[graft] def ivfFitGapFrac(s: SparkSession, d: String,
+                                   readOnly: Boolean = false)
       : (Double, Double) = {
     val mp = ivfManifestPath(s, d)
     val storedTxt = IndexManifest.read(s, mp).map(_._1).getOrElse(
       throw new IllegalStateException(
         s"IVF index for $d has no manifest after ensure"))
-    val micro = IndexManifest.fitBaselineOf(storedTxt).getOrElse {
+    val stored = IndexManifest.fitBaselineOf(storedTxt)
+    if (readOnly && stored.isEmpty) return (-1.0, -1.0)
+    val micro = stored.getOrElse {
       writeFitBaseline(s, d)
       IndexManifest.read(s, mp).flatMap(m =>
         IndexManifest.fitBaselineOf(m._1)).getOrElse(Long.MaxValue)
@@ -973,7 +983,10 @@ object Similarity {
     // fit to their assigned centroid falls below the index's own
     // build/refresh-time baseline quantile. Only measured when
     // appends exist (a base build defines the baseline).
-    val fit = ivfFitGapFrac(s, d)
+    // readOnly = dryRun: a dry run reports; it must not take the
+    // baseline-on-first-read manifest write (fit (-1,-1) there means
+    // "baseline missing — a real run would establish it")
+    val fit = ivfFitGapFrac(s, d, readOnly = dryRun)
     if (fit._1 >= fitCanaryFrac)
       report("refresh", ran = !dryRun && refreshIvfCentroids(s, d),
         hot, fit)
@@ -1969,13 +1982,48 @@ object Similarity {
   @volatile private[graft] var GraphBuildUseWindow =
     sys.env.get("GRAFT_GRAPH_WINDOW_BUILD").contains("1")
 
+  /** Hard ceiling for the build's ObjectHashAggregate fallback
+    * threshold: ~112 B of top-k state per src key puts 4M keys at
+    * ~450 MB/task — the most in-memory aggregation state a build
+    * task is allowed. chunkQ is CAPPED under it (more chunks instead)
+    * so the threshold always covers a chunk's src count and the
+    * sort-free guarantee cannot silently lapse under a budget
+    * override or a low-fan shape (r17 advice). */
+  private[graft] val FallbackKeyCap = 4000000L
+
+  /** Law-test hook: invoked once per build AFTER the build session's
+    * conf is raised, so a spec can observe that the CALLER's session
+    * still reads the default fallback threshold mid-build. None in
+    * production. */
+  @volatile private[graft] var GraphBuildConfProbe
+      : Option[() => Unit] = None
+
   private def buildKnnGraphTables(s: SparkSession, k: Int,
                                   et: String, rt: String,
                                   at: String, ct: String,
                                   np: Int, eBuckets: Int): Unit = {
     import org.apache.spark.sql.expressions.Window
-    val handle = centroidHandle(s, s.table(ct))
-    val asg = s.table(at)
+    // The build runs its queries in a CLONED session: the raised
+    // ObjectHashAggregate fallback threshold below is plan-time
+    // session conf, and setting it on the caller's session (the r17
+    // form, set + finally-restore) leaks it to any query the same
+    // session plans concurrently with the build. newSession() shares
+    // the SparkContext and catalog (the saveAsTable targets) but
+    // isolates runtime SQL conf; the caller's runtime conf is copied
+    // across first so the build plans under the same shuffle
+    // partitions / AQE settings it would have inherited (static and
+    // non-modifiable keys are skipped — they are shared through the
+    // context anyway).
+    val bs = s.newSession()
+    s.conf.getAll.foreach { case (ck, cv) =>
+      try bs.conf.set(ck, cv)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
+    // the FunctionRegistry is session state too — the build's plans
+    // call vector_dot / nearest_cells / top_k_edges by name
+    graft.functions.GraftFunctions.register(bs)
+    val handle = centroidHandle(bs, bs.table(ct))
+    val asg = bs.table(at)
     val q = asg.select(col("vec_id").as("qid"), col("ce").as("qe"),
         col("cn").as("qn"), col("cid").as("acid"),
         graft.functions.GraftFunctions
@@ -1984,7 +2032,7 @@ object Similarity {
     val mates = asg.select(col("cid"), col("vec_id").as("nid"),
       col("ce").as("ne"), col("cn").as("nn"))
     val rows = math.max(1L, q.count()) // checkpointed: metadata-cheap
-    val nlist = math.max(1L, s.table(ct).count())
+    val nlist = math.max(1L, bs.table(ct).count())
     // read the budget knob ONCE per build: it is global JVM state (a
     // test override), and a concurrent mutation mid-build must not
     // split one build across two budgets (r16 advice)
@@ -2001,7 +2049,15 @@ object Similarity {
       if (GraphBuildUseWindow) baseBudget else 16L * baseBudget
     // per-q candidate fan-out = np x mean occupancy
     val fan = math.max(1.0, np.toDouble * rows / nlist)
-    val chunkQ = math.max(1L, (budget / fan).toLong)
+    // a chunk's src count must stay UNDER the 4M fallback-threshold
+    // cap below, or the aggregate silently reverts to sort-based
+    // aggregation of the full pair stream — the exact rule-31a
+    // hazard this build claims to remove structurally, with no log
+    // line. A budget override or a low-fan shape can push budget/fan
+    // past 4M; shrinking chunkQ (more chunks, same per-pass safety)
+    // keeps the sort-free guarantee unconditional instead of silent.
+    val chunkQ = math.min(FallbackKeyCap - 1024L,
+      math.max(1L, (budget / fan).toLong))
     val chunks = math.max(1, math.ceil(rows.toDouble / chunkQ).toInt)
     val buildT0 = System.nanoTime()
     // ObjectHashAggregate silently falls back to SORT-BASED
@@ -2012,15 +2068,16 @@ object Similarity {
     // the disk through exactly this fallback at the 16x budget).
     // A map task can see every src in the chunk, so the threshold
     // must cover chunkQ: state is |srcs| x (k x 16 B + overhead)
-    // ≈ 112 B/key — 150k keys ≈ 17 MB, trivially in-memory; the 4M
-    // cap (~450 MB/task) guards degenerate budget overrides.
+    // ≈ 112 B/key — 150k keys ≈ 17 MB, trivially in-memory; chunkQ
+    // is capped under FallbackKeyCap above so chunkQ + 1024 always
+    // fits. Set on the BUILD session only — the caller's session
+    // keeps the default (GraphBuildConfProbe lets the law test
+    // observe exactly that, mid-build).
     val fallbackKey =
       "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
-    val oldFallback = s.conf.getOption(fallbackKey)
     if (!GraphBuildUseWindow)
-      s.conf.set(fallbackKey,
-        math.min(4000000L, chunkQ + 1024L).toString)
-    try {
+      bs.conf.set(fallbackKey, (chunkQ + 1024L).toString)
+    GraphBuildConfProbe.foreach(_())
     val w = Window.partitionBy("src").orderBy(desc("score"), asc("dst"))
     (0 until chunks).foreach { c =>
       val qc = if (chunks == 1) q
@@ -2036,6 +2093,15 @@ object Similarity {
         .select(col("qid").as("src"), col("nid").as("dst"),
           round(dot(col("qe"), col("ne")) / (col("qn") * col("nn")), 6)
             .as("score"))
+        // NaN scores (a zero-norm vector's 0/0 cosine) are dropped
+        // BEFORE the top-k so the aggregate and window forms agree by
+        // construction: desc ordering ranks NaN above every double
+        // (the window would keep it first) while TopKEdges' ordered
+        // buffer would rank it worst — a silent foil divergence on
+        // any non-unit-norm corpus. A neighbor with no defined
+        // similarity is not an edge. TopKEdges also skips NaN in
+        // update() for callers outside this build.
+        .filter(!isnan(col("score")))
       // top-k per src through the SORT-FREE native aggregate
       // (TopKEdges): the window form's partial WindowGroupLimit must
       // LOCAL-SORT every scored pair before it prunes — the rule-31a
@@ -2075,10 +2141,6 @@ object Similarity {
       .bucketBy(eBuckets, "qcid").sortBy("qcid")
       .format("parquet").saveAsTable(rt)
     IndexManifest.markBuckets(s, rt, eBuckets)
-    } finally oldFallback match {
-      case Some(v) => s.conf.set(fallbackKey, v)
-      case None => s.conf.unset(fallbackKey)
-    }
     LastGraphBuild = (chunks, rows, (System.nanoTime() - buildT0) / 1e9)
   }
 

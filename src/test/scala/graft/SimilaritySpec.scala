@@ -988,6 +988,114 @@ class SimilaritySpec extends SparkSuite {
       "chunked aggregate build diverges from the single-pass form")
   }
 
+  test("TopKEdges skips NaN scores: equal to the window foil over the " +
+      "NaN-filtered stream, and NaN never ranks first") {
+    // The one input where the two top-k forms DIVERGE: desc ordering
+    // ranks NaN above every double (row_number keeps it first) while
+    // the aggregate's ordered buffer would rank it worst — so the
+    // contract is explicit: NaN is NOT an edge. TopKEdges drops it in
+    // update(), and the graph build filters !isnan(score) before BOTH
+    // forms so the build-level law stays bit-identical by
+    // construction, not by the unit-norm corpus assumption. (The
+    // build's own division can't produce NaN under ANSI mode — 0/0
+    // throws there — but the aggregate is a public function; any
+    // caller can feed it NaN.)
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rows = Seq(
+      (1L, 10L, 0.9), (1L, 11L, Double.NaN), (1L, 12L, 0.8),
+      (1L, 13L, 0.7), (2L, 20L, Double.NaN), (2L, 21L, Double.NaN),
+      (3L, 30L, 0.5))
+    val df = rows.toDF("src", "dst", "score").repartition(4)
+    val agg = df.groupBy("src")
+      .agg(graft.functions.GraftFunctions
+        .topKEdges(col("dst"), col("score"), 2).as("tk"))
+      .select(col("src"), posexplode(col("tk")).as(Seq("p", "e")))
+      .select(col("src"), col("e.dst").as("dst"),
+        col("e.score").as("score"), (col("p") + 1).as("rn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).toSet
+    val w = Window.partitionBy("src").orderBy(desc("score"), asc("dst"))
+    val foil = df.filter(!isnan(col("score")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).toSet
+    assert(agg == foil, s"aggregate $agg vs NaN-filtered window $foil")
+    assert(!agg.exists(_._3.isNaN) && agg.exists(_ == (1L, 10L, 0.9, 1)),
+      "NaN survived or the real top-1 was displaced")
+    assert(!agg.exists(_._1 == 2L),
+      "an all-NaN group must produce no edges")
+  }
+
+  test("graph build scopes its ObjectHashAggregate fallback raise to " +
+      "a cloned session: the caller's conf is default mid-build") {
+    val sp = spark; import sp.implicits._
+    def vec(seed: Long): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(64)(r.nextFloat() * 2 - 1)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_confscope")
+    val dir = new java.io.File(tmp.toFile, "d").toString
+    (0L until 200L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val before = spark.conf.getOption(key)
+    // the probe fires AFTER the build session's conf is raised —
+    // exactly the window in which the r17 set+finally-restore form
+    // leaked the raise to every concurrently planned query
+    @volatile var mid: Option[Option[String]] = None
+    Similarity.GraphBuildConfProbe =
+      Some(() => { mid = Some(spark.conf.getOption(key)) })
+    try {
+      Similarity.dropKnnGraphIndex(spark, dir, 3)
+      Similarity.ensureKnnGraphIndex(spark, dir, 3)
+    } finally Similarity.GraphBuildConfProbe = None
+    assert(mid.contains(before),
+      s"caller session saw the build's fallback raise mid-build: " +
+        s"$mid vs $before")
+    assert(spark.conf.getOption(key) == before,
+      "caller session conf changed after the build")
+  }
+
+  test("maintainIvfIndex dryRun is read-only on a pre-baseline " +
+      "manifest: reports baseline-missing, writes nothing") {
+    val sp = spark; import sp.implicits._
+    def vec(seed: Long): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(64)(r.nextFloat() * 2 - 1)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfdry")
+    val dir = new java.io.File(tmp.toFile, "d").toString
+    (0L until 3000L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    Similarity.ensureIvfIndex(spark, dir)
+    // an append so the canary path runs at all (a fresh base
+    // short-circuits to "none" from the manifest alone)
+    assert(Similarity.appendToIvfIndex(spark, dir,
+      (9000L until 9010L).map(i => (i, vec(i)))
+        .toDF("vec_id", "embedding"), "d1"))
+    val mp = graft.operators.IndexManifest.path(spark, "graft_ivf",
+      (scala.util.hashing.MurmurHash3.stringHash(dir).toLong
+        & 0xffffffffL).toHexString)
+    // simulate a pre-r17 / hand-edited manifest: strip the baseline
+    val withFit = graft.operators.IndexManifest.read(spark, mp).get._1
+    val stripped = """"fitq":-?\d+,""".r.replaceFirstIn(withFit, "")
+    assert(stripped != withFit, "fixture manifest had no fitq to strip")
+    graft.operators.IndexManifest.writeText(spark, mp, stripped)
+    val dry = Similarity.maintainIvfIndex(spark, dir, dryRun = true)
+    assert(dry.fitGapFrac == -1.0 && dry.fitBaseline == -1.0 &&
+      !dry.ran, s"dry on pre-baseline manifest: ${dry.render}")
+    assert(graft.operators.IndexManifest.read(spark, mp).get._1
+      == stripped,
+      "dryRun mutated the manifest (baseline-on-first-read leak)")
+    // a REAL pass establishes the baseline (the migration the dry
+    // run must only report)
+    Similarity.maintainIvfIndex(spark, dir)
+    assert(graft.operators.IndexManifest.read(spark, mp).exists(m =>
+      graft.operators.IndexManifest.fitBaselineOf(m._1).isDefined),
+      "real maintenance pass failed to establish the baseline")
+  }
+
   test("knn graph index: fresh build equals the rebuild foil; ensure " +
     "reuses it; the delta probe is the foil's slice") {
     Similarity.ensureKnnGraphIndex(spark, sf, 3)

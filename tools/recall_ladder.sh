@@ -52,18 +52,22 @@ cd "$(dirname "$0")/.."
 # fields GraphRecall now reports (rule-31a cost model).
 GRAPH_MAX_N="${RECALL_LADDER_GRAPH_MAX_N:-600000}"
 GRAPH_FLOOR="${RECALL_LADDER_GRAPH_FLOOR:-0.60}"
+# Rung size derives from the SOURCE's actual row count, never a
+# hardcoded per-dir constant: RECALL_LADDER_SRC is overridable, and a
+# baked-in "2000 rows" silently mislabels rung sizes on any other
+# corpus — exactly the k-vs-n ambiguity rule 16 exists to kill (the
+# 2026-08-12 regen changed table sizes under an assumption like this).
+# Read via duckdb (already a hard dependency of tools/check_oracles.py,
+# unlike pyarrow — r17 advice), and BEFORE the expensive sbt rungs so
+# a missing dependency fails fast instead of after hours of ScaleSmoke.
+SRC_VECS="$(python3 -c "import duckdb; print(duckdb.sql(
+  \"SELECT count(*) FROM parquet_scan('$SRC/embeddings.parquet')\"
+  ).fetchone()[0])")"
 for K in $RUNGS; do
   WORK="/tmp/graft_recall_ladder_${K}x"
   SPARK_GRAFT_SMOKE_TABLES=embeddings,documents SPARK_GRAFT_SMOKE_REUSE=1 \
     sbt -batch "runMain graft.ScaleSmoke $K $SRC $WORK"
   sbt -batch "runMain graft.RecallGate $WORK $FLOORS"
-  # Rung size derives from the SOURCE's actual row count, never a
-  # hardcoded per-dir constant: RECALL_LADDER_SRC is overridable, and a
-  # baked-in "2000 rows" silently mislabels rung sizes on any other
-  # corpus — exactly the k-vs-n ambiguity rule 16 exists to kill (the
-  # 2026-08-12 regen changed table sizes under an assumption like this).
-  SRC_VECS="$(python3 -c "import pyarrow.parquet as pq; import sys; \
-print(pq.ParquetFile('$SRC/embeddings.parquet').metadata.num_rows)")"
   N_VECS="$(( K * SRC_VECS ))"
   if [ "$GRAPH_MAX_N" != "0" ] && [ "$N_VECS" -le "$GRAPH_MAX_N" ] \
      && [ "$N_VECS" -ge 256000 ]; then
