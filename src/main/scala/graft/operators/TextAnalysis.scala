@@ -1025,31 +1025,68 @@ object TextAnalysis {
         size(col("ch")).cast("bigint").as("n_tokens"))
   }
 
+  /** Vocabulary ceiling for [[bpeMerges]]' in-driver training path:
+    * up to this many DISTINCT words, the word-frequency table is
+    * collected once and trained with the heap trainer
+    * ([[bpeMergesDriver]]) — ~2M words x (word chars + symbol array +
+    * pair-map entries) ≈ 300-400 MB of driver heap, the stated bound
+    * for this collect. Above it, the per-step Spark form
+    * ([[bpeMergesSpark]]) runs: correct at any vocabulary, O(K)
+    * sequential Spark jobs — hours of scheduler latency at a real
+    * K ≈ 32k, which is exactly why the driver path exists (the CC
+    * hybrid / PrefilterMinDocs size-gate idiom: measure both ends,
+    * gate on the crossover). Var: BpeSpec forces the Spark path to
+    * pin the two trainers row-identical. */
+  private[graft] var DriverBpeMaxVocab = 2000000L
+
   /** BPE merge-rule induction (k merges) — tokenizer training as a
     * relational program. The scalable shape is the real trainers'
     * (byte-pair encoding over word frequencies): ONE corpus pass
     * folds to the word-frequency table (distinct word + count —
     * VOCABULARY-sized, never corpus-sized), and every merge iteration
     * runs on that table alone: adjacent symbol-pair counts weighted
-    * by word frequency, a 1-row deterministic argmax (ties broken
+    * by word frequency, a deterministic argmax (ties broken
     * lexicographically on the pair), and a leftmost-greedy
-    * non-overlapping merge applied to each word's symbol array by an
-    * array fold. Words carry the classic </w> terminal so merges
-    * respect word boundaries. K iterations touch only vocab-sized
-    * frames (localCheckpoint'd per step — the pageRank O(1)-plan
-    * rule); the interpreted-HOF fold is acceptable here because the
-    * frame is vocabulary-sized (rule-1 scope is corpus-hot paths).
-    * Oracle-exempt: each step's argmax feeds the next tokenization,
-    * which no static SQL can express — BpeSpec pins equality with an
-    * independent driver reference over the raw corpus, plus the
-    * greedy-fold laws. */
+    * non-overlapping merge applied to each word's symbol array.
+    * Words carry the classic </w> terminal so merges respect word
+    * boundaries.
+    *
+    * Two size-gated execution paths over the SAME algorithm
+    * (row-identical, BpeSpec-pinned): a vocabulary within
+    * [[DriverBpeMaxVocab]] collects the word-frequency table once and
+    * trains in-driver with a lazy-deletion heap + incremental pair
+    * counts ([[bpeMergesDriver]] — K ≈ 32k in seconds, no per-step
+    * scheduler latency); a larger vocabulary runs the per-step Spark
+    * loop ([[bpeMergesSpark]] — K sequential vocab-sized jobs, the
+    * any-scale fallback and the law foil). Oracle-exempt: each step's
+    * argmax feeds the next tokenization, which no static SQL can
+    * express — BpeSpec pins equality with an independent driver
+    * reference over the raw corpus, plus the greedy-fold laws. */
   private[graft] def bpeMerges(docs: DataFrame, k: Int): DataFrame = {
     val sp = docs.sparkSession
     import sp.implicits._
-    var words = docs
+    val wordFreq = docs
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val rules =
+      if (wordFreq.count() <= DriverBpeMaxVocab)
+        // bounded collect: <= DriverBpeMaxVocab rows by the gate above
+        bpeMergesDriver(wordFreq.collect()
+          .map(r => (r.getString(0), r.getLong(1))), k)
+      else bpeMergesSpark(wordFreq, k)
+    rules.toDF("step", "left", "right", "freq")
+  }
+
+  /** The per-step distributed trainer (any vocabulary size; K
+    * sequential jobs). Each frame is vocab-sized and
+    * localCheckpoint'd per step — the pageRank O(1)-plan rule; the
+    * interpreted-HOF fold is acceptable here because the frame is
+    * vocabulary-sized (rule-1 scope is corpus-hot paths). */
+  private[graft] def bpeMergesSpark(wordFreq: DataFrame, k: Int)
+      : Seq[(Long, String, String, Long)] = {
+    var words = wordFreq
       .select(concat(split(col("w"), ""), array(lit("</w>"))).as("syms"),
         col("cnt"))
       .localCheckpoint()
@@ -1095,7 +1132,142 @@ object TextAnalysis {
       }
       step += 1
     }
-    rules.toSeq.toDF("step", "left", "right", "freq")
+    rules.toSeq
+  }
+
+  /** In-driver heap trainer over the collected word-frequency table —
+    * classic efficient BPE (incremental pair counts + a lazy-deletion
+    * priority queue), row-identical to [[bpeMergesSpark]] by the
+    * BpeSpec foil law. Where the per-step Spark form pays K
+    * sequential jobs (hours of pure scheduler latency at a production
+    * K ≈ 32k), this trains K = 32k over the sf0.1 vocabulary in
+    * seconds: each merge touches only the words that CONTAIN the
+    * merged pair (tracked per pair; entries may go stale and are
+    * re-checked, never missed), subtracts their old pair
+    * contributions, applies the same leftmost-greedy non-overlapping
+    * fold, and re-adds — so total work is O(init + Σ affected-word
+    * lengths), not O(K x vocab).
+    *
+    * Determinism contract with the Spark argmax
+    * (orderBy(desc(freq), asc(l), asc(r))): Spark compares strings as
+    * UTF8String BINARY bytes = CODE-POINT order, while Java
+    * String.compareTo is UTF-16 code-unit order — they diverge on
+    * supplementary-plane symbols (the r17 bpeVocab collation bug, in
+    * the other direction). The heap comparator therefore compares by
+    * code point. Word splitting matches the Spark path's
+    * split(w, ''): Java's empty-regex split is per code point too
+    * (surrogate pairs stay whole).
+    *
+    * The lazy heap: every count CHANGE pushes a fresh (count, l, r)
+    * entry; a popped entry is valid iff it equals the pair's current
+    * count (>0). A merged pair's count falls to zero and can never
+    * recur (merging never splits symbols, so a (old, old) adjacency
+    * can only exist where it already did), so its leftover entries
+    * die on the count check. */
+  private[graft] def bpeMergesDriver(freq: Array[(String, Long)], k: Int)
+      : Seq[(Long, String, String, Long)] = {
+    import scala.collection.mutable
+    def cmpCp(a: String, b: String): Int = {
+      var i = 0; var j = 0
+      while (i < a.length && j < b.length) {
+        val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+        if (ca != cb) return Integer.compare(ca, cb)
+        i += Character.charCount(ca); j += Character.charCount(cb)
+      }
+      Integer.compare(a.length - i, b.length - j)
+    }
+    val nW = freq.length
+    val syms = new Array[Array[String]](nW)
+    val cnt = new Array[Long](nW)
+    var w = 0
+    while (w < nW) {
+      syms(w) = freq(w)._1.split("") :+ "</w>"
+      cnt(w) = freq(w)._2
+      w += 1
+    }
+    val pairCnt = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    val touched = mutable.HashSet.empty[(String, String)]
+    def addWordPairs(w: Int, sign: Long): Unit = {
+      val s = syms(w); val c = cnt(w) * sign
+      var j = 1
+      while (j < s.length) {
+        val p = (s(j - 1), s(j))
+        val nv = pairCnt.getOrElse(p, 0L) + c
+        if (nv == 0L) pairCnt.remove(p) else pairCnt(p) = nv
+        if (sign > 0)
+          pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += w
+        touched += p
+        j += 1
+      }
+    }
+    (0 until nW).foreach(addWordPairs(_, 1L))
+    val heap = new java.util.PriorityQueue[(Long, String, String)](
+      math.max(16, pairCnt.size),
+      new java.util.Comparator[(Long, String, String)] {
+        def compare(x: (Long, String, String),
+                    y: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(y._1, x._1) // count desc
+          if (c != 0) c
+          else {
+            val cl = cmpCp(x._2, y._2)
+            if (cl != 0) cl else cmpCp(x._3, y._3)
+          }
+        }
+      })
+    pairCnt.foreach { case ((l, r), c) => heap.add((c, l, r)) }
+    def popBest(): Option[(String, String, Long)] = {
+      while (!heap.isEmpty) {
+        val e = heap.poll()
+        if (pairCnt.getOrElse((e._2, e._3), 0L) == e._1)
+          return Some((e._2, e._3, e._1))
+      }
+      None
+    }
+    def mergeWord(w: Int, l: String, r: String): Unit = {
+      val s = syms(w)
+      var j = 1; var has = false
+      while (j < s.length && !has) {
+        if (s(j - 1) == l && s(j) == r) has = true
+        j += 1
+      }
+      if (!has) return // stale pairWords entry — cheap skip
+      addWordPairs(w, -1L)
+      // the same leftmost-greedy non-overlapping fold as the Spark
+      // form's aggregate(): a trailing `l` is replaced when `r`
+      // arrives, and a fresh merge result never immediately re-merges
+      val buf = new mutable.ArrayBuffer[String](s.length)
+      var i = 0
+      while (i < s.length) {
+        val x = s(i)
+        if (buf.nonEmpty && buf(buf.length - 1) == l && x == r) {
+          buf.remove(buf.length - 1); buf += (l + r)
+        } else buf += x
+        i += 1
+      }
+      syms(w) = buf.toArray
+      addWordPairs(w, 1L)
+    }
+    val out =
+      scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
+    var step = 1
+    var more = true
+    while (step <= k && more) {
+      popBest() match {
+        case None => more = false
+        case Some((l, r, f)) =>
+          out += ((step.toLong, l, r, f))
+          touched.clear()
+          pairWords.remove((l, r))
+            .foreach(_.foreach(mergeWord(_, l, r)))
+          touched.foreach { p =>
+            val c = pairCnt.getOrElse(p, 0L)
+            if (c > 0) heap.add((c, p._1, p._2))
+          }
+          step += 1
+      }
+    }
+    out.toSeq
   }
 
   /** The fixed merge table the ORACLED BPE queries encode with — a

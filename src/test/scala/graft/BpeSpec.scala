@@ -145,6 +145,43 @@ class BpeSpec extends SparkSuite {
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
 
+  test("the in-driver heap trainer equals the per-step Spark foil " +
+    "(size-gated, the CC-hybrid idiom), and a deep run's prefix " +
+    "equals a shallow run") {
+    val docs = Tables.documents(spark, sf)
+    val viaDriver = run(docs, 8) // default gate: the driver path
+    val old = TextAnalysis.DriverBpeMaxVocab
+    TextAnalysis.DriverBpeMaxVocab = 0L // force the per-step Spark form
+    val viaSpark = try run(docs, 8)
+      finally TextAnalysis.DriverBpeMaxVocab = old
+    assert(viaSpark == viaDriver,
+      s"heap trainer diverges from the Spark foil:\n " +
+        s"driver $viaDriver\n spark $viaSpark")
+    // step t depends only on steps < t, so a deeper K must reproduce
+    // the shallow run as its prefix — the law that lets the oracled
+    // K=8 queries vouch for the deep trainer's early steps
+    val deep = run(docs, 60)
+    assert(deep.size == 60 && deep.take(8) == viaDriver,
+      "deep-K prefix diverges from the shallow run")
+    // exhaustion: the fixture vocabulary (31 distinct words, pair
+    // bound ~138) runs dry far below a large K — training must stop
+    // cleanly with consecutive steps, and the exhausted table fully
+    // merges every corpus word to ONE symbol (no pairs left = every
+    // word is a single token)
+    val full = run(docs, 100000)
+    assert(full.size < 100000 && full.map(_._1) == (1L to full.size),
+      s"exhausted training malformed: ${full.size} rules")
+    assert(full.take(60) == deep, "exhausted run breaks the prefix law")
+    // trained rules always satisfy the rank-map training invariant
+    // (a composite left/right symbol appears only after the rule that
+    // creates it): encoding under the trained table validates it at
+    // plan construction and must not throw
+    val enc = encodeAll(docs.limit(5), full.map(m => (m._2, m._3)))
+    assert(enc.nonEmpty && enc.values.forall(toks =>
+      toks.forall(_.endsWith("</w>"))),
+      "an exhausted table must merge every word to a single token")
+  }
+
   test("native encode equals the rank-order training replay under " +
     "CORPUS-LEARNED merges (the encode<->train consistency law)") {
     val docs = Tables.documents(spark, sf)

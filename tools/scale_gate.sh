@@ -142,3 +142,13 @@ fi
 if [ "${SCALE_GATE_NO_RECALL:-0}" != "1" ]; then
   sbt -batch "runMain graft.BpeScaleGate $WORK ${SCALE_GATE_BPE_RATIO:-1.5}"
 fi
+
+# BPE TRAINING gate at realistic K: 32,000 REAL merges trained
+# in-driver over a deterministic 80k-word synthetic vocabulary (the
+# natural corpus's 31-word vocabulary exhausts at ~105 merges), pinned
+# by the Spark-foil prefix law and the rank-order encode replay.
+# Measured r18: train 26.0 s vs the per-step foil's extrapolated
+# ~69,263 s at K=32k — the size gate's (DriverBpeMaxVocab) economics.
+if [ "${SCALE_GATE_NO_RECALL:-0}" != "1" ]; then
+  sbt -batch "runMain graft.BpeTrainGate"
+fi
