@@ -177,6 +177,29 @@ object GraftFunctions {
       validCentroids(BroadcastCentroids(handle))))
   }
 
+  /** Column form of [[TopKInCell]] — the kNN-graph build's fused
+    * per-(query x cell) kernel: exact top-k cosine neighbors within
+    * one member block, ranked by the same round-6 score as the window
+    * foil (column API only, like [[topKEdges]]). */
+  def topKInCell(qe: org.apache.spark.sql.Column,
+                 qn: org.apache.spark.sql.Column,
+                 qid: org.apache.spark.sql.Column,
+                 bcid: org.apache.spark.sql.Column,
+                 bids: org.apache.spark.sql.Column,
+                 bvecs: org.apache.spark.sql.Column,
+                 bnorms: org.apache.spark.sql.Column, k: Int)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(TopKInCell(
+      GraftColumnBridge.expression(qe),
+      GraftColumnBridge.expression(qn),
+      GraftColumnBridge.expression(qid),
+      GraftColumnBridge.expression(bcid),
+      GraftColumnBridge.expression(bids),
+      GraftColumnBridge.expression(bvecs),
+      GraftColumnBridge.expression(bnorms), k))
+  }
+
   /** Column form of [[TopKEdges]] — the exact sort-free top-k
     * aggregate for edge selection (column API only: the k is a build
     * parameter, never a SQL literal). */

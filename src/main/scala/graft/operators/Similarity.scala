@@ -1976,11 +1976,24 @@ object Similarity {
 
   /** A/B + law-test hook: force the graph build's top-k pass back to
     * the window form (the TopKEdges aggregate's foil). Production
-    * default is the aggregate — sort-free, spill-free; the env form
-    * (GRAFT_GRAPH_WINDOW_BUILD=1) drives same-window A/Bs without a
-    * code edit. */
+    * default is the cell-block kernel — sort-free, spill-free,
+    * pair-machinery-free; the env form (GRAFT_GRAPH_WINDOW_BUILD=1)
+    * drives same-window A/Bs without a code edit. */
   @volatile private[graft] var GraphBuildUseWindow =
     sys.env.get("GRAFT_GRAPH_WINDOW_BUILD").contains("1")
+
+  /** Second foil: the r17 chunked PAIR-STREAM aggregate form (explode
+    * every (query, member) pair through join machinery, TopKEdges
+    * partials, pair-budget q-side chunks). Kept runnable
+    * (GRAFT_GRAPH_AGG_BUILD=1) because it is the any-shape fallback
+    * and the multi-chunk content-identity law's subject; the r18
+    * profile measured its cost as ~2 µs of row machinery PER SCORED
+    * PAIR (BuildProbe at the 512k rung: 1935 s, ~1921 of them in the
+    * four join+aggregate stages over 32.8G pairs = n²·np/nlist·occ
+    * with np ~ nlist/8 — n²/8, nlist cancels), which the cell-block
+    * kernel removes by scoring whole member blocks per probe row. */
+  @volatile private[graft] var GraphBuildUseChunkedAgg =
+    sys.env.get("GRAFT_GRAPH_AGG_BUILD").contains("1")
 
   /** Hard ceiling for the build's ObjectHashAggregate fallback
     * threshold: ~112 B of top-k state per src key puts 4M keys at
@@ -2033,6 +2046,89 @@ object Similarity {
       col("ce").as("ne"), col("cn").as("nn"))
     val rows = math.max(1L, q.count()) // checkpointed: metadata-cheap
     val nlist = math.max(1L, bs.table(ct).count())
+    val useWindow = GraphBuildUseWindow
+    val useChunkedAgg = GraphBuildUseChunkedAgg
+    val buildT00 = System.nanoTime()
+    if (!useWindow && !useChunkedAgg) {
+      // ---- cell-block kernel (production form, r18) ----
+      // The exact contract scores n x np x occupancy pairs = n²·np/
+      // nlist ~ n²/8 (np tracks nlist/8, so nlist CANCELS — the build
+      // is quadratic whatever the cell count). The r18 BuildProbe
+      // measured the r17 pair-stream form paying ~2 µs of join +
+      // project + aggregate-update machinery PER PAIR (32.8G pairs =
+      // 1935 s at 512k; the 64-FLOP dot is ~50 ns of it). This form
+      // feeds the SAME dots through one fused kernel per (query x
+      // probed cell) row instead: per-cell member BLOCKS (parallel
+      // arrays: ids, flattened vectors, norms) join to the exploded
+      // probe rows (n x np — a mean-occupancy factor fewer rows), and
+      // TopKInCell runs score + selection over primitive arrays,
+      // ranked by the same round-6 score as the window foil (bit
+      // -identical selection; SimilaritySpec pins all three forms).
+      // No pair row ever exists, so nothing sorts, spills, or budgets:
+      // per-pass disk is the probe-side shuffle (n x np x ~300 B) and
+      // the block-side shuffle (n x ~528 B), both linear in n.
+      // ObjectHashAggregate threshold: the block collect_list sees
+      // nlist keys and the final merge sees up to `rows` srcs per map
+      // task — cover rows (capped; beyond the cap the pre-merge
+      // repartition bounds per-task keys to rows/partitions).
+      bs.conf.set(
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        math.min(FallbackKeyCap, rows + 1024L).toString)
+      GraphBuildConfProbe.foreach(_())
+      val blocks = asg.groupBy(col("cid").as("bcid"))
+        .agg(collect_list(col("vec_id")).as("bids"),
+          flatten(collect_list(col("ce"))).as("bvecs"),
+          collect_list(col("cn")).as("bnorms"))
+      val qx = q.select(col("qid"), col("qe"), col("qn"),
+        explode_outer(col("qcids")).as("qcid"))
+      // shuffle_hash: SMJ would sort the n x np probe rows (the rule
+      // -31a sort shape in miniature) to join 758-row blocks; the
+      // hash build holds only this partition's blocks (~n x 528 B /
+      // partitions)
+      val cand = qx
+        .join(blocks.hint("shuffle_hash"), col("qcid") === col("bcid"))
+        .select(col("qid"),
+          graft.functions.GraftFunctions.topKInCell(col("qe"),
+            col("qn"), col("qid"), col("bcid"), col("bids"),
+            col("bvecs"), col("bnorms"), k).as("cand"))
+        // rule 30: outer — a non-outer Generate gets an inferred
+        // size/notnull filter BELOW it that would re-evaluate the
+        // kernel per row (CollapseProject sees through the two-select
+        // split)
+        .select(col("qid").as("src"),
+          explode_outer(col("cand")).as("e"))
+        .select(col("src"), col("e.dst").as("dst"),
+          col("e.score").as("score"))
+      // top-k of unioned per-cell top-ks == global top-k (every pair
+      // arises in exactly one cell); a corpus past the threshold cap
+      // bounds per-task keys by hash-partitioning on src first
+      val pre = if (rows + 1024L > FallbackKeyCap)
+        cand.repartition(col("src")) else cand
+      val edges = pre.groupBy("src")
+        .agg(graft.functions.GraftFunctions
+          .topKEdges(col("dst"), col("score"), k).as("tk"))
+        .select(col("src"), posexplode(col("tk")).as(Seq("p", "e")))
+        .select(col("src"), col("e.dst").as("dst"),
+          col("e.score").as("score"),
+          (col("p") + 1).cast("long").as("rn"))
+        .withColumn("gen", lit(null).cast("string"))
+      edges.repartition(eBuckets, col("src"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .bucketBy(eBuckets, "src").sortBy("src")
+        .format("parquet").saveAsTable(et)
+      IndexManifest.markBuckets(s, et, eBuckets)
+      q.select(col("qid"), explode_outer(col("qcids")).as("qcid"),
+          col("acid"))
+        .repartition(eBuckets, col("qcid"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .bucketBy(eBuckets, "qcid").sortBy("qcid")
+        .format("parquet").saveAsTable(rt)
+      IndexManifest.markBuckets(s, rt, eBuckets)
+      LastGraphBuild =
+        (1, rows, (System.nanoTime() - buildT00) / 1e9)
+      return
+    }
+    // ---- legacy pair-stream forms (law foils, any-shape fallback) ----
     // read the budget knob ONCE per build: it is global JVM state (a
     // test override), and a concurrent mutation mid-build must not
     // split one build across two budgets (r16 advice)
@@ -2046,7 +2142,7 @@ object Similarity {
     // cutting the chunk count — and with it the C re-scans of the
     // mates side — 16-fold (52 -> 4 at 512k).
     val budget =
-      if (GraphBuildUseWindow) baseBudget else 16L * baseBudget
+      if (useWindow) baseBudget else 16L * baseBudget
     // per-q candidate fan-out = np x mean occupancy
     val fan = math.max(1.0, np.toDouble * rows / nlist)
     // a chunk's src count must stay UNDER the 4M fallback-threshold
@@ -2075,7 +2171,7 @@ object Similarity {
     // observe exactly that, mid-build).
     val fallbackKey =
       "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
-    if (!GraphBuildUseWindow)
+    if (!useWindow)
       bs.conf.set(fallbackKey, (chunkQ + 1024L).toString)
     GraphBuildConfProbe.foreach(_())
     val w = Window.partitionBy("src").orderBy(desc("score"), asc("dst"))
@@ -2116,7 +2212,7 @@ object Similarity {
       // win is structural — the 256k one-shot's 8.3G-pair sort filled
       // this host's DISK, while the aggregate's peak state is
       // |srcs-in-chunk| x k entries.
-      val edges = (if (GraphBuildUseWindow)
+      val edges = (if (useWindow)
           scored.withColumn("rn", row_number().over(w).cast("long"))
             .filter(col("rn") <= k)
         else scored.groupBy("src")

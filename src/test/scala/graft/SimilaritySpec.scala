@@ -958,11 +958,13 @@ class SimilaritySpec extends SparkSuite {
     val dir = new java.io.File(tmp.toFile, "d").toString
     (0L until 400L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
       .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
-    def edgesWith(window: Boolean, budget: Long): Set[(Long, Long, Double, Long)] = {
+    def edgesWith(form: String, budget: Long): Set[(Long, Long, Double, Long)] = {
       Similarity.dropKnnGraphIndex(spark, dir, 3)
       val oldW = Similarity.GraphBuildUseWindow
+      val oldA = Similarity.GraphBuildUseChunkedAgg
       val oldB = Similarity.GraphBuildPairBudget
-      Similarity.GraphBuildUseWindow = window
+      Similarity.GraphBuildUseWindow = form == "window"
+      Similarity.GraphBuildUseChunkedAgg = form == "agg"
       Similarity.GraphBuildPairBudget = budget
       try {
         val (et, _) = Similarity.ensureKnnGraphIndex(spark, dir, 3)
@@ -971,21 +973,50 @@ class SimilaritySpec extends SparkSuite {
             r.getLong(3))).toSet
       } finally {
         Similarity.GraphBuildUseWindow = oldW
+        Similarity.GraphBuildUseChunkedAgg = oldA
         Similarity.GraphBuildPairBudget = oldB
       }
     }
-    val agg = edgesWith(window = false, budget = Long.MaxValue)
-    assert(agg.nonEmpty && agg.exists(_._4 == 3L),
+    // production CELL-BLOCK kernel vs both legacy pair-stream forms:
+    // all four builds bit-identical (scores are round()ed doubles —
+    // TopKInCell replicates Spark's double round — and ranks share
+    // the (score desc, dst asc) order)
+    val cell = edgesWith("cell", Long.MaxValue)
+    assert(cell.nonEmpty && cell.exists(_._4 == 3L),
       "fixture must produce full-rank adjacencies")
-    // window foil, single-pass AND a forced many-chunk aggregate
-    // build: all three bit-identical (scores are round()ed doubles,
-    // ranks share the (score desc, dst asc) order)
-    assert(edgesWith(window = true, budget = Long.MaxValue) == agg,
-      "aggregate build diverges from the window foil")
+    assert(edgesWith("window", Long.MaxValue) == cell,
+      "cell-block build diverges from the window foil")
+    assert(edgesWith("agg", Long.MaxValue) == cell,
+      "cell-block build diverges from the pair-stream aggregate")
     // 125 x the aggregate form's 16x budget scale = 2000 pairs/pass —
     // a genuinely multi-chunk build on this fixture
-    assert(edgesWith(window = false, budget = 125L) == agg,
-      "chunked aggregate build diverges from the single-pass form")
+    assert(edgesWith("agg", 125L) == cell,
+      "chunked aggregate build diverges from the cell-block form")
+  }
+
+  test("TopKInCell.round6 equals Spark's round(col, 6) on doubles, " +
+      "including exact half-way ties") {
+    // The cell-block build RANKS by the rounded score inside the
+    // kernel (two raw cosines that round equal are a tie broken by
+    // dst — selecting on raw values would diverge at quantized-tie
+    // boundaries), so its rounding must be bit-identical to the
+    // window foil's round(col, 6). Sweep: random cosines, exact
+    // half-way decimals (the shortest-string HALF_UP territory of
+    // rule 26), negatives, and values straddling representability.
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(7)
+    val xs = (Seq.tabulate(2000)(_ => rnd.nextDouble() * 2 - 1) ++
+      Seq.tabulate(500)(i => (i - 250) / 2e6 + 5e-7) ++ // half-ways
+      Seq(0.1234565, -0.1234565, 0.9999995, -0.9999995, 0.0, 1.0, -1.0))
+    val viaSpark = xs.toDF("x").select(round(col("x"), 6)).collect()
+      .map(_.getDouble(0))
+    val viaKernel = xs.map(graft.functions.TopKInCell.round6)
+    xs.indices.foreach { i =>
+      assert(java.lang.Double.doubleToRawLongBits(viaSpark(i)) ==
+          java.lang.Double.doubleToRawLongBits(viaKernel(i)),
+        s"round6 diverges at x=${xs(i)}: spark ${viaSpark(i)} vs " +
+          s"kernel ${viaKernel(i)}")
+    }
   }
 
   test("TopKEdges skips NaN scores: equal to the window foil over the " +
@@ -1128,14 +1159,20 @@ class SimilaritySpec extends SparkSuite {
     // scored pairs exceeded spill disk at the 256k rung; every qid
     // lands wholly in one chunk, so the per-qid window is total and
     // content identical. Force chunking on the spec fixture.
+    // `single` is the production CELL-BLOCK build (the default form);
+    // the chunked run below forces the legacy pair-stream aggregate
+    // (the pair budget is its knob — the cell form has no pair stream
+    // to budget), so this law now ALSO pins cell-block == chunked-agg
     val single = Similarity.graphEdges(spark, sf, 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
         r.getLong(3))).toSeq.sorted
     val budget0 = Similarity.GraphBuildPairBudget
+    val agg0 = Similarity.GraphBuildUseChunkedAgg
     try {
       // ~minimum: many chunks (the aggregate form scales the knob 16x,
       // so 63 keeps the effective per-pass budget ~1000 pairs)
       Similarity.GraphBuildPairBudget = 63L
+      Similarity.GraphBuildUseChunkedAgg = true
       Similarity.dropKnnGraphIndex(spark, sf, 3)
       val (et, _) = Similarity.ensureKnnGraphIndex(spark, sf, 3)
       assert(spark.table(et).inputFiles.length > 8,
@@ -1147,6 +1184,7 @@ class SimilaritySpec extends SparkSuite {
         "chunked build diverges from the single-pass build")
     } finally {
       Similarity.GraphBuildPairBudget = budget0
+      Similarity.GraphBuildUseChunkedAgg = agg0
       Similarity.dropKnnGraphIndex(spark, sf, 3)
     }
   }
