@@ -2011,6 +2011,70 @@ object Similarity {
   @volatile private[graft] var GraphBuildConfProbe
       : Option[() => Unit] = None
 
+  /** A/B + law-test hook: force [[foldGraphBatch]]'s two scoring
+    * passes back to the pair-stream window form. Production default
+    * is the cell-block kernel ([[cellBlockTopK]]): the fold's batch
+    * adjacency pass scores batch x ring-occupancy pairs — batch x
+    * np x n/nlist ~ batch x n/8 with np ~ nlist/8, so at 1M vectors
+    * a 5k-vector batch is ~0.6G pairs — and the rule-35 ~2 µs/pair
+    * row machinery would make ONE FOLD cost several times the
+    * kernel-built index itself. SimilaritySpec pins both fold forms
+    * row-identical; the env (GRAFT_GRAPH_WINDOW_FOLD=1) drives
+    * same-window A/Bs without a code edit. */
+  @volatile private[graft] var GraphFoldUseWindow =
+    sys.env.get("GRAFT_GRAPH_WINDOW_FOLD").contains("1")
+
+  /** The shared cell-block top-k scoring pass (rule 35) — the
+    * kNN-graph build's and fold's kernel form. `qx` is one row per
+    * (query x probed cell): (qid, qe, qn, qcid); `members` is
+    * (cid, nid, ne, nn). Members group to per-cell BLOCKS (parallel
+    * arrays: ids, flattened vectors, norms), the shuffle_hash join
+    * feeds each probe row to [[graft.functions.TopKInCell]] — fused
+    * score + selection in primitive loops, round-6 ranking
+    * bit-identical to the window form — and per-cell winners merge to
+    * the exact global top-k per src through TopKEdges: top-k of
+    * per-cell top-ks == global top-k, since every (q, neighbor) pair
+    * arises in exactly one cell (the neighbor's assigned cell). No
+    * pair row ever exists, so nothing sorts, spills, or budgets.
+    * Returns (src, dst, score, rn best-first), at most k rows per
+    * src. `srcRows` guards the merge: past the ObjectHashAggregate
+    * threshold cap a pre-merge hash repartition bounds per-task keys
+    * (below it the caller either raised the threshold — the build —
+    * or accepts the sort-based fallback of the already-k-reduced
+    * stream: <= srcs x np x k narrow rows, not a rule-31a shape). */
+  private def cellBlockTopK(qx: DataFrame, members: DataFrame,
+                            k: Int, srcRows: Long): DataFrame = {
+    val blocks = members.groupBy(col("cid").as("bcid"))
+      .agg(collect_list(col("nid")).as("bids"),
+        flatten(collect_list(col("ne"))).as("bvecs"),
+        collect_list(col("nn")).as("bnorms"))
+    // shuffle_hash: SMJ would sort the probe rows (the rule-31a sort
+    // shape in miniature) to join a handful of block rows; the hash
+    // build holds only this partition's blocks
+    val cand = qx
+      .join(blocks.hint("shuffle_hash"), col("qcid") === col("bcid"))
+      .select(col("qid"),
+        graft.functions.GraftFunctions.topKInCell(col("qe"),
+          col("qn"), col("qid"), col("bcid"), col("bids"),
+          col("bvecs"), col("bnorms"), k).as("cand"))
+      // rule 30: outer — a non-outer Generate gets an inferred
+      // size/notnull filter BELOW it that would re-evaluate the
+      // kernel per row (CollapseProject sees through the two-select
+      // split)
+      .select(col("qid").as("src"), explode_outer(col("cand")).as("e"))
+      .select(col("src"), col("e.dst").as("dst"),
+        col("e.score").as("score"))
+    val pre = if (srcRows + 1024L > FallbackKeyCap)
+      cand.repartition(col("src")) else cand
+    pre.groupBy("src")
+      .agg(graft.functions.GraftFunctions
+        .topKEdges(col("dst"), col("score"), k).as("tk"))
+      .select(col("src"), posexplode(col("tk")).as(Seq("p", "e")))
+      .select(col("src"), col("e.dst").as("dst"),
+        col("e.score").as("score"),
+        (col("p") + 1).cast("long").as("rn"))
+  }
+
   private def buildKnnGraphTables(s: SparkSession, k: Int,
                                   et: String, rt: String,
                                   at: String, ct: String,
@@ -2075,42 +2139,9 @@ object Similarity {
         "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         math.min(FallbackKeyCap, rows + 1024L).toString)
       GraphBuildConfProbe.foreach(_())
-      val blocks = asg.groupBy(col("cid").as("bcid"))
-        .agg(collect_list(col("vec_id")).as("bids"),
-          flatten(collect_list(col("ce"))).as("bvecs"),
-          collect_list(col("cn")).as("bnorms"))
       val qx = q.select(col("qid"), col("qe"), col("qn"),
         explode_outer(col("qcids")).as("qcid"))
-      // shuffle_hash: SMJ would sort the n x np probe rows (the rule
-      // -31a sort shape in miniature) to join 758-row blocks; the
-      // hash build holds only this partition's blocks (~n x 528 B /
-      // partitions)
-      val cand = qx
-        .join(blocks.hint("shuffle_hash"), col("qcid") === col("bcid"))
-        .select(col("qid"),
-          graft.functions.GraftFunctions.topKInCell(col("qe"),
-            col("qn"), col("qid"), col("bcid"), col("bids"),
-            col("bvecs"), col("bnorms"), k).as("cand"))
-        // rule 30: outer — a non-outer Generate gets an inferred
-        // size/notnull filter BELOW it that would re-evaluate the
-        // kernel per row (CollapseProject sees through the two-select
-        // split)
-        .select(col("qid").as("src"),
-          explode_outer(col("cand")).as("e"))
-        .select(col("src"), col("e.dst").as("dst"),
-          col("e.score").as("score"))
-      // top-k of unioned per-cell top-ks == global top-k (every pair
-      // arises in exactly one cell); a corpus past the threshold cap
-      // bounds per-task keys by hash-partitioning on src first
-      val pre = if (rows + 1024L > FallbackKeyCap)
-        cand.repartition(col("src")) else cand
-      val edges = pre.groupBy("src")
-        .agg(graft.functions.GraftFunctions
-          .topKEdges(col("dst"), col("score"), k).as("tk"))
-        .select(col("src"), posexplode(col("tk")).as(Seq("p", "e")))
-        .select(col("src"), col("e.dst").as("dst"),
-          col("e.score").as("score"),
-          (col("p") + 1).cast("long").as("rn"))
+      val edges = cellBlockTopK(qx, mates, k, rows)
         .withColumn("gen", lit(null).cast("string"))
       edges.repartition(eBuckets, col("src"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -2338,7 +2369,14 @@ object Similarity {
           .nearestCells(col("ce"), np, handle).as("bring"))
       .localCheckpoint()
     val w = Window.partitionBy("src").orderBy(desc("score"), asc("dst"))
-    // 1. batch adjacency
+    val useWindowFold = GraphFoldUseWindow
+    // 1. batch adjacency — the fold's hot pass: batch queries against
+    // every member of their ring cells (batch x np x occupancy pairs
+    // ~ batch x n/8). The kernel form never materializes a pair row
+    // (rule 35 — the pair-stream machinery would make one production
+    // fold cost several times the kernel BUILD); the window form
+    // stays runnable as the law foil / A-B hook, NaN-filtered so both
+    // forms agree by construction (the build's foil idiom).
     val ringCells = b.select(explode(col("bring")).as("c")).distinct()
       .collect().map(_.getLong(0)) // <= nlist ~ sqrt(n): driver-safe
     val mates = s.table(at).filter(col("cid").isin(ringCells: _*))
@@ -2346,13 +2384,16 @@ object Similarity {
         col("cn").as("nn"))
     val bq = b.select(col("bid").as("qid"), col("be").as("qe"),
       col("bn").as("qn"), explode_outer(col("bring")).as("qcid"))
-    val bEdges = bq
-      .join(mates, col("qcid") === col("cid") && col("qid") =!= col("nid"))
-      .select(col("qid").as("src"), col("nid").as("dst"),
-        round(dot(col("qe"), col("ne")) / (col("qn") * col("nn")), 6)
-          .as("score"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
+    val bEdges =
+      if (!useWindowFold) cellBlockTopK(bq, mates, k, b.count())
+      else bq
+        .join(mates, col("qcid") === col("cid") && col("qid") =!= col("nid"))
+        .select(col("qid").as("src"), col("nid").as("dst"),
+          round(dot(col("qe"), col("ne")) / (col("qn") * col("nn")), 6)
+            .as("score"))
+        .filter(!isnan(col("score")))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= k)
     // 2. reverse updates
     val bCells = b.select(col("bcid")).distinct()
       .collect().map(_.getLong(0))
@@ -2368,11 +2409,35 @@ object Similarity {
       .join(touchedQ,
         col("vec_id") === col("qid") && col("cid") === col("acid"))
       .select(col("qid"), col("ce").as("qe"), col("cn").as("qn"))
-    val cand = touched.join(b, col("qcid") === col("bcid"))
-      .join(qVecs, Seq("qid"))
-      .select(col("qid"), col("bid").as("nid"),
-        round(dot(col("qe"), col("be")) / (col("qn") * col("bn")), 6)
-          .as("score"))
+    // Kernel form: per-src top-k of the batch candidates is EXACT
+    // here — the threshold filter below is per src and monotone in
+    // score (if any candidate of a src passes, its best passes), so
+    // survSrc is unchanged, and a candidate ranked past k among its
+    // own src's candidates has k better candidates in the union and
+    // can never enter the final top-k window. Blocks come from the
+    // BATCH (grouped by its assigned cell); a (qid, nid) pair arises
+    // only via nid's one bcid, so candidates are unique either way.
+    val cand =
+      if (!useWindowFold)
+        cellBlockTopK(
+          touched.join(qVecs, Seq("qid"))
+            .select(col("qid"), col("qe"), col("qn"), col("qcid")),
+          b.select(col("bcid").as("cid"), col("bid").as("nid"),
+            col("be").as("ne"), col("bn").as("nn")),
+          // srcRows 0: srcs here are the touched ring rows (unknown
+          // without a count job); past the 128-key default the merge
+          // falls back to SORTING the already-k-reduced stream
+          // (<= touched x k narrow rows) — small, and not a rule-31a
+          // pair-stream shape
+          k, 0L)
+          .select(col("src").as("qid"), col("dst").as("nid"),
+            col("score"))
+      else touched.join(b, col("qcid") === col("bcid"))
+        .join(qVecs, Seq("qid"))
+        .select(col("qid"), col("bid").as("nid"),
+          round(dot(col("qe"), col("be")) / (col("qn") * col("bn")), 6)
+            .as("score"))
+        .filter(!isnan(col("score")))
     // the pre-batch view RESTRICTED to touched srcs before the
     // generation window: a full resolve is O(index rows) per fold —
     // rule-21 creep, measured 12.5 -> 16.9 s across 8 appends at the

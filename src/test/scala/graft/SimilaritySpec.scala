@@ -994,6 +994,46 @@ class SimilaritySpec extends SparkSuite {
       "chunked aggregate build diverges from the cell-block form")
   }
 
+  test("graph fold: the cell-block kernel fold is row-identical to " +
+      "the pair-stream window fold") {
+    val sp = spark; import sp.implicits._
+    def vec(seed: Long): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(64)(r.nextFloat() * 2 - 1)
+    }
+    // batch exercises BOTH fold passes: 5000/5001 gain adjacencies of
+    // their own (pass 1), and 5000 — an exact copy of node 7 — must
+    // DISPLACE into 7's stored adjacency through the reverse pass
+    val corpus = (0L until 400L).map(i => (i, vec(i)))
+    val batch = Seq((5000L, vec(7L)), (5001L, vec(777L)),
+      (5002L, vec(42L)))
+    def foldedWith(window: Boolean): Set[(Long, Long, Double, Long)] = {
+      val tmp = java.nio.file.Files.createTempDirectory(
+        s"graft_foldform_$window")
+      val dir = new java.io.File(tmp.toFile, "d").toString
+      corpus.toDF("vec_id", "embedding")
+        .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+      Similarity.ensureKnnGraphIndex(spark, dir, 3)
+      val old = Similarity.GraphFoldUseWindow
+      Similarity.GraphFoldUseWindow = window
+      try {
+        assert(Similarity.appendToKnnGraphIndex(spark, dir, 3,
+          batch.toDF("vec_id", "embedding"), "f1"))
+        Similarity.graphEdges(spark, dir, 3).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+            r.getLong(3))).toSet
+      } finally { Similarity.GraphFoldUseWindow = old }
+    }
+    val kernel = foldedWith(window = false)
+    assert(kernel.exists(e => e._1 == 7L && e._2 == 5000L &&
+        e._3 == 1.0 && e._4 == 1L),
+      "kernel fold's reverse pass lost the planted displacement")
+    assert(kernel.exists(_._1 == 5000L) && kernel.exists(_._1 == 5001L),
+      "kernel fold's batch-adjacency pass lost the batch nodes")
+    assert(foldedWith(window = true) == kernel,
+      "cell-block kernel fold diverges from the window-fold foil")
+  }
+
   test("TopKInCell.round6 equals Spark's round(col, 6) on doubles, " +
       "including exact half-way ties") {
     // The cell-block build RANKS by the rounded score inside the

@@ -17,6 +17,8 @@
 # 0.25/0.5 defaults): LSH >= 0.60 (weakest rung 0.640 at 512k),
 # IVF >= 0.58 (weakest 0.620 at 512k), MinHash == 1.0 (its
 # verification stage is exact, so any loss is structural breakage).
+# r18 spot-points at 1,024k: LSH 0.700, IVF 0.820, PQ 0.980,
+# IVF+PQ 0.800, MinHash 1.000/0 FP — floors hold with margin.
 # Recall here is DETERMINISTIC per (corpus, code) — the margin covers
 # corpus regens, not run-to-run noise.
 #
@@ -50,8 +52,14 @@ cd "$(dirname "$0")/.."
 # graph leg — the pair-budget build's chunk count roughly triples
 # (fan ~ np·√n), measured there with the build_chunks/build_wall_s
 # fields GraphRecall now reports (rule-31a cost model).
-GRAPH_MAX_N="${RECALL_LADDER_GRAPH_MAX_N:-600000}"
-GRAPH_FLOOR="${RECALL_LADDER_GRAPH_FLOOR:-0.60}"
+# r18: raised 600k -> 1.1M — the cell-block kernel (rule 35) cut the
+# 512k build 1935 -> 175 s, making the 1,024k rung routine: measured
+# tau-recall 0.773, build 539 s / 1 chunk. Rung sequence now
+# 0.668 / 0.709 / 0.773 at 256k / 512k / 1M — floor ratcheted 0.60 ->
+# 0.64, just under the weakest eligible rung (the r12-judge
+# discipline: half the quality can no longer evaporate silently).
+GRAPH_MAX_N="${RECALL_LADDER_GRAPH_MAX_N:-1100000}"
+GRAPH_FLOOR="${RECALL_LADDER_GRAPH_FLOOR:-0.64}"
 # Rung size derives from the SOURCE's actual row count, never a
 # hardcoded per-dir constant: RECALL_LADDER_SRC is overridable, and a
 # baked-in "2000 rows" silently mislabels rung sizes on any other
