@@ -2024,6 +2024,23 @@ object Similarity {
   @volatile private[graft] var GraphFoldUseWindow =
     sys.env.get("GRAFT_GRAPH_WINDOW_FOLD").contains("1")
 
+  /** Per-pass disk budget (bytes) for the kernel build's probe-side
+    * shuffle — the form's one super-linear DISK term: the exploded
+    * probe frame is n x np rows x (~48 B + the vector), and np tracks
+    * nlist/8 ~ sqrt(n)/8, so the shuffle grows n^1.5 (37 GB at 1M,
+    * ~110 GB at 2M — past this host's free disk, the rule-31a
+    * disk-death shape resurfacing through the SHUFFLE rather than a
+    * sort). Builds whose estimated probe shuffle exceeds the budget
+    * split the q side into hash chunks (every qid wholly in one
+    * chunk, so per-src top-k stays total — the legacy loop's law);
+    * per chunk the mates side re-groups to blocks, a ~seconds-scale
+    * groupBy over n rows (BuildProbe r18: the pair machinery, not
+    * the mates scan, was the r17 cost). 40 GB keeps every measured
+    * rung (<= 1M, 37 GB) single-pass. Var: the forced-multi-chunk
+    * law test shrinks it. */
+  @volatile private[graft] var GraphBuildShuffleBudget =
+    40L * 1000L * 1000L * 1000L
+
   /** The shared cell-block top-k scoring pass (rule 35) — the
     * kNN-graph build's and fold's kernel form. `qx` is one row per
     * (query x probed cell): (qid, qe, qn, qcid); `members` is
@@ -2128,9 +2145,13 @@ object Similarity {
       // TopKInCell runs score + selection over primitive arrays,
       // ranked by the same round-6 score as the window foil (bit
       // -identical selection; SimilaritySpec pins all three forms).
-      // No pair row ever exists, so nothing sorts, spills, or budgets:
-      // per-pass disk is the probe-side shuffle (n x np x ~300 B) and
-      // the block-side shuffle (n x ~528 B), both linear in n.
+      // No pair row ever exists, so nothing sorts or spills: per-pass
+      // disk is the probe-side shuffle (n x np x ~(48 B + vector))
+      // and the block-side shuffle (n x ~528 B). The probe shuffle is
+      // the form's one n^1.5 disk term — past GraphBuildShuffleBudget
+      // the q side splits into hash chunks (each qid wholly in one
+      // chunk keeps per-src top-k total; blocks re-group per chunk, a
+      // seconds-scale n-row groupBy).
       // ObjectHashAggregate threshold: the block collect_list sees
       // nlist keys and the final merge sees up to `rows` srcs per map
       // task — cover rows (capped; beyond the cap the pre-merge
@@ -2139,14 +2160,29 @@ object Similarity {
         "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         math.min(FallbackKeyCap, rows + 1024L).toString)
       GraphBuildConfProbe.foreach(_())
-      val qx = q.select(col("qid"), col("qe"), col("qn"),
-        explode_outer(col("qcids")).as("qcid"))
-      val edges = cellBlockTopK(qx, mates, k, rows)
-        .withColumn("gen", lit(null).cast("string"))
-      edges.repartition(eBuckets, col("src"))
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .bucketBy(eBuckets, "src").sortBy("src")
-        .format("parquet").saveAsTable(et)
+      val elemBytes = asg.schema("ce").dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, _) => 4L
+        case _ => 8L
+      }
+      val dim = asg.select(size(col("ce"))).head.getInt(0).toLong
+      val qRowBytes = 48L + dim * elemBytes
+      val chunks = math.max(1L, math.ceil(
+        rows.toDouble * np * qRowBytes / GraphBuildShuffleBudget
+      ).toLong).toInt
+      (0 until chunks).foreach { c =>
+        val qc = if (chunks == 1) q
+          else q.filter(pmod(xxhash64(col("qid")), lit(chunks)) === c)
+        val qx = qc.select(col("qid"), col("qe"), col("qn"),
+          explode_outer(col("qcids")).as("qcid"))
+        val edges = cellBlockTopK(qx, mates, k, rows)
+          .withColumn("gen", lit(null).cast("string"))
+        edges.repartition(eBuckets, col("src"))
+          .write.mode(if (c == 0) org.apache.spark.sql.SaveMode.Overwrite
+            else org.apache.spark.sql.SaveMode.Append)
+          .bucketBy(eBuckets, "src").sortBy("src")
+          .format("parquet").saveAsTable(et)
+      }
       IndexManifest.markBuckets(s, et, eBuckets)
       q.select(col("qid"), explode_outer(col("qcids")).as("qcid"),
           col("acid"))
@@ -2156,7 +2192,7 @@ object Similarity {
         .format("parquet").saveAsTable(rt)
       IndexManifest.markBuckets(s, rt, eBuckets)
       LastGraphBuild =
-        (1, rows, (System.nanoTime() - buildT00) / 1e9)
+        (chunks, rows, (System.nanoTime() - buildT00) / 1e9)
       return
     }
     // ---- legacy pair-stream forms (law foils, any-shape fallback) ----

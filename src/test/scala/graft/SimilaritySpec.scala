@@ -992,6 +992,15 @@ class SimilaritySpec extends SparkSuite {
     // a genuinely multi-chunk build on this fixture
     assert(edgesWith("agg", 125L) == cell,
       "chunked aggregate build diverges from the cell-block form")
+    // forced multi-chunk KERNEL build (the r18 probe-shuffle disk
+    // budget): a tiny byte budget splits the q side into many hash
+    // chunks; every qid is wholly in one chunk, so per-src top-k
+    // stays total and the output is identical
+    val oldSb = Similarity.GraphBuildShuffleBudget
+    Similarity.GraphBuildShuffleBudget = 64L * 1024L
+    try assert(edgesWith("cell", Long.MaxValue) == cell,
+      "multi-chunk kernel build diverges from the single-pass form")
+    finally Similarity.GraphBuildShuffleBudget = oldSb
   }
 
   test("graph fold: the cell-block kernel fold is row-identical to " +
