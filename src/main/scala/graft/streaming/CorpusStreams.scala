@@ -713,6 +713,58 @@ object CorpusStreams {
         }
     }
 
+  /** Graph-aware ingest — the kNN-graph twin of [[annStream]]: each
+    * micro-batch folds into BOTH persisted vector indexes
+    * ([[graft.operators.Similarity.appendToKnnGraphIndex]] — the IVF
+    * fold runs inside; batch adjacency and reverse displacement go
+    * through the cell-block kernel), then `sink` receives the batch's
+    * RESOLVED adjacency (src in the batch; dst, score, rn best-first)
+    * read back from the index AFTER the fold. Emission-after-fold
+    * makes replay NATURALLY stable — a replayed batch's append no-ops
+    * (idempotent per streamId_batchId) and generation resolution
+    * returns the same latest rows, so no excludeProbes analogue is
+    * needed. Later batches see earlier arrivals both as candidate
+    * mates and through reverse displacement of stored adjacencies
+    * (StreamingSpec pins the cross-batch chain and the
+    * fold == one-shot-rebuild content law through the stream).
+    *
+    * The quantizer stays FROZEN for the stream's lifetime: the graph
+    * manifest pins the centroid-set fingerprint, so an external
+    * [[graft.operators.Similarity.refreshIvfCentroids]] makes the
+    * next ensure REBUILD the graph (the documented staleness
+    * contract) — a graph-maintaining stream therefore exposes no IVF
+    * refresh cadence; `maintainEvery` drives
+    * [[graft.operators.Similarity.maintainKnnGraphIndex]]
+    * (layout-condition compaction) and `compactEvery` the
+    * unconditional fold, both pure layout (probes exactly
+    * unchanged). First batch pays the one-time ensure (a cold corpus
+    * builds the graph; a warehouse with intact files re-attaches). */
+  def graphIngestStream(vecs: Dataset[Vec], dir: String, k: Int = 3,
+                        streamId: String = "graph",
+                        compactEvery: Int = 0,
+                        maintainEvery: Int = 0)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Vec] =
+    vecs.writeStream.outputMode("append").foreachBatch {
+      (b: Dataset[Vec], id: Long) =>
+        val s = b.sparkSession
+        val bdf = b.toDF().localCheckpoint()
+        graft.operators.Similarity.appendToKnnGraphIndex(
+          s, dir, k, bdf, s"${streamId}_$id")
+        sink(graft.operators.Similarity.graphEdges(s, dir, k)
+          .join(broadcast(bdf.select(col("vec_id"))),
+            col("qid") === col("vec_id"), "leftsemi")
+          .orderBy("qid", "rn"), id)
+        if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
+          graft.operators.Similarity.compactKnnGraphIndex(s, dir, k)
+          ()
+        }
+        if (maintainEvery > 0 && (id + 1) % maintainEvery == 0) {
+          graft.operators.Similarity.maintainKnnGraphIndex(s, dir, k)
+          ()
+        }
+    }
+
   /** The SemDeDup ingest loop — semantic clustering as arrivals land,
     * composing the family's pieces into one foreachBatch: each
     * micro-batch of vectors (1) probes the persisted IVF index for

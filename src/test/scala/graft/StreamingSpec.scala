@@ -1178,6 +1178,68 @@ class StreamingSpec extends SparkSuite {
       "batch-1 streamed probe != batch probe over the appended index")
   }
 
+  test("graph ingest stream: arrivals fold into the persisted graph, " +
+    "later batches displace stored adjacencies, stream == one-shot") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    import graft.streaming.CorpusStreams
+    import graft.operators.Similarity
+    def vec(seed: Long): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(64)(r.nextFloat() * 2 - 1)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_graphstr")
+    val dir = new java.io.File(tmp.toFile, "d").toString
+    (0L until 150L).map(i => (i, vec(i)))
+      .toDF("vec_id", "embedding").coalesce(1).write
+      .parquet(s"$dir/embeddings.parquet")
+    // batch 0 delivers a novel node (2000); batch 1 delivers 3000 —
+    // an exact copy of corpus node 7, which must DISPLACE into 7's
+    // stored adjacency through the fold's reverse pass — and 3001, an
+    // exact copy of 2000 (its rank-1 mate exists only because batch
+    // 0's fold is visible to batch 1: the cross-batch law)
+    val h1 = Seq(CorpusStreams.Vec(2000L, vec(777L)))
+    val h2 = Seq(CorpusStreams.Vec(3000L, vec(7L)),
+      CorpusStreams.Vec(3001L, vec(777L)))
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val got = scala.collection.mutable.Map
+      .empty[Long, Set[(Long, Long, Double, Long)]]
+    val input = MemoryStream[CorpusStreams.Vec]
+    val q = CorpusStreams.graphIngestStream(input.toDS(), dir,
+      3, streamId = "g1") { (df, id) => got(id) = rowsOf(df) }.start()
+    try {
+      input.addData(h1); q.processAllAvailable()
+      input.addData(h2); q.processAllAvailable()
+    } finally q.stop()
+    assert(got(0L).nonEmpty && got(0L).forall(_._1 == 2000L),
+      s"batch 0's node gained no adjacency of its own: ${got(0L)}")
+    assert(got(1L).exists(e =>
+        e._1 == 3001L && e._2 == 2000L && e._3 == 1.0 && e._4 == 1L),
+      "cross-batch mate not found: batch 0's fold is invisible to batch 1")
+    // comparator reads from the root session: the folds ran in the
+    // stream's cloned micro-batch session, so refresh the cached
+    // relations first (the annStream comparator idiom, rule 33)
+    val (et, rt) = Similarity.ensureKnnGraphIndex(spark, dir, 3)
+    spark.catalog.refreshTable(et); spark.catalog.refreshTable(rt)
+    def resolved() = rowsOf(Similarity.graphEdges(spark, dir, 3))
+    val streamed = resolved()
+    assert(streamed.exists(e =>
+        e._1 == 7L && e._2 == 3000L && e._3 == 1.0 && e._4 == 1L),
+      "reverse displacement: node 7's stored adjacency missed its copy")
+    // replayed fold no-ops (idempotent per streamId_batchId)
+    assert(!Similarity.appendToKnnGraphIndex(spark, dir, 3,
+      h2.toDF(), "g1_1"), "replayed stream batch re-applied")
+    // LAW: the stream-folded graph is row-identical to a one-shot
+    // rebuild over everything ingested (same frozen quantizer)
+    Similarity.dropKnnGraphIndex(spark, dir, 3)
+    Similarity.ensureKnnGraphIndex(spark, dir, 3)
+    assert(resolved() == streamed,
+      "stream-folded graph diverges from the one-shot merged rebuild")
+  }
+
   test("semantic ingest stream: probe pairs at tau feed the durable " +
     "union-find, cross-batch chains merge through the appended index") {
     val sp = spark; import sp.implicits._
