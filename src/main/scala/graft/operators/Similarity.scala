@@ -2060,16 +2060,27 @@ object Similarity {
     * or accepts the sort-based fallback of the already-k-reduced
     * stream: <= srcs x np x k narrow rows, not a rule-31a shape). */
   private def cellBlockTopK(qx: DataFrame, members: DataFrame,
-                            k: Int, srcRows: Long): DataFrame = {
-    val blocks = members.groupBy(col("cid").as("bcid"))
+                            k: Int, srcRows: Long,
+                            broadcastBlocks: Boolean = false): DataFrame = {
+    val blocks0 = members.groupBy(col("cid").as("bcid"))
       .agg(collect_list(col("nid")).as("bids"),
         flatten(collect_list(col("ne"))).as("bvecs"),
         collect_list(col("nn")).as("bnorms"))
-    // shuffle_hash: SMJ would sort the probe rows (the rule-31a sort
-    // shape in miniature) to join a handful of block rows; the hash
-    // build holds only this partition's blocks
+    // join strategy is the caller's SIZE knowledge: corpus-sized
+    // blocks (the build; the fold's batch-adjacency mates) use
+    // shuffle_hash — SMJ would sort the probe rows (the rule-31a sort
+    // shape in miniature) to join a handful of block rows, and the
+    // hash build holds only this partition's blocks. BATCH-sized
+    // blocks (the fold's reverse pass: <= batch vectors, < 1 MB)
+    // BROADCAST — the shuffle_hash form exchanged the n x np exploded
+    // probe side to meet them (4.6 GB write + 1 GB spill at 512k, the
+    // fold's single largest stage pair, FoldProbe r18); broadcast
+    // fuses explode -> join -> kernel -> TopKEdges partials into one
+    // map stage with no probe-side shuffle at all.
+    val blocks = if (broadcastBlocks) broadcast(blocks0)
+      else blocks0.hint("shuffle_hash")
     val cand = qx
-      .join(blocks.hint("shuffle_hash"), col("qcid") === col("bcid"))
+      .join(blocks, col("qcid") === col("bcid"))
       .select(col("qid"),
         graft.functions.GraftFunctions.topKInCell(col("qe"),
           col("qn"), col("qid"), col("bcid"), col("bids"),
@@ -2382,27 +2393,53 @@ object Similarity {
     * ring recompute. Touched nodes' vectors are fetched THROUGH their
     * assigned cells (rings carry acid), so the assignment-table scan
     * is cell-pruned and only the touched frame shuffles. */
-  private def foldGraphBatch(s: SparkSession, d: String, k: Int,
+  private def foldGraphBatch(s0: SparkSession, d: String, k: Int,
                              et: String, rt: String,
                              at: String, ct: String, np: Int,
                              batch: DataFrame, batchId: String): Unit = {
     import org.apache.spark.sql.expressions.Window
     val (storedTxt, storedBatches) =
-      IndexManifest.read(s, knngManifestPath(s, d, k))
+      IndexManifest.read(s0, knngManifestPath(s0, d, k))
         .getOrElse(throw new IllegalStateException(
           s"kNN graph index for $d (k=$k) has no manifest"))
     val eBuckets =
-      IndexManifest.appendBucketsOf(s, et, storedTxt, s"kNN graph $d")
+      IndexManifest.appendBucketsOf(s0, et, storedTxt, s"kNN graph $d")
     val rBuckets =
-      IndexManifest.appendBucketsOf(s, rt, storedTxt, s"kNN graph $d")
+      IndexManifest.appendBucketsOf(s0, rt, storedTxt, s"kNN graph $d")
+    // the fold runs on a CLONED session (the build's rule-36 idiom):
+    // its TopKEdges merges aggregate over the touched-src key space,
+    // and the session-default 128-key ObjectHashAggregate threshold
+    // silently falls back to SORT-BASED partials over the per-cell
+    // candidate stream (touched x batch-in-cell rows — FoldProbe r18
+    // measured the fallback as the fold's largest stage at 512k:
+    // 283 task-s with 1.1 GB of sort spill). The threshold raise
+    // covers index rows + batch (capped), scoped so the caller's
+    // concurrently planned queries never see it.
+    val s = s0.newSession()
+    s0.conf.getAll.foreach { case (ck, cv) =>
+      try s.conf.set(ck, cv)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
+    graft.functions.GraftFunctions.register(s)
+    s.conf.set(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      math.min(FallbackKeyCap,
+        IndexManifest.indexRowsOf(storedTxt, storedBatches) + 1024L)
+        .toString)
     val handle = centroidHandle(s, s.table(ct))
-    val b = scorable(batch)
+    // the batch frame belongs to the CALLER's session — re-anchor its
+    // checkpointed partitions in the cloned session (RDDs are
+    // context-level, so this is a wrapper, not a copy)
+    val b0 = scorable(batch)
       .select(col("vec_id").as("bid"), col("ce").as("be"),
-        col("cn").as("bn"),
+        col("cn").as("bn"))
+      .localCheckpoint()
+    val b = s.createDataFrame(b0.rdd, b0.schema)
+      .select(col("bid"), col("be"), col("bn"),
         graft.functions.GraftFunctions
-          .nearestCentroid(col("ce"), handle).as("bcid"),
+          .nearestCentroid(col("be"), handle).as("bcid"),
         graft.functions.GraftFunctions
-          .nearestCells(col("ce"), np, handle).as("bring"))
+          .nearestCells(col("be"), np, handle).as("bring"))
       .localCheckpoint()
     val w = Window.partitionBy("src").orderBy(desc("score"), asc("dst"))
     val useWindowFold = GraphFoldUseWindow
@@ -2433,16 +2470,31 @@ object Similarity {
     // 2. reverse updates
     val bCells = b.select(col("bcid")).distinct()
       .collect().map(_.getLong(0))
+    // one aggregate collapses the touched ring rows to one row per
+    // src. A batch covering most cells touches the WHOLE ring table
+    // (n x np rows — FoldProbe r18 at 512k: a 4.6 GB (qid, qcid,
+    // acid) exchange + 1 GB join spill, the fold's dominant residual
+    // stage), and the old exact dropDuplicates shuffled every row.
+    // groupBy(qid)'s map-side partials reduce to <= |srcs| rows per
+    // partition BEFORE the exchange (~10x less shuffle at the ring's
+    // np ~ 100 fan), crash-refold ring dups die in the collect_set
+    // semantics, and the two downstream dropDuplicates shuffles
+    // (touchedQ, the resolve semijoin's) disappear — touched is
+    // per-src by construction. acid is unique per qid (a node has
+    // one assigned cell; crash dups repeat the same value) — max()
+    // for determinism. Checkpointed: referenced by the vector
+    // attach, both scoring forms, and the resolve semijoin.
     val touched = s.table(rt).filter(col("qcid").isin(bCells: _*))
       .join(broadcast(b.select(col("bid"))),
         col("qid") === col("bid"), "left_anti")
-      .select("qid", "qcid", "acid")
-      .dropDuplicates() // crash-refold ring dups
-    val touchedQ = touched.select("qid", "acid").dropDuplicates("qid")
-    val tCells = touchedQ.select("acid").distinct()
+      .groupBy(col("qid"))
+      .agg(max(col("acid")).as("acid"),
+        collect_set(col("qcid")).as("qcids"))
+      .localCheckpoint()
+    val tCells = touched.select(col("acid")).distinct()
       .collect().map(_.getLong(0))
     val qVecs = s.table(at).filter(col("cid").isin(tCells: _*))
-      .join(touchedQ,
+      .join(touched.select("qid", "acid"),
         col("vec_id") === col("qid") && col("cid") === col("acid"))
       .select(col("qid"), col("ce").as("qe"), col("cn").as("qn"))
     // Kernel form: per-src top-k of the batch candidates is EXACT
@@ -2453,23 +2505,29 @@ object Similarity {
     // can never enter the final top-k window. Blocks come from the
     // BATCH (grouped by its assigned cell); a (qid, nid) pair arises
     // only via nid's one bcid, so candidates are unique either way.
+    // the ring-cell fan re-expands only HERE (explode of the per-src
+    // qcids set, vectors attached once per src first — qe/qn are
+    // cheap attribute companions beside the generator, rule 15's
+    // allowed shape)
+    val touchedQx = touched.join(qVecs, Seq("qid"))
+      .select(col("qid"), col("qe"), col("qn"),
+        explode_outer(col("qcids")).as("qcid"))
     val cand =
       if (!useWindowFold)
         cellBlockTopK(
-          touched.join(qVecs, Seq("qid"))
-            .select(col("qid"), col("qe"), col("qn"), col("qcid")),
+          touchedQx,
           b.select(col("bcid").as("cid"), col("bid").as("nid"),
             col("be").as("ne"), col("bn").as("nn")),
           // srcRows 0: srcs here are the touched ring rows (unknown
           // without a count job); past the 128-key default the merge
           // falls back to SORTING the already-k-reduced stream
           // (<= touched x k narrow rows) — small, and not a rule-31a
-          // pair-stream shape
-          k, 0L)
+          // pair-stream shape. broadcastBlocks: the members side is
+          // the BATCH (< 1 MB of blocks) — see cellBlockTopK
+          k, 0L, broadcastBlocks = true)
           .select(col("src").as("qid"), col("dst").as("nid"),
             col("score"))
-      else touched.join(b, col("qcid") === col("bcid"))
-        .join(qVecs, Seq("qid"))
+      else touchedQx.join(b, col("qcid") === col("bcid"))
         .select(col("qid"), col("bid").as("nid"),
           round(dot(col("qe"), col("be")) / (col("qn") * col("bn")), 6)
             .as("score"))
@@ -2484,7 +2542,7 @@ object Similarity {
     // are only ever read for srcs in `touched` (cand ⊆ touched ⊇
     // survSrc), so nothing is lost.
     val resolved = resolveGraphEdges(
-      s.table(et).join(touched.select(col("qid")).dropDuplicates(),
+      s.table(et).join(touched.select(col("qid")),
         col("src") === col("qid"), "leftsemi"),
       storedTxt, storedBatches)
     val thr = resolved.groupBy("src")
@@ -2517,6 +2575,13 @@ object Similarity {
       .bucketBy(rBuckets, "qcid").sortBy("qcid")
       .format("parquet").saveAsTable(rt)
     IndexManifest.markBuckets(s, rt, rBuckets)
+    // the fold wrote through the CLONE — the caller session's cached
+    // relations would serve the pre-fold file listing (rule 33: a
+    // cloned session's writes cannot invalidate other sessions'
+    // relation caches, and the same-session auto-refresh the callers
+    // relied on no longer applies). Refresh the caller explicitly.
+    s0.catalog.refreshTable(et)
+    s0.catalog.refreshTable(rt)
   }
 
   /** Fold newly ingested vectors into BOTH the IVF index and the
