@@ -235,6 +235,11 @@ object DriftGate {
     val semBaseRefGot = semDetect(work, pBase)
     val semBaseRef = rate(semBaseRefGot, semTruthBase)
     val semBaseRefMissed = missedOf(semBaseRefGot, semTruthBase)
+    // drift-side misses emitted too (r18 advice): the 1M boundary-band
+    // finding was a DRIFT mate lost in [tau, tau+band) — without this
+    // field a margined miss and a band miss are indistinguishable in
+    // the JSON line without a rerun
+    val semDriftRefMissed = missedOf(semDriftRefGot, semTruthDrift)
     // the gated subsets: mates clear of the tau decision boundary
     val semTruthDriftStrong = semTruthDrift.filter(_._2 >= semTau + semBand)
     val semTruthBaseStrong = semTruthBase.filter(_._2 >= semTau + semBand)
@@ -322,7 +327,7 @@ object DriftGate {
       Similarity.maintainIvfIndex(spark, workL).action == "none"
 
     val n = spark.table(atM).count()
-    println(f"""{"metric":"drift_gate","dir":"$dir","vecs":$n,"recall_drift_frozen":$frozenDrift%.3f,"recall_drift_refreshed":$refreshedDrift%.3f,"recall_base_frozen":$frozenBase%.3f,"recall_base_refreshed":$refreshedBase%.3f,"occ_frozen_max":$frozMax,"occ_frozen_med":$frozMed,"occ_refreshed_max":$refMax,"occ_refreshed_med":$refMed,"probe_drift_frozen_s":$probeDriftFroz%.2f,"probe_drift_refreshed_s":$probeDriftRef%.2f,"probe_base_frozen_s":$probeBaseFroz%.2f,"probe_base_refreshed_s":$probeBaseRef%.2f,"refresh_s":$refreshSec%.2f,"oneshot_build_s":$oneShotSec%.2f,"law_assign":$lawAssign,"law_centroids":$lawCent,"sem_tau":$semTau,"sem_truth_drift":${semTruthDrift.size},"sem_truth_base":${semTruthBase.size},"sem_drift_frozen":$semDriftFroz%.3f,"sem_drift_refreshed":$semDriftRef%.3f,"sem_base_frozen":$semBaseFroz%.3f,"sem_base_refreshed":$semBaseRef%.3f,"sem_base_missed":[${semBaseRefMissed.map(x => f"$x%.4f").mkString(",")}],"sem_drift_strong":${semTruthDriftStrong.size},"sem_base_strong":${semTruthBaseStrong.size},"sem_drift_refreshed_strong":$semDriftRefStrong%.3f,"sem_base_refreshed_strong":$semBaseRefStrong%.3f,"fit_frozen":$fitFroz%.4f,"fit_refreshed":$fitRef%.4f,"light_occ_max":$lMax,"light_occ_med":$lMed,"light_occ_silent":$lightOccSilent,"light_fit":$lightFit%.4f,"light_fires":$lightFires,"light_settled":$lightSettled,"floor":$floor}""")
+    println(f"""{"metric":"drift_gate","dir":"$dir","vecs":$n,"recall_drift_frozen":$frozenDrift%.3f,"recall_drift_refreshed":$refreshedDrift%.3f,"recall_base_frozen":$frozenBase%.3f,"recall_base_refreshed":$refreshedBase%.3f,"occ_frozen_max":$frozMax,"occ_frozen_med":$frozMed,"occ_refreshed_max":$refMax,"occ_refreshed_med":$refMed,"probe_drift_frozen_s":$probeDriftFroz%.2f,"probe_drift_refreshed_s":$probeDriftRef%.2f,"probe_base_frozen_s":$probeBaseFroz%.2f,"probe_base_refreshed_s":$probeBaseRef%.2f,"refresh_s":$refreshSec%.2f,"oneshot_build_s":$oneShotSec%.2f,"law_assign":$lawAssign,"law_centroids":$lawCent,"sem_tau":$semTau,"sem_truth_drift":${semTruthDrift.size},"sem_truth_base":${semTruthBase.size},"sem_drift_frozen":$semDriftFroz%.3f,"sem_drift_refreshed":$semDriftRef%.3f,"sem_base_frozen":$semBaseFroz%.3f,"sem_base_refreshed":$semBaseRef%.3f,"sem_base_missed":[${semBaseRefMissed.map(x => f"$x%.4f").mkString(",")}],"sem_drift_missed":[${semDriftRefMissed.map(x => f"$x%.4f").mkString(",")}],"sem_drift_strong":${semTruthDriftStrong.size},"sem_base_strong":${semTruthBaseStrong.size},"sem_drift_refreshed_strong":$semDriftRefStrong%.3f,"sem_base_refreshed_strong":$semBaseRefStrong%.3f,"fit_frozen":$fitFroz%.4f,"fit_refreshed":$fitRef%.4f,"light_occ_max":$lMax,"light_occ_med":$lMed,"light_occ_silent":$lightOccSilent,"light_fit":$lightFit%.4f,"light_fires":$lightFires,"light_settled":$lightSettled,"floor":$floor}""")
     var bad = List.empty[String]
     if (!lawAssign || !lawCent)
       bad ::= "refreshed index is not content-identical to one-shot"
@@ -330,7 +335,15 @@ object DriftGate {
       bad ::= f"refreshed recall $refreshedDrift%.3f/$refreshedBase%.3f below floor $floor"
     if (refMax >= frozMax)
       bad ::= s"refresh did not reduce hot-cell occupancy ($refMax >= $frozMax)"
-    if (semDriftRefStrong < 1.0)
+    // the drift mates are near-identical BY CONSTRUCTION (scores ~1.0,
+    // far above tau+band), so an empty MARGINED set is a broken
+    // fixture, not a vacuous pass — flag it instead of letting rate()'s
+    // -1.0 empty-truth sentinel masquerade as a margined miss
+    if (semTruthDriftStrong.isEmpty)
+      bad ::= s"degenerate drift fixture: all ${semTruthDrift.size} " +
+        "tau-mates sit inside the [tau, tau+band) boundary band — " +
+        "nothing MARGINED to gate"
+    else if (semDriftRefStrong < 1.0)
       bad ::= f"refreshed tau gate missed MARGINED drift duplicates ($semDriftRefStrong%.3f < 1.0)"
     if (semTruthBaseStrong.nonEmpty && semBaseRefStrong < 1.0)
       bad ::= f"refreshed tau gate missed MARGINED base duplicates ($semBaseRefStrong%.3f < 1.0)"

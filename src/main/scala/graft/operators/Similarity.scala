@@ -187,14 +187,36 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         norm(col("embedding")).as("qn"))
 
+  /** CAP on the graph family's probe-ring width — the r18 verdict's
+    * one remaining super-linear-work term: uncapped, np tracks
+    * nlist/8 ~ sqrt(n)/8 while occupancy tracks n/nlist, so
+    * exact-build pairs = n·np·occupancy = n²/8 WHATEVER the cell
+    * count (nlist cancels; measured walls fit the quadratic —
+    * 175/539/2017 s at 512k/1M/2M). Capping np makes total work
+    * cap·n^1.5. The recall ladder showed the headroom (tau-recall
+    * RISING 0.512→0.773 across 16k→1M under the 1/8-fraction rule):
+    * with the cap at 64 the searched cell FRACTION shrinks past 512k
+    * (64/716 = 8.9% at 512k, 6.3% at 1M, 4.5% at 2M) but measured
+    * tau-recall holds the 0.64 floor — see SURVEY §22 r19 for the
+    * capped rungs. Inert below ~260k vectors (nlist/8 < 64 there), so
+    * every oracled scale (sf0.01, the 32x/128x gates at 16k-64k
+    * vectors) computes identical graphs with or without it. Env
+    * GRAFT_KNNG_NPROBE_CAP drives ladder A/Bs; the value is baked
+    * into the oracle CTE and the graph manifest identity, so a
+    * changed cap reads as staleness (rebuild), never silent drift. */
+  private[graft] val KnngNprobeCap: Int =
+    sys.env.get("GRAFT_KNNG_NPROBE_CAP").map(_.toInt).getOrElse(64)
+
   /** The graph family's probe-ring width — the IVF probe rule
     * (nprobe = max(4, nlist/8)) re-derived from the corpus count so
-    * the DuckDB oracle computes the identical value; ONE definition
-    * shared by [[knnGraph]] (the rebuild foil) and
-    * [[ensureKnnGraphIndex]] so the persisted graph and the foil can
-    * never drift. */
+    * the DuckDB oracle computes the identical value, CAPPED at
+    * [[KnngNprobeCap]] (the quadratic-work break; cap >= 4 keeps the
+    * floor); ONE definition shared by [[knnGraph]] (the rebuild foil)
+    * and [[ensureKnnGraphIndex]] so the persisted graph and the foil
+    * can never drift. */
   private def knngNprobe(n: Long): Int =
-    math.max(4, math.ceil(n / (8.0 * centroidMod(n))).toInt)
+    math.min(math.max(4, KnngNprobeCap),
+      math.max(4, math.ceil(n / (8.0 * centroidMod(n))).toInt))
 
   /** IVF coarse-quantizer sizing: |centroids| ~ sqrt(n) via a modulo
     * sample (floor 53 pins test-scale behavior — see q_ann_ivf). */
@@ -1890,7 +1912,11 @@ object Similarity {
     val np = knngNprobe(n)
     val ivfRows = n + ivfBatches.map(_._2).sum
     val eBuckets = Tables.indexBuckets(ivfRows)
-    val expect = IndexManifest.Manifest(s"$d#k=$k#cfp=$cfp", n,
+    // np is part of the graph's IDENTITY: a changed probe-ring rule
+    // (the KnngNprobeCap quadratic-work break, or an env A/B) changes
+    // ring membership and therefore edge content — it must read as
+    // staleness (rebuild), exactly like a refreshed quantizer (cfp)
+    val expect = IndexManifest.Manifest(s"$d#k=$k#np=$np#cfp=$cfp", n,
       ivfFingerprint(emb), eBuckets, Nil)
     val mp = knngManifestPath(s, d, k)
     val stored = IndexManifest.read(s, mp)
@@ -2024,6 +2050,31 @@ object Similarity {
   @volatile private[graft] var GraphFoldUseWindow =
     sys.env.get("GRAFT_GRAPH_WINDOW_FOLD").contains("1")
 
+  /** The cell-block guard bound for corpus-sized kernel passes: 16x
+    * the healthy mean occupancy (the maintenance hot-cell trigger's
+    * own ratio — healthy indexes measure 4.3-4.9x MEDIAN, so 16x the
+    * MEAN never fires on a maintained index), floored at 64 so
+    * test-scale fixtures with a handful of cells keep their natural
+    * skew headroom. */
+  private def blockGuardCap(rows: Long, nlist: Long): Long =
+    16L * math.max(64L, rows / math.max(1L, nlist))
+
+  /** Size gate (bytes) on the fold reverse pass's block BROADCAST:
+    * the batch's vector blocks are driver-collected under a
+    * broadcast join, and batch size is caller/stream-controlled —
+    * unbounded through [[graft.streaming.CorpusStreams.graphIngestStream]]
+    * micro-batches. A stream-shaped batch (2k x 64-dim float) is
+    * ~0.6 MB of blocks and the broadcast removes the n x np
+    * probe-side exchange entirely (FoldProbe r18); an accidental
+    * million-vector batch is ~0.5 GB and would sit on the driver or
+    * trip the broadcast limit. Past this estimated payload the pass
+    * falls back to the same shuffle_hash join the corpus-sized
+    * passes use (the PrefilterMinDocs size-gate idiom — measure both
+    * ends, gate on size). Var: the law test forces the shuffle_hash
+    * form on a small batch and pins row-identity. */
+  @volatile private[graft] var GraphFoldBroadcastBudget =
+    32L * 1000L * 1000L
+
   /** Per-pass disk budget (bytes) for the kernel build's probe-side
     * shuffle — the form's one super-linear DISK term: the exploded
     * probe frame is n x np rows x (~48 B + the vector), and np tracks
@@ -2059,13 +2110,36 @@ object Similarity {
     * (below it the caller either raised the threshold — the build —
     * or accepts the sort-based fallback of the already-k-reduced
     * stream: <= srcs x np x k narrow rows, not a rule-31a shape). */
-  private def cellBlockTopK(qx: DataFrame, members: DataFrame,
+  private[graft] def cellBlockTopK(qx: DataFrame, members: DataFrame,
                             k: Int, srcRows: Long,
-                            broadcastBlocks: Boolean = false): DataFrame = {
-    val blocks0 = members.groupBy(col("cid").as("bcid"))
+                            broadcastBlocks: Boolean = false,
+                            blockRowCap: Long = 0L): DataFrame = {
+    // COUPLING: a cell's block is ONE collect_list row (~occupancy x
+    // dim x width — ~345 KB healthy at 512k), so the kernel's memory
+    // shape assumes a MAINTAINED index: under frozen-centroid drift a
+    // 212x-median hot cell (DriftGate r16) is a ~70 MB single block
+    // that would OOM inside codegen with no legible error. Callers
+    // scoring CORPUS-sized members pass blockRowCap = 16x the healthy
+    // occupancy estimate (the maintenance hot-cell trigger's own
+    // ratio, Maintenance.scala) and a breach fails loud with the
+    // repair named; batch-sized members (the fold's reverse pass) are
+    // already bounded by the broadcast gate and pass 0 (no cap).
+    val blocks00 = members.groupBy(col("cid").as("bcid"))
       .agg(collect_list(col("nid")).as("bids"),
         flatten(collect_list(col("ne"))).as("bvecs"),
         collect_list(col("nn")).as("bnorms"))
+    val blocks0 = if (blockRowCap <= 0) blocks00
+      else blocks00.withColumn("bids",
+        when(size(col("bids")) > blockRowCap,
+          raise_error(concat(
+            lit("cellBlockTopK: cell "), col("bcid").cast("string"),
+            lit(" holds "), size(col("bids")).cast("string"),
+            lit(s" members, past the $blockRowCap-row block guard " +
+              "(16x the healthy occupancy estimate) — the kernel " +
+              "assumes a maintained index; run " +
+              "Similarity.maintainIvfIndex (or refreshIvfCentroids) " +
+              "before (re)building the graph"))))
+          .otherwise(col("bids")))
     // join strategy is the caller's SIZE knowledge: corpus-sized
     // blocks (the build; the fold's batch-adjacency mates) use
     // shuffle_hash — SMJ would sort the probe rows (the rule-31a sort
@@ -2186,7 +2260,8 @@ object Similarity {
           else q.filter(pmod(xxhash64(col("qid")), lit(chunks)) === c)
         val qx = qc.select(col("qid"), col("qe"), col("qn"),
           explode_outer(col("qcids")).as("qcid"))
-        val edges = cellBlockTopK(qx, mates, k, rows)
+        val edges = cellBlockTopK(qx, mates, k, rows,
+          blockRowCap = blockGuardCap(rows, nlist))
           .withColumn("gen", lit(null).cast("string"))
         edges.repartition(eBuckets, col("src"))
           .write.mode(if (c == 0) org.apache.spark.sql.SaveMode.Overwrite
@@ -2457,8 +2532,26 @@ object Similarity {
         col("cn").as("nn"))
     val bq = b.select(col("bid").as("qid"), col("be").as("qe"),
       col("bn").as("qn"), explode_outer(col("bring")).as("qcid"))
+    val bRows = b.count() // checkpointed: metadata-cheap
+    // reverse-pass broadcast gate: estimate the batch's block payload
+    // (ids + norms + the flattened vectors) and only BROADCAST under
+    // GraphFoldBroadcastBudget — batch size is caller/stream-
+    // controlled, so an unbounded ingest batch must degrade to the
+    // shuffle_hash join instead of blowing the driver
+    val bElemBytes = b.schema("be").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => 4L
+      case _ => 8L
+    }
+    val bDim = if (bRows == 0) 0L
+      else b.select(size(col("be"))).head.getInt(0).toLong
+    val bcastBatchBlocks =
+      bRows * (bDim * bElemBytes + 24L) <= GraphFoldBroadcastBudget
     val bEdges =
-      if (!useWindowFold) cellBlockTopK(bq, mates, k, b.count())
+      if (!useWindowFold) cellBlockTopK(bq, mates, k, bRows,
+        blockRowCap = blockGuardCap(
+          IndexManifest.indexRowsOf(storedTxt, storedBatches),
+          math.max(1L, s.table(ct).count())))
       else bq
         .join(mates, col("qcid") === col("cid") && col("qid") =!= col("nid"))
         .select(col("qid").as("src"), col("nid").as("dst"),
@@ -2523,8 +2616,9 @@ object Similarity {
           // falls back to SORTING the already-k-reduced stream
           // (<= touched x k narrow rows) — small, and not a rule-31a
           // pair-stream shape. broadcastBlocks: the members side is
-          // the BATCH (< 1 MB of blocks) — see cellBlockTopK
-          k, 0L, broadcastBlocks = true)
+          // the BATCH (< 1 MB of blocks for stream-shaped batches) —
+          // size-GATED above, since batch size is caller-controlled
+          k, 0L, broadcastBlocks = bcastBatchBlocks)
           .select(col("src").as("qid"), col("dst").as("nid"),
             col("score"))
       else touchedQx.join(b, col("qcid") === col("bcid"))
@@ -2757,8 +2851,12 @@ object Similarity {
     * 4-column table. */
   private def knnGraphCtes: String =
     "WITH n AS (SELECT count(*) AS cnt FROM embeddings), " +
-      "m AS (SELECT md, greatest(4, CAST(ceil(cnt / (8.0 * md)) " +
-      "AS BIGINT)) AS np FROM (SELECT cnt, greatest(53, " +
+      // np mirrors knngNprobe EXACTLY, including the KnngNprobeCap
+      // quadratic-work cap (inert at every oracled n — nlist/8 < cap
+      // below ~260k vectors — but the two engines must share ONE rule)
+      "m AS (SELECT md, least(greatest(4, CAST(ceil(cnt / (8.0 * md)) " +
+      s"AS BIGINT)), ${math.max(4, KnngNprobeCap)}) AS np " +
+      "FROM (SELECT cnt, greatest(53, " +
       "cnt // CAST(ceil(sqrt(cnt)) AS BIGINT)) AS md FROM n)), " +
       "c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ke, " +
       "sqrt(list_aggregate(list_transform(CAST(embedding AS " +

@@ -751,10 +751,18 @@ object CorpusStreams {
         val bdf = b.toDF().localCheckpoint()
         graft.operators.Similarity.appendToKnnGraphIndex(
           s, dir, k, bdf, s"${streamId}_$id")
+        // the handed-off adjacency is MATERIALIZED before the sink
+        // sees it (rule 33's sibling): a lazy frame over the live
+        // edge table, retained by a sink and evaluated only after a
+        // later batch's fold or an in-stream compact (which drops and
+        // renames files), would observe later-generation rows or
+        // FAILED_READ_FILE — localCheckpoint pins THIS batch's
+        // resolved rows whatever the sink's lifetime (the
+        // semanticIngestStream eager-handoff contract)
         sink(graft.operators.Similarity.graphEdges(s, dir, k)
           .join(broadcast(bdf.select(col("vec_id"))),
             col("qid") === col("vec_id"), "leftsemi")
-          .orderBy("qid", "rn"), id)
+          .orderBy("qid", "rn").localCheckpoint(), id)
         if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
           graft.operators.Similarity.compactKnnGraphIndex(s, dir, k)
           ()

@@ -1041,6 +1041,41 @@ class SimilaritySpec extends SparkSuite {
       "kernel fold's batch-adjacency pass lost the batch nodes")
     assert(foldedWith(window = true) == kernel,
       "cell-block kernel fold diverges from the window-fold foil")
+    // reverse-pass broadcast size gate (r18 advice): a zero budget
+    // forces the batch blocks through the shuffle_hash join — the
+    // unbounded-ingest-batch fallback must be row-identical
+    val oldBb = Similarity.GraphFoldBroadcastBudget
+    Similarity.GraphFoldBroadcastBudget = 0L
+    try assert(foldedWith(window = false) == kernel,
+      "size-gated (shuffle_hash) reverse pass diverges from the " +
+        "broadcast form")
+    finally Similarity.GraphFoldBroadcastBudget = oldBb
+  }
+
+  test("cell-block guard: a hot cell past 16x healthy occupancy fails " +
+      "the kernel build loud, naming the repair") {
+    // 1400 IDENTICAL vectors: every hash-picked centroid is the same
+    // direction, assignment tie-breaks every row into ONE cell —
+    // occupancy 1400 > the guard cap 16 x max(64, rows/nlist) = 1024.
+    // This is the frozen-drift hot-cell shape (DriftGate measured
+    // 212x median): the kernel's per-cell collect_list block would be
+    // one huge row, so the build must fail LEGIBLY (naming
+    // maintainIvfIndex) instead of OOMing inside codegen.
+    val sp = spark; import sp.implicits._
+    val base = Array.tabulate(64)(i => (math.sin(i + 1) / 3).toFloat)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hotcell")
+    val dir = new java.io.File(tmp.toFile, "d").toString
+    (0L until 1400L).map(i => (i, base)).toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val ex = intercept[Exception] {
+      Similarity.ensureKnnGraphIndex(spark, dir, 3)
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    val msgs = chain(ex).flatMap(t => Option(t.getMessage)).mkString("\n")
+    assert(msgs.contains("cellBlockTopK") &&
+      msgs.contains("maintainIvfIndex"),
+      s"hot-cell build must fail with the legible guard, got: $msgs")
   }
 
   test("TopKInCell.round6 equals Spark's round(col, 6) on doubles, " +
