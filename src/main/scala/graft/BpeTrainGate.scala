@@ -80,6 +80,13 @@ object BpeTrainGate {
     val t0 = System.nanoTime()
     val deep = trainedRules(docs, k)
     val trainWall = (System.nanoTime() - t0) / 1e9
+    // driver-heap footprint right after the deep train (the r18
+    // verdict's DriverBpeMaxVocab validation ask): GC first so the
+    // reading is retained state, not garbage — the trainer's word
+    // table + pair counts are the bound the 2M-row cap claims to fit
+    System.gc()
+    val heapMb = math.rint((Runtime.getRuntime.totalMemory -
+      Runtime.getRuntime.freeMemory) / 1e6)
     val depthOk = deep.size == k && deep.map(_._1) == (1L to k.toLong)
     val oldGate = operators.TextAnalysis.DriverBpeMaxVocab
     operators.TextAnalysis.DriverBpeMaxVocab = 0L // force the foil
@@ -123,6 +130,7 @@ object BpeTrainGate {
     val pass = depthOk && prefixOk && replayOk
     println(s"""{"metric":"bpe_train_32k","vocab":$vocabN,"k":$k,""" +
       s""""rules_trained":${deep.size},"train_wall_s":$trainWall,""" +
+      s""""driver_heap_mb":$heapMb,""" +
       s""""foil_k":$foilK,"foil_wall_s":$foilWall,""" +
       s""""foil_extrapolated_at_k_s":$foilAtK,""" +
       s""""depth_ok":$depthOk,"prefix_ok":$prefixOk,""" +

@@ -24,8 +24,20 @@ import org.apache.spark.sql.functions._
   * shuffle read/write, spill, call site) plus a JSON summary.
   *
   * Usage: runMain graft.FoldProbe <corpusDir> [k] [batchVecs] [runTag]
+  *        [mode]
   * (runTag separates repeat probes on one work dir: it salts both the
   * fresh-id stripe and the batchId, so each probe is a FIRST fold.)
+  *
+  * `mode`: `corpus` (default) draws the batch from an arbitrary
+  * corpus slice — its rings union to ~ALL cells, the deliberate
+  * worst case every prior fold number was measured at. `cell` draws
+  * the batch from ONE similarity neighborhood (the top-`batchVecs`
+  * cosine mates of vector 0 — a correlated ingest, e.g. one crawl
+  * shard): rings overlap heavily, so the fold's mates scan and
+  * reverse resolve should prune to ~np of nlist cells — the
+  * production-shaped claim the r18 verdict asked to measure rather
+  * than argue. Both modes report ring_cells/nlist (read from the
+  * rings table after the fold) so the pruning is a recorded number.
   */
 object FoldProbe {
   private class Agg {
@@ -47,6 +59,9 @@ object FoldProbe {
     val runTag = if (args.length > 3) args(3) else "a"
     require(runTag.matches("[A-Za-z0-9_.\\-]+"),
       s"runTag must match [A-Za-z0-9_.-]+ (manifest round-trip): $runTag")
+    val mode = if (args.length > 4) args(4) else "corpus"
+    require(mode == "corpus" || mode == "cell",
+      s"mode must be corpus|cell: $mode")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -70,7 +85,22 @@ object FoldProbe {
     // stripes, and the tag hash separates repeat probes (a collision
     // just trips the loud disjointness guard)
     val stripe = 9001L + math.abs(runTag.hashCode % 100000)
-    val batch: DataFrame = emb.limit(batchVecs)
+    val batchSrc: DataFrame =
+      if (mode == "corpus") emb.limit(batchVecs)
+      else {
+        // ONE similarity neighborhood: the top-batchVecs cosine mates
+        // of vector 0 (replica corpora hold ~k exact copies per
+        // direction, so this is a few directions' worth of
+        // near-identical vectors — the correlated-ingest shape)
+        val p0 = emb.filter(col("vec_id") === 0L)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            operators.Similarity.norm(col("embedding")).as("qn"))
+        operators.Similarity.bruteForceKnn(p0, emb, batchVecs)
+          .select(col("nid").as("vec_id"))
+          .join(emb, "vec_id")
+          .select("vec_id", "embedding")
+      }
+    val batch: DataFrame = batchSrc
       .select((col("vec_id") + lit((maxVec + 1) * stripe)).as("vec_id"),
         col("embedding"))
       .localCheckpoint()
@@ -125,7 +155,18 @@ object FoldProbe {
     }
     val totTask = rows.map(_._2.taskMs).sum / 1e3
     val totStageWall = rows.map(_._2.wallMs).sum / 1e3
+    // ring coverage, read back from the rings table: how many cells
+    // the batch's rings actually touched vs all occupied ring cells —
+    // the cell-pruning evidence the `cell` mode exists for
+    val (_, rt) = operators.Similarity.knngTableNames(dir, k)
+    val rings = spark.table(rt)
+    val batchCells = rings
+      .join(batch.select(col("vec_id").as("qid")), Seq("qid"), "leftsemi")
+      .select("qcid").distinct().count()
+    val allCells = rings.select("qcid").distinct().count()
     println(s"""{"metric":"fold_probe","dir":"$dir","k":$k,""" +
+      s""""mode":"$mode","ring_cells":$batchCells,""" +
+      s""""occupied_cells":$allCells,""" +
       s""""batch_vecs":$batchVecs,""" +
       s""""ensure_wall_s":${math.rint(ensureWall * 10) / 10},""" +
       s""""fold_wall_s":${math.rint(foldWall * 100) / 100},""" +

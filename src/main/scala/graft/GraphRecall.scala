@@ -32,6 +32,55 @@ import org.apache.spark.sql.functions._
   * (report-only without a floor).
   */
 object GraphRecall {
+
+  /** The gate's measurement body, reusable by the stream/drift
+    * smokes: probe-sample global and tau recall of the PERSISTED
+    * graph for `dir` against brute truth over `corpus` — callers
+    * pass the MERGED frame when the graph holds streamed/appended
+    * vectors the dir's parquet does not (recall against the
+    * dir-only frame would penalize the graph for correctly ranking
+    * an appended near-dup above a corpus neighbor). Returns
+    * (meanRecall, tauRecall (-1 when no tau pairs), tauPairs,
+    * probes, ensurePlusProbeWall). */
+  private[graft] def measure(spark: SparkSession, dir: String, k: Int,
+                             corpus: org.apache.spark.sql.DataFrame,
+                             every: Long, tau: Double = 0.35)
+      : (Double, Double, Int, Int, Double) = {
+    val pick = operators.Similarity.hashPick(col("vec_id"), "#gr42", every)
+    val probes = corpus.filter(pick)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        operators.Similarity.norm(col("embedding")).as("qn"))
+    def grouped(rows: Array[org.apache.spark.sql.Row]) =
+      rows.groupBy(_.getLong(0)).view.mapValues(
+        _.map(r => r.getLong(1) -> r.getDouble(2)).toMap).toMap
+    val brute = grouped(operators.Similarity
+      .bruteForceKnn(probes, corpus, k).select("qid", "nid", "score")
+      .collect())
+    val ensureT0 = System.nanoTime()
+    val graph = grouped(operators.Similarity.graphEdges(spark, dir, k)
+      .filter(operators.Similarity.hashPick(col("qid"), "#gr42", every))
+      .select("qid", "nid", "score")
+      .collect())
+    val ensureWall = (System.nanoTime() - ensureT0) / 1e9
+    require(brute.nonEmpty, "empty probe sample")
+    def got(q: Long): Set[Long] = graph.getOrElse(q, Map.empty).keySet
+    val recalls = brute.map { case (q, bf) =>
+      (bf.keySet & got(q)).size.toDouble / bf.size
+    }
+    val mean = recalls.sum / recalls.size
+    // actionable edges: brute pairs at cosine >= tau. NB: collect on
+    // the inner Map must go through toSeq — collecting (q, nid)
+    // tuples straight off a Map re-keys them all by the same q and
+    // silently keeps ONE pair per probe
+    val tauPairs = brute.toSeq.flatMap { case (q, bf) =>
+      bf.toSeq.collect { case (nid, s) if s >= tau => (q, nid) }
+    }
+    val tauHit = tauPairs.count { case (q, nid) => got(q).contains(nid) }
+    val tauRecall =
+      if (tauPairs.isEmpty) -1.0 else tauHit.toDouble / tauPairs.size
+    (mean, tauRecall, tauPairs.size, brute.size, ensureWall)
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
       "usage: GraphRecall <corpusDir> [floor] [sampleEvery]")
@@ -58,61 +107,33 @@ object GraphRecall {
     // probe set to origs ≡ 0 (mod gcd(every, vecSpan)) — at the 32x
     // gate (span 500, every 80) only 25 distinct source directions
     // were ever probed, and an id-residue-structured slice (DriftGate's
-    // %4 drift ids) could be excluded from the gate wholesale
-    val pick = operators.Similarity.hashPick(col("vec_id"), "#gr42", every)
-    val probes = emb.filter(pick)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        operators.Similarity.norm(col("embedding")).as("qn"))
+    // %4 drift ids) could be excluded from the gate wholesale.
+    // measure() probes the PERSISTED graph, not the knnGraph foil:
+    // content-identical by the SimilaritySpec build law, but the index
+    // build runs the top-k pass in disk-budgeted q-side chunks — the
+    // single-pass foil's ~8.3G-pair window sort exceeded this host's
+    // spill disk at the 256k rung — and repeat gate runs reuse the
+    // artifact
     val tau = 0.35
-    def grouped(rows: Array[org.apache.spark.sql.Row]) =
-      rows.groupBy(_.getLong(0)).view.mapValues(
-        _.map(r => r.getLong(1) -> r.getDouble(2)).toMap).toMap
-    val brute = grouped(operators.Similarity
-      .bruteForceKnn(probes, emb, k).select("qid", "nid", "score")
-      .collect())
-    // the PERSISTED graph, not the knnGraph foil: content-identical
-    // by the SimilaritySpec build law, but the index build runs the
-    // top-k pass in disk-budgeted q-side chunks — the single-pass
-    // foil's ~8.3G-pair window sort exceeded this host's spill disk
-    // at the 256k rung — and repeat gate runs reuse the artifact
-    val ensureT0 = System.nanoTime()
-    val graph = grouped(operators.Similarity.graphEdges(spark, dir, k)
-      .filter(operators.Similarity.hashPick(col("qid"), "#gr42", every))
-      .select("qid", "nid", "score")
-      .collect())
-    val ensureWall = (System.nanoTime() - ensureT0) / 1e9
+    val (mean, tauRecall, tauPairs, probes, ensureWall) =
+      measure(spark, dir, k, emb, every, tau)
     // rule-31a cost-model evidence: chunk count + wall of the ring
     // build, when this run actually built (0 chunks = the ensure
     // re-attached or reused the persisted artifact — the cross-JVM
     // economics the r17 re-attach exists for)
     val (bChunks, bRows, bWall) = operators.Similarity.LastGraphBuild
-    require(brute.nonEmpty, "empty probe sample")
-    def got(q: Long): Set[Long] = graph.getOrElse(q, Map.empty).keySet
-    val recalls = brute.map { case (q, bf) =>
-      (bf.keySet & got(q)).size.toDouble / bf.size
-    }
-    val mean = recalls.sum / recalls.size
-    // actionable edges: brute pairs at cosine >= tau. NB: collect on
-    // the inner Map must go through toSeq — collecting (q, nid)
-    // tuples straight off a Map re-keys them all by the same q and
-    // silently keeps ONE pair per probe
-    val tauPairs = brute.toSeq.flatMap { case (q, bf) =>
-      bf.toSeq.collect { case (nid, s) if s >= tau => (q, nid) }
-    }
-    val tauHit = tauPairs.count { case (q, nid) => got(q).contains(nid) }
-    val tauRecall =
-      if (tauPairs.isEmpty) -1.0 else tauHit.toDouble / tauPairs.size
     println(s"""{"metric":"graph_recall","n":$n,"k":$k,""" +
-      s""""probes":${brute.size},""" +
+      s""""probes":$probes,""" +
       s""""recall":${math.rint(mean * 1000) / 1000},""" +
-      s""""tau":$tau,"tau_pairs":${tauPairs.size},""" +
+      s""""tau":$tau,"tau_pairs":$tauPairs,""" +
       s""""tau_recall":${math.rint(tauRecall * 1000) / 1000},""" +
+      s""""np":${operators.Similarity.knngNprobe(n)},""" +
       s""""build_chunks":$bChunks,"build_rows":$bRows,""" +
       s""""build_wall_s":${math.rint(bWall * 10) / 10},""" +
       s""""ensure_plus_probe_wall_s":${math.rint(ensureWall * 10) / 10},""" +
       s""""floor":${floor.getOrElse(-1.0)}}""")
     if (floor.isDefined) {
-      require(tauPairs.nonEmpty,
+      require(tauPairs > 0,
         "no brute edges at tau — the corpus plants near-dups, so an " +
           "empty tau set means the probe sample or replica is broken")
       if (tauRecall < floor.get) {

@@ -187,35 +187,61 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         norm(col("embedding")).as("qn"))
 
+  /** Flat A/B override for the probe-ring cap (env
+    * GRAFT_KNNG_NPROBE_CAP); production uses [[knngNprobeCap]]'s
+    * measured power rule. */
+  private[graft] val KnngNprobeCapEnv: Option[Int] =
+    sys.env.get("GRAFT_KNNG_NPROBE_CAP").map(_.toInt)
+
   /** CAP on the graph family's probe-ring width — the r18 verdict's
     * one remaining super-linear-work term: uncapped, np tracks
     * nlist/8 ~ sqrt(n)/8 while occupancy tracks n/nlist, so
     * exact-build pairs = n·np·occupancy = n²/8 WHATEVER the cell
     * count (nlist cancels; measured walls fit the quadratic —
-    * 175/539/2017 s at 512k/1M/2M). Capping np makes total work
-    * cap·n^1.5. The recall ladder showed the headroom (tau-recall
-    * RISING 0.512→0.773 across 16k→1M under the 1/8-fraction rule):
-    * with the cap at 64 the searched cell FRACTION shrinks past 512k
-    * (64/716 = 8.9% at 512k, 6.3% at 1M, 4.5% at 2M) but measured
-    * tau-recall holds the 0.64 floor — see SURVEY §22 r19 for the
-    * capped rungs. Inert below ~260k vectors (nlist/8 < 64 there), so
-    * every oracled scale (sf0.01, the 32x/128x gates at 16k-64k
-    * vectors) computes identical graphs with or without it. Env
-    * GRAFT_KNNG_NPROBE_CAP drives ladder A/Bs; the value is baked
-    * into the oracle CTE and the graph manifest identity, so a
-    * changed cap reads as staleness (rebuild), never silent drift. */
-  private[graft] val KnngNprobeCap: Int =
-    sys.env.get("GRAFT_KNNG_NPROBE_CAP").map(_.toInt).getOrElse(64)
+    * 175/539/2017 s at 512k/1M/2M).
+    *
+    * The rule is MEASURED, not guessed (r19 flat-cap A/B at np=64):
+    * tau-recall vs ring width fits recall(np) = recall(nlist/8) −
+    * α·log2((nlist/8)/np) with α ≈ 0.17 per halving, at all three
+    * rungs (512k: 0.709→0.621 measured vs 0.624 predicted; 1M:
+    * 0.773→0.603 vs 0.605; 2M: 0.763→0.529 vs 0.511) — so a FLAT cap
+    * decays recall ~0.11 per corpus doubling and cannot hold a floor.
+    * The density gain at FIXED searched fraction is β ≈ +0.055 per
+    * doubling (0.603/0.668/0.709/0.773 across 64k→1M at ~12.5%), so
+    * the flat-floor optimum grows the ring as np ∝ n^(0.5·(1−β/α)) ≈
+    * n^0.2: total work n^1.7 instead of n², holding tau-recall flat
+    * by the measured tradeoff. Anchored at (512k, 95) so the cap is
+    * INERT up to ~620k (nlist/8 binds below — every oracled scale and
+    * the 512k ladder rung are unchanged); np = 110 at 1M, 126 at 2M
+    * (measured r19: tau-recall 0.744 / 0.672 ≥ the 0.64 floor, builds
+    * 465.5 / 1232.9 s — off the 539/2017 quadratic trendline).
+    *
+    * Cross-engine note: the oracle CTE mirrors this with DuckDB
+    * pow(); a last-ULP pow divergence could shift the cap by 1 only
+    * where it BINDS (n ≥ ~620k), far past any DuckDB-oracle-feasible
+    * scale (the oracle's ar CTE is n×nlist rows), and the built np is
+    * pinned in the graph manifest, so Spark-side identity is absolute
+    * regardless. */
+  private[graft] def knngNprobeCap(n: Long): Int =
+    KnngNprobeCapEnv.getOrElse(math.max(4,
+      math.ceil(95.0 * math.pow(n / 512000.0, 0.2)).toInt))
+
+  /** The probe-ring cap as a DuckDB SQL expression over `cnt` —
+    * [[knngNprobeCap]]'s oracle twin (flat env override mirrored so
+    * A/B runs stay differentially oracled). */
+  private def npCapSql: String =
+    KnngNprobeCapEnv.map(c => math.max(4, c).toString).getOrElse(
+      "greatest(4, CAST(ceil(95.0 * pow(cnt / 512000.0, 0.2)) AS BIGINT))")
 
   /** The graph family's probe-ring width — the IVF probe rule
     * (nprobe = max(4, nlist/8)) re-derived from the corpus count so
     * the DuckDB oracle computes the identical value, CAPPED at
-    * [[KnngNprobeCap]] (the quadratic-work break; cap >= 4 keeps the
-    * floor); ONE definition shared by [[knnGraph]] (the rebuild foil)
-    * and [[ensureKnnGraphIndex]] so the persisted graph and the foil
-    * can never drift. */
-  private def knngNprobe(n: Long): Int =
-    math.min(math.max(4, KnngNprobeCap),
+    * [[knngNprobeCap]]'s n^0.2 rule (the quadratic-work break); ONE
+    * definition shared by [[knnGraph]] (the rebuild foil) and
+    * [[ensureKnnGraphIndex]] so the persisted graph and the foil can
+    * never drift. */
+  private[graft] def knngNprobe(n: Long): Int =
+    math.min(knngNprobeCap(n),
       math.max(4, math.ceil(n / (8.0 * centroidMod(n))).toInt))
 
   /** IVF coarse-quantizer sizing: |centroids| ~ sqrt(n) via a modulo
@@ -1830,7 +1856,7 @@ object Similarity {
     (scala.util.hashing.MurmurHash3.stringHash(s"$d#k=$k").toLong
       & 0xffffffffL).toHexString
 
-  private def knngTableNames(d: String, k: Int): (String, String) = {
+  private[graft] def knngTableNames(d: String, k: Int): (String, String) = {
     val tag = knngTag(d, k)
     (s"graft_knng_edges_$tag", s"graft_knng_rings_$tag")
   }
@@ -2851,11 +2877,11 @@ object Similarity {
     * 4-column table. */
   private def knnGraphCtes: String =
     "WITH n AS (SELECT count(*) AS cnt FROM embeddings), " +
-      // np mirrors knngNprobe EXACTLY, including the KnngNprobeCap
-      // quadratic-work cap (inert at every oracled n — nlist/8 < cap
-      // below ~260k vectors — but the two engines must share ONE rule)
+      // np mirrors knngNprobe EXACTLY, including the knngNprobeCap
+      // quadratic-work cap (inert at every oracled n — nlist/8 binds
+      // below ~620k vectors — but the two engines must share ONE rule)
       "m AS (SELECT md, least(greatest(4, CAST(ceil(cnt / (8.0 * md)) " +
-      s"AS BIGINT)), ${math.max(4, KnngNprobeCap)}) AS np " +
+      s"AS BIGINT)), $npCapSql) AS np " +
       "FROM (SELECT cnt, greatest(53, " +
       "cnt // CAST(ceil(sqrt(cnt)) AS BIGINT)) AS md FROM n)), " +
       "c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ke, " +
