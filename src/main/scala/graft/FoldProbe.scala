@@ -88,17 +88,19 @@ object FoldProbe {
     val batchSrc: DataFrame =
       if (mode == "corpus") emb.limit(batchVecs)
       else {
-        // ONE similarity neighborhood: the top-batchVecs cosine mates
-        // of vector 0 (replica corpora hold ~k exact copies per
-        // direction, so this is a few directions' worth of
-        // near-identical vectors — the correlated-ingest shape)
-        val p0 = emb.filter(col("vec_id") === 0L)
-          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-            operators.Similarity.norm(col("embedding")).as("qn"))
-        operators.Similarity.bruteForceKnn(p0, emb, batchVecs)
-          .select(col("nid").as("vec_id"))
-          .join(emb, "vec_id")
-          .select("vec_id", "embedding")
+        // ONE direction: batchVecs exact copies of vector 0 (fresh
+        // ids) — every member's probe ring is the SAME np cells, so
+        // the fold's mates scan and blocks must prune to ~np/nlist
+        // of the corpus (the concentrated-ingest shape: one crawl
+        // shard of near-dups). The first cut used the top-batchVecs
+        // cosine NEIGHBORHOOD of v0 instead, and on a random-
+        // direction corpus that is ~15 directions whose np-rings
+        // union to ALL cells — ring_cells == occupied_cells, no
+        // pruning to measure.
+        val v0 = emb.filter(col("vec_id") === 0L)
+          .select(col("embedding")).head.getSeq[Float](0).toArray
+        spark.range(batchVecs).select(col("id").as("vec_id"),
+          typedLit(v0).as("embedding"))
       }
     val batch: DataFrame = batchSrc
       .select((col("vec_id") + lit((maxVec + 1) * stripe)).as("vec_id"),

@@ -1186,7 +1186,26 @@ object TextAnalysis {
       w += 1
     }
     val pairCnt = mutable.HashMap.empty[(String, String), Long]
-    val pairWords = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    // pair -> member word ids as a growable PRIMITIVE array, never a
+    // BitSet: mutable.BitSet allocates max-index/64 words whatever the
+    // membership, so at a 2M-word vocabulary every live pair held
+    // ~250 KB and the ~32k pairs alive mid-training OOM'd the 16g
+    // driver (r19 BpeTrainGate at the DriverBpeMaxVocab cap). Entries
+    // may repeat (a pair occurring twice in one word, or re-added
+    // after a merge); mergeWord's has-check makes duplicates a cheap
+    // skip, so memory tracks ACTUAL occurrences (~Σ word lengths).
+    final class IntVec {
+      private[this] var a = new Array[Int](8)
+      private[this] var n = 0
+      def add(x: Int): Unit = {
+        if (n == a.length) a = java.util.Arrays.copyOf(a, n * 2)
+        a(n) = x; n += 1
+      }
+      def foreach(f: Int => Unit): Unit = {
+        var i = 0; while (i < n) { f(a(i)); i += 1 }
+      }
+    }
+    val pairWords = mutable.HashMap.empty[(String, String), IntVec]
     val touched = mutable.HashSet.empty[(String, String)]
     def addWordPairs(w: Int, sign: Long): Unit = {
       val s = syms(w); val c = cnt(w) * sign
@@ -1196,7 +1215,7 @@ object TextAnalysis {
         val nv = pairCnt.getOrElse(p, 0L) + c
         if (nv == 0L) pairCnt.remove(p) else pairCnt(p) = nv
         if (sign > 0)
-          pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += w
+          pairWords.getOrElseUpdate(p, new IntVec).add(w)
         touched += p
         j += 1
       }

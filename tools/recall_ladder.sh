@@ -54,11 +54,18 @@ cd "$(dirname "$0")/.."
 # fields GraphRecall now reports (rule-31a cost model).
 # r18: raised 600k -> 1.1M — the cell-block kernel (rule 35) cut the
 # 512k build 1935 -> 175 s, making the 1,024k rung routine: measured
-# tau-recall 0.773, build 539 s / 1 chunk. Rung sequence now
+# tau-recall 0.773, build 539 s / 1 chunk. Rung sequence then
 # 0.668 / 0.709 / 0.773 at 256k / 512k / 1M — floor ratcheted 0.60 ->
 # 0.64, just under the weakest eligible rung (the r12-judge
 # discipline: half the quality can no longer evaporate silently).
-GRAPH_MAX_N="${RECALL_LADDER_GRAPH_MAX_N:-1100000}"
+# r19: raised 1.1M -> 2.1M — the measured n^0.2 probe-ring cap
+# (knngNprobeCap; CLAUDE.md rule 40) broke the build's n² work
+# coupling: np = 110/126 at 1M/2M (nlist/8 binds below ~620k, so
+# 256k/512k rungs are unchanged), builds 425/1324 s vs the 539/2017
+# quadratic trendline, tau-recall 0.729/0.681 — rung sequence
+# 0.668 / 0.709 / 0.729 / 0.681, floor 0.64 still just under the
+# weakest (0.668 at 256k).
+GRAPH_MAX_N="${RECALL_LADDER_GRAPH_MAX_N:-2100000}"
 GRAPH_FLOOR="${RECALL_LADDER_GRAPH_FLOOR:-0.64}"
 # Rung size derives from the SOURCE's actual row count, never a
 # hardcoded per-dir constant: RECALL_LADDER_SRC is overridable, and a
