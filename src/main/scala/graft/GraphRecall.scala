@@ -28,8 +28,11 @@ import org.apache.spark.sql.functions._
   *    here.
   *
   * Usage: runMain graft.GraphRecall <corpusDir> [floor] [sampleEvery]
+  *        [refineRounds]
   * Prints one JSON line; exits 1 when tau_recall sits below the floor
-  * (report-only without a floor).
+  * (report-only without a floor; the floor applies to the RING graph
+  * — refineRounds > 0 additionally measures graphRefine's recall and
+  * wall, reported as refine_* fields).
   */
 object GraphRecall {
 
@@ -44,7 +47,9 @@ object GraphRecall {
     * probes, ensurePlusProbeWall). */
   private[graft] def measure(spark: SparkSession, dir: String, k: Int,
                              corpus: org.apache.spark.sql.DataFrame,
-                             every: Long, tau: Double = 0.35)
+                             every: Long, tau: Double = 0.35,
+                             edges: Option[org.apache.spark.sql.DataFrame] =
+                               None)
       : (Double, Double, Int, Int, Double) = {
     val pick = operators.Similarity.hashPick(col("vec_id"), "#gr42", every)
     val probes = corpus.filter(pick)
@@ -57,7 +62,8 @@ object GraphRecall {
       .bruteForceKnn(probes, corpus, k).select("qid", "nid", "score")
       .collect())
     val ensureT0 = System.nanoTime()
-    val graph = grouped(operators.Similarity.graphEdges(spark, dir, k)
+    val graph = grouped(edges
+      .getOrElse(operators.Similarity.graphEdges(spark, dir, k))
       .filter(operators.Similarity.hashPick(col("qid"), "#gr42", every))
       .select("qid", "nid", "score")
       .collect())
@@ -87,6 +93,7 @@ object GraphRecall {
     val dir = args(0)
     val floor = if (args.length > 1) Some(args(1).toDouble) else None
     val sampleArg = if (args.length > 2) args(2).toLong else 0L
+    val refineRounds = if (args.length > 3) args(3).toInt else 0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -122,7 +129,21 @@ object GraphRecall {
     // re-attached or reused the persisted artifact — the cross-JVM
     // economics the r17 re-attach exists for)
     val (bChunks, bRows, bWall) = operators.Similarity.LastGraphBuild
-    println(s"""{"metric":"graph_recall","n":$n,"k":$k,""" +
+    // optional NN-descent leg: refined tau-recall + the refinement's
+    // own wall (the ensure is already warm, so the wall is the
+    // refinement rounds, not a build)
+    val refined = if (refineRounds <= 0) "" else {
+      val rt0 = System.nanoTime()
+      val rEdges = operators.Similarity
+        .graphRefine(spark, dir, k, refineRounds)
+      val (_, rTau, _, _, _) =
+        measure(spark, dir, k, emb, every, tau, Some(rEdges))
+      val rWall = (System.nanoTime() - rt0) / 1e9
+      s""""refine_rounds":$refineRounds,""" +
+        s""""refine_tau_recall":${math.rint(rTau * 1000) / 1000},""" +
+        s""""refine_wall_s":${math.rint(rWall * 10) / 10},"""
+    }
+    println(s"""{"metric":"graph_recall","n":$n,"k":$k,""" + refined +
       s""""probes":$probes,""" +
       s""""recall":${math.rint(mean * 1000) / 1000},""" +
       s""""tau":$tau,"tau_pairs":$tauPairs,""" +

@@ -1052,6 +1052,47 @@ class SimilaritySpec extends SparkSuite {
     finally Similarity.GraphFoldBroadcastBudget = oldBb
   }
 
+  test("graphRefine: one NN-descent round dominates the ring graph " +
+      "per node and never lowers brute recall") {
+    val sp = spark; import sp.implicits._
+    def vec(seed: Long): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(64)(r.nextFloat() * 2 - 1)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_refine")
+    val dir = new java.io.File(tmp.toFile, "d").toString
+    (0L until 300L).map(i => (i, vec(i)))
+      .toDF("vec_id", "embedding").coalesce(1).write
+      .parquet(s"$dir/embeddings.parquet")
+    def hitsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("qid", "nid").collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val emb = Tables.embeddings(spark, dir)
+    val probes = emb.select(col("vec_id").as("qid"),
+      col("embedding").as("qe"), Similarity.norm(col("embedding")).as("qn"))
+    val brute = hitsOf(Similarity.bruteForceKnn(probes, emb, 3)
+      .select(col("qid"), col("nid")))
+    val ring = hitsOf(Similarity.graphEdges(spark, dir, 3))
+    val refined = hitsOf(Similarity.graphRefine(spark, dir, 3, 1))
+    // per-NODE monotonicity: a refined edge can only displace a
+    // lower-ranked one in the shared (score desc, nid asc) total
+    // order, so brute hits never decrease for ANY node
+    brute.foreach { case (q, bf) =>
+      val r0 = (bf & ring.getOrElse(q, Set.empty)).size
+      val r1 = (bf & refined.getOrElse(q, Set.empty)).size
+      assert(r1 >= r0, s"refinement lost brute hits at node $q: $r0 -> $r1")
+    }
+    val ringHits = brute.map { case (q, bf) =>
+      (bf & ring.getOrElse(q, Set.empty)).size }.sum
+    val refHits = brute.map { case (q, bf) =>
+      (bf & refined.getOrElse(q, Set.empty)).size }.sum
+    assert(refHits >= ringHits, s"global recall fell: $ringHits -> $refHits")
+    // rounds=0 is exactly the persisted graph
+    assert(hitsOf(Similarity.graphRefine(spark, dir, 3, 0)) == ring,
+      "rounds=0 must be the identity")
+  }
+
   test("cell-block guard: a hot cell past 16x healthy occupancy fails " +
       "the kernel build loud, naming the repair") {
     // 1400 IDENTICAL vectors: every hash-picked centroid is the same

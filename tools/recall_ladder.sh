@@ -86,7 +86,11 @@ for K in $RUNGS; do
   N_VECS="$(( K * SRC_VECS ))"
   if [ "$GRAPH_MAX_N" != "0" ] && [ "$N_VECS" -le "$GRAPH_MAX_N" ] \
      && [ "$N_VECS" -ge 256000 ]; then
-    sbt -batch "runMain graft.GraphRecall $WORK $GRAPH_FLOOR"
+    # refineRounds=1: each rung also records graphRefine's recall +
+    # wall (r19: 0.849/0.862/0.853 at 512k/1M/2M for ~10% of the
+    # build wall — the measured escalation; the FLOOR still gates the
+    # ring graph, the artifact consumers probe standalone)
+    sbt -batch "runMain graft.GraphRecall $WORK $GRAPH_FLOOR 0 1"
   fi
 done
 echo "RECALL LADDER GREEN: rungs [$RUNGS] x $SRC, floors [$FLOORS], graph <= ${GRAPH_MAX_N}v floor $GRAPH_FLOOR"
