@@ -76,17 +76,27 @@ object BpeTrainGate {
         .map(r => (r.getLong(0), r.getString(1), r.getString(2),
           r.getLong(3))).toSeq
 
-    // 1-2: deep driver training + the Spark-foil prefix
+    // 1-2: deep driver training + the Spark-foil prefix.
+    // Heap accounting (r19 advice): the trainer's word table and
+    // pair-count maps are METHOD LOCALS — a post-train System.gc()
+    // frees exactly the structures the DriverBpeMaxVocab cap claims
+    // to bound, so the old post-GC reading recorded retained heap,
+    // not the training footprint. Reset the HEAP pools' peak-usage
+    // watermarks before training and read the summed peaks after:
+    // that is the JVM's own record of the maximum footprint while
+    // the trainer's structures were live (pool peaks are not
+    // simultaneous, so the sum is a tight upper estimate).
+    import scala.jdk.CollectionConverters._
+    val heapPools = java.lang.management.ManagementFactory
+      .getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+    System.gc() // settle pre-train garbage out of the peak baseline
+    heapPools.foreach(_.resetPeakUsage())
     val t0 = System.nanoTime()
     val deep = trainedRules(docs, k)
     val trainWall = (System.nanoTime() - t0) / 1e9
-    // driver-heap footprint right after the deep train (the r18
-    // verdict's DriverBpeMaxVocab validation ask): GC first so the
-    // reading is retained state, not garbage — the trainer's word
-    // table + pair counts are the bound the 2M-row cap claims to fit
-    System.gc()
-    val heapMb = math.rint((Runtime.getRuntime.totalMemory -
-      Runtime.getRuntime.freeMemory) / 1e6)
+    val heapMb = math.rint(
+      heapPools.map(_.getPeakUsage.getUsed).sum / 1e6)
     val depthOk = deep.size == k && deep.map(_._1) == (1L to k.toLong)
     val oldGate = operators.TextAnalysis.DriverBpeMaxVocab
     operators.TextAnalysis.DriverBpeMaxVocab = 0L // force the foil
@@ -130,7 +140,7 @@ object BpeTrainGate {
     val pass = depthOk && prefixOk && replayOk
     println(s"""{"metric":"bpe_train_32k","vocab":$vocabN,"k":$k,""" +
       s""""rules_trained":${deep.size},"train_wall_s":$trainWall,""" +
-      s""""driver_heap_mb":$heapMb,""" +
+      s""""driver_peak_heap_mb":$heapMb,""" +
       s""""foil_k":$foilK,"foil_wall_s":$foilWall,""" +
       s""""foil_extrapolated_at_k_s":$foilAtK,""" +
       s""""depth_ok":$depthOk,"prefix_ok":$prefixOk,""" +

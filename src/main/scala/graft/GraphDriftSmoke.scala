@@ -79,16 +79,25 @@ object GraphDriftSmoke {
       n / math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong))
     // mean occupancy = n/nlist = centroidMod(n) itself
     val cloudRows = math.min(n / 8, 24L * mod)
-    def cloud(i: Int) = emb
-      .filter(operators.Similarity.hashPick(
-        col("vec_id"), s"#gds$i", math.max(2L, n / cloudRows)))
-      .limit(cloudRows.toInt)
-      .select((col("vec_id") + lit((maxVec + 1) * (7001L + i)))
-          .as("vec_id"),
-        transform(col("embedding"), (x, j) =>
-          (x * lit(0.2f) +
-            when(j === i + 1, lit(1.0f)).otherwise(lit(0.0f)))
-            .cast("float")).as("embedding"))
+    // each cloud is MATERIALIZED once and the same frame reused for
+    // the append, the row count, and the merged brute-truth corpus:
+    // the unordered .limit() is not guaranteed stable across
+    // re-evaluations, so a twice-evaluated cloud could put vectors in
+    // the truth set that were never appended to the index (deflating
+    // tau-recall) or vice versa (r19 advice)
+    val cloud = (0 until clouds).map { i =>
+      emb
+        .filter(operators.Similarity.hashPick(
+          col("vec_id"), s"#gds$i", math.max(2L, n / cloudRows)))
+        .limit(cloudRows.toInt)
+        .select((col("vec_id") + lit((maxVec + 1) * (7001L + i)))
+            .as("vec_id"),
+          transform(col("embedding"), (x, j) =>
+            (x * lit(0.2f) +
+              when(j === i + 1, lit(1.0f)).otherwise(lit(0.0f)))
+              .cast("float")).as("embedding"))
+        .localCheckpoint()
+    }
     val t2 = System.nanoTime()
     val driftRows = (0 until clouds).map { i =>
       val b = cloud(i)
@@ -121,7 +130,7 @@ object GraphDriftSmoke {
     val rebuilt = rbRows >= n + driftRows
 
     val merged = emb.select("vec_id", "embedding").unionByName(
-      (0 until clouds).map(cloud).reduce(_ unionByName _))
+      cloud.reduce(_ unionByName _))
     val every = math.max(1L, (n + driftRows) / 200)
     val (mean, tauRecall, tauPairs, probes, _) =
       GraphRecall.measure(spark, work, k, merged, every)

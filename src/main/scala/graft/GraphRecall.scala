@@ -136,9 +136,14 @@ object GraphRecall {
       val rt0 = System.nanoTime()
       val rEdges = operators.Similarity
         .graphRefine(spark, dir, k, refineRounds)
+      // wall captured HERE: graphRefine's rounds are materialized by
+      // the per-round localCheckpoint, so the cost is complete when
+      // it returns — timing the measure() call too would inflate the
+      // reported refinement cost with a corpus-wide brute-force
+      // re-scan of measurement overhead (r19 advice)
+      val rWall = (System.nanoTime() - rt0) / 1e9
       val (_, rTau, _, _, _) =
         measure(spark, dir, k, emb, every, tau, Some(rEdges))
-      val rWall = (System.nanoTime() - rt0) / 1e9
       s""""refine_rounds":$refineRounds,""" +
         s""""refine_tau_recall":${math.rint(rTau * 1000) / 1000},""" +
         s""""refine_wall_s":${math.rint(rWall * 10) / 10},"""

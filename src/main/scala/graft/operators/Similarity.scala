@@ -189,9 +189,17 @@ object Similarity {
 
   /** Flat A/B override for the probe-ring cap (env
     * GRAFT_KNNG_NPROBE_CAP); production uses [[knngNprobeCap]]'s
-    * measured power rule. */
+    * measured power rule. Clamped to >= 4 HERE — the one shared
+    * clamp — so [[npCapSql]]'s oracle twin (which mirrors max(4, c))
+    * can never diverge from the Spark-side value under a low env cap
+    * (r19 advice), and malformed input fails with the variable
+    * named instead of a bare NumberFormatException. */
   private[graft] val KnngNprobeCapEnv: Option[Int] =
-    sys.env.get("GRAFT_KNNG_NPROBE_CAP").map(_.toInt)
+    sys.env.get("GRAFT_KNNG_NPROBE_CAP").map { v =>
+      require(v.matches("\\d{1,9}"),
+        s"GRAFT_KNNG_NPROBE_CAP must be a positive integer, got: '$v'")
+      math.max(4, v.toInt)
+    }
 
   /** CAP on the graph family's probe-ring width — the r18 verdict's
     * one remaining super-linear-work term: uncapped, np tracks
@@ -228,9 +236,10 @@ object Similarity {
 
   /** The probe-ring cap as a DuckDB SQL expression over `cnt` —
     * [[knngNprobeCap]]'s oracle twin (flat env override mirrored so
-    * A/B runs stay differentially oracled). */
+    * A/B runs stay differentially oracled; already >= 4 — the shared
+    * clamp lives in [[KnngNprobeCapEnv]]). */
   private def npCapSql: String =
-    KnngNprobeCapEnv.map(c => math.max(4, c).toString).getOrElse(
+    KnngNprobeCapEnv.map(_.toString).getOrElse(
       "greatest(4, CAST(ceil(95.0 * pow(cnt / 512000.0, 0.2)) AS BIGINT))")
 
   /** The graph family's probe-ring width — the IVF probe rule
@@ -1726,12 +1735,45 @@ object Similarity {
     * (q_graph_refine). */
   def graphRefine(s: SparkSession, d: String, k: Int,
                   rounds: Int = 1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(rounds >= 0, s"rounds must be >= 0: $rounds")
-    if (rounds == 0) return graphEdges(s, d, k)
-    val v = scorable(Tables.embeddings(s, d))
-    var cur = graphEdges(s, d, k).select(col("qid"), col("nid"))
-      .localCheckpoint()
+    val edges = graphEdges(s, d, k) // ensures BOTH persisted indexes
+    if (rounds == 0) return edges
+    // Score vectors come from the IVF ASSIGNMENT table, never the
+    // dir's parquet: the persisted graph may hold folded/streamed
+    // fresh-id nodes whose vectors live only in the index tables —
+    // an embeddings-only inner join would silently DROP every
+    // appended node (and every edge pointing at one) from the
+    // refined output, violating per-node monotonicity on any grown
+    // graph (r19 advice, medium). For a fresh dir the assignment
+    // rows ARE the embeddings rows (same vectors, same norms), so
+    // the DuckDB oracle's embeddings-derived twin is unchanged.
+    val (at, _) = ivfTableNames(d)
+    val v = s.table(at).select(col("vec_id"), col("ce"), col("cn"))
+    refineEdgeRounds(edges.select(col("qid"), col("nid"))
+      .localCheckpoint(), v, k, rounds)
+  }
+
+  /** The refinement loop body shared by [[graphRefine]] (query-time)
+    * and the build/maintenance re-refine passes: `rounds` NN-descent
+    * rounds over `cur` (qid, nid), scoring against `vecs`
+    * (vec_id, ce, cn). Callers pass a materialized `cur`; each
+    * round's output is localCheckpoint'd so plan depth stays O(1).
+    *
+    * Candidate volume bound (stated here because it is the pass's
+    * one scale knob): each round generates n·(k² + 2k) candidate
+    * rows — LINEAR in n but QUADRATIC in k. At k = 32 that is
+    * ~1088·n rows per round; past k = 64 (~4224·n) the "narrow rows"
+    * framing stops being honest at 100 TB scale, so the guard
+    * refuses rather than letting a caller discover it in production. */
+  private[graft] def refineEdgeRounds(cur0: DataFrame, vecs: DataFrame,
+                                      k: Int, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && k <= 64,
+      s"refine candidate volume is n·(k²+2k) rows per round — " +
+        s"k=$k past 64 (~${k.toLong * k + 2 * k}·n rows) is no longer " +
+        "a narrow-row pass; shrink k or batch the refinement")
+    val v = vecs
+    var cur = cur0
     val w = Window.partitionBy("qid").orderBy(desc("score"), asc("nid"))
     var out: DataFrame = null
     (0 until rounds).foreach { _ =>
