@@ -45,22 +45,36 @@ object GraphRecall {
     * an appended near-dup above a corpus neighbor). Returns
     * (meanRecall, tauRecall (-1 when no tau pairs), tauPairs,
     * probes, ensurePlusProbeWall). */
-  private[graft] def measure(spark: SparkSession, dir: String, k: Int,
-                             corpus: org.apache.spark.sql.DataFrame,
-                             every: Long, tau: Double = 0.35,
-                             edges: Option[org.apache.spark.sql.DataFrame] =
-                               None)
-      : (Double, Double, Int, Int, Double) = {
+  private[graft] type Truth = Map[Long, Map[Long, Double]]
+
+  /** The brute-truth half of [[measure]], exposed so a caller that
+    * scores SEVERAL edge frames against the same corpus (the
+    * per-round refine curve) pays the probe-sample × corpus scan
+    * once instead of per frame. */
+  private[graft] def bruteTruth(spark: SparkSession,
+                                corpus: org.apache.spark.sql.DataFrame,
+                                k: Int, every: Long): Truth = {
     val pick = operators.Similarity.hashPick(col("vec_id"), "#gr42", every)
     val probes = corpus.filter(pick)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         operators.Similarity.norm(col("embedding")).as("qn"))
-    def grouped(rows: Array[org.apache.spark.sql.Row]) =
-      rows.groupBy(_.getLong(0)).view.mapValues(
-        _.map(r => r.getLong(1) -> r.getDouble(2)).toMap).toMap
-    val brute = grouped(operators.Similarity
+    grouped(operators.Similarity
       .bruteForceKnn(probes, corpus, k).select("qid", "nid", "score")
       .collect())
+  }
+
+  private def grouped(rows: Array[org.apache.spark.sql.Row]): Truth =
+    rows.groupBy(_.getLong(0)).view.mapValues(
+      _.map(r => r.getLong(1) -> r.getDouble(2)).toMap).toMap
+
+  private[graft] def measure(spark: SparkSession, dir: String, k: Int,
+                             corpus: org.apache.spark.sql.DataFrame,
+                             every: Long, tau: Double = 0.35,
+                             edges: Option[org.apache.spark.sql.DataFrame] =
+                               None,
+                             truth: Option[Truth] = None)
+      : (Double, Double, Int, Int, Double) = {
+    val brute = truth.getOrElse(bruteTruth(spark, corpus, k, every))
     val ensureT0 = System.nanoTime()
     val graph = grouped(edges
       .getOrElse(operators.Similarity.graphEdges(spark, dir, k))
@@ -132,21 +146,31 @@ object GraphRecall {
     // optional NN-descent leg: refined tau-recall + the refinement's
     // own wall (the ensure is already warm, so the wall is the
     // refinement rounds, not a build)
+    // optional NN-descent leg: recall measured after EACH round (one
+    // graphRefineStep per round off the previous round's frame — the
+    // rounds-vs-recall curve the contract's knngRefineRounds rule is
+    // fitted from), against ONE cached brute-truth set. Walls are
+    // captured per step, before any measurement pass (r19 advice:
+    // graphRefine's rounds are materialized by the per-round
+    // localCheckpoint, so the cost is complete when the step returns).
     val refined = if (refineRounds <= 0) "" else {
-      val rt0 = System.nanoTime()
-      val rEdges = operators.Similarity
-        .graphRefine(spark, dir, k, refineRounds)
-      // wall captured HERE: graphRefine's rounds are materialized by
-      // the per-round localCheckpoint, so the cost is complete when
-      // it returns — timing the measure() call too would inflate the
-      // reported refinement cost with a corpus-wide brute-force
-      // re-scan of measurement overhead (r19 advice)
-      val rWall = (System.nanoTime() - rt0) / 1e9
-      val (_, rTau, _, _, _) =
-        measure(spark, dir, k, emb, every, tau, Some(rEdges))
+      val truth = bruteTruth(spark, emb, k, every)
+      var cur = operators.Similarity.graphEdges(spark, dir, k)
+      val legs = (1 to refineRounds).map { r =>
+        val rt0 = System.nanoTime()
+        cur = operators.Similarity.graphRefineStep(spark, dir, k, cur)
+        val rWall = (System.nanoTime() - rt0) / 1e9
+        val (_, rTau, _, _, _) =
+          measure(spark, dir, k, emb, every, tau, Some(cur), Some(truth))
+        (rTau, rWall)
+      }
       s""""refine_rounds":$refineRounds,""" +
-        s""""refine_tau_recall":${math.rint(rTau * 1000) / 1000},""" +
-        s""""refine_wall_s":${math.rint(rWall * 10) / 10},"""
+        s""""refine_tau_recalls":[${legs.map(l =>
+          math.rint(l._1 * 1000) / 1000).mkString(",")}],""" +
+        s""""refine_tau_recall":${math.rint(legs.last._1 * 1000) / 1000},""" +
+        s""""refine_wall_each_s":[${legs.map(l =>
+          math.rint(l._2 * 10) / 10).mkString(",")}],""" +
+        s""""refine_wall_s":${math.rint(legs.map(_._2).sum * 10) / 10},"""
     }
     println(s"""{"metric":"graph_recall","n":$n,"k":$k,""" + refined +
       s""""probes":$probes,""" +

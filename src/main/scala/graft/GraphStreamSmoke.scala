@@ -22,11 +22,24 @@ import org.apache.spark.sql.functions._
   * arrivals, so a correctly ranked streamed near-dup is a hit, not a
   * penalty).
   *
+  * Drift leg (r20, the in-stream repair ask): `driftAt >= 0` makes
+  * batch `driftAt` a CONCENTRATED drift cloud (the GraphDriftSmoke
+  * shape — 0.2-shrunk unit-axis-offset corpus vectors, sized to
+  * cell scale: min(n/8, 24x mean occupancy), past the 16x-median
+  * hot-cell trigger) instead of a corpus slice. The next maintain
+  * cadence's [[graft.operators.Similarity.maintainIvfIndex]] must
+  * flag + refresh UNPROMPTED, which changes the quantizer
+  * fingerprint, and the graph maintain's ensure then REBUILDS the
+  * graph inside that same micro-batch — its wall shows up in
+  * fold_walls_s, and the smoke asserts the rebuild really ran
+  * in-stream (LastGraphBuild covers the merged corpus) and the
+  * policy settled.
+  *
   * Usage: runMain graft.GraphStreamSmoke <replicaDir> [k] [batches]
-  *        [batchVecs] [cadence] [floor]
+  *        [batchVecs] [cadence] [floor] [driftAt]
   * `cadence` drives BOTH compactEvery and maintainEvery (0 = off).
   * Prints one JSON line; exits 1 when tau-recall sits below `floor`
-  * (report-only at floor <= 0).
+  * (report-only at floor <= 0) or a requested drift leg fails.
   */
 object GraphStreamSmoke {
   def main(args: Array[String]): Unit = {
@@ -38,6 +51,7 @@ object GraphStreamSmoke {
     val batchVecs = if (args.length > 3) args(3).toInt else 2000
     val cadence = if (args.length > 4) args(4).toInt else 4
     val floor = if (args.length > 5) args(5).toDouble else -1.0
+    val driftAt = if (args.length > 6) args(6).toInt else -1
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -83,8 +97,29 @@ object GraphStreamSmoke {
         .select((col("vec_id") + lit((maxVec + 1) * (9001L + i)))
           .as("vec_id"), col("embedding"))
         .as[streaming.CorpusStreams.Vec].collect().toSeq
+    // the drift batch: one concentrated cloud at cell scale (rule 38
+    // sizing; the GraphDriftSmoke shape). Collected ONCE into the
+    // precomputed batch list — the unordered limit is not stable
+    // across re-evaluations (the r19 DriftSmoke advice)
+    val mod = math.max(53L,
+      n / math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong))
+    def driftRowsOf(i: Int): Seq[streaming.CorpusStreams.Vec] = {
+      val cloudRows = math.min(n / 8, 24L * mod)
+      emb.filter(operators.Similarity.hashPick(
+          col("vec_id"), s"#gss$i", math.max(2L, n / cloudRows)))
+        .limit(cloudRows.toInt)
+        .select((col("vec_id") + lit((maxVec + 1) * (8501L + i)))
+            .as("vec_id"),
+          transform(col("embedding"), (x, j) =>
+            (x * lit(0.2f) +
+              when(j === 1, lit(1.0f)).otherwise(lit(0.0f)))
+              .cast("float")).as("embedding"))
+        .as[streaming.CorpusStreams.Vec].collect().toSeq
+    }
     require(n >= nBatches.toLong * batchVecs,
       s"corpus too small for $nBatches x $batchVecs stream batches")
+    val allBatches = (0 until nBatches).map(i =>
+      if (i == driftAt) driftRowsOf(i) else batchRows(i))
 
     val sunk = scala.collection.mutable.Map.empty[Long, Long]
     val input = MemoryStream[streaming.CorpusStreams.Vec]
@@ -96,7 +131,7 @@ object GraphStreamSmoke {
     val walls = try {
       (0 until nBatches).map { i =>
         val bt = System.nanoTime()
-        input.addData(batchRows(i))
+        input.addData(allBatches(i))
         q.processAllAvailable()
         (System.nanoTime() - bt) / 1e9
       }
@@ -106,12 +141,27 @@ object GraphStreamSmoke {
     require((0 until nBatches).forall(i => sunk.get(i.toLong).exists(_ > 0)),
       s"a stream batch emitted no adjacency: $sunk")
 
+    // drift leg: the in-stream repair must have LEFT NOTHING for an
+    // outside observer — the policy settled (no refresh pending) and
+    // the graph rebuild over the refreshed quantizer happened inside
+    // the stream (LastGraphBuild — JVM-global, written by the
+    // in-stream rebuild — covers the full merged corpus)
+    val streamedRows = allBatches.map(_.size.toLong).sum
+    val (rbChunks, rbRows, rbWall) = operators.Similarity.LastGraphBuild
+    val driftSettled = driftAt < 0 ||
+      operators.Similarity.maintainIvfIndex(spark, work, dryRun = true)
+        .action == "none"
+    // the rebuild fires at the first maintain cadence AFTER the
+    // drift batch, so it covers the base corpus + everything
+    // streamed up to that point — strictly more than the base
+    val driftRebuilt = driftAt < 0 || rbRows > n
+
     // merged truth: corpus + everything streamed (re-read through the
     // root session; the folds ran in cloned micro-batch sessions)
-    val streamed = (0 until nBatches).flatMap(batchRows)
+    val streamed = allBatches.flatten
       .toDF("vec_id", "embedding")
     val merged = emb.select("vec_id", "embedding").unionByName(streamed)
-    val every = math.max(1L, (n + nBatches.toLong * batchVecs) / 200)
+    val every = math.max(1L, (n + streamedRows) / 200)
     val (mean, tauRecall, tauPairs, probes, _) =
       GraphRecall.measure(spark, work, k, merged, every)
 
@@ -130,16 +180,27 @@ object GraphStreamSmoke {
       s""""recall":${math.rint(mean * 1000) / 1000},""" +
       s""""tau_pairs":$tauPairs,"probes":$probes,""" +
       s""""tau_recall":${math.rint(tauRecall * 1000) / 1000},""" +
+      s""""drift_at":$driftAt,"drift_settled":$driftSettled,""" +
+      s""""drift_rebuilt_in_stream":$driftRebuilt,""" +
+      s""""rebuild_rows":$rbRows,"rebuild_chunks":$rbChunks,""" +
+      s""""rebuild_inner_s":${r2(rbWall)},""" +
       s""""floor":$floor}""")
+    var bad = List.empty[String]
+    if (!driftSettled)
+      bad ::= "drift leg: IVF policy did not settle in-stream"
+    if (!driftRebuilt)
+      bad ::= "drift leg: no in-stream graph rebuild over the " +
+        s"refreshed quantizer (LastGraphBuild rows $rbRows <= base $n)"
     if (floor > 0) {
       require(tauPairs > 0, "no brute edges at tau — broken replica?")
-      if (tauRecall < floor) {
-        System.err.println(
-          s"STREAMED GRAPH TAU-RECALL $tauRecall below floor $floor")
-        sys.exit(1)
-      }
+      if (tauRecall < floor)
+        bad ::= s"STREAMED GRAPH TAU-RECALL $tauRecall below floor $floor"
     }
     spark.stop()
+    if (bad.nonEmpty) {
+      bad.foreach(m => Console.err.println(s"GRAPH STREAM SMOKE: $m"))
+      sys.exit(1)
+    }
   }
 
   private def median(xs: Seq[Double]): Double =

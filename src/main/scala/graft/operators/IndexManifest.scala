@@ -40,6 +40,34 @@ private[graft] object IndexManifest {
   val BucketsRe = """"buckets":(\d+)""".r
   val CompactedRe = """"dfCompacted":(\d+)""".r
   val FitRe = """"fitq":(-?\d+)""".r
+  val RefinedRe = """"rfThrough":(\d+)""".r
+
+  /** How many of the applied batches the stored edge content has been
+    * RE-REFINED over (the kNN graph's r20 contract: folds keep exact
+    * top-k algebra but skip the NN-descent pass, so refinement
+    * quality goes stale batch by batch — applied − rfThrough is the
+    * staleness the maintenance refine condition measures). 0 when
+    * absent. Stored BEFORE the "batches" field (the fitq rule) so
+    * appends preserve it verbatim. */
+  def refinedThroughOf(storedTxt: String): Int =
+    RefinedRe.findFirstMatchIn(storedTxt).map(_.group(1).toInt)
+      .getOrElse(0)
+
+  /** Insert or replace the refined-through count, leaving every other
+    * field byte-identical. */
+  def setRefinedThrough(s: SparkSession, p: org.apache.hadoop.fs.Path,
+                        storedTxt: String, n: Int): Unit = {
+    val txt =
+      if (RefinedRe.findFirstIn(storedTxt).isDefined)
+        RefinedRe.replaceFirstIn(storedTxt, s""""rfThrough":$n""")
+      else {
+        val at = storedTxt.indexOf("\"batches\":")
+        require(at >= 0, s"manifest has no batches field: $storedTxt")
+        storedTxt.substring(0, at) + s""""rfThrough":$n,""" +
+          storedTxt.substring(at)
+      }
+    writeText(s, p, txt)
+  }
 
   /** Assignment-fit baseline (micro-units: cosine x 1e6) recorded at
     * build/refresh time — the fit canary's reference quantile

@@ -50,6 +50,17 @@ final case class MaintenanceReport(index: String, action: String,
 object Maintenance {
   val DefaultCompactAfter = 8
   val DefaultHotCellRatio = 16.0
+  /** Re-refine the kNN graph after this many applied-but-unrefined
+    * batches ([[Similarity.refineKnnGraphIndex]]): folds keep exact
+    * top-k algebra but skip the NN-descent pass, so refinement
+    * quality decays batch by batch. Measured at the 512k rung (r20,
+    * GraphFoldDecayProbe — 8 x 2k-vector folds without re-refine):
+    * merged-corpus tau-recall erodes gradually, and one re-refine
+    * pass restores the fresh-build level at ~the cost of the ring
+    * build's refine post-pass (linear). 8 batches sits where the
+    * measured decay reaches ~the ladder floor's margin while the
+    * amortized re-refine cost stays < 15% of fold cost. */
+  val DefaultRefineAfter = 8
   /** Fit-GAP canary trigger: refresh when the fraction of sampled
     * indexed rows whose gap — (max cosine to any other row of its own
     * cell) minus (cosine to its assigned centroid) — exceeds the

@@ -201,46 +201,66 @@ object Similarity {
       math.max(4, v.toInt)
     }
 
-  /** CAP on the graph family's probe-ring width — the r18 verdict's
-    * one remaining super-linear-work term: uncapped, np tracks
-    * nlist/8 ~ sqrt(n)/8 while occupancy tracks n/nlist, so
-    * exact-build pairs = n·np·occupancy = n²/8 WHATEVER the cell
-    * count (nlist cancels; measured walls fit the quadratic —
-    * 175/539/2017 s at 512k/1M/2M).
+  /** CAP on the graph family's probe-ring width. History of the rule,
+    * all measured: uncapped, np tracks nlist/8 ~ sqrt(n)/8 while
+    * occupancy tracks n/nlist, so exact-build pairs = n·np·occupancy
+    * = n²/8 whatever the cell count (nlist cancels; walls fit the
+    * quadratic — 175/539/2017 s at 512k/1M/2M). The r19 flat-cap A/B
+    * fit the tradeoff: recall(np) = recall(nlist/8) −
+    * 0.17·log2((nlist/8)/np) per halving, density +0.055 per corpus
+    * doubling — so a RING-ONLY contract needs np ∝ n^0.2 (total work
+    * n^1.7) to hold a floor, and r19 shipped exactly that (95 at
+    * 512k, 110 at 1M, 126 at 2M; tau-recall 0.729/0.681, builds
+    * 425/1324 s).
     *
-    * The rule is MEASURED, not guessed (r19 flat-cap A/B at np=64):
-    * tau-recall vs ring width fits recall(np) = recall(nlist/8) −
-    * α·log2((nlist/8)/np) with α ≈ 0.17 per halving, at all three
-    * rungs (512k: 0.709→0.621 measured vs 0.624 predicted; 1M:
-    * 0.773→0.603 vs 0.605; 2M: 0.763→0.529 vs 0.511) — so a FLAT cap
-    * decays recall ~0.11 per corpus doubling and cannot hold a floor.
-    * The density gain at FIXED searched fraction is β ≈ +0.055 per
-    * doubling (0.603/0.668/0.709/0.773 across 64k→1M at ~12.5%), so
-    * the flat-floor optimum grows the ring as np ∝ n^(0.5·(1−β/α)) ≈
-    * n^0.2: total work n^1.7 instead of n², holding tau-recall flat
-    * by the measured tradeoff. Anchored at (512k, 95) so the cap is
-    * INERT up to ~620k (nlist/8 binds below — every oracled scale and
-    * the 512k ladder rung are unchanged); np = 110 at 1M, 126 at 2M
-    * (measured r19: tau-recall 0.744 / 0.672 ≥ the 0.64 floor, builds
-    * 465.5 / 1232.9 s — off the 539/2017 quadratic trendline).
-    *
-    * Cross-engine note: the oracle CTE mirrors this with DuckDB
-    * pow(); a last-ULP pow divergence could shift the cap by 1 only
-    * where it BINDS (n ≥ ~620k), far past any DuckDB-oracle-feasible
-    * scale (the oracle's ar CTE is n×nlist rows), and the built np is
-    * pinned in the graph manifest, so Spark-side identity is absolute
-    * regardless. */
+    * r20 retired the n^0.2 rule: the persisted contract is now ring +
+    * [[knngRefineRounds]] NN-descent rounds (linear work), and under
+    * refinement the ring only needs to SEED connectivity, not carry
+    * recall — the r19 frontier measurement (2M: flat-64 ring + one
+    * round = tau 0.747 at 44% less wall than the n^0.2 ring's 0.681)
+    * is the reason. The cap is therefore FLAT 64 (the A/B-measured
+    * anchor): ring work n^1.5·64, refined recall gated by the ladder
+    * floor at every rung (r20: refined tau ≥ 0.84 at 512k/1M/2M).
+    * nlist/8 binds below ~262k vectors, so every oracled scale is
+    * unchanged; the built np is pinned in the graph manifest, so a
+    * changed cap rule reads as staleness, never silent drift. */
   private[graft] def knngNprobeCap(n: Long): Int =
-    KnngNprobeCapEnv.getOrElse(math.max(4,
-      math.ceil(95.0 * math.pow(n / 512000.0, 0.2)).toInt))
+    KnngNprobeCapEnv.getOrElse(64)
 
-  /** The probe-ring cap as a DuckDB SQL expression over `cnt` —
+  /** The probe-ring cap as a DuckDB SQL expression —
     * [[knngNprobeCap]]'s oracle twin (flat env override mirrored so
     * A/B runs stay differentially oracled; already >= 4 — the shared
     * clamp lives in [[KnngNprobeCapEnv]]). */
   private def npCapSql: String =
-    KnngNprobeCapEnv.map(_.toString).getOrElse(
-      "greatest(4, CAST(ceil(95.0 * pow(cnt / 512000.0, 0.2)) AS BIGINT))")
+    KnngNprobeCapEnv.map(_.toString).getOrElse("64")
+
+  /** A/B + test override for the refine-round rule ([[knngRefineRounds]]);
+    * the env form drives same-window A/Bs without a code edit, the var
+    * the law tests' ring-only foils. Read ONCE per decision site. */
+  private[graft] val KnngRefineEnv: Option[Int] =
+    sys.env.get("GRAFT_KNNG_REFINE").map { v =>
+      require(v.matches("\\d{1,3}"),
+        s"GRAFT_KNNG_REFINE must be a small non-negative integer, got: '$v'")
+      v.toInt
+    }
+  @volatile private[graft] var KnngRefineOverride: Option[Int] = None
+
+  /** NN-descent rounds baked into the PERSISTED graph build — the
+    * r20 contract (the r19 verdict's headline ask): the flat-64 ring
+    * seeds connectivity, then `rounds` exact refinement passes
+    * ([[refineEdgeRounds]] — candidates n·(k²+2k) narrow rows, linear
+    * in n) lift tau-recall to the refined floor. Measured at the
+    * rule (r20 rungs): one round converges the n^0.2 ring
+    * (rounds=2 within 0.001 of 1, r19), while the WEAKER flat ring
+    * needs two — the second round's gain off flat-64 is the reason
+    * the constant is 2, fitted from the per-round curve
+    * (GraphRecall refine_tau_recalls). A CONSTANT, never n-dependent:
+    * the DuckDB oracle unrolls exactly this many rounds into the
+    * persisted-graph consumers' CTE prefix, and an n-dependent count
+    * cannot vary a static SQL string. Part of the graph manifest
+    * identity (#rf=) — a changed rule reads as staleness. */
+  private[graft] def knngRefineRounds: Int =
+    KnngRefineOverride.orElse(KnngRefineEnv).getOrElse(2)
 
   /** The graph family's probe-ring width — the IVF probe rule
     * (nprobe = max(4, nlist/8)) re-derived from the corpus count so
@@ -1753,6 +1773,18 @@ object Similarity {
       .localCheckpoint(), v, k, rounds)
   }
 
+  /** One refinement round over an explicit (qid, nid, …) edge frame
+    * for (d, k) — the GraphRecall per-round measurement stepper.
+    * Vectors come from the assignment table (the [[graphRefine]]
+    * source), so stepping r times off [[graphEdges]] equals
+    * graphRefine(s, d, k, r). */
+  private[graft] def graphRefineStep(s: SparkSession, d: String, k: Int,
+                                     cur: DataFrame): DataFrame = {
+    val (at, _) = ivfTableNames(d)
+    refineEdgeRounds(cur.select(col("qid"), col("nid")).localCheckpoint(),
+      s.table(at).select(col("vec_id"), col("ce"), col("cn")), k, 1)
+  }
+
   /** The refinement loop body shared by [[graphRefine]] (query-time)
     * and the build/maintenance re-refine passes: `rounds` NN-descent
     * rounds over `cur` (qid, nid), scoring against `vecs`
@@ -2021,13 +2053,18 @@ object Similarity {
   }
 
   /** Build-once, probe-many for the semantic graph: persist each
-    * node's probe-ring top-k adjacency (+ its ring) as catalog tables
-    * and return (edgesTable, ringsTable), skipping the build when a
-    * fresh index exists. LAW (SimilaritySpec): a fresh build's edges
-    * equal [[knnGraph]] row for row; an append-grown index's resolved
-    * edges equal a one-shot rebuild over the merged IVF contents —
-    * so every consumer law and DuckDB oracle proven on the rebuild
-    * foil transfers to the probed artifact verbatim. */
+    * node's REFINED top-k adjacency (+ its probe ring) as catalog
+    * tables and return (edgesTable, ringsTable), skipping the build
+    * when a fresh index exists. The r20 contract: ring pass
+    * (flat-[[knngNprobeCap]] cells — connectivity seed) +
+    * [[knngRefineRounds]] NN-descent rounds baked into the artifact.
+    * LAWS (SimilaritySpec): a fresh build's edges equal
+    * [[refineEdgeRounds]] over the [[knnGraph]] ring foil row for
+    * row; a fold's per-node kth score dominates BOTH the pre-fold
+    * graph and the ring-only merged rebuild (exact top-k algebra over
+    * stored ∪ batch ring candidates — folds never refine, so
+    * [[refineKnnGraphIndex]]/maintain restore refinement coverage on
+    * the measured cadence). */
   def ensureKnnGraphIndex(s: SparkSession, d: String, k: Int)
       : (String, String) = {
     require(k >= 1, s"k must be >= 1: $k")
@@ -2045,12 +2082,13 @@ object Similarity {
     val np = knngNprobe(n)
     val ivfRows = n + ivfBatches.map(_._2).sum
     val eBuckets = Tables.indexBuckets(ivfRows)
-    // np is part of the graph's IDENTITY: a changed probe-ring rule
-    // (the KnngNprobeCap quadratic-work break, or an env A/B) changes
-    // ring membership and therefore edge content — it must read as
-    // staleness (rebuild), exactly like a refreshed quantizer (cfp)
-    val expect = IndexManifest.Manifest(s"$d#k=$k#np=$np#cfp=$cfp", n,
-      ivfFingerprint(emb), eBuckets, Nil)
+    // np AND the refine-round rule are part of the graph's IDENTITY:
+    // a changed probe-ring cap or round count (or an env A/B) changes
+    // edge content — it must read as staleness (rebuild), exactly
+    // like a refreshed quantizer (cfp)
+    val rf = knngRefineRounds
+    val expect = IndexManifest.Manifest(s"$d#k=$k#np=$np#rf=$rf#cfp=$cfp",
+      n, ivfFingerprint(emb), eBuckets, Nil)
     val mp = knngManifestPath(s, d, k)
     val stored = IndexManifest.read(s, mp)
     val sameBase = stored.exists(_._1.startsWith(expect.basePrefix))
@@ -2098,6 +2136,11 @@ object Similarity {
     if (ivfBatches.nonEmpty)
       IndexManifest.read(s, mp).foreach { case (txt, bs) =>
         IndexManifest.setCompacted(s, mp, txt, bs, bs.size) }
+    // the rebuild's refinement covered every inherited batch — record
+    // it, so the maintenance staleness condition (applied − refined)
+    // starts at zero
+    IndexManifest.read(s, mp).foreach { case (txt, _) =>
+      IndexManifest.setRefinedThrough(s, mp, txt, ivfBatches.size) }
     freshKnngMemo.add(memoKey)
     (et, rt)
   }
@@ -2310,6 +2353,38 @@ object Similarity {
         (col("p") + 1).cast("long").as("rn"))
   }
 
+  /** The build's refinement post-pass — the r20 contract's second
+    * half: [[knngRefineRounds]] NN-descent rounds over the
+    * just-written ring edge table, written back gen-null under the
+    * same bucket spec, so the PERSISTED artifact is the refined
+    * graph (r19 shipped refinement as a query-time op only — the
+    * artifact every consumer probes never benefited). Reads the
+    * table's FILES (rule 20a) and the refined frame is fully
+    * localCheckpoint'd round-by-round before the overwrite, so the
+    * rewrite never reads its own target. */
+  private def refineBuiltEdges(s: SparkSession, bs: SparkSession,
+                               et: String, asg: DataFrame, k: Int,
+                               eBuckets: Int): Unit = {
+    val r = knngRefineRounds
+    if (r == 0) return
+    val loc = new org.apache.hadoop.fs.Path(
+      bs.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(et)).location)
+    val refined = refineEdgeRounds(
+      bs.read.parquet(loc.toString)
+        .select(col("src").as("qid"), col("dst").as("nid"))
+        .localCheckpoint(),
+      asg.select(col("vec_id"), col("ce"), col("cn")), k, r)
+    refined.select(col("qid").as("src"), col("nid").as("dst"),
+        col("score"), col("rn"))
+      .withColumn("gen", lit(null).cast("string"))
+      .repartition(eBuckets, col("src"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .bucketBy(eBuckets, "src").sortBy("src")
+      .format("parquet").saveAsTable(et)
+    IndexManifest.markBuckets(s, et, eBuckets)
+  }
+
   private def buildKnnGraphTables(s: SparkSession, k: Int,
                                   et: String, rt: String,
                                   at: String, ct: String,
@@ -2403,6 +2478,7 @@ object Similarity {
           .format("parquet").saveAsTable(et)
       }
       IndexManifest.markBuckets(s, et, eBuckets)
+      refineBuiltEdges(s, bs, et, asg, k, eBuckets)
       q.select(col("qid"), explode_outer(col("qcids")).as("qcid"),
           col("acid"))
         .repartition(eBuckets, col("qcid"))
@@ -2516,6 +2592,7 @@ object Similarity {
         .format("parquet").saveAsTable(et)
     }
     IndexManifest.markBuckets(s, et, eBuckets)
+    refineBuiltEdges(s, bs, et, asg, k, eBuckets)
     q.select(col("qid"), explode_outer(col("qcids")).as("qcid"),
         col("acid"))
       .repartition(eBuckets, col("qcid"))
@@ -2816,10 +2893,22 @@ object Similarity {
     * that appends straight to the IVF index instead leaves the graph
     * lagging; the next ensure folds the lag from the batch store).
     * Idempotent per batchId on both manifests; batch vec_ids must be
-    * disjoint from everything indexed (the IVF guard). LAW
-    * (SimilaritySpec): the appended graph's resolved edges are
-    * row-identical to a one-shot rebuild over the merged corpus under
-    * the same frozen quantizer. */
+    * disjoint from everything indexed (the IVF guard).
+    *
+    * Fold algebra under the r20 refined contract (the restated
+    * laws, SimilaritySpec): the fold keeps EXACT top-k algebra —
+    * each touched node ends with the best k of (its stored refined
+    * adjacency ∪ its batch ring candidates), each batch node with
+    * the exact ring top-k over the merged assignment — so per-node
+    * kth score is monotone non-decreasing, and the folded graph
+    * per-node DOMINATES the ring-only one-shot rebuild over the
+    * merged corpus (refined-stored dominates ring-stored, and top-k
+    * of a union preserves dominance). What a fold does NOT do is
+    * refine: no node gains 2-hop candidates through the arrivals,
+    * so refinement coverage goes stale batch by batch — the
+    * manifest's rfThrough counter measures it and
+    * [[refineKnnGraphIndex]] (condition-driven via maintain, cadence
+    * from the measured decay curve) restores it. */
   def appendToKnnGraphIndex(s: SparkSession, d: String, k: Int,
                             batch: DataFrame, batchId: String): Boolean = {
     require(batchId.matches("[A-Za-z0-9_.\\-]+"),
@@ -2901,14 +2990,80 @@ object Similarity {
     true
   }
 
+  /** Re-refine the persisted graph in place — the r20 contract's
+    * maintenance half. Folds keep EXACT top-k algebra over
+    * (stored ∪ batch ring candidates) but skip the NN-descent pass:
+    * a folded batch's own nodes carry ring-quality adjacency and no
+    * existing node gains 2-hop candidates through the arrivals, so
+    * refinement quality goes stale batch by batch (measured decay:
+    * see GraphFoldDecayProbe / SURVEY §24). This pass runs
+    * [[knngRefineRounds]] rounds over the RESOLVED edge set with
+    * vectors from the assignment table (folded nodes participate
+    * fully), written back gen-null through the compact staging-rename
+    * idiom — so one rewrite is simultaneously a compaction and a
+    * refinement refresh, and a crash between drop and rename reads
+    * as a missing table (rebuild), never a half-refined artifact.
+    * Per-node kth score is monotone non-decreasing (the refine
+    * candidate set contains the current edges — law-tested).
+    * Returns false when every applied batch is already refined. */
+  def refineKnnGraphIndex(s: SparkSession, d: String, k: Int): Boolean = {
+    val (et, rt) = ensureKnnGraphIndex(s, d, k)
+    val mp = knngManifestPath(s, d, k)
+    val stored = IndexManifest.read(s, mp).getOrElse(
+      throw new IllegalStateException(
+        s"kNN graph index for $d (k=$k) has no manifest after ensure"))
+    val applied = stored._2.size
+    if (IndexManifest.refinedThroughOf(stored._1) >= applied)
+      return false
+    val (at, _) = ivfTableNames(d)
+    val target = Tables.indexBuckets(
+      IndexManifest.indexRowsOf(stored._1, stored._2))
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    // read the table's FILES, not s.table (rule 20a — the compact rule)
+    val raw = s.read.parquet(
+      new org.apache.hadoop.fs.Path(wh, et).toString)
+    val refined = refineEdgeRounds(
+      resolveGraphEdges(raw, stored._1, stored._2)
+        .select(col("src").as("qid"), col("dst").as("nid"))
+        .localCheckpoint(),
+      s.table(at).select(col("vec_id"), col("ce"), col("cn")),
+      k, math.max(1, knngRefineRounds))
+    val etTmp = et + "_r"
+    dropTableWithLocation(s, etTmp)
+    refined.select(col("qid").as("src"), col("nid").as("dst"),
+        col("score"), col("rn"))
+      .withColumn("gen", lit(null).cast("string"))
+      .repartition(target, col("src"))
+      .write.bucketBy(target, "src").sortBy("src")
+      .format("parquet").saveAsTable(etTmp)
+    IndexManifest.markBuckets(s, etTmp, target)
+    dropTableWithLocation(s, et)
+    s.sql(s"ALTER TABLE $etTmp RENAME TO $et")
+    // the rewrite resolved every generation down to gen-null rows:
+    // record compaction + refinement coverage together. The rings
+    // table keeps its layout — compaction proper handles it when the
+    // layout condition fires.
+    IndexManifest.setCompacted(s, mp, stored._1, stored._2, applied)
+    IndexManifest.read(s, mp).foreach { case (txt, _) =>
+      IndexManifest.setRefinedThrough(s, mp, txt, applied) }
+    if (target != IndexManifest.bucketsOf(stored._1, s"kNN graph $d"))
+      IndexManifest.read(s, mp).foreach { case (txt, _) =>
+        IndexManifest.setBuckets(s, mp, txt, target) }
+    true
+  }
+
   /** Condition-driven maintenance for the persisted graph: quantizer
     * staleness (a refresh changed the centroid fingerprint) rebuilds
-    * inside ensure itself; layout (>= compactAfter uncompacted appends
-    * or an outgrown bucket spec) compacts; otherwise nothing. The
-    * graph has no occupancy symptom of its own — cell health is the
-    * IVF index's to measure. */
+    * inside ensure itself; >= refineAfter applied-but-unrefined
+    * batches re-refines (which also compacts — the r20 contract's
+    * staleness symptom, cadence fitted from the measured fold decay
+    * curve); else layout (>= compactAfter uncompacted appends or an
+    * outgrown bucket spec) compacts; otherwise nothing. The graph has
+    * no occupancy symptom of its own — cell health is the IVF
+    * index's to measure. */
   def maintainKnnGraphIndex(s: SparkSession, d: String, k: Int,
       compactAfter: Int = Maintenance.DefaultCompactAfter,
+      refineAfter: Int = Maintenance.DefaultRefineAfter,
       dryRun: Boolean = false): MaintenanceReport = {
     ensureKnnGraphIndex(s, d, k)
     val stored = IndexManifest.read(s, knngManifestPath(s, d, k))
@@ -2916,6 +3071,7 @@ object Similarity {
         s"kNN graph index for $d (k=$k) has no manifest after ensure"))
     val applied = stored._2.size
     val uncompacted = applied - IndexManifest.compactedOf(stored._1)
+    val unrefined = applied - IndexManifest.refinedThroughOf(stored._1)
     val storedBuckets =
       IndexManifest.bucketsOf(stored._1, s"kNN graph $d")
     val target = Tables.indexBuckets(
@@ -2923,7 +3079,9 @@ object Similarity {
     def report(action: String, ran: Boolean) =
       MaintenanceReport("knng", action, ran, applied, uncompacted,
         storedBuckets, target, -1L, -1L)
-    if (uncompacted >= compactAfter || target != storedBuckets)
+    if (unrefined >= refineAfter)
+      report("refine", ran = !dryRun && refineKnnGraphIndex(s, d, k))
+    else if (uncompacted >= compactAfter || target != storedBuckets)
       report("compact", ran = !dryRun && compactKnnGraphIndex(s, d, k))
     else report("none", ran = false)
   }
@@ -2934,7 +3092,8 @@ object Similarity {
     * reused by q_graph_cluster and q_cluster_sample so the two
     * oracles can never drift apart. */
   private def clusterCtes: String =
-    "WITH RECURSIVE " + knnGraphCtes.stripPrefix("WITH ") + ", " +
+    "WITH RECURSIVE " +
+      refinedGraphCtes(knngRefineRounds).stripPrefix("WITH ") + ", " +
       "me AS (SELECT e1.src AS da, e1.dst AS db FROM e e1 " +
       "JOIN e e2 ON e1.src = e2.dst AND e1.dst = e2.src " +
       "WHERE e1.src < e1.dst), " +
@@ -2982,7 +3141,11 @@ object Similarity {
     * inlined, the 32x gate filled the disk (only ~8 GB scratch
     * exists) with repeated array-wide spills; materialized, `e` is a
     * 4-column table. */
-  private def knnGraphCtes: String =
+  private def knnGraphCtes: String = ringGraphCtes("e")
+
+  /** [[knnGraphCtes]] with the final ring-edge CTE named `ename` —
+    * the refine unroll chains rounds off it. */
+  private def ringGraphCtes(ename: String): String =
     "WITH n AS (SELECT count(*) AS cnt FROM embeddings), " +
       // np mirrors knngNprobe EXACTLY, including the knngNprobeCap
       // quadratic-work cap (inert at every oracled n — nlist/8 binds
@@ -3011,7 +3174,7 @@ object Similarity {
       "FROM ar JOIN v USING (vec_id) WHERE crn = 1), " +
       "q AS (SELECT ar.vec_id, ar.cid, v.ve, v.nrm " +
       "FROM ar JOIN v USING (vec_id), m WHERE crn <= np), " +
-      "e AS MATERIALIZED (SELECT qid AS src, nid AS dst, score, rn FROM (" +
+      s"$ename AS MATERIALIZED (SELECT qid AS src, nid AS dst, score, rn FROM (" +
       "SELECT x.vec_id AS qid, y.vec_id AS nid, " +
       "round(list_dot_product(x.ve, y.ve) / (x.nrm * y.nrm), 6) " +
       "AS score, " +
@@ -3020,6 +3183,51 @@ object Similarity {
       "y.vec_id) AS BIGINT) AS rn " +
       "FROM q x JOIN a y ON x.cid = y.cid AND x.vec_id <> y.vec_id) " +
       "WHERE rn <= 3)"
+
+  /** One unrolled NN-descent round as an oracle CTE pair
+    * (`c<name>` candidates off `prev`, `<name>` the re-ranked top-3)
+    * — [[refineEdgeRounds]]'s relational twin, the exact SQL the r19
+    * q_graph_refine oracle used, parameterized for chaining.
+    * MATERIALIZED: every round references its predecessor three
+    * times (the 2-hop self-join + two unions) and downstream CTEs
+    * (rank/cluster) re-reference the final round — inlined, DuckDB
+    * re-evaluates the vector-array scoring join per reference
+    * (rule 27). */
+  private def refineRoundCte(prev: String, name: String): String =
+    s"c$name AS (SELECT DISTINCT qid, nid FROM (" +
+      s"SELECT x.src AS qid, y.dst AS nid FROM $prev x JOIN $prev y " +
+      "ON x.dst = y.src " +
+      s"UNION ALL SELECT dst, src FROM $prev " +
+      s"UNION ALL SELECT src, dst FROM $prev) WHERE qid <> nid), " +
+      s"$name AS MATERIALIZED (SELECT qid AS src, nid AS dst, score, rn " +
+      "FROM (SELECT qid, nid, score, " +
+      "CAST(row_number() OVER (PARTITION BY qid " +
+      "ORDER BY score DESC, nid) AS BIGINT) AS rn FROM (" +
+      "SELECT qid, nid, " +
+      "round(list_dot_product(x.ve, y.ve) / (x.nrm * y.nrm), 6) " +
+      s"AS score FROM c$name JOIN v x ON x.vec_id = qid " +
+      "JOIN v y ON y.vec_id = nid)) WHERE rn <= 3)"
+
+  /** The PERSISTED graph's oracle CTE prefix: the ring chain +
+    * `rounds` refine rounds unrolled, the final edge set named `e` so
+    * every downstream consumer CTE (rank iterations, mutual-edge
+    * clustering) is byte-identical whatever the round count.
+    * [[knngRefineRounds]] rounds = the artifact [[graphEdges]]
+    * serves; +1 = q_graph_refine's one further query-time round. */
+  private def refinedGraphCtes(rounds: Int): String = {
+    require(rounds >= 0, s"rounds must be >= 0: $rounds")
+    if (rounds == 0) knnGraphCtes
+    else {
+      val sb = new StringBuilder(ringGraphCtes("e0"))
+      var prev = "e0"
+      (1 to rounds).foreach { i =>
+        val name = if (i == rounds) "e" else s"e$i"
+        sb.append(", ").append(refineRoundCte(prev, name))
+        prev = name
+      }
+      sb.toString
+    }
+  }
 
   /** One unrolled PageRank iteration as an oracle CTE (rank CTE `rv`
     * from `rp`): the exact fixed-point integer twin of [[pageRank]]'s
@@ -3167,49 +3375,40 @@ object Similarity {
       "q_knn_graph_delta",
       "Probe of the PERSISTED kNN graph (ensureKnnGraphIndex: edges " +
         "bucketed by src, built once over the stored IVF assignments " +
-        "and maintained incrementally by appendToKnnGraphIndex): the " +
-        "newly-ingested slice's adjacency read straight from the " +
-        "artifact — O(slice) rows off a bucketed scan, never a " +
-        "rebuild. The oracle recomputes the FULL ring graph " +
-        "relationally and filters to the slice, so this " +
+        "as ring + knngRefineRounds NN-descent rounds — the r20 " +
+        "refined contract — and maintained incrementally by " +
+        "appendToKnnGraphIndex): the newly-ingested slice's " +
+        "adjacency read straight from the artifact — O(slice) rows " +
+        "off a bucketed scan, never a rebuild. The oracle recomputes " +
+        "the FULL refined graph relationally (ring CTE + the same " +
+        "rounds unrolled) and filters to the slice, so this " +
         "differentially proves the persisted edges equal the " +
-        "from-scratch derivation (q_knn_graph stays the rebuild " +
-        "foil; the append/lockstep laws live in SimilaritySpec).",
+        "from-scratch derivation (q_knn_graph stays the ring foil; " +
+        "the append/dominance laws live in SimilaritySpec).",
       (s, d) => graphEdges(s, d, 3)
         .filter(Dedup.isDeltaBatch(col("qid")))
         .orderBy("qid", "rn"),
-      Some(knnGraphCtes +
+      Some(refinedGraphCtes(knngRefineRounds) +
         " SELECT src AS qid, dst AS nid, score, rn FROM e " +
         "WHERE src % 5 = 4 ORDER BY qid, rn")),
 
     GraftQuery(
       "q_graph_refine",
-      "One NN-descent round over the persisted kNN graph: every " +
+      "One FURTHER NN-descent round over the persisted kNN graph " +
+        "(which the r20 contract already builds refined): every " +
         "node rescored against its neighbors' neighbors and reverse " +
         "edges (exact cosine), keeping the dominating top-3 — " +
         "recall rises monotonically per round (candidates contain " +
         "the current edges and both selections share one total " +
         "order; SimilaritySpec pins dominance). Candidates are " +
-        "n·(k²+2k) NARROW rows — linear in n, the structural " +
-        "escalation past the ring build's n^1.7 work term — deduped " +
-        "before vector payloads attach (rule 17). The oracle " +
-        "re-derives the refined graph relationally over the same " +
-        "ring CTE.",
+        "n·(k²+2k) NARROW rows — linear in n — deduped before " +
+        "vector payloads attach (rule 17), vectors from the IVF " +
+        "assignment table so folded nodes participate. The oracle " +
+        "unrolls knngRefineRounds+1 rounds over the ring CTE.",
       (s, d) => graphRefine(s, d, 3, rounds = 1).orderBy("qid", "rn"),
-      Some(knnGraphCtes +
-        ", cand AS (SELECT DISTINCT qid, nid FROM (" +
-        "SELECT x.src AS qid, y.dst AS nid FROM e x JOIN e y " +
-        "ON x.dst = y.src " +
-        "UNION ALL SELECT dst, src FROM e " +
-        "UNION ALL SELECT src, dst FROM e) WHERE qid <> nid), " +
-        "rf AS (SELECT qid, nid, " +
-        "round(list_dot_product(x.ve, y.ve) / (x.nrm * y.nrm), 6) " +
-        "AS score FROM cand JOIN v x ON x.vec_id = qid " +
-        "JOIN v y ON y.vec_id = nid) " +
-        "SELECT qid, nid, score, rn FROM (SELECT qid, nid, score, " +
-        "CAST(row_number() OVER (PARTITION BY qid " +
-        "ORDER BY score DESC, nid) AS BIGINT) AS rn FROM rf) " +
-        "WHERE rn <= 3 ORDER BY qid, rn")),
+      Some(refinedGraphCtes(knngRefineRounds + 1) +
+        " SELECT src AS qid, dst AS nid, score, rn FROM e " +
+        "ORDER BY qid, rn")),
 
     GraftQuery(
       "q_graph_rank",
@@ -3225,7 +3424,7 @@ object Similarity {
         "localCheckpoint per iteration so plan depth stays O(1) in " +
         "iters.",
       (s, d) => graphRank(s, d, 3, 3).orderBy("vec_id"),
-      Some(knnGraphCtes + ", " +
+      Some(refinedGraphCtes(knngRefineRounds) + ", " +
         "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src), " +
         "r0 AS (SELECT vec_id AS id, CAST(100000000 AS BIGINT) AS ru " +
         "FROM embeddings), " +

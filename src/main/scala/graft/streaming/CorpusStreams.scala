@@ -725,20 +725,29 @@ object CorpusStreams {
     * returns the same latest rows, so no excludeProbes analogue is
     * needed. Later batches see earlier arrivals both as candidate
     * mates and through reverse displacement of stored adjacencies
-    * (StreamingSpec pins the cross-batch chain and the
-    * fold == one-shot-rebuild content law through the stream).
+    * (StreamingSpec pins the cross-batch chain and the restated r20
+    * fold laws through the stream: per-rank dominance over the
+    * ring-only merged rebuild, and the re-refine pass's dominance
+    * over the folded state — folds keep exact top-k algebra but
+    * never refine, so `maintainEvery` also covers the refine
+    * staleness condition).
     *
-    * The quantizer stays FROZEN for the stream's lifetime: the graph
-    * manifest pins the centroid-set fingerprint, so an external
+    * The quantizer stays frozen between maintenance points: the graph
+    * manifest pins the centroid-set fingerprint, so any
     * [[graft.operators.Similarity.refreshIvfCentroids]] makes the
     * next ensure REBUILD the graph (the documented staleness
-    * contract) — a graph-maintaining stream therefore exposes no IVF
-    * refresh cadence; `maintainEvery` drives
-    * [[graft.operators.Similarity.maintainKnnGraphIndex]]
-    * (layout-condition compaction) and `compactEvery` the
-    * unconditional fold, both pure layout (probes exactly
-    * unchanged). First batch pays the one-time ensure (a cold corpus
-    * builds the graph; a warehouse with intact files re-attaches). */
+    * contract). `maintainEvery` drives CONDITION-driven maintenance
+    * of both layers (rule 24 — measure the symptom, never a blind
+    * cadence): [[graft.operators.Similarity.maintainIvfIndex]] first
+    * (hot-cell occupancy + the fit-gap canary; a drift-triggered
+    * refresh changes the quantizer and the graph maintain's ensure
+    * rebuilds IN-STREAM — the drift-repair path GraphStreamSmoke's
+    * drift leg measures), then
+    * [[graft.operators.Similarity.maintainKnnGraphIndex]] (refine
+    * staleness re-refines, layout compacts). `compactEvery` drives
+    * the unconditional layout fold (probes exactly unchanged). First
+    * batch pays the one-time ensure (a cold corpus builds the graph;
+    * a warehouse with intact files re-attaches). */
   def graphIngestStream(vecs: Dataset[Vec], dir: String, k: Int = 3,
                         streamId: String = "graph",
                         compactEvery: Int = 0,
@@ -768,6 +777,14 @@ object CorpusStreams {
           ()
         }
         if (maintainEvery > 0 && (id + 1) % maintainEvery == 0) {
+          // vector-layer health FIRST (one exchange-free occupancy
+          // scan + the fit canary): a concentrated-drift refresh
+          // changes the quantizer fingerprint, which the graph
+          // maintain's own ensure — next line — detects as staleness
+          // and REBUILDS right here, inside the stream (the
+          // GraphStreamSmoke drift leg measures this batch's wall).
+          // A healthy index makes this a measurement, not a rewrite.
+          graft.operators.Similarity.maintainIvfIndex(s, dir)
           graft.operators.Similarity.maintainKnnGraphIndex(s, dir, k)
           ()
         }

@@ -165,7 +165,10 @@ class SimilaritySpec extends SparkSuite {
 
   test("graph clusters equal driver union-find over the mutual edges " +
     "of the verified knn graph; singletons are their own rep") {
-    val edges = SparkEntry.queries("q_knn_graph")(spark, sf)
+    // mutual edges come from the PERSISTED (refined) artifact —
+    // q_graph_cluster's own input under the r20 contract; q_knn_graph
+    // stays the ring foil and no longer feeds the cluster consumers
+    val edges = Similarity.graphEdges(spark, sf, 3)
       .select("qid", "nid").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val mutual = edges.filter { case (a, b) => a < b && edges((b, a)) }
@@ -1252,17 +1255,27 @@ class SimilaritySpec extends SparkSuite {
       "real maintenance pass failed to establish the baseline")
   }
 
-  test("knn graph index: fresh build equals the rebuild foil; ensure " +
-    "reuses it; the delta probe is the foil's slice") {
+  test("knn graph index: fresh build equals refineEdgeRounds over the " +
+    "ring foil; ensure reuses it; the delta probe is the foil's slice") {
     Similarity.ensureKnnGraphIndex(spark, sf, 3)
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select("qid", "nid", "score", "rn").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
           r.getLong(3))).toSeq.sorted
-    val foil = rows(Similarity.knnGraph(spark, sf, 3))
+    // the r20 contract: the persisted artifact is the RING graph
+    // (knnGraph, the relational foil) + knngRefineRounds NN-descent
+    // rounds — so the build law composes the two foils
+    val vecs = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding").as("ce"),
+      Similarity.norm(col("embedding")).as("cn"))
+    val foil = rows(Similarity.refineEdgeRounds(
+      Similarity.knnGraph(spark, sf, 3).select(col("qid"), col("nid"))
+        .localCheckpoint(),
+      vecs, 3, Similarity.knngRefineRounds))
     val idx = rows(Similarity.graphEdges(spark, sf, 3))
     assert(foil.nonEmpty && idx == foil,
-      s"persisted edges diverge from knnGraph: ${idx.size} vs ${foil.size}")
+      s"persisted edges diverge from refined knnGraph foil: " +
+        s"${idx.size} vs ${foil.size}")
     // build-once: a second ensure must not rewrite the artifact
     val (et, _) = Similarity.ensureKnnGraphIndex(spark, sf, 3)
     def mtimes() = spark.table(et).inputFiles.map(f =>
@@ -1314,8 +1327,9 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
-  test("appendToKnnGraphIndex: merged content identity, reverse " +
-    "displacement, lag fold, replay no-op, compaction") {
+  test("appendToKnnGraphIndex under the refined contract: exact fold " +
+    "algebra (monotone per rank), dominance over the ring-only merged " +
+    "rebuild, re-refine maintenance, lag fold, replay no-op, compaction") {
     val sp = spark; import sp.implicits._
     def vec(seed: Long): Array[Float] = {
       val r = new scala.util.Random(seed)
@@ -1329,6 +1343,21 @@ class SimilaritySpec extends SparkSuite {
     def resolved() = Similarity.graphEdges(spark, dir, 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
         r.getLong(3))).toSeq.sorted
+    // per-(src, rank) score map — the dominance laws compare these:
+    // A dominates B iff for every (src, rn) present in B, A has a row
+    // at that rank with score >= B's (top-k of a union can only push
+    // scores up at every rank)
+    def ranks(rowsSeq: Seq[(Long, Long, Double, Long)])
+        : Map[(Long, Long), Double] =
+      rowsSeq.map(e => (e._1, e._4) -> e._3).toMap
+    def assertDominates(a: Map[(Long, Long), Double],
+                        b: Map[(Long, Long), Double], what: String): Unit =
+      b.foreach { case (key, s0) =>
+        val s1 = a.getOrElse(key, Double.NegativeInfinity)
+        assert(s1 >= s0, s"$what: rank ${key._2} of src ${key._1} " +
+          s"fell $s0 -> $s1")
+      }
+    val base = resolved()
     // batch: 1000 is an exact copy of node 3's vector (same argmax
     // cell, cosine 1.0 — MUST displace into 3's top-k via the reverse
     // pass), 1001 is novel
@@ -1343,31 +1372,78 @@ class SimilaritySpec extends SparkSuite {
       "planted copy did not displace into node 3's adjacency at rank 1")
     assert(appended.exists(_._1 == 1000L) && appended.exists(_._1 == 1001L),
       "batch nodes gained no adjacency of their own")
-    // LAW: the appended view is row-identical to a one-shot rebuild
-    // over the merged corpus under the same frozen quantizer
-    Similarity.dropKnnGraphIndex(spark, dir, 3)
+    // LAW 1 (fold monotonicity): each touched node ends with the best
+    // k of (stored refined adjacency ∪ batch ring candidates), so no
+    // (src, rank) score can fall
+    assertDominates(ranks(appended), ranks(base), "fold monotonicity")
+    // LAW 2 (dominance over the ring-only merged rebuild): the exact
+    // merged-content identity of the ring contract is deliberately
+    // GONE — folds do not refine — but the folded refined graph must
+    // per-rank dominate what a ring-only one-shot rebuild over the
+    // merged corpus would build (refined-stored dominates ring-stored,
+    // and top-k of a union preserves dominance). The ring foil builds
+    // under KnngRefineOverride = 0, which also proves a changed
+    // round rule reads as manifest staleness (the rebuild happens).
+    val (etBefore, _) = Similarity.knngTableNames(dir, 3)
+    val refinedFiles = spark.table(etBefore).inputFiles.toSet
+    Similarity.KnngRefineOverride = Some(0)
+    val ringMerged = try {
+      Similarity.forgetFreshKnngMemo()
+      Similarity.ensureKnnGraphIndex(spark, dir, 3) // #rf=0: stale, rebuilds
+      assert(spark.table(etBefore).inputFiles.toSet != refinedFiles,
+        "changed refine-round rule did not read as staleness")
+      resolved()
+    } finally Similarity.KnngRefineOverride = None
+    assert(ringMerged.exists(_._1 == 1000L),
+      "ring-only merged rebuild lost the batch node")
+    assertDominates(ranks(appended), ranks(ringMerged),
+      "fold vs ring-only merged rebuild")
+    // back to the refined contract: the next ensure rebuilds (the
+    // stored #rf=0 manifest is stale again) and a fresh build is
+    // fully refined — refineKnnGraphIndex has nothing to do
+    Similarity.forgetFreshKnngMemo()
     Similarity.ensureKnnGraphIndex(spark, dir, 3)
-    assert(resolved() == appended,
-      "appended graph diverges from the one-shot merged rebuild")
+    assert(!Similarity.refineKnnGraphIndex(spark, dir, 3),
+      "fresh refined build reported unrefined batches")
+    // LAW 3 (re-refine maintenance): a fold leaves exactly one
+    // applied-but-unrefined batch; the staleness condition fires at
+    // refineAfter = 1 (dry-run first), the pass re-refines + compacts
+    // in one rewrite, per-rank scores never fall, and the condition
+    // settles
+    assert(Similarity.appendToKnnGraphIndex(spark, dir, 3,
+      Seq((2000L, vec(555L))).toDF("vec_id", "embedding"), "g2"))
+    val folded = resolved()
+    val dry = Similarity.maintainKnnGraphIndex(spark, dir, 3,
+      refineAfter = 1, dryRun = true)
+    assert(dry.action == "refine" && !dry.ran, s"unexpected: $dry")
+    val rep = Similarity.maintainKnnGraphIndex(spark, dir, 3,
+      refineAfter = 1)
+    assert(rep.action == "refine" && rep.ran, s"unexpected: $rep")
+    val rerefined = resolved()
+    assertDominates(ranks(rerefined), ranks(folded), "re-refine")
+    assert(!Similarity.refineKnnGraphIndex(spark, dir, 3),
+      "second re-refine must no-op")
+    assert(Similarity.maintainKnnGraphIndex(spark, dir, 3,
+      refineAfter = 1).action == "none", "re-refine did not settle")
     // lag fold: an ingest that appends to the IVF index directly
     // leaves the graph lagging; the next ensure FOLDS (base files
     // survive) instead of rebuilding
     val filesBefore = spark.table(et).inputFiles.toSet
     assert(Similarity.appendToIvfIndex(spark, dir,
-      Seq((2000L, vec(555L))).toDF("vec_id", "embedding"), "g2"))
+      Seq((3000L, vec(777L))).toDF("vec_id", "embedding"), "g3"))
     Similarity.ensureKnnGraphIndex(spark, dir, 3)
     val lagged = resolved()
     assert(filesBefore.subsetOf(spark.table(et).inputFiles.toSet),
       "lag ensure rebuilt instead of folding the missing batch")
-    assert(lagged.exists(_._1 == 2000L), "lag fold lost the batch node")
+    assert(lagged.exists(_._1 == 3000L), "lag fold lost the batch node")
     // compaction folds generations; the resolved view is unchanged
     assert(Similarity.compactKnnGraphIndex(spark, dir, 3))
     assert(resolved() == lagged, "compaction changed the resolved view")
     assert(!Similarity.compactKnnGraphIndex(spark, dir, 3),
       "second compact must no-op")
-    // maintenance: layout condition drives compaction, nothing else
-    val rep = Similarity.maintainKnnGraphIndex(spark, dir, 3)
-    assert(rep.action == "none" && !rep.ran, s"unexpected action: $rep")
+    // maintenance at default thresholds: nothing to do
+    val rep2 = Similarity.maintainKnnGraphIndex(spark, dir, 3)
+    assert(rep2.action == "none" && !rep2.ran, s"unexpected action: $rep2")
   }
 
   test("registered functions reject wrong arity with a clear error") {

@@ -1232,12 +1232,37 @@ class StreamingSpec extends SparkSuite {
     // replayed fold no-ops (idempotent per streamId_batchId)
     assert(!Similarity.appendToKnnGraphIndex(spark, dir, 3,
       h2.toDF(), "g1_1"), "replayed stream batch re-applied")
-    // LAW: the stream-folded graph is row-identical to a one-shot
-    // rebuild over everything ingested (same frozen quantizer)
-    Similarity.dropKnnGraphIndex(spark, dir, 3)
-    Similarity.ensureKnnGraphIndex(spark, dir, 3)
-    assert(resolved() == streamed,
-      "stream-folded graph diverges from the one-shot merged rebuild")
+    // LAW (restated for the r20 refined contract — folds keep exact
+    // top-k algebra but never refine): the stream-folded graph
+    // per-(src, rank) DOMINATES a ring-only one-shot rebuild over
+    // everything ingested (same frozen quantizer), and the
+    // maintenance re-refine pass dominates the stream-folded state
+    def ranks(rowsSet: Set[(Long, Long, Double, Long)])
+        : Map[(Long, Long), Double] =
+      rowsSet.map(e => (e._1, e._4) -> e._3).toMap
+    def assertDominates(a: Map[(Long, Long), Double],
+                        b: Map[(Long, Long), Double], what: String): Unit =
+      b.foreach { case (key, s0) =>
+        val s1 = a.getOrElse(key, Double.NegativeInfinity)
+        assert(s1 >= s0, s"$what: rank ${key._2} of src ${key._1} " +
+          s"fell $s0 -> $s1")
+      }
+    assert(Similarity.refineKnnGraphIndex(spark, dir, 3),
+      "streamed folds left nothing to re-refine")
+    val rerefined = resolved()
+    assertDominates(ranks(rerefined), ranks(streamed),
+      "re-refine over the streamed graph")
+    Similarity.KnngRefineOverride = Some(0)
+    val ringMerged = try {
+      Similarity.forgetFreshKnngMemo()
+      Similarity.ensureKnnGraphIndex(spark, dir, 3)
+      resolved()
+    } finally {
+      Similarity.KnngRefineOverride = None
+      Similarity.forgetFreshKnngMemo()
+    }
+    assertDominates(ranks(streamed), ranks(ringMerged),
+      "stream-folded graph vs ring-only merged rebuild")
   }
 
   test("semantic ingest stream: probe pairs at tau feed the durable " +
