@@ -53,13 +53,19 @@ object Maintenance {
   /** Re-refine the kNN graph after this many applied-but-unrefined
     * batches ([[Similarity.refineKnnGraphIndex]]): folds keep exact
     * top-k algebra but skip the NN-descent pass, so refinement
-    * quality decays batch by batch. Measured at the 512k rung (r20,
-    * GraphFoldDecayProbe — 8 x 2k-vector folds without re-refine):
-    * merged-corpus tau-recall erodes gradually, and one re-refine
-    * pass restores the fresh-build level at ~the cost of the ring
-    * build's refine post-pass (linear). 8 batches sits where the
-    * measured decay reaches ~the ladder floor's margin while the
-    * amortized re-refine cost stays < 15% of fold cost. */
+    * coverage goes stale batch by batch. Measured at the 512k rung
+    * (r20, GraphFoldDecayProbe — 8 x 2k fresh-id corpus-slice folds,
+    * the duplicate-shaped production ingest): tau-recall HOLDS
+    * within probe noise across all 8 folds (0.796-0.822 vs fresh
+    * 0.803 — duplicate arrivals' tau-mates share the argmax cell, so
+    * ring-quality batch adjacency suffices for them), and one
+    * re-refine costs 8.7 s (linear) and lifts to 0.826, ~1-3 points
+    * above the folded plateau. 8 batches therefore prices the
+    * cadence at ~4% of fold cost (8.7 s per 8 x ~26 s folds) for the
+    * measured few-point lift; a distribution-SHIFTED ingest (novel
+    * directions, not duplicates) would decay faster — the
+    * drift-repair path (occupancy/fit canary -> refresh -> rebuild)
+    * covers that regime, measured separately by GraphDriftSmoke. */
   val DefaultRefineAfter = 8
   /** Fit-GAP canary trigger: refresh when the fraction of sampled
     * indexed rows whose gap — (max cosine to any other row of its own

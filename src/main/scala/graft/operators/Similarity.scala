@@ -249,18 +249,20 @@ object Similarity {
     * r20 contract (the r19 verdict's headline ask): the flat-64 ring
     * seeds connectivity, then `rounds` exact refinement passes
     * ([[refineEdgeRounds]] — candidates n·(k²+2k) narrow rows, linear
-    * in n) lift tau-recall to the refined floor. Measured at the
-    * rule (r20 rungs): one round converges the n^0.2 ring
-    * (rounds=2 within 0.001 of 1, r19), while the WEAKER flat ring
-    * needs two — the second round's gain off flat-64 is the reason
-    * the constant is 2, fitted from the per-round curve
-    * (GraphRecall refine_tau_recalls). A CONSTANT, never n-dependent:
-    * the DuckDB oracle unrolls exactly this many rounds into the
-    * persisted-graph consumers' CTE prefix, and an n-dependent count
-    * cannot vary a static SQL string. Part of the graph manifest
-    * identity (#rf=) — a changed rule reads as staleness. */
+    * in n) lift tau-recall to the refined floor. ONE round, because
+    * the per-round curve says so at every measured seed: from the
+    * n^0.2 ring, rounds=2 is within 0.001 of 1 (r19); from the
+    * WEAKER flat-64 ring at 512k the curve reads 0.797/0.798/0.798
+    * across rounds 1-3 (r20, GraphRecall refine_tau_recalls) — the
+    * residual truth is structurally out of 2-hop reach whatever the
+    * round count, so extra rounds buy ≤0.001 for linear cost each.
+    * A CONSTANT, never n-dependent: the DuckDB oracle unrolls
+    * exactly this many rounds into the persisted-graph consumers'
+    * CTE prefix, and an n-dependent count cannot vary a static SQL
+    * string. Part of the graph manifest identity (#rf=) — a changed
+    * rule reads as staleness. */
   private[graft] def knngRefineRounds: Int =
-    KnngRefineOverride.orElse(KnngRefineEnv).getOrElse(2)
+    KnngRefineOverride.orElse(KnngRefineEnv).getOrElse(1)
 
   /** The graph family's probe-ring width — the IVF probe rule
     * (nprobe = max(4, nlist/8)) re-derived from the corpus count so
