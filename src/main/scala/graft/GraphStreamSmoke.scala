@@ -26,14 +26,19 @@ import org.apache.spark.sql.functions._
   * batch `driftAt` a CONCENTRATED drift cloud (the GraphDriftSmoke
   * shape — 0.2-shrunk unit-axis-offset corpus vectors, sized to
   * cell scale: min(n/8, 24x mean occupancy), past the 16x-median
-  * hot-cell trigger) instead of a corpus slice. The next maintain
-  * cadence's [[graft.operators.Similarity.maintainIvfIndex]] must
-  * flag + refresh UNPROMPTED, which changes the quantizer
-  * fingerprint, and the graph maintain's ensure then REBUILDS the
-  * graph inside that same micro-batch — its wall shows up in
-  * fold_walls_s, and the smoke asserts the rebuild really ran
-  * in-stream (LastGraphBuild covers the merged corpus) and the
-  * policy settled.
+  * hot-cell trigger) instead of a corpus slice. The repair fires in
+  * the DELIVERING batch's own fold:
+  * [[graft.operators.Similarity.appendToKnnGraphIndex]]'s
+  * ingest-side block-guard pre-check (the r20 twin of the r18 fold
+  * kernel guard — this smoke's first run is what exposed the gap:
+  * the guard raised inside the drift batch's fold BEFORE any
+  * maintenance cadence could see the symptom, killing the stream)
+  * detects the batch's hot cell, refreshes the quantizer, and the
+  * ensure REBUILDS the graph over everything ingested — all inside
+  * batch driftAt's wall in fold_walls_s. The smoke asserts the
+  * rebuild really ran in-stream (LastGraphBuild covers more than
+  * the base corpus) and the policy settled; the later maintain
+  * cadences then read healthy.
   *
   * Usage: runMain graft.GraphStreamSmoke <replicaDir> [k] [batches]
   *        [batchVecs] [cadence] [floor] [driftAt]

@@ -2931,6 +2931,39 @@ object Similarity {
       if (ivfFresh) batch
       else s.read.parquet(new org.apache.hadoop.fs.Path(
         ivfBatchStore(s, d), batchId).toString)
+    // Precondition enforcement — the r18 block guard's INGEST-side
+    // twin (r20, found by the 1M drift-in-stream smoke): a
+    // concentrated batch can push one of its own cells past the
+    // kernel's block cap in the very fold that delivers it, BEFORE
+    // any maintenance cadence can see the symptom — the guard would
+    // then raise inside the fold and kill the ingest, a legible
+    // refusal but not a repair. Check the batch's OWN cells first
+    // (batch x nlist nearest-centroid work + one bucket-pruned
+    // occupancy count — per-append cost tracks the batch, rule 21);
+    // past the cap, run the repair the guard names: refresh the
+    // quantizer, and the ensure REBUILDS the graph over the merged
+    // corpus — which already holds this batch, so the fold is
+    // subsumed and the inherited manifest stays in lockstep.
+    val handle0 = centroidHandle(s, s.table(ct))
+    val bCells0 = scorable(rows).select(graft.functions.GraftFunctions
+        .nearestCentroid(col("ce"), handle0).as("cid"))
+      .distinct().collect().map(_.getLong(0))
+    // SAME rows basis as the fold's own guard (the graph manifest's
+    // pre-append count — the fold appends the batch to the manifest
+    // only after it completes), or the two caps diverge and the
+    // pre-check can pass a fold the guard then kills
+    val idxRows0 = IndexManifest.indexRowsOf(stored0._1, stored0._2)
+    val nlist0 = math.max(1L, s.table(ct).count())
+    val hottest =
+      if (bCells0.isEmpty) 0L
+      else s.table(at).filter(col("cid").isin(bCells0: _*))
+        .groupBy(col("cid")).agg(count(lit(1)).as("c"))
+        .agg(coalesce(max(col("c")), lit(0L))).head.getLong(0)
+    if (hottest > blockGuardCap(idxRows0, nlist0) &&
+        refreshIvfCentroids(s, d)) {
+      ensureKnnGraphIndex(s, d, k) // stale cfp: rebuild incl. batch
+      return true
+    }
     foldGraphBatch(s, d, k, et, rt, at, ct, np, rows, batchId)
     val stored1 = IndexManifest.read(s, mp).get
     IndexManifest.appendBatch(s, mp, stored1._1, stored1._2, batchId,

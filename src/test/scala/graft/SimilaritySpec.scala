@@ -1446,6 +1446,46 @@ class SimilaritySpec extends SparkSuite {
     assert(rep2.action == "none" && !rep2.ran, s"unexpected action: $rep2")
   }
 
+  test("ingest-side block-guard repair: a concentrated batch that " +
+    "would breach the fold kernel's cap refreshes + rebuilds instead " +
+    "of dying inside the fold") {
+    val sp = spark; import sp.implicits._
+    def vec(seed: Long): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(64)(r.nextFloat() * 2 - 1)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ingguard")
+    val dir = new java.io.File(tmp.toFile, "d").toString
+    (0L until 400L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    Similarity.ensureKnnGraphIndex(spark, dir, 3)
+    // 1000 DISTINCT vectors in one tight cloud (0.95 shared direction
+    // + 0.05 unique): all land in one frozen cell, pushing it past
+    // the fold kernel's block cap — the shape whose FOLD would raise
+    // the r18 block guard. The ingest path must repair (refresh +
+    // in-ensure rebuild), not die. Distinct, not identical: a re-fit
+    // quantizer SPREADS a cloud over its own centroids, while 1000
+    // exact copies are one cell under ANY quantizer (rule 38's
+    // fixture corollary — an unrepairable fixture would keep the
+    // occupancy condition red forever).
+    val base77 = vec(77L)
+    val batch = (5000L until 6000L).map { i =>
+      val u = vec(i)
+      (i, Array.tabulate(64)(j => 0.95f * base77(j) + 0.05f * u(j)))
+    }.toDF("vec_id", "embedding")
+    assert(Similarity.appendToKnnGraphIndex(spark, dir, 3, batch, "hot1"),
+      "concentrated append did not apply")
+    val resolved = Similarity.graphEdges(spark, dir, 3)
+      .select("qid").distinct().collect().map(_.getLong(0)).toSet
+    assert((5000L until 6000L).forall(resolved.contains),
+      "repair path lost batch nodes from the rebuilt graph")
+    // the repair settled the layer: no refresh pending, replay no-ops
+    assert(Similarity.maintainIvfIndex(spark, dir, dryRun = true)
+      .action == "none", "repair did not settle the IVF layer")
+    assert(!Similarity.appendToKnnGraphIndex(spark, dir, 3, batch, "hot1"),
+      "replayed concentrated append must no-op")
+  }
+
   test("registered functions reject wrong arity with a clear error") {
     graft.functions.GraftFunctions.register(spark)
     val e = intercept[Exception] {

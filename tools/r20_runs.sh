@@ -43,7 +43,13 @@ run gdrift_2m graft.GraphDriftSmoke /tmp/graft_recall_ladder_1024x 3
 
 # 4) streamed graph ingest at 1M with a CONCENTRATED-drift batch
 #    mid-stream: the maintain cadence's IVF refresh + in-stream graph
-#    rebuild (driftAt=4, cadence=4 -> repair lands in batch 7's wall)
-run gstream_1m graft.GraphStreamSmoke /tmp/graft_recall_ladder_512x 3 8 2000 4 -1 4
+#    rebuild (driftAt=4, cadence=4 -> repair lands in batch 7's wall).
+#    SPARK_DRIVER_MEM=48g: local-mode puts the cold 1M build's
+#    checkpoints, every fold's blocks AND the in-stream 1M rebuild in
+#    ONE JVM — 16g OOM'd the context cleaner mid-stream (a
+#    measurement-harness constraint, not a library one: a real
+#    cluster's driver never hosts executor blocks)
+SPARK_DRIVER_MEM=48g \
+  run gstream_1m graft.GraphStreamSmoke /tmp/graft_recall_ladder_512x 3 8 2000 4 0.70 4
 
 echo "=== ALL DONE $(date +%H:%M:%S)" | tee -a "$L/driver.log"
