@@ -136,8 +136,10 @@ case class TopKInCell(qe: Expression, qn: Expression, qid: Expression,
     * deserializes its own expression instance, so entries are only
     * ever this build's cells. Bound: a hash-partitioned probe stream
     * shows a task ~nlist/partitions distinct cells (a few dozen in
-    * every shape we run); the 512-entry clear is a crude cap that
-    * costs only a re-decode if it ever fires. Memory at the cap:
+    * every shape we run); past 512 entries one arbitrary OTHER entry
+    * is evicted per insert — size stays bounded without the full
+    * clear()'s thundering re-decode of every live cell if a task
+    * ever cycles through more. Memory at the cap:
     * cells x occupancy x dim doubles ~ (n/partitions) x 8 B. */
   @transient private lazy val blockCache =
     new java.util.concurrent.ConcurrentHashMap[Long, TopKInCell.Block]()
@@ -206,7 +208,14 @@ case class TopKInCell(qe: Expression, qn: Expression, qid: Expression,
   def kernel(qeV: ArrayData, qnD: Double, qidL: Long, bcidL: Long,
              idsV: ArrayData, vecsV: ArrayData,
              normsV: ArrayData): ArrayData = {
-    if (blockCache.size() > 512) blockCache.clear()
+    if (blockCache.size() > 512) {
+      val it = blockCache.keySet().iterator()
+      var evicted = false
+      while (!evicted && it.hasNext) {
+        val key = it.next()
+        if (key != bcidL) { blockCache.remove(key); evicted = true }
+      }
+    }
     val block = blockCache.computeIfAbsent(bcidL,
       _ => decode(idsV, vecsV, normsV))
     val ids = block.ids
