@@ -2266,9 +2266,16 @@ object Similarity {
     * groupBy over n rows (BuildProbe r18: the pair machinery, not
     * the mates scan, was the r17 cost). 40 GB keeps every measured
     * rung (<= 1M, 37 GB) single-pass. Var: the forced-multi-chunk
-    * law test shrinks it. */
+    * law test shrinks it. Env: GRAFT_GRAPH_SHUFFLE_BUDGET_GB sizes
+    * the per-chunk budget to the disk a deployment actually has
+    * (the 4M rung needs ~80 GB of probe shuffle total — at this
+    * host's ~65 GB free it only fits chunked finer than default). */
   @volatile private[graft] var GraphBuildShuffleBudget =
-    40L * 1000L * 1000L * 1000L
+    sys.env.get("GRAFT_GRAPH_SHUFFLE_BUDGET_GB").map { v =>
+      require(v.matches("\\d{1,4}") && v.toInt > 0,
+        s"GRAFT_GRAPH_SHUFFLE_BUDGET_GB must be a positive integer, got: '$v'")
+      v.toLong * 1000L * 1000L * 1000L
+    }.getOrElse(40L * 1000L * 1000L * 1000L)
 
   /** The shared cell-block top-k scoring pass (rule 35) — the
     * kNN-graph build's and fold's kernel form. `qx` is one row per
@@ -2478,6 +2485,16 @@ object Similarity {
             else org.apache.spark.sql.SaveMode.Append)
           .bucketBy(eBuckets, "src").sortBy("src")
           .format("parquet").saveAsTable(et)
+        // chunk shuffles are freed by the GC-driven ContextCleaner,
+        // whose periodic-GC default (30 min) outlives a multi-chunk
+        // build — without a prompt each chunk's ~budget of shuffle
+        // files ACCUMULATES until the build dies ENOSPC (rule 31a
+        // one layer up; the 4M rung died exactly here with 2 x 40 GB
+        // live). Prompting after each chunk's job completes lets the
+        // async cleaner delete the now-unreferenced shuffle while
+        // the next chunk warms, bounding live shuffle near ONE
+        // budget rather than chunks x budget.
+        if (chunks > 1) System.gc()
       }
       IndexManifest.markBuckets(s, et, eBuckets)
       refineBuiltEdges(s, bs, et, asg, k, eBuckets)
