@@ -78,6 +78,14 @@ cd "$(dirname "$0")/.."
 # (refined tau ~ +0.105 per np doubling, SURVEY §24) prices it at
 # np ~ 90-100, ~35% more build wall; GRAFT_KNNG_NPROBE_CAP is the
 # documented knob for a deployment that wants that trade.
+# r20 close: a 2048 rung (4,096k vectors) is measured but stays OFF
+# the default ladder — on this host it needs
+# GRAFT_GRAPH_SHUFFLE_BUDGET_GB=20 (the ~80 GB probe shuffle must
+# chunk finer than the 40 GB default to fit ~65 GB free disk; rule
+# 39a) and RECALL_GATE_SKIP_DOCS=1 (doc-truth spill). Measured there:
+# refined graph tau 0.720 (decay-law prediction 0.714), LSH 0.660 at
+# the first bits=17 rung, IVF 0.760, PQ 1.000 — floors clear, but the
+# graph floor 0.72 is scoped ≤2M (4M sits AT it; no regression margin).
 GRAPH_MAX_N="${RECALL_LADDER_GRAPH_MAX_N:-2100000}"
 GRAPH_FLOOR="${RECALL_LADDER_GRAPH_FLOOR:-0.72}"
 # Rung size derives from the SOURCE's actual row count, never a
