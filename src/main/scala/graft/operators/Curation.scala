@@ -147,10 +147,16 @@ object Curation {
 
   /** The shared DSIR scorer: (doc_id, n_tokens, logw) per document —
     * logw engine-exact by construction (8dp bucket-level log-ratios,
-    * DECIMAL m·lr sums). localCheckpoint'd: both consumers scan it
-    * more than once (weights: cutoff + verdicts; sample: key + order). */
+    * DECIMAL m·lr sums). `pin` materializes the result for consumers
+    * that scan it more than once (weights: cutoff + verdicts); the
+    * Gumbel sample consumes it exactly once (one TakeOrdered pass —
+    * the key projection and the top-k live in the same scan), so it
+    * skips the materialization round-trip (r20 A/B, 5 interleaved
+    * reps: 1.33 → 1.28 s min at sf0.1; at scale it skips an
+    * n_docs-row write+read). */
   private[graft] def importanceScoresOf(docs: DataFrame, isTarget: Column,
-                                        buckets: Int): DataFrame = {
+                                        buckets: Int,
+                                        pin: Boolean = true): DataFrame = {
     val bucket = conv(substring(md5(concat(col("w"), lit("#dsir42"))
       .cast("binary")), 1, 8), 16, 10).cast("bigint") % buckets
     val dbc = docs
@@ -168,12 +174,12 @@ object Curation {
         log((col("ct") + 1).cast("double") / (col("tt") + buckets)) -
           log((col("cr") + 1).cast("double") / (col("tr") + buckets)), 8)
         .as("lr8"))
-    dbc.join(broadcast(lr), Seq("b"))
+    val out = dbc.join(broadcast(lr), Seq("b"))
       .groupBy("doc_id")
       .agg(sum(col("m")).cast("bigint").as("n_tokens"),
         GraftQuery.decSum(col("lr8").cast("decimal(20,8)") *
           col("m").cast("decimal(12,0)"), 28, 8).as("logw"))
-      .localCheckpoint()
+    if (pin) out.localCheckpoint() else out
   }
 
   /** [[importanceWeights]] over an arbitrary docs frame (doc_id, text,
@@ -216,7 +222,7 @@ object Curation {
 
   private[graft] def importanceSampleOf(docs: DataFrame, isTarget: Column,
                                         k: Int, buckets: Int): DataFrame = {
-    val scored = importanceScoresOf(docs, isTarget, buckets)
+    val scored = importanceScoresOf(docs, isTarget, buckets, pin = false)
     val u = (conv(substring(md5(concat(col("doc_id").cast("string"),
       lit("#gum42")).cast("binary")), 1, 8), 16, 10).cast("double") + 0.5) /
       4294967296.0

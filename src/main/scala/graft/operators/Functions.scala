@@ -96,6 +96,12 @@ object Functions {
         "adaptive page-size arithmetic (BackupProcessor.php:171,185) " +
         "generalized. Transcendentals rounded to 8 dp for cross-libm " +
         "stability.",
+      // spread KEPT — measured, not assumed: the r20 A/B (5 interleaved
+      // reps, same window) read 1.41 s spread vs 2.22 s single-split.
+      // The q_text_fingerprint light-map rule does NOT transfer to
+      // queries ending in a global sort: the range exchange samples its
+      // input and then reads it again, so a single-split scan runs the
+      // map phase serially twice — spread parallelizes both passes.
       (s, d) => Tables.spread(Tables.lineitem(s, d)).select(
         col("l_orderkey"), col("l_linenumber"),
         ceil(col("l_quantity")).cast("bigint").as("qty_ceil"),

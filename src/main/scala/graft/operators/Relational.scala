@@ -91,6 +91,9 @@ object Relational {
       "q_sort",
       "Total sort (range-partitioned exchange) ≈ server-side " +
         "orderBy=$key (BackupProcessor.php:163) over the whole dataset.",
+      // no spread — measured (r20 A/B, 5 reps): 0.60 s single-split vs
+      // 1.03 s spread; a bare projection has nothing for the extra
+      // exchange to amortize, the range sort redistributes by itself
       (s, d) => Tables.lineitem(s, d)
         .select("l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice")
         .orderBy(desc("l_shipdate"), asc("l_orderkey"), asc("l_linenumber"),
@@ -221,6 +224,10 @@ object Relational {
       "q_join_inner",
       "Equi inner join on the fact tables' key — shuffle-hash/sort-merge " +
         "territory at 100 TB; AQE picks the physical strategy.",
+      // no spread — measured (r20 A/B, 5 reps): 0.97 s single-split vs
+      // 1.05 s spread; the broadcast-probe map phase is too light to
+      // amortize the repartition (the q_text_fingerprint rule; contrast
+      // q_math_funcs where 9 computed sort columns tip it the other way)
       (s, d) => Tables.lineitem(s, d)
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"),
@@ -317,7 +324,12 @@ object Relational {
         val ep = col("l_extendedprice").cast("decimal(12,2)")
         val disc = col("l_discount").cast("decimal(4,2)")
         val tax = col("l_tax").cast("decimal(4,2)")
-        Tables.lineitem(s, d)
+        // spread KEPT — measured (r20 A/B, 5 reps): 0.88 vs 0.96 s min
+        // (1.03 vs 1.25 med); Q1's five decimal-product aggregates are
+        // the one agg map phase heavy enough to amortize the fan-out
+        // (its siblings all measured spread SLOWER — see q_agg_stats /
+        // q_agg_distinct / q_agg_percentile / q_agg_udaf)
+        Tables.spread(Tables.lineitem(s, d))
           .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
@@ -348,6 +360,9 @@ object Relational {
       "q_agg_distinct",
       "Distinct aggregation — two count-distincts in one pass (Catalyst " +
         "expands to a single aggregate with grouping-id expansion).",
+      // no spread — measured (r20 A/B): 0.69 vs 1.40 s, 2x worse; the
+      // distinct expansion already doubles rows, pre-shuffling them too
+      // is the worst of both
       (s, d) => Tables.lineitem(s, d).groupBy("l_returnflag")
         .agg(countDistinct(col("l_suppkey")).as("n_supp"),
              countDistinct(col("l_partkey")).as("n_part"),
@@ -376,6 +391,7 @@ object Relational {
     GraftQuery(
       "q_agg_cube",
       "CUBE grouping sets over lineitem flags.",
+      // no spread — A/B-neutral (1.17 both ways); left single-split
       (s, d) => Tables.lineitem(s, d)
         .cube("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"),
@@ -636,6 +652,16 @@ object Relational {
           .withColumn("rn_hi", col("cum_before") + col("cnt"))
           .withColumn("q_lo", expr(ntileExpr("rn_lo", "n_flag", 4)))
           .withColumn("q_hi", expr(ntileExpr("rn_hi", "n_flag", 4)))
+          // pinned: BOTH branches below broadcast-join this frame, and
+          // the uniform/straddle filters push INTO the broadcast side,
+          // so the two subtrees stop being canonically equal and
+          // ReuseExchange cannot dedupe them — without the pin the
+          // whole corpus-wide cells aggregate (scan + 2-level agg +
+          // window) runs twice (r20 plan audit: 2 extra Exchanges + a
+          // duplicate HashAggregate pass). The frame is value-domain
+          // bounded (|flags| x |quantities| <= ~150 rows at ANY corpus
+          // size), so the pin is a constant-size materialization.
+          .localCheckpoint()
         val joined = li.join(broadcast(cells),
           Seq("l_returnflag", "l_quantity"))
         val present = Seq(

@@ -78,6 +78,31 @@ object Sql {
       "GROUP BY c_name, o_orderkey, o_orderdate " +
       "ORDER BY total_qty DESC, o_orderkey LIMIT 100"
 
+  /** q18's HAVING subquery, pinned once. Catalyst infers the IN-
+    * semi-join onto BOTH sides of the o_orderkey = l_orderkey equi-
+    * join (InferFiltersFromConstraints) — good pruning, but with the
+    * subquery INLINE it plans the whole corpus-wide lineitem aggregate
+    * twice (r20 plan audit: two identical HashAggregate+Exchange
+    * subtrees, each broadcast separately). Materializing the hot-order
+    * keyset once and semi-joining the pinned frame keeps the pruning
+    * on both sides while paying the fact-table aggregate pass ONCE —
+    * at 100 TB that duplicate pass is a full extra corpus scan. The
+    * keyset is the HAVING survivors (orders whose total quantity
+    * clears the bar — the top of the volume distribution), orders of
+    * magnitude smaller than the fact table at any scale. */
+  private val q18HotSql =
+    "SELECT l_orderkey FROM lineitem GROUP BY l_orderkey " +
+      "HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 180"
+
+  private val q18MainSql =
+    "SELECT c_name, o_orderkey, o_orderdate, " +
+      "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty " +
+      "FROM customer JOIN orders ON c_custkey = o_custkey " +
+      "JOIN lineitem ON o_orderkey = l_orderkey " +
+      "WHERE o_orderkey IN (SELECT l_orderkey FROM hot_orders) " +
+      "GROUP BY c_name, o_orderkey, o_orderdate " +
+      "ORDER BY total_qty DESC, o_orderkey LIMIT 100"
+
   val queries: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -115,9 +140,16 @@ object Sql {
       "TPC-H Q18 shape (large-volume orders): HAVING-filtered aggregate " +
         "subquery decorrelated into a semi-join on the fact key, then " +
         "the 3-table join and TakeOrderedAndProject top-100. The " +
-        "subquery aggregate and the outer aggregate share the orderkey " +
-        "shuffle key.",
-      (s, d) => withViews(s, d)(q18Sql),
+        "subquery aggregate runs ONCE into a pinned hot-order keyset " +
+        "(inline, Catalyst's constraint inference duplicated it onto " +
+        "both join sides — two full fact aggregates); the semi-join " +
+        "prunes both sides from the pinned frame. Same results, same " +
+        "oracle: the DuckDB twin keeps the inline subquery.",
+      (s, d) => {
+        val hot = withViews(s, d)(q18HotSql).localCheckpoint()
+        hot.createOrReplaceTempView("hot_orders")
+        s.sql(q18MainSql)
+      },
       Some(q18Sql)),
 
     GraftQuery(

@@ -18,6 +18,10 @@ object Stats {
       "Exact interpolated percentiles per group (median, p90) — the " +
         "sort-based exact form; percentile_approx is the sketch path " +
         "(q_agg_approx covers sketches).",
+      // no spread — measured (r20 A/B, 5 reps): 1.39 s single-split vs
+      // 1.82 s spread; the exact-percentile object aggregate buffers
+      // full rows, so the repartition shuffles 600k wide rows to save
+      // nothing (partial buffers merge either way)
       (s, d) => Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(
@@ -35,6 +39,8 @@ object Stats {
       "q_agg_stats",
       "Moment aggregates: sample stddev/variance and Pearson " +
         "correlation per group, rounded for cross-engine stability.",
+      // no spread — measured (r20 A/B): 0.41 vs 0.99 s, 2.4x worse;
+      // moment aggregates combine map-side, the repartition is pure cost
       (s, d) => Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(
@@ -93,6 +99,8 @@ object Stats {
         "perturb the result). The oracle recomputes the identical " +
         "closed form from DECIMAL sums.",
       (s, d) => {
+        // no spread — measured (r20 A/B): 0.73 vs 1.09 s; the typed
+        // aggregator combines map-side like any DeclarativeAggregate
         val moments = udaf(new graft.functions.ExactMoments.Agg(2))
         Tables.lineitem(s, d)
           .groupBy("l_returnflag")

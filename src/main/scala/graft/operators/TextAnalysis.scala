@@ -70,14 +70,23 @@ object TextAnalysis {
         "the (doc_id, gram) shuffle, and the second aggregate is keyed " +
         "by doc_id alone — both scale with the corpus, never pairwise.",
       (s, d) => {
-        val toks = split(col("text"), " ")
-        val grams2 = when(size(toks) >= 2,
-          transform(sequence(lit(1), size(toks) - 1),
-            i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-          .otherwise(array().cast("array<string>"))
+        // gram identity via ONE native bigram_hashes eval per row (the
+        // lmNllOf kernel): the transform(sequence)+concat_ws HOF chain
+        // is INTERPRETED per position (rule 1) and materializes every
+        // 2-gram STRING, while the stats below need only gram EQUALITY
+        // — 16-byte hashes group identically (the q_span_dup idiom,
+        // modulo 2^-64 collisions the oracle's string recompute
+        // differentially checks every run). r20 A/B: bench-NEUTRAL at
+        // sf0.1 (0.68 → 0.67 s min — 500k short grams don't expose the
+        // interpreter); kept for the scale axis: one codegen'd eval
+        // per row and the (doc_id, gram) shuffle drops from
+        // string-sized to fixed-width rows (guide §2.3/§4.1).
         Tables.spread(Tables.documents(s, d))
-          .select(col("doc_id"), explode(grams2).as("ng"))
-          .groupBy("doc_id", "ng").agg(count(lit(1)).as("cnt"))
+          .select(col("doc_id"),
+            explode(call_function("bigram_hashes", split(col("text"), " ")))
+              .as("bg"))
+          .groupBy(col("doc_id"), col("bg.h1"), col("bg.h2"))
+          .agg(count(lit(1)).as("cnt"))
           .groupBy("doc_id").agg(
             sum("cnt").cast("bigint").as("n_2grams"),
             count(lit(1)).cast("bigint").as("n_distinct_2grams"),

@@ -125,6 +125,13 @@ object Export {
     * collision masking at 2^-128 per pair (below hardware error rates;
     * a single 64-bit hash would make silent drop a real event at
     * 10^12-row scale). */
+  /** Changed-key count above which [[diffBackups]]' value-fetch joins
+    * fall back from broadcast to shuffle: 1M (path, key) string pairs
+    * ≈ 50 MB framed — inside guide-§3.1's "a few hundred MB is fine"
+    * with margin for long paths; an incremental diff larger than that
+    * is no longer the small side of anything. */
+  val DiffBroadcastMaxKeys = 1000000L
+
   def diffBackups(prev: DataFrame, cur: DataFrame): DataFrame = {
     def digests(df: DataFrame, tag: String): DataFrame =
       df.select(col("path"), col("key"),
@@ -140,7 +147,20 @@ object Export {
       .filter(col("change").isNotNull)
       .select("path", "key", "change")
       .localCheckpoint()
-    val keyset = changedKeys.select("path", "key")
+    // The scaladoc's "broadcast keyset" must be EXPLICIT: a
+    // localCheckpoint'd frame reports the default (max) size estimate,
+    // so the planner sort-merge-joined the value fetches — shuffling
+    // BOTH full snapshots' payloads, the one thing this design exists
+    // to avoid (r20 plan audit: 2 of the 3 joins ran as SMJ). The
+    // keyset is already materialized, so its exact row count is one
+    // cheap job; under the cap (~50 MB framed at 1M keys, guide-§3.1
+    // comfortable) the snapshots are scanned but never shuffled. Past
+    // the cap — a diff so large it approaches a full re-export — the
+    // shuffle join is the right plan and the planner keeps it.
+    val nChanged = changedKeys.count()
+    val keyset0 = changedKeys.select("path", "key")
+    val keyset =
+      if (nChanged <= DiffBroadcastMaxKeys) broadcast(keyset0) else keyset0
     val oldVals = prev.join(keyset, Seq("path", "key"))
       .select(col("path"), col("key"), col("value_json").as("old_value"))
     val newVals = cur.join(keyset, Seq("path", "key"))
