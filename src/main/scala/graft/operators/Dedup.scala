@@ -93,7 +93,7 @@ object Dedup {
     * blocks, which the caller releases via the handle or leaves to
     * GC-driven ContextCleaner cleanup. DedupSpec pins this. */
   def jaccardPairsM(docs: DataFrame, tau: Double)
-      : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      : (DataFrame, org.apache.spark.rdd.RDD[_]) = {
     import org.apache.spark.sql.expressions.Window
     val nDocs = docs.count()
     // the 512x rehearsal regime (2.56M docs, single JVM): the shingle
@@ -150,13 +150,26 @@ object Dedup {
     * localCheckpoint contract), returning the frame plus the persisted
     * RDD handle so callers can release the blocks the moment the frame
     * is superseded. Shared by [[jaccardPairsM]] and
-    * [[connectedComponents]]. */
+    * [[connectedComponents]].
+    *
+    * Pins INTERNAL rows (Dataset.localCheckpoint), not `df.rdd`: the
+    * r20 plan audit caught the old Row-RDD form paying an
+    * InternalRow→Row conversion stage on write plus a Row→InternalRow
+    * conversion on every downstream read, with the blocks
+    * Java-serialized Rows in between — pure overhead multiplied by
+    * every connectedComponents iteration's label frame at scale. The
+    * handle is the checkpointed internal RDD out of the result's
+    * LogicalRDD; unpersisting it releases the same blocks the old
+    * handle did (DedupSpec pins the hygiene). */
   private[graft] def materialized(df: DataFrame)
-      : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
-    val rdd = df.rdd
-    rdd.localCheckpoint()
-    rdd.count() // eager: blocks exist before the handle is returned
-    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
+      : (DataFrame, org.apache.spark.rdd.RDD[_]) = {
+    val out = df.localCheckpoint() // eager: blocks exist on return
+    val handle = out.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      case other => throw new IllegalStateException(
+        s"localCheckpoint did not produce a LogicalRDD: $other")
+    }
+    (out, handle)
   }
 
   /** Exact-Jaccard verification of (da, db) candidate pairs against the
@@ -408,7 +421,7 @@ object Dedup {
       Option(df.agg(sum(col("lbl"))).collect().head
         .getAs[java.lang.Long](0)).map(_.longValue).getOrElse(0L)
     def hop(l: DataFrame)
-        : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+        : (DataFrame, org.apache.spark.rdd.RDD[_]) = {
       // every node has >= 1 edge by construction -> inner join is total
       val neighborMin = edges
         .join(l.withColumnRenamed("node", "dst"), "dst")

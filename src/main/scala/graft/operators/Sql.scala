@@ -12,9 +12,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Sql {
 
-  private def withViews(s: SparkSession, d: String)(sql: String): DataFrame = {
+  /** Register the table views and run `sql`. `spreadLineitem` fans the
+    * fact scan out to the session parallelism FOR THIS QUERY ONLY —
+    * measured per SQL query (r20 A/Bs, 5 interleaved reps at sf0.1,
+    * two windows): q3 1.82 → 1.56 then 1.50 → 1.44 s (its map phase
+    * joins + builds a 150k-group decimal partial aggregate — heavy
+    * enough to amortize the fan-out, the q_agg_basic shape), while
+    * q5 went 1.32 → 1.72 and q18 1.45x WORSE under the same spread
+    * (their semi-join/broadcast probe map phases are light, the
+    * q_join_inner shape) — so the flag defaults off and only q3 sets
+    * it. */
+  private def withViews(s: SparkSession, d: String,
+                        spreadLineitem: Boolean = false)
+                       (sql: String): DataFrame = {
     Tables.orders(s, d).createOrReplaceTempView("orders")
-    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    val li = Tables.lineitem(s, d)
+    (if (spreadLineitem) Tables.spread(li) else li)
+      .createOrReplaceTempView("lineitem")
     Tables.customer(s, d).createOrReplaceTempView("customer")
     Tables.supplier(s, d).createOrReplaceTempView("supplier")
     Tables.nation(s, d).createOrReplaceTempView("nation")
@@ -110,7 +124,7 @@ object Sql {
       "TPC-H Q3 shape through spark.sql: CTE + join + decimal-exact " +
         "revenue + top-10. Same Catalyst plan a DataFrame build would " +
         "get; the oracle string is the identical ANSI SQL.",
-      (s, d) => withViews(s, d)(q3Sql),
+      (s, d) => withViews(s, d, spreadLineitem = true)(q3Sql),
       Some(q3Sql)),
 
     GraftQuery(

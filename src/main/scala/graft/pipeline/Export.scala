@@ -132,7 +132,9 @@ object Export {
     * is no longer the small side of anything. */
   val DiffBroadcastMaxKeys = 1000000L
 
-  def diffBackups(prev: DataFrame, cur: DataFrame): DataFrame = {
+  def diffBackups(prev: DataFrame, cur: DataFrame,
+                  broadcastMaxKeys: Long = DiffBroadcastMaxKeys)
+      : DataFrame = {
     def digests(df: DataFrame, tag: String): DataFrame =
       df.select(col("path"), col("key"),
         xxhash64(col("value_json")).as(s"${tag}_h1"),
@@ -160,7 +162,7 @@ object Export {
     val nChanged = changedKeys.count()
     val keyset0 = changedKeys.select("path", "key")
     val keyset =
-      if (nChanged <= DiffBroadcastMaxKeys) broadcast(keyset0) else keyset0
+      if (nChanged <= broadcastMaxKeys) broadcast(keyset0) else keyset0
     val oldVals = prev.join(keyset, Seq("path", "key"))
       .select(col("path"), col("key"), col("value_json").as("old_value"))
     val newVals = cur.join(keyset, Seq("path", "key"))

@@ -39,6 +39,24 @@ class IncrementalSpec extends SparkSuite {
     assert(Export.diffBackups(snap, snap).count() == 0L)
   }
 
+  test("value-fetch join form is results-invariant across the " +
+    "broadcast size gate (r20: keyset broadcast under " +
+    "DiffBroadcastMaxKeys, shuffle join past it)") {
+    val prev = frame(Seq(
+      ("/a", "k1", "1"), ("/a", "k2", "2"), ("/a", "k3", "3"),
+      ("/b", "k1", "\"x\"")))
+    val cur = frame(Seq(
+      ("/a", "k1", "1"), ("/a", "k2", "22"), ("/a", "k4", "4"),
+      ("/b", "k1", "\"y\"")))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        Option(r.getString(3)), Option(r.getString(4)))).toSet
+    val bcast = rows(Export.diffBackups(prev, cur)) // 4 keys <= cap
+    val shuffled = rows(Export.diffBackups(prev, cur,
+      broadcastMaxKeys = 0L)) // force the over-cap shuffle branch
+    assert(bcast == shuffled && bcast.size == 4)
+  }
+
   test("restoreDiff brings a live destination from prev to cur") {
     val stub = new FirebaseStub()
     try {
