@@ -65,16 +65,25 @@ class PlanSpec extends SparkSuite {
     val p = plan("q_window_rank")
     assert(p.contains("BroadcastHashJoin"),
       "q_window_rank lost its rank-the-aggregate broadcast shape")
-    // the ntile leg: the q_lo/q_hi straddle gate is inlined by the
-    // optimizer as a CASE-vs-CASE (in)equality filter, and — better
-    // still — pushed onto the 150-row CELLS side of each broadcast:
-    // the uniform branch's cells keep bucket-equal cells (`CASE … =
-    // CASE …`), the straddle branch's keep the complement (`NOT
-    // (CASE …`), so only straddling cells' rows ever reach the
-    // row_number window — the corpus-wide window shuffle is the
-    // exchange this decomposition removed
-    assert(p.contains(" = CASE WHEN ") && p.contains("NOT (CASE WHEN "),
+    // the ntile leg: the cells frame is pinned (localCheckpoint, r20
+    // opt — without it the branch filters pushed into the broadcast
+    // side defeat ReuseExchange and the corpus-wide cells aggregate
+    // runs TWICE), so both branches broadcast the same materialized
+    // RDD and the q_lo/q_hi straddle gate is a plain column
+    // (in)equality pushed onto the ~150-row cells side: uniform keeps
+    // `q_lo = q_hi`, straddle keeps the complement — only straddling
+    // cells' rows ever reach the row_number window
+    assert(p.contains("Scan ExistingRDD"),
+      "q_window_rank cells frame no longer pinned (localCheckpoint)")
+    assert(p.contains(" = q_hi#") && p.contains("NOT (q_lo#"),
       "q_window_rank lost its straddle-gated ntile decomposition")
+    // exactly ONE Window survives corpus-side (the straddle slice);
+    // the cells aggregate's own window lives inside the pin, and a
+    // second Window here would mean the decomposition regressed to a
+    // corpus-wide shuffle
+    val nWindows = p.linesIterator.count(_.matches("""\(\d+\) Window"""))
+    assert(nWindows == 1,
+      s"q_window_rank expected exactly 1 Window operator, got $nWindows")
   }
 
   test("delta dedup probes the stored shingle index tables") {
