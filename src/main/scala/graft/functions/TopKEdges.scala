@@ -8,10 +8,16 @@ import org.apache.spark.sql.types._
 
 /** Bounded best-k buffer ordered by (score desc, dst asc) — the exact
   * ordering of the kNN-graph window (`desc(score), asc(dst)`), kept as
-  * two parallel arrays with insertion-sort updates. k is single-digit
-  * for every caller (graph k = 3), so the O(k) shift on an accepted
-  * row is a handful of moves, and the common case — a row that does
-  * not beat the current worst — is ONE comparison. */
+  * two parallel arrays with insertion-sort updates. The common case —
+  * a row that does not beat the current worst — is ONE comparison; an
+  * accepted row pays an O(k) shift. Callers span graph edges (k = 3)
+  * and the ANN shortlists (r20: k = R up to ~640 x slow growth with
+  * n): on score-unordered input accepted inserts number ~k·ln(n/k),
+  * so total shift work is ~k²·ln(n/k) per (group x partition) —
+  * ~4M moves at k=640 over millions of candidates, noise next to the
+  * scoring itself. Only an ADVERSARIALLY ascending score stream
+  * degrades to O(n·k); no caller feeds one (candidates arrive in
+  * id/scan order, scores uncorrelated). */
 final class TopKEdgesBuffer(val k: Int) extends Serializable {
   val dsts = new Array[Long](k)
   val scores = new Array[Double](k)

@@ -370,6 +370,39 @@ class SimilaritySpec extends SparkSuite {
       "persisted codebooks diverge from a deterministic re-train")
   }
 
+  test("ANN shortlist TopKEdges aggregate is row-identical to the " +
+      "window foil (pq and ivfpq)") {
+    val sp = spark; import sp.implicits._
+    // (adc desc, nid asc) is a total order, so the sort-free aggregate
+    // and the row_number window must produce the SAME shortlist — and
+    // therefore bit-identical final rows (r20 opt; the graph build's
+    // foil law, restated for the ANN paths). pq over the corpus:
+    val aggPq = Similarity.pqTopK(spark, sf, 5).collect().toSeq
+    val winPq = Similarity.pqTopK(spark, sf, 5, shortlistWindow = true)
+      .collect().toSeq
+    assert(aggPq.nonEmpty && aggPq == winPq,
+      "pq shortlist: aggregate vs window foil diverged")
+    // ivfpq over the random NON-unit-norm index fixture (exercises
+    // varying norms, not just the unit corpus)
+    def vec(seed: Long): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(64)(r.nextFloat() * 2 - 1)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_topk_foil")
+    val dir = new java.io.File(tmp.toFile, "d").toString
+    (0L until 150L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val probesDf = (0L until 10L).map(i => (5000L + i, vec(i + 300L)))
+      .toDF("vec_id", "embedding")
+    val aggIp = Similarity.ivfPqProbe(spark, dir, probesDf, 5)
+      .orderBy("qid", "rn").collect().toSeq
+    val winIp = Similarity.ivfPqProbe(spark, dir, probesDf, 5,
+        shortlistWindow = true)
+      .orderBy("qid", "rn").collect().toSeq
+    assert(aggIp.nonEmpty && aggIp == winIp,
+      "ivfpq shortlist: aggregate vs window foil diverged")
+  }
+
   test("native lsh_bucket_ids matches the spec-form Column buckets") {
     // production bucketing is one native call per row (LshBucketIds);
     // the CASE WHEN vector_dot formulation (Similarity.tableBucket) is
